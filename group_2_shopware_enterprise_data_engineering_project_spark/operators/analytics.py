@@ -1,0 +1,279 @@
+"""Analytics query library — the reference's aggregation/join surface.
+
+Each function is a declarative DataFrame transform: single groupBy hash
+aggregation (map-side partial agg + one shuffle on the group keys), no
+Python UDFs, no collect. At 100 TB these are exactly the plans you want
+Catalyst to own: partial aggregation shrinks the shuffle to ~|groups|,
+AQE coalesces post-shuffle partitions, and dimension joins broadcast.
+
+Reference parity notes are cited per function (file:line into
+/root/reference/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def session_metrics(
+    events: DataFrame,
+    session_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    event_type_col: str = "event_type",
+    distinct_col: str = "event_type",
+) -> DataFrame:
+    """A2 — per-session engagement metrics.
+
+    Reference: src/streaming/WEB/services/quicksight/script.sql:1-17
+    (min/max event_time, date_diff seconds, COUNT(*), COUNT(DISTINCT page),
+    MIN/MAX(event_type) as entry/exit, ORDER BY session_start DESC).
+
+    Quirk preserved: entry/exit event is the *alphabetical* MIN/MAX of
+    event_type, not first/last by time (SURVEY §2.5 A2).
+
+    One shuffle on the session key; everything else is map-side.
+    """
+    ts = F.col(ts_col)
+    out = (
+        events.groupBy(*session_cols)
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            (F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts))).alias(
+                "duration_sec"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.col(distinct_col)).alias("n_distinct"),
+            F.min(F.col(event_type_col)).alias("entry_event"),
+            F.max(F.col(event_type_col)).alias("exit_event"),
+        )
+        .orderBy(F.col("session_start").desc(), *[F.col(c) for c in session_cols])
+    )
+    return out
+
+
+# Engagement weights — reference script.sql:63-71 uses
+# Click=2 View=1 Scroll=1 Like=3 Comment=4 ELSE 1; mapped onto the
+# testdata event_type domain {click,view,purchase,signup,error}.
+ENGAGEMENT_WEIGHTS = {"click": 2, "view": 1, "purchase": 4, "signup": 3}
+ENGAGEMENT_DEFAULT = 1
+
+
+def engagement_weight(event_type_col: str = "event_type") -> Column:
+    c = F.col(event_type_col)
+    expr = None
+    for k, w in ENGAGEMENT_WEIGHTS.items():
+        expr = F.when(c == k, w) if expr is None else expr.when(c == k, w)
+    return expr.otherwise(F.lit(ENGAGEMENT_DEFAULT))
+
+
+def engagement_score(
+    events: DataFrame,
+    session_cols: tuple[str, ...] = ("user_id",),
+    event_type_col: str = "event_type",
+) -> DataFrame:
+    """A3 — weighted CASE-sum engagement score per session.
+
+    Reference: script.sql:59-76 (SUM over CASE event_type weights).
+    """
+    return (
+        events.groupBy(*session_cols)
+        .agg(F.sum(engagement_weight(event_type_col)).alias("engagement_score"))
+        .orderBy(F.col("engagement_score").desc(), *[F.col(c) for c in session_cols])
+    )
+
+
+def sales_kpi(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part_col: str = "l_partkey",
+) -> DataFrame:
+    """A1 — sales per product per day, rounded to 2 decimals BEFORE any
+    downstream merge (reference transfom_pos.py:127-129: groupBy
+    product_id,date -> round(sum(revenue),2) AS total_sales).
+
+    Realized over lineitem⋈orders: revenue = extendedprice*(1-discount),
+    day = date(o_orderdate). The join is a plain equi-join on orderkey —
+    at scale both sides are big, so this is a shuffle join; Catalyst/AQE
+    handle strategy. Aggregation shuffles once on (partkey, day).
+    """
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # Money math in exact integer cents: per-row half-up rounding via
+    # floor(x*100+0.5) is bit-deterministic IEEE, and a BIGINT sum is
+    # order-independent — unlike round(sum(double),2), which differs
+    # across engines/partition orders in the last ulp.
+    rev_cents = F.floor(revenue * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "inner")
+        .groupBy(F.col(part_col).alias("product_id"), F.to_date("o_orderdate").alias("sale_date"))
+        .agg((F.sum(rev_cents).cast("double") / F.lit(100.0)).alias("total_sales"))
+    )
+
+
+def loyalty_metrics(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    flag_col: str = "o_orderstatus",
+    loyalty_value: str = "F",
+    measure_col: str = "o_totalprice",
+) -> DataFrame:
+    """A4 — per-customer loyalty metrics.
+
+    Reference: script.sql:79-91 — SUM(CASE WHEN interaction_type='Loyalty'
+    THEN 1 ELSE 0 END), rate = 100.0*loyal/COUNT(*) (guarded COUNT>0),
+    AVG(rating). Realized on orders: 'loyalty interaction' := order with
+    o_orderstatus = 'F'; rating := o_totalprice.
+    """
+    is_loyal = F.when(F.col(flag_col) == loyalty_value, 1).otherwise(0)
+    n = F.count(F.lit(1))
+    loyal = F.sum(is_loyal)
+    # avg over exact integer cents (order-independent), final scalar
+    # double ops are bit-deterministic across engines.
+    measure_cents = F.floor(F.col(measure_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        orders.groupBy(F.col(key_col).alias("customer_id"))
+        .agg(
+            loyal.alias("loyalty_interactions"),
+            F.count(F.lit(1)).alias("total_interactions"),
+            F.when(n > 0, F.lit(100.0) * loyal / n)
+            .otherwise(F.lit(0.0))
+            .alias("loyalty_rate"),
+            (F.sum(measure_cents).cast("double") / (F.lit(100.0) * n)).alias(
+                "avg_rating"
+            ),
+        )
+    )
+
+
+def alert_count(
+    events: DataFrame,
+    window_start: str,
+    window_end: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    negative_threshold: float = 100.0,
+    alert_min_count: int = 10,
+) -> DataFrame:
+    """A5 — conditional count over an hour-aligned window + alert flag.
+
+    Reference: src/streaming/CRM/services/alerting_system/alerting_lambda.py:47-93
+    (COUNT(*) WHERE rating<=2 AND ingestion_time in [T-1h, T); alert if
+    count >= 10, threshold at :24, compare :119).
+
+    The timestamp filter is a pushable predicate — on a time-partitioned
+    table this prunes to one hour of data before any compute.
+    """
+    ts = F.col(ts_col)
+    filtered = events.filter(
+        (ts >= F.lit(window_start).cast("timestamp"))
+        & (ts < F.lit(window_end).cast("timestamp"))
+        & (F.col(value_col) <= F.lit(negative_threshold))
+    )
+    return filtered.agg(
+        F.count(F.lit(1)).alias("negative_count"),
+        (F.count(F.lit(1)) >= F.lit(alert_min_count)).alias("alert"),
+    )
+
+
+def duplicate_keys(df: DataFrame, key_col: str) -> DataFrame:
+    """A6 — duplicate-key diagnostic: keys occurring more than once.
+
+    Reference: inventory_transform.py:486-493
+    (groupBy(inventory_id).count().filter('count > 1')).
+    """
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def null_counts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """A8 — per-column null counts (single-row validation report).
+
+    Reference: inventory_validate.py:238-243 / validate.py:74-78
+    (df[col].isnull().sum() per column). One map-side pass, no shuffle
+    beyond the final single-row reduce.
+    """
+    cols = cols or df.columns
+    aggs = [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls")
+        for c in cols
+    ]
+    return df.agg(*aggs)
+
+
+def loyalty_join(
+    sessions: DataFrame,
+    customers: DataFrame,
+    session_user_col: str = "user_id",
+    cust_key_col: str = "c_custkey",
+) -> DataFrame:
+    """J1 + J2 + O1 — session summary LEFT JOIN customer dim on a cast
+    key, COALESCE defaults for misses, ORDER BY session key DESC.
+
+    Reference: script.sql:93-103 (LEFT JOIN ON CAST(s.user_id AS int) =
+    l.customer_id; COALESCE(l.x, 0); ORDER BY s.session_id DESC).
+
+    The customer side is a dimension — explicitly broadcast so the join
+    is shuffle-free on the (large) fact side at any scale.
+    """
+    right = F.broadcast(
+        customers.select(
+            F.col(cust_key_col).alias("_ck"),
+            F.col("c_name"),
+            F.col("c_acctbal"),
+            F.col("c_mktsegment"),
+        )
+    )
+    joined = sessions.join(
+        right, sessions[session_user_col].cast("int") == right["_ck"], "left"
+    )
+    return (
+        joined.select(
+            *[sessions[c] for c in sessions.columns],
+            F.coalesce(F.col("c_name"), F.lit("unknown")).alias("customer_name"),
+            F.coalesce(F.col("c_acctbal"), F.lit(0.0)).alias("acctbal"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("mktsegment"),
+        )
+        .orderBy(F.col(session_user_col).desc())
+    )
+
+
+def top_k(df: DataFrame, order_col: str, k: int, *tiebreak_cols: str) -> DataFrame:
+    """O1 + O2 — global ORDER BY DESC + LIMIT.
+
+    Reference: script.sql:17,48,103 (ORDER BY ... DESC), CRM_README.md:216
+    (LIMIT 10). Spark executes this as TakeOrderedAndProject — no global
+    sort materialization, per-partition top-k then a k-row merge on the
+    driver. Exactly what you want at 100 TB.
+    """
+    order = [F.col(order_col).desc()] + [F.col(c) for c in tiebreak_cols]
+    return df.orderBy(*order).limit(k)
+
+
+def date_range_summary(
+    orders: DataFrame,
+    start: str,
+    end: str,
+    date_col: str = "o_orderdate",
+    measure_col: str = "o_totalprice",
+) -> DataFrame:
+    """P15 — date-range filter + monthly rollup.
+
+    Reference: script.sql:15,46,74,89 (WHERE date(event_time) BETWEEN
+    :start AND :end). The to_date comparison compiles to a parquet
+    min/max-pushable range predicate.
+    """
+    d = F.to_date(F.col(date_col))
+    cents = F.floor(F.col(measure_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return (
+        orders.filter((d >= F.lit(start)) & (d <= F.lit(end)))
+        .groupBy(F.date_format(date_col, "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("month")
+    )

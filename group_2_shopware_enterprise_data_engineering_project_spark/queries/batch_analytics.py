@@ -1,0 +1,309 @@
+"""Batch analytics queries over the testdata star schema, with DuckDB
+oracles (SURVEY §2.4-2.8 realized per FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    analytics,
+    dedup,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+
+# --- A2: session/engagement metrics (flagship) --------------------------
+
+A2_ORACLE = """
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       date_diff('second', min(ts), max(ts)) AS duration_sec,
+       count(*) AS n_events,
+       count(DISTINCT props) AS n_distinct,
+       min(event_type) AS entry_event,
+       max(event_type) AS exit_event
+FROM events
+GROUP BY user_id
+ORDER BY session_start DESC, user_id
+"""
+
+
+@register(
+    "a2_session_metrics",
+    A2_ORACLE,
+    doc="A2 session engagement metrics (reference script.sql:1-17); "
+    "alphabetical MIN/MAX(event_type) entry/exit quirk preserved",
+)
+def a2_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return analytics.session_metrics(events, distinct_col="props")
+
+
+# --- A3: weighted engagement score ---------------------------------------
+
+A3_ORACLE = """
+SELECT user_id,
+       CAST(sum(CASE event_type WHEN 'click' THEN 2 WHEN 'view' THEN 1
+                WHEN 'purchase' THEN 4 WHEN 'signup' THEN 3
+                ELSE 1 END) AS BIGINT) AS engagement_score
+FROM events
+GROUP BY user_id
+ORDER BY engagement_score DESC, user_id
+"""
+
+
+@register(
+    "a3_engagement_score",
+    A3_ORACLE,
+    doc="A3 weighted CASE-sum engagement score (reference script.sql:59-76)",
+)
+def a3_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.engagement_score(table(spark, sf_dir, "events"))
+
+
+# --- A1: sales KPI -------------------------------------------------------
+
+A1_ORACLE = """
+SELECT l_partkey AS product_id,
+       CAST(o_orderdate AS DATE) AS sale_date,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_sales
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "a1_sales_kpi",
+    A1_ORACLE,
+    doc="A1 sales per product per day, round(sum,2) before merge "
+    "(reference transfom_pos.py:127-129)",
+)
+def a1_sales_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.sales_kpi(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders")
+    )
+
+
+# --- A4: loyalty metrics -------------------------------------------------
+
+A4_ORACLE = """
+SELECT o_custkey AS customer_id,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS loyalty_interactions,
+       count(*) AS total_interactions,
+       CASE WHEN count(*) > 0
+             THEN CAST(100.0 AS DOUBLE) * sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) / count(*)
+             ELSE CAST(0.0 AS DOUBLE) END AS loyalty_rate,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (CAST(100.0 AS DOUBLE) * count(*)) AS avg_rating
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "a4_loyalty_metrics",
+    A4_ORACLE,
+    doc="A4 loyalty conditional agg + guarded rate + avg "
+    "(reference script.sql:79-91)",
+)
+def a4_loyalty_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.loyalty_metrics(table(spark, sf_dir, "orders"))
+
+
+# --- A5: hour-window alert count ----------------------------------------
+
+A5_START, A5_END = "2024-01-10 00:00:00", "2024-01-11 00:00:00"
+
+A5_ORACLE = f"""
+SELECT count(*) AS negative_count,
+       count(*) >= 10 AS alert
+FROM events
+WHERE ts >= TIMESTAMP '{A5_START}' AND ts < TIMESTAMP '{A5_END}'
+  AND value <= CAST(100.0 AS DOUBLE)
+"""
+
+
+@register(
+    "a5_alert_count",
+    A5_ORACLE,
+    doc="A5 conditional count in aligned time window + alert flag "
+    "(reference alerting_lambda.py:47-93)",
+)
+def a5_alert_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.alert_count(
+        table(spark, sf_dir, "events"), A5_START, A5_END, negative_threshold=100.0
+    )
+
+
+# --- A6: duplicate-key diagnostic ---------------------------------------
+
+A6_ORACLE = """
+SELECT user_id, count(*) AS n
+FROM events
+GROUP BY user_id
+HAVING count(*) > 1
+"""
+
+
+@register(
+    "a6_duplicate_keys",
+    A6_ORACLE,
+    doc="A6 duplicate-key detection (reference inventory_transform.py:486-493)",
+)
+def a6_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.duplicate_keys(table(spark, sf_dir, "events"), "user_id")
+
+
+# --- A8: per-column null counts -----------------------------------------
+
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+A8_ORACLE = "SELECT " + ", ".join(
+    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}_nulls"
+    for c in _EVENT_COLS
+) + " FROM events"
+
+
+@register(
+    "a8_null_counts",
+    A8_ORACLE,
+    doc="A8 per-column null-count validation report "
+    "(reference inventory_validate.py:238-243)",
+)
+def a8_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.null_counts(table(spark, sf_dir, "events"), list(_EVENT_COLS))
+
+
+# --- J1/J2/O1: left join with cast key + coalesce defaults ---------------
+
+J1_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) AS session_end,
+         date_diff('second', min(ts), max(ts)) AS duration_sec,
+         count(*) AS n_events,
+         count(DISTINCT props) AS n_distinct,
+         min(event_type) AS entry_event,
+         max(event_type) AS exit_event
+  FROM events GROUP BY user_id
+)
+SELECT s.*,
+       coalesce(c.c_name, 'unknown') AS customer_name,
+       coalesce(c.c_acctbal, CAST(0.0 AS DOUBLE)) AS acctbal,
+       coalesce(c.c_mktsegment, 'NONE') AS mktsegment
+FROM s LEFT JOIN customer c ON CAST(s.user_id AS INT) = c.c_custkey
+ORDER BY s.user_id DESC
+"""
+
+
+@register(
+    "j1_loyalty_join",
+    J1_ORACLE,
+    doc="J1 LEFT JOIN on cast key + J2 COALESCE defaults + O1 ORDER BY "
+    "key DESC (reference script.sql:93-103); dim side broadcast",
+)
+def j1_loyalty_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = analytics.session_metrics(
+        table(spark, sf_dir, "events"), distinct_col="props"
+    )
+    return analytics.loyalty_join(sessions, table(spark, sf_dir, "customer"))
+
+
+# --- W1: keep-latest dedup window ---------------------------------------
+
+W1_ORACLE = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register(
+    "w1_keep_latest",
+    W1_ORACLE,
+    doc="W1 latest-record-per-key ranking window "
+    "(reference inventory_transform.py:483-484)",
+)
+def w1_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return dedup.keep_latest(events, ("user_id",), "ts", "event_id").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+# --- D1: full-row distinct ------------------------------------------------
+
+D1_ORACLE = """
+SELECT DISTINCT * FROM (
+  SELECT * FROM events UNION ALL SELECT * FROM events
+)
+"""
+
+
+@register(
+    "d1_distinct_rows",
+    D1_ORACLE,
+    doc="D1 full-row distinct over a dup-seeded union "
+    "(reference transfom_pos.py:118)",
+)
+def d1_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return dedup.distinct_rows(events.unionAll(events))
+
+
+# --- O1/O2: global top-k --------------------------------------------------
+
+O1_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "o1_topk_orders",
+    O1_ORACLE,
+    doc="O1 global ORDER BY DESC + O2 LIMIT (reference script.sql:17, "
+    "CRM_README.md:216); executes as TakeOrderedAndProject",
+)
+def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    return analytics.top_k(orders, "o_totalprice", 10, "o_orderkey")
+
+
+# --- P15: date-range filter + monthly rollup ------------------------------
+
+P15_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_value
+FROM orders
+WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "p15_date_range",
+    P15_ORACLE,
+    doc="P15 date-range filter (reference script.sql:15) + monthly rollup",
+)
+def p15_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.date_range_summary(
+        table(spark, sf_dir, "orders"), "1996-01-01", "1996-12-31"
+    )

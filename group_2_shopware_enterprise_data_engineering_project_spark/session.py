@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Mirrors the reference's SPARK_CONFIGS (reference:
+src/batch/inventory/services/glue_service/inventory_transform.py:46-56 —
+AQE on, coalescePartitions, skewJoin, Kryo, snappy parquet, Arrow) with
+local-mode ergonomics: shuffle partitions sized to cores rather than the
+200 default, UTC session timezone so results compare bit-for-bit against
+a DuckDB oracle, and the Spark UI off for headless runs.
+
+On a real cluster only ``master`` and the memory knobs change; every
+query in this package is declarative DataFrame/SQL, so Catalyst + AQE
+pick physical strategies per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "shopware-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    Safe to call when a session already exists (e.g. under the driver
+    harness): ``getOrCreate`` reuses it, and the session-level configs
+    we depend on for correctness (timezone, AQE) are re-applied via
+    runtime conf below.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle = shuffle_partitions or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Session-level settings that matter even on a pre-existing session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_session_settings(spark: SparkSession) -> SparkSession:
+    """Apply the correctness-critical runtime confs to an externally
+    created session (the driver harness passes us its own)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

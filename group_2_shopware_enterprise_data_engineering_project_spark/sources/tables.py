@@ -1,0 +1,82 @@
+"""Testdata catalog: the driver-generated TPC-H-ish star schema.
+
+Tables (one parquet each under an sf dir, see /root/repo/TESTDATA.md):
+region nation customer supplier part orders lineitem events documents
+embeddings. All reads are plain ``spark.read.parquet`` so Catalyst gets
+predicate pushdown + column pruning on every downstream query.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos
+    timestamp type, so these need the nanosAsLong read path. Footer-only
+    metadata read on one file; cheap at any scale."""
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return []
+        f = files[0]
+    schema = pq.read_schema(f)
+    return [
+        field.name
+        for field in schema
+        if str(field.type) == "timestamp[ns]"
+    ]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Lazy — the scan node only materializes
+    the columns/filters the final plan needs.
+
+    Nano-precision timestamp columns (events.ts) are read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and converted to
+    microsecond timestamps with integer division (``div 1000`` — a
+    float division would lose precision on 1e18-scale epochs), matching
+    DuckDB's ns->us truncation.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,143 @@
+"""Local correctness harness mirroring the driver's DuckDB-oracle check.
+
+For every query in the registry: run the Spark DataFrame and the DuckDB
+oracle SQL on the same sf dir, then compare row count, sorted column
+names, and an order-insensitive canonicalized value multiset. Floats are
+compared exactly first; near-misses (rel<=1e-9) are reported as
+FLOAT-FRAGILE so we know a driver-side exact hash could still fail.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from group_2_shopware_enterprise_data_engineering_project_spark import registry  # noqa: E402
+from group_2_shopware_enterprise_data_engineering_project_spark.session import get_spark  # noqa: E402
+from group_2_shopware_enterprise_data_engineering_project_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+
+def canon(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, Decimal):
+        return ("float", float(v))
+    if isinstance(v, float):
+        return ("float", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, date):
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(canon(x) for x in v))
+    return ("str", str(v))
+
+
+def rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def close_enough(a, b):
+    if a == b:
+        return True
+    if (
+        isinstance(a, tuple)
+        and isinstance(b, tuple)
+        and len(a) == len(b) == 2
+        and a[0] == "float"
+        and b[0] == "float"
+    ):
+        return math.isclose(a[1], b[1], rel_tol=1e-9, abs_tol=1e-12)
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
+        return all(close_enough(x, y) for x, y in zip(a, b))
+    return False
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures += 1
+            continue
+
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            sm = rows_to_multiset(srows, scols)
+            om = rows_to_multiset(orows, ocols)
+            if sm != om:
+                exact_bad = [(a, b) for a, b in zip(sm, om) if a != b]
+                frag = all(close_enough(a, b) for a, b in exact_bad)
+                if frag:
+                    print(
+                        f"FRAG  {name}: exact mismatch but within 1e-9 "
+                        f"({len(exact_bad)} rows) [{time.time()-t0:.1f}s]"
+                    )
+                    for a, b in exact_bad[:3]:
+                        print(f"      spark={a}\n      orcle={b}")
+                    continue
+                problems.append(f"values differ ({len(exact_bad)} rows)")
+                for a, b in exact_bad[:3]:
+                    problems.append(f"  spark={a}\n  orcle={b}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
