@@ -1,0 +1,158 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): token counting,
+quality scoring, language-ID heuristic, document fingerprinting
+(md5 + winnowing). All pure Column expressions over `split` + higher-
+order array functions — JVM-side, codegen'd, no Python in the hot
+path, so they scale linearly with input size (the only shuffle in any
+of these is a final rollup if the caller adds one).
+
+Tokenization convention: split on single spaces, drop empties —
+chosen because it is exactly mirrorable in ANSI SQL for the oracle.
+Swap `tokens()` for a regex/BPE tokenizer without touching the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("a", "value", "row", "table")
+
+LANG_MARKERS = {
+    "de": ("der", "und", "die"),
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "et", "les"),
+}
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Whitespace tokens, empties dropped."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+
+
+def token_count(text_col: Column | str) -> Column:
+    return F.size(tokens(text_col))
+
+
+def shingles(tokens_col: Column, k: int = 3, distinct: bool = True) -> Column:
+    """k-gram shingles over a token array (the unit for Jaccard /
+    MinHash / winnowing). Guarded for short docs (< k tokens -> empty;
+    an unguarded sequence(1,0) would count DOWN in Spark)."""
+    sh = F.when(
+        F.size(tokens_col) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - (k - 1)),
+            lambda i: F.array_join(F.slice(tokens_col, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh) if distinct else sh
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: chars, tokens, avg token length, stopword
+    ratio, punctuation ratio."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    chars_no_space = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,!?;:]", ""))
+    # BIGINT counts to match SQL engines' length()/len() typing.
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        (chars_no_space.cast("double") / n_tok).alias("avg_token_len"),
+        (stop_hits.cast("double") / n_tok).alias("stopword_ratio"),
+        (punct.cast("double") / F.length(text_col)).alias("punct_ratio"),
+    )
+
+
+def quality_score(stats: DataFrame) -> DataFrame:
+    """Heuristic quality gate over text_stats output: 4 independent
+    checks summed to a 0-4 score; is_quality = all pass. The checks
+    mirror common pretraining filters (length band, stopword share,
+    punctuation share, token-length band)."""
+    checks = [
+        F.col("n_tokens").between(20, 2000),
+        F.col("stopword_ratio") <= 0.6,
+        F.col("punct_ratio") <= 0.2,
+        F.col("avg_token_len").between(2.0, 15.0),
+    ]
+    score = sum(c.cast("int") for c in checks).cast("long")
+    return stats.withColumn("quality_score", score).withColumn(
+        "is_quality", score == len(checks)
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language-ID heuristic: count hits per language's
+    marker list, argmax with deterministic alphabetical tiebreak,
+    'unknown' when no markers hit."""
+    toks = tokens(text_col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    m = F.greatest(*scores.values())
+    pred = F.when(m == 0, F.lit("unknown"))
+    for lang in sorted(scores):  # alphabetical priority on ties
+        pred = pred.when(scores[lang] == m, F.lit(lang))
+    out = docs.select(
+        F.col(id_col),
+        *[s.cast("long").alias(f"score_{lang}") for lang, s in scores.items()],
+        pred.alias("predicted_lang"),
+    )
+    return out
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whole-document fingerprint: md5 of the raw text. The exact-dedup
+    key (hash-groupBy dedup shuffles 32 hex chars per doc, not the
+    document bodies)."""
+    return docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash all
+    k-shingles, take the min hash in each sliding window of `window`
+    consecutive shingles, keep the distinct minima. Robust local
+    fingerprints for near-dup detection / plagiarism-style overlap.
+    """
+    sh = shingles(tokens(text_col), k, distinct=False)
+    hashes = F.transform(sh, F.md5)
+    n_windows = F.size(hashes) - (window - 1)
+    minima = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(minima)).alias("fingerprints"),
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: one row per distinct text, keeping the min id
+    (hash-groupBy on the md5 fingerprint — the 100 TB-safe form: the
+    shuffle carries (hash, id), never the text)."""
+    fp = docs.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

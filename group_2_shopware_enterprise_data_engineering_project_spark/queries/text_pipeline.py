@@ -1,0 +1,310 @@
+"""LLM-data-pipeline text queries over `documents`, with DuckDB oracles
+where SQL-expressible (BASELINE.json north-star operators).
+
+The md5-based hashing (fingerprints, minhash, winnowing) was chosen
+specifically so every stage mirrors into ANSI SQL — the oracle runs the
+IDENTICAL hash pipeline, so even LSH's probabilistic misses are
+bit-for-bit reproduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    minhash,
+    simhash,
+    text,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+# Shared tokenization fragment (DuckDB side).
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOPLIST = "('" + "', '".join(text.STOPWORDS) + "')"
+
+
+# --- text stats -----------------------------------------------------------
+
+T1_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {_TOKS} AS t,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_no_space,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(chars_no_space AS DOUBLE) / len(t) AS avg_token_len,
+       CAST(len(list_filter(t, x -> x IN {_STOPLIST})) AS DOUBLE) / len(t)
+           AS stopword_ratio,
+       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio
+FROM base
+"""
+
+
+@register(
+    "t1_text_stats",
+    T1_ORACLE,
+    doc="per-doc token/char stats, stopword + punctuation ratios "
+    "(LLM-pipeline text analysis; north star)",
+)
+def t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(table(spark, sf_dir, "documents"))
+
+
+# --- quality scoring ------------------------------------------------------
+
+T2_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {_TOKS} AS t,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_no_space,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+), stats AS (
+  SELECT doc_id, n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(chars_no_space AS DOUBLE) / len(t) AS avg_token_len,
+         CAST(len(list_filter(t, x -> x IN {_STOPLIST})) AS DOUBLE) / len(t)
+             AS stopword_ratio,
+         CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio
+  FROM base
+)
+SELECT *,
+       CAST((n_tokens BETWEEN 20 AND 2000)::INT
+          + (stopword_ratio <= 0.6)::INT
+          + (punct_ratio <= 0.2)::INT
+          + (avg_token_len BETWEEN 2.0 AND 15.0)::INT AS BIGINT) AS quality_score,
+       ((n_tokens BETWEEN 20 AND 2000)::INT
+          + (stopword_ratio <= 0.6)::INT
+          + (punct_ratio <= 0.2)::INT
+          + (avg_token_len BETWEEN 2.0 AND 15.0)::INT) = 4 AS is_quality
+FROM stats
+"""
+
+
+@register(
+    "t2_quality_score",
+    T2_ORACLE,
+    doc="pretraining-style quality gate: 4 checks -> 0-4 score + flag",
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(text.text_stats(table(spark, sf_dir, "documents")))
+
+
+# --- language id ----------------------------------------------------------
+
+_LANG_SCORES_SQL = ", ".join(
+    f"CAST(len(list_filter({_TOKS}, x -> x IN ('"
+    + "', '".join(markers)
+    + f"'))) AS BIGINT) AS score_{lang}"
+    for lang, markers in sorted(text.LANG_MARKERS.items())
+)
+_LANGS = sorted(text.LANG_MARKERS)
+_MAXEXPR = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANGS) + ")"
+_PRED_SQL = (
+    "CASE WHEN " + _MAXEXPR + " = 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN score_{lang} = {_MAXEXPR} THEN '{lang}'" for lang in _LANGS
+    )
+    + " END"
+)
+
+T3_ORACLE = f"""
+WITH scored AS (SELECT doc_id, {_LANG_SCORES_SQL} FROM documents)
+SELECT doc_id, {', '.join(f'score_{lang}' for lang in _LANGS)},
+       {_PRED_SQL} AS predicted_lang
+FROM scored
+"""
+
+
+@register(
+    "t3_lang_id",
+    T3_ORACLE,
+    doc="marker-token language-ID heuristic with deterministic "
+    "alphabetical tiebreak",
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(table(spark, sf_dir, "documents"))
+
+
+# --- exact dedup via fingerprint ------------------------------------------
+
+T4_ORACLE = """
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+GROUP BY 1
+"""
+
+
+@register(
+    "t4_exact_dedup",
+    T4_ORACLE,
+    doc="exact dedup by md5 fingerprint over a dup-seeded corpus "
+    "(hash-groupBy; shuffle carries 32-hex keys, not texts)",
+)
+def t4_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.exact_dedup(docs.unionAll(docs))
+
+
+# --- winnowing fingerprints -----------------------------------------------
+
+T5_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         [md5(array_to_string(t[i:i+2], ' '))
+          FOR i IN generate_series(1, greatest(len(t) - 2, 0))] AS h
+  FROM toks
+), minima AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [list_min(h[i:i+3]) FOR i IN generate_series(1, greatest(len(h) - 3, 0))]
+         )) AS fps
+  FROM sh
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(fps, ',')) AS fp_digest
+FROM minima
+"""
+
+
+@register(
+    "t5_winnow_fingerprints",
+    T5_ORACLE,
+    doc="winnowing local fingerprints (Schleimer et al. 2003): k=3 "
+    "shingle md5s, window-4 minima, distinct",
+)
+def t5_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf = text.winnow_fingerprints(table(spark, sf_dir, "documents"), k=3, window=4)
+    return wf.select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join("fingerprints", ",")).alias("fp_digest"),
+    )
+
+
+# --- minhash LSH near-dup --------------------------------------------------
+
+def _minhash_oracle() -> str:
+    p, r = minhash.NUM_PERM, minhash.BAND_ROWS
+    mh_cols = ",\n         ".join(
+        f"list_min([md5('{i}:' || s) FOR s IN shingles]) AS mh{i}" for i in range(p)
+    )
+    pipe_concat = " || '|' || "
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM sig".format(
+            b=b, expr=pipe_concat.join(f"mh{b * r + j}" for j in range(r))
+        )
+        for b in range(p // r)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN generate_series(1, greatest(len(t) - 2, 0))]) AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh
+), buckets AS (
+{band_selects}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inter AS (
+  SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jaccard
+FROM cands c
+JOIN inter i ON i.da = c.doc_a AND i.db = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.4
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc=f"MinHash({minhash.NUM_PERM} perms) + LSH({minhash.NUM_PERM // minhash.BAND_ROWS} "
+    "bands) near-dup candidates, exact-Jaccard verified >= 0.4; md5 hash "
+    "family makes the oracle reproduce LSH bit-for-bit",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash.minhash_lsh_dedup(table(spark, sf_dir, "documents"), threshold=0.4)
+
+
+# --- all-pairs n-gram jaccard ----------------------------------------------
+
+T7_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN generate_series(1, greatest(len(t) - 2, 0))]) AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.4
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    T7_ORACLE,
+    doc="exact all-pairs 3-gram Jaccard >= 0.4 via shingle inverted-"
+    "index join (ground-truth path; LSH is the scale path)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash.allpairs_jaccard_dedup(table(spark, sf_dir, "documents"), threshold=0.4)
+
+
+# --- simhash (rows-only: signature not ANSI-SQL-expressible) ---------------
+
+
+@register(
+    "dedup_simhash",
+    None,
+    doc="SimHash(64-bit, Pandas-UDF signatures) near-pairs at Hamming<=3 "
+    "via 4x16-bit band join; rows-only check, invariants in pytest",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash.simhash_dedup(table(spark, sf_dir, "documents"))
