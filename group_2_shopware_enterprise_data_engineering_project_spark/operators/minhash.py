@@ -25,6 +25,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+    spread,
+)
 from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
     shingles,
     tokens,
@@ -37,7 +40,10 @@ BAND_ROWS = 2
 def shingle_sets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, shingles array) per doc."""
+    """(id, shingles array) per doc. Input is spread across cores —
+    signature hashing (num_perm md5s per shingle) is the compute-bound
+    stage of the pipeline."""
+    docs = spread(docs)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         shingles(tokens(text_col), k).alias("shingles"),
@@ -115,8 +121,15 @@ def candidate_pairs(buckets: DataFrame) -> DataFrame:
 
 
 def exact_jaccard(shingle_df: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact Jaccard for given pairs via an exploded shingle
-    inverted-index join (shuffles (shingle, doc_id), not texts)."""
+    """Exact Jaccard for the GIVEN candidate pairs only.
+
+    Restricts the shingle inverted index to candidate docs BEFORE any
+    self-join: cost is O(candidate docs x their shingles), not
+    O(all co-occurring pairs). Computing the full co-occurrence matrix
+    and then filtering would silently reintroduce the quadratic blowup
+    LSH exists to avoid — on a low-diversity corpus (long posting
+    lists) that is the difference between seconds and hours.
+    """
     exploded = shingle_df.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
@@ -124,13 +137,16 @@ def exact_jaccard(shingle_df: DataFrame, pairs: DataFrame) -> DataFrame:
         "doc_id", F.size("shingles").alias("sz")
     )
     inter = (
-        exploded.alias("x")
-        .join(exploded.alias("y"), (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        pairs.join(
+            exploded.alias("x"), pairs["doc_a"] == F.col("x.doc_id")
         )
+        .join(
+            exploded.alias("y"),
+            (pairs["doc_b"] == F.col("y.doc_id"))
+            & (F.col("x.shingle") == F.col("y.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        .join(pairs, ["doc_a", "doc_b"])  # restrict to candidates
     )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")

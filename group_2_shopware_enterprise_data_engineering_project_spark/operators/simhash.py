@@ -26,6 +26,8 @@ import hashlib
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import spread
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -53,6 +55,7 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
+    docs = spread(docs)
     return docs.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash"))
 
 

@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+    spread,
+)
+
 STOPWORDS = ("a", "value", "row", "table")
 
 LANG_MARKERS = {
@@ -54,6 +58,7 @@ def shingles(tokens_col: Column, k: int = 3, distinct: bool = True) -> Column:
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats: chars, tokens, avg token length, stopword
     ratio, punctuation ratio."""
+    docs = spread(docs)
     toks = tokens(text_col)
     n_tok = F.size(toks)
     chars_no_space = F.length(F.regexp_replace(F.col(text_col), " ", ""))
@@ -129,6 +134,7 @@ def winnow_fingerprints(
     consecutive shingles, keep the distinct minima. Robust local
     fingerprints for near-dup detection / plagiarism-style overlap.
     """
+    docs = spread(docs)
     sh = shingles(tokens(text_col), k, distinct=False)
     hashes = F.transform(sh, F.md5)
     n_windows = F.size(hashes) - (window - 1)

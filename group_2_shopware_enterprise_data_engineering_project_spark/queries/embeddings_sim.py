@@ -1,0 +1,147 @@
+"""Similarity-search queries over `embeddings` with DuckDB oracles.
+
+The cosine math uses double-precision sequential folds in both engines
+(probed bit-identical), and the LSH hyperplanes are md5-derived
+Rademacher signs computed independently — but identically — by the
+Spark operator (Python md5) and the oracle (SQL md5), so even the
+approximate path is exactly reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    similarity,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+_NORM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+E1_ORACLE = f"""
+SELECT vec_id, label, {_NORM.format(v='embedding')} AS l2_norm
+FROM embeddings
+"""
+
+
+@register(
+    "e1_embedding_norms",
+    E1_ORACLE,
+    doc="per-vector L2 norm via native array fold (no UDF)",
+)
+def e1_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_norms(table(spark, sf_dir, "embeddings"))
+
+
+E2_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings
+), sims AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qv', b='nv')}
+         / ({_NORM.format(v='qv')} * {_NORM.format(v='nv')}) AS cos_sim
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "e2_ann_bruteforce",
+    E2_ORACLE,
+    doc="exact cosine top-5 per query (broadcast queries x corpus scan; "
+    "corpus never shuffles) — the ANN ground-truth baseline",
+)
+def e2_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(
+        emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K
+    )
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+def _bucket_sql(vec: str, num_planes: int = similarity.NUM_PLANES) -> str:
+    """H-bit sign-pattern bucket, signs derived from md5 IN SQL —
+    mirrors similarity.hyperplane_signs exactly."""
+    bits = []
+    for p in range(num_planes):
+        sign = (
+            f"CASE WHEN substr(md5('{p}:' || CAST(i - 1 AS VARCHAR)), 1, 1) <= '7' "
+            "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+        )
+        d = (
+            f"list_sum(list_transform(generate_series(1, 64), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({sign})))"
+        )
+        bits.append(f"CASE WHEN {d} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+E3_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+  FROM b WHERE vec_id < {N_QUERIES}
+), cands AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         {_DOT.format(a='q.qv', b='b.embedding')}
+         / ({_NORM.format(v='q.qv')} * {_NORM.format(v='b.embedding')}) AS cos_sim
+  FROM q JOIN b ON q.qbucket = b.bucket AND b.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cands
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "e3_ann_lsh",
+    E3_ORACLE,
+    doc="sign-random-projection LSH (8 md5-derived Rademacher planes) "
+    "bucket join + exact verify — the shuffle-once ANN scale path",
+)
+def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K)
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+E4_ORACLE = f"""
+WITH norms AS (
+  SELECT label, {_NORM.format(v='embedding')} AS n FROM embeddings
+)
+SELECT label, count(*) AS n_vectors, min(n) AS min_norm, max(n) AS max_norm
+FROM norms GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "e4_label_stats",
+    E4_ORACLE,
+    doc="per-label corpus stats (order-independent aggregates only)",
+)
+def e4_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_stats(table(spark, sf_dir, "embeddings"))
