@@ -57,6 +57,10 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Drop persists left by pipeline-internal .persist() calls so
+        # one query's cached working set can't distort the next one's
+        # measurement (isolation between timed queries).
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_wall",

@@ -172,10 +172,19 @@ def minhash_lsh_dedup(
     threshold: float = 0.4,
 ) -> DataFrame:
     """Full near-dup pipeline -> (doc_a, doc_b, jaccard) pairs with
-    verified jaccard >= threshold, ordered for determinism."""
-    ss = shingle_sets(docs, text_col, id_col, k)
+    verified jaccard >= threshold, ordered for determinism.
+
+    The shingle-set and bucket DataFrames each feed multiple plan
+    branches (signature hashing, the bucket self-join's two sides, the
+    verify stage's two explodes + two size lookups). Persist both so
+    the shingle/md5 subtree runs ONCE instead of ~5x — (id, shingles)
+    and (id, band_hash) are tiny relative to the corpus (no document
+    bodies), so this holds at cluster scale where recomputing the
+    signature stage per branch would dominate the job."""
+    ss = shingle_sets(docs, text_col, id_col, k).persist()
     sigs = ss.select("doc_id", minhash_signature(F.col("shingles"), num_perm).alias("signature"))
-    cands = candidate_pairs(band_buckets(sigs, num_perm, band_rows))
+    buckets = band_buckets(sigs, num_perm, band_rows).persist()
+    cands = candidate_pairs(buckets)
     verified = exact_jaccard(ss, cands)
     return verified.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
 
@@ -189,8 +198,11 @@ def allpairs_jaccard_dedup(
 ) -> DataFrame:
     """n-gram Jaccard near-dup WITHOUT LSH: exact inverted-index
     all-pairs (ground truth / small-corpus path; LSH is the scale
-    path — same verify stage, different candidate generation)."""
-    ss = shingle_sets(docs, text_col, id_col, k)
+    path — same verify stage, different candidate generation).
+
+    Persisted for the same reason as minhash_lsh_dedup: the shingle
+    subtree feeds 4 plan branches."""
+    ss = shingle_sets(docs, text_col, id_col, k).persist()
     exploded = ss.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = ss.select("doc_id", F.size("shingles").alias("sz"))
     inter = (
