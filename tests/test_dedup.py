@@ -1,0 +1,88 @@
+"""Dedup family: exact, minhash-LSH, n-gram Jaccard, simhash.
+
+Strategy: plant exact duplicates and near-duplicates in a small corpus
+and assert each detector finds them (and nothing spurious at high
+thresholds), plus determinism across runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    dedup,
+    minhash,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun light"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-token edit -> high jaccard
+FAR = "completely different content about spark query engines and distributed joins at scale"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, NEAR), (2, FAR), (3, BASE)]  # 3 = exact dup of 0
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    out = {r.keep_id: r.n_copies for r in text.exact_dedup(docs).collect()}
+    # 3 distinct texts; the (0, 3) exact-dup group keeps min id 0 with 2 copies
+    assert out == {0: 2, 1: 1, 2: 1}
+
+
+def test_distinct_rows_and_keep_latest(spark):
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (1, 100, "a"), (1, 200, "b"), (2, 50, "c")],
+        "id long, ts long, v string",
+    )
+    assert dedup.distinct_rows(df).count() == 3
+    latest = {r.id: r.v for r in dedup.keep_latest(df, ("id",), "ts").collect()}
+    assert latest == {1: "b", 2: "c"}
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash.minhash_lsh_dedup(docs, threshold=0.4).collect()
+    }
+    assert pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.6  # near dup
+    assert not any({a, b} & {2} for (a, b) in pairs)  # FAR matches nothing
+
+
+def test_allpairs_jaccard_matches_lsh_on_planted(docs):
+    lsh = {(r.doc_a, r.doc_b) for r in minhash.minhash_lsh_dedup(docs, threshold=0.4).collect()}
+    ap = {(r.doc_a, r.doc_b) for r in minhash.allpairs_jaccard_dedup(docs, threshold=0.4).collect()}
+    # LSH candidates are a subset of all-pairs; on this corpus the
+    # planted pairs are far above threshold so both find exactly them.
+    assert lsh == ap == {(0, 1), (0, 3), (1, 3)}
+
+
+def test_minhash_deterministic(docs):
+    a = minhash.minhash_lsh_dedup(docs).collect()
+    b = minhash.minhash_lsh_dedup(docs).collect()
+    assert a == b
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash.simhash_dedup(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 3)] == 0
+    assert (0, 1) in pairs  # one-token edit stays within hamming 3
+
+
+def test_simhash_signature_properties(spark):
+    # empty text -> 0; signatures deterministic
+    df = spark.createDataFrame([(0, ""), (1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in simhash.simhash_signatures(df).collect()}
+    assert sigs[0] == 0
+    assert sigs[1] == sigs[2] != 0

@@ -1,0 +1,67 @@
+"""MERGE/upsert semantics (K4 replace, K5 additive) and the parquet
+upsert table."""
+
+from __future__ import annotations
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+    ParquetUpsertTable,
+    merge_additive,
+    merge_replace,
+)
+
+
+def test_merge_replace_source_wins_and_inserts(spark):
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], "id long, v string")
+    source = spark.createDataFrame([(1, "new"), (3, "ins")], "id long, v string")
+    out = {r.id: r.v for r in merge_replace(target, source, ("id",)).collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_merge_replace_latest_by_order_col(spark):
+    # source carries multiple versions per key; order_col picks latest
+    target = spark.createDataFrame([(1, 100, "t")], "id long, ts long, v string")
+    source = spark.createDataFrame(
+        [(1, 50, "stale"), (1, 200, "fresh")], "id long, ts long, v string"
+    )
+    out = merge_replace(target, source, ("id",), "ts").collect()
+    assert len(out) == 1 and out[0].v == "fresh"
+
+
+def test_merge_additive_accumulates(spark):
+    target = spark.createDataFrame([(1, "2025-01-01", 10.0)], "pid long, date string, total double")
+    source = spark.createDataFrame(
+        [(1, "2025-01-01", 5.0), (2, "2025-01-01", 7.0)],
+        "pid long, date string, total double",
+    )
+    out = {
+        (r.pid, r.date): r.total
+        for r in merge_additive(target, source, ("pid", "date"), ("total",)).collect()
+    }
+    # matched key accumulates (reference transfom_pos.py:140-152); new key inserts
+    assert out == {(1, "2025-01-01"): 15.0, (2, "2025-01-01"): 7.0}
+
+
+def test_parquet_upsert_table_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "kpi")
+    t = ParquetUpsertTable(spark, path)
+    assert not t.exists()
+
+    b1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "pid long, total double")
+    t.upsert_additive(b1, ("pid",), ("total",))  # bootstrap
+    assert t.exists()
+
+    b2 = spark.createDataFrame([(1, 1.0), (3, 3.0)], "pid long, total double")
+    t.upsert_additive(b2, ("pid",), ("total",))  # accumulate
+    out = {r.pid: r.total for r in t.read().collect()}
+    assert out == {1: 11.0, 2: 20.0, 3: 3.0}
+
+
+def test_parquet_upsert_replace_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "inv")
+    t = ParquetUpsertTable(spark, path)
+    b1 = spark.createDataFrame([(1, 100, "a"), (2, 100, "b")], "id long, ts long, v string")
+    t.upsert_replace(b1, ("id",), "ts")
+    b2 = spark.createDataFrame([(2, 200, "b2"), (3, 100, "c")], "id long, ts long, v string")
+    t.upsert_replace(b2, ("id",), "ts")
+    out = {r.id: r.v for r in t.read().collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}

@@ -1,0 +1,39 @@
+"""Testdata catalog reads — incl. the TIMESTAMP(NANOS) regression."""
+
+from __future__ import annotations
+
+import pytest
+
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import tables
+
+
+def test_all_tables_load(spark, sf_dir):
+    for name in tables.TABLE_NAMES:
+        df = tables.table(spark, sf_dir, name)
+        assert df.count() > 0, name
+
+
+def test_unknown_table_rejected(spark, sf_dir):
+    with pytest.raises(KeyError):
+        tables.table(spark, sf_dir, "nope")
+
+
+def test_events_ts_is_microsecond_timestamp(spark, sf_dir):
+    """events.parquet stores ts as TIMESTAMP(NANOS); the reader must
+    surface a usable timestamp column (nanosAsLong + div 1000), not a
+    raw long — and it must match DuckDB's ns->us truncation."""
+    df = tables.table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    spark_min = df.selectExpr("min(ts) AS m").collect()[0].m
+
+    import duckdb
+
+    duck_min = duckdb.sql(
+        f"SELECT min(ts) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert spark_min == duck_min
+
+
+def test_register_views(spark, sf_dir):
+    tables.register_views(spark, sf_dir)
+    assert spark.sql("SELECT count(*) c FROM region").collect()[0].c > 0
