@@ -1,0 +1,103 @@
+"""POS batch pipeline: CSV -> validate -> dedup -> daily-sales KPI
+MERGE + fact append (SURVEY §3.1).
+
+Reference flow (src/batch/pos): pandas validator (schema/not-null,
+quarantine) then Glue Spark transform — schema'd CSV scan, epoch->
+timestamp+date, dropDuplicates, groupBy(product_id, date) sum(revenue)
+rounded to 2dp, additive Delta MERGE into the KPI table, append to the
+fact table (transfom_pos.py:114-170).
+
+The round(sum,2)-before-merge quirk is load-bearing: the KPI table
+accumulates ROUNDED per-batch sums (reference transfom_pos.py:127-129
+rounds, :140-152 merges) — preserved exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import validate
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.dedup import distinct_rows
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+    ParquetUpsertTable,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.transform import (
+    normalize_epoch,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.schemas import POS_SCHEMA
+from group_2_shopware_enterprise_data_engineering_project_spark.sources.readers import read_csv
+
+REQUIRED = ["transaction_id", "store_id", "product_id", "quantity", "revenue", "timestamp"]
+
+
+def rules() -> list[validate.Rule]:
+    return validate.required(REQUIRED) + validate.non_negative(["quantity", "revenue"])
+
+
+def daily_sales_kpi(facts: DataFrame) -> DataFrame:
+    """A1 — per (product_id, date) revenue sum rounded to 2dp
+    (reference transfom_pos.py:127-129).
+
+    Implemented as exact integer cents (round-half-up per row, BIGINT
+    sum, /100): bit-identical across engines, where a float
+    round(sum, 2) differs in the last ulp between Spark and DuckDB."""
+    cents = F.floor(F.col("revenue") * 100.0 + 0.5).cast("long")
+    return facts.groupBy("product_id", "date").agg(
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_sales")
+    )
+
+
+@dataclass
+class RunResult:
+    valid_rows: int
+    rejected_rows: int
+    fact_rows: int
+    kpi_rows: int
+
+
+def run(
+    spark: SparkSession,
+    csv_path: str,
+    fact_path: str,
+    kpi_path: str,
+    rejected_path: str | None = None,
+    partition_by: tuple[str, ...] = ("date",),
+    collect_stats: bool = True,
+) -> RunResult:
+    """`partition_by` defaults to the reference's per-date layout
+    (transfom_pos.py:157,166) — right when each batch touches few
+    dates. For backfills spanning thousands of dates, pass () to avoid
+    a tiny-file-per-date explosion. `collect_stats=False` skips the
+    count actions (each is an extra scan)."""
+    raw = read_csv(spark, csv_path, POS_SCHEMA)
+    ok, bad = validate.split(raw, rules())
+    if rejected_path:
+        bad.withColumn("violations", F.to_json("violations")).write.mode(
+            "overwrite"
+        ).parquet(rejected_path)
+
+    facts = normalize_epoch(
+        distinct_rows(ok), "timestamp", ts_col="timestamp", date_col="date"
+    )
+    kpi = daily_sales_kpi(facts)
+
+    kpi_table = ParquetUpsertTable(spark, kpi_path, partition_by=partition_by)
+    kpi_table.upsert_additive(kpi, ("product_id", "date"), ("total_sales",))
+
+    fact_table = ParquetUpsertTable(spark, fact_path, partition_by=partition_by)
+    if fact_table.exists():
+        fact_table.append(facts)
+    else:
+        fact_table.create_or_overwrite(facts)
+
+    if not collect_stats:
+        return RunResult(-1, -1, -1, -1)
+    return RunResult(
+        valid_rows=ok.count(),
+        rejected_rows=bad.count(),
+        fact_rows=fact_table.read().count(),
+        kpi_rows=kpi_table.read().count(),
+    )

@@ -1,0 +1,336 @@
+"""Driver-visible queries for the streaming layer (ST1/ST5/ST7), the
+file readers (S2/S3), the K1 hour-partitioned sink, and the end-to-end
+batch pipelines (inventory, POS) — each with a DuckDB oracle.
+
+Roundtrip queries materialize inputs into a fresh temp dir per run
+(derived deterministically from the testdata tables), push them through
+the real reader/stream/pipeline code path, and return a DataFrame whose
+oracle is plain SQL over the original table — so the file formats,
+validation, dedup, and merge stages are all inside the checked surface.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from group_2_shopware_enterprise_data_engineering_project_spark.pipelines import inventory, pos
+from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
+from group_2_shopware_enterprise_data_engineering_project_spark.schemas import (
+    CRM_INTERACTION_SCHEMA,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+    read_hour_partitioned,
+    write_hour_partitioned,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+from group_2_shopware_enterprise_data_engineering_project_spark.sources.readers import (
+    read_csv,
+    read_jsonl,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.streaming import alerts
+from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+    accumulating_kpi_sink,
+    stream_json_source,
+)
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"shopware_spark_{prefix}_")
+
+
+# --- ST5/A5: hourly tumbling-window alert counts --------------------------
+
+ST5_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       CAST(count(*) AS BIGINT) AS negative_count
+FROM events WHERE value <= 2.0
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+@register(
+    "st5_hourly_alert_counts",
+    ST5_ORACLE,
+    doc="ST5/A5 hour-aligned negative-event counts via window() agg "
+    "(reference alerting_lambda.py:47-93; value<=2 stands in for rating<=2)",
+)
+def st5_hourly_alert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return alerts.negative_interaction_counts(
+        events, ts_col="ts", rating_col="value", watermark=None
+    ).orderBy("window_start")
+
+
+# --- K1: hour-partitioned sink roundtrip ----------------------------------
+
+K1_ORACLE = """
+SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+       strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2, 3, 4
+"""
+
+
+@register(
+    "k1_hour_partition_roundtrip",
+    K1_ORACLE,
+    doc="K1 hour-partitioned parquet write + partition-pruned read-back "
+    "(reference transformation.py:131-168 layout); per-partition counts",
+)
+def k1_hour_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmp("k1")
+    write_hour_partitioned(table(spark, sf_dir, "events"), "ts", out)
+    back = read_hour_partitioned(spark, out)
+    return back.groupBy("year", "month", "day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# --- S2: CSV reader roundtrip ---------------------------------------------
+
+ORDERS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+S2_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "s2_csv_roundtrip",
+    S2_ORACLE,
+    doc="S2 schema'd CSV scan (reference transfom_pos.py:40-47): orders "
+    "-> csv -> read_csv(schema) -> per-status agg; doubles round-trip "
+    "via Spark's shortest-repr float formatting",
+)
+def s2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmp("s2")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").option("header", "true").csv(out)
+    back = read_csv(spark, out, ORDERS_CSV_SCHEMA)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_price"),
+    )
+
+
+# --- S3: JSONL reader roundtrip -------------------------------------------
+
+CUSTOMER_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+S3_ORACLE = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_acctbal,
+       CAST(min(c_custkey) AS BIGINT) AS min_custkey,
+       CAST(max(c_custkey) AS BIGINT) AS max_custkey
+FROM customer GROUP BY 1
+"""
+
+
+@register(
+    "s3_jsonl_roundtrip",
+    S3_ORACLE,
+    doc="S3 NDJSON scan with declared schema (reference "
+    "inventory_validate.py:134-167): customer -> jsonl -> read_jsonl "
+    "-> per-nation agg",
+)
+def s3_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmp("s3")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    cust.write.mode("overwrite").json(out)
+    back = read_jsonl(spark, out, CUSTOMER_JSON_SCHEMA)
+    cents = F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_acctbal"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.max("c_custkey").alias("max_custkey"),
+    )
+
+
+# --- ST1+ST7: streaming micro-batches into an accumulating KPI ------------
+
+ST7_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+@register(
+    "st7_stream_kpi",
+    ST7_ORACLE,
+    doc="ST1 file micro-batches (maxFilesPerTrigger=1) + ST7 accumulating "
+    "KPI merge with batch-id guard (reference api.py:22-23, "
+    "transfom_pos.py:140-152): 3 files -> 3 batches -> one KPI table",
+)
+def st7_stream_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+
+    base = _tmp("st7")
+    src_dir, kpi_path, ckpt = f"{base}/in", f"{base}/kpi", f"{base}/ckpt"
+    events = table(spark, sf_dir, "events").select("event_id", "event_type")
+    # 3 input files -> 3 micro-batches (deterministic split on event_id)
+    events.withColumn("bucket", (F.col("event_id") % 3).cast("int")).repartition(
+        3, "bucket"
+    ).drop("bucket").write.mode("overwrite").json(src_dir)
+
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("event_type", T.StringType())]
+    )
+    kpi = ParquetUpsertTable(spark, kpi_path)
+    accumulating_kpi_sink(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        kpi,
+        ("event_type",),
+        ("n",),
+        lambda df: df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        ckpt,
+    )
+    return kpi.read()
+
+
+# --- Pipelines end-to-end --------------------------------------------------
+
+PIPE_POS_ORACLE = """
+WITH src AS (
+  SELECT concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR))
+             AS transaction_id,
+         CAST(l_suppkey % 10 AS INT) AS store_id,
+         CAST(l_partkey AS INT) AS product_id,
+         CASE WHEN l_linenumber = 4 THEN NULL ELSE CAST(l_quantity AS INT) END
+             AS quantity,
+         l_extendedprice AS revenue,
+         epoch(o_orderdate) AS ts
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), valid AS (
+  SELECT * FROM src WHERE quantity IS NOT NULL
+)
+SELECT product_id,
+       CAST(make_timestamp(CAST(ts AS BIGINT) * 1000000) AS DATE) AS date,
+       CAST(sum(CAST(floor(revenue * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_sales
+FROM valid GROUP BY 1, 2
+"""
+
+
+@register(
+    "pipe_pos",
+    PIPE_POS_ORACLE,
+    doc="POS pipeline end-to-end (SURVEY §3.1): synthesized daily CSV -> "
+    "S2 scan -> validation split (planted null quantities rejected) -> "
+    "dedup -> epoch/date derivation -> A1 KPI -> K5 bootstrap merge",
+)
+def pipe_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp("pipe_pos")
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    src = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat_ws("-", "l_orderkey", "l_linenumber").alias("transaction_id"),
+            (F.col("l_suppkey") % 10).cast("int").alias("store_id"),
+            F.col("l_partkey").cast("int").alias("product_id"),
+            F.when(F.col("l_linenumber") == 4, F.lit(None))
+            .otherwise(F.col("l_quantity"))
+            .cast("int")
+            .alias("quantity"),
+            F.col("l_extendedprice").alias("revenue"),
+            F.lit(0.0).alias("discount_applied"),
+            # NTZ -> (UTC session) timestamp -> epoch seconds; a direct
+            # ntz->double cast is disallowed in Spark 4
+            F.col("o_orderdate").cast("timestamp").cast("double").alias("timestamp"),
+        )
+    )
+    src.write.mode("overwrite").option("header", "true").csv(f"{base}/in")
+    # Unpartitioned sinks: this synthetic "batch" spans ~2400 dates, so
+    # the reference's per-date layout would mean 2400 tiny partitions.
+    pos.run(
+        spark, f"{base}/in", f"{base}/fact", f"{base}/kpi",
+        partition_by=(), collect_stats=False,
+    )
+    return spark.read.parquet(f"{base}/kpi")
+
+
+PIPE_INVENTORY_ORACLE = """
+WITH src AS (
+  SELECT l_partkey AS inventory_id,
+         l_partkey AS product_id,
+         l_suppkey % 5 AS warehouse_id,
+         CAST(l_quantity AS BIGINT) - 10 AS stock_level,
+         CASE WHEN l_linenumber % 2 = 0 THEN NULL
+              ELSE CAST(l_linenumber AS BIGINT) END AS restock_threshold,
+         CAST(l_orderkey * 100 + l_linenumber AS DOUBLE) AS last_updated
+  FROM lineitem
+), valid AS (
+  SELECT * FROM src WHERE stock_level >= 0
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY inventory_id ORDER BY last_updated DESC) AS rn
+  FROM valid
+)
+SELECT inventory_id, product_id, warehouse_id, stock_level, restock_threshold,
+       last_updated,
+       make_timestamp(CAST(last_updated AS BIGINT) * 1000000)
+           AS last_updated_datetime,
+       CAST(make_timestamp(CAST(last_updated AS BIGINT) * 1000000) AS DATE)
+           AS last_updated_date
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "pipe_inventory",
+    PIPE_INVENTORY_ORACLE,
+    doc="Inventory pipeline end-to-end (SURVEY §3.2): synthesized JSONL -> "
+    "S3 scan -> schema enforcement -> validation (planted negative stock "
+    "rejected) -> keep-latest dedup -> K4 upsert bootstrap",
+)
+def pipe_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp("pipe_inv")
+    lineitem = table(spark, sf_dir, "lineitem")
+    src = lineitem.select(
+        F.col("l_partkey").alias("inventory_id"),
+        F.col("l_partkey").alias("product_id"),
+        (F.col("l_suppkey") % 5).alias("warehouse_id"),
+        (F.col("l_quantity").cast("long") - 10).alias("stock_level"),
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit(None))
+        .otherwise(F.col("l_linenumber").cast("long"))
+        .alias("restock_threshold"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+        .cast("double")
+        .alias("last_updated"),
+    )
+    src.write.mode("overwrite").json(f"{base}/in")
+    inventory.run(spark, f"{base}/in", f"{base}/table")
+    return spark.read.parquet(f"{base}/table")

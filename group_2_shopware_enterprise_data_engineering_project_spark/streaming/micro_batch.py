@@ -1,0 +1,155 @@
+"""Micro-batch streaming core (ST1 triggers, ST4 DLQ split, K1 sink,
+ST7 accumulating KPI with exactly-once batch guard).
+
+The reference's streaming is Kinesis records -> Lambda -> parquet
+files, i.e. repeated small batches with no operator state (SURVEY
+§1.1.2). Structured Streaming's file source + ``foreachBatch``
+reproduces that exactly, and the ``availableNow`` trigger makes every
+pipeline testable as a finite run.
+
+ST1 parity: the reference flushes on count>=100 OR 10s elapsed
+(reference src/streaming/WEB/services/scripts/api.py:22-23,169-181).
+Spark's equivalents are ``maxFilesPerTrigger`` (size-bound) and
+``trigger(processingTime=...)`` (time-bound) — both exposed here.
+
+ST8: at-least-once retries are Spark's task retry + the checkpoint
+dir; the KPI merge adds a batch-id guard so at-least-once delivery
+still accumulates each batch exactly once (the additive MERGE is NOT
+idempotent, so the guard is correctness, not hygiene).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import validate
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+    ParquetUpsertTable,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+    write_hour_partitioned,
+)
+
+
+def stream_json_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """ST1 — file-based micro-batch source: each trigger consumes up to
+    N newly-arrived files (the size-bound flush). Kinesis/Kafka swap in
+    by replacing this one reader; everything downstream is unchanged."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint: str,
+    batch_fn,
+) -> StreamingQuery:
+    """Drain everything currently available through `batch_fn(df, batch_id)`
+    and stop — the finite-run harness for tests and backfills."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def hour_partitioned_sink(
+    stream_df: DataFrame,
+    ts_col: str,
+    path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """K1-as-stream-sink: every micro-batch lands hour-partitioned
+    parquet, exactly the reference lambda's per-batch write."""
+    return run_available_now(
+        stream_df,
+        checkpoint,
+        lambda df, _bid: write_hour_partitioned(df, ts_col, path),
+    )
+
+
+def dlq_split_sink(
+    stream_df: DataFrame,
+    rules: list[validate.Rule],
+    valid_fn,
+    dlq_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """ST4 — per-batch valid/invalid split: valid rows go to `valid_fn`
+    (any writer), invalid rows append to the DLQ path with their
+    violation reasons (K7 semantics: reference
+    src/streaming/CRM/services/consumer/lambda_function.py:120-156)."""
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        ok, bad = validate.split(df, rules)
+        valid_fn(ok, batch_id)
+        import pyspark.sql.functions as F
+
+        bad.withColumn("violations", F.to_json("violations")).write.mode(
+            "append"
+        ).parquet(dlq_path)
+
+    return run_available_now(stream_df, checkpoint, _batch)
+
+
+class BatchGuard:
+    """Exactly-once gate for non-idempotent per-batch effects under
+    at-least-once delivery: records the last applied batch id durably
+    next to the sink (the same role as Delta's txn log appId/version).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def last_applied(self) -> int:
+        try:
+            with open(self.path) as f:
+                return json.load(f)["batch_id"]
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def mark(self, batch_id: int) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, self.path)
+
+
+def accumulating_kpi_sink(
+    stream_df: DataFrame,
+    table: ParquetUpsertTable,
+    key_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+    agg_fn,
+    checkpoint: str,
+) -> StreamingQuery:
+    """ST7 — the POS KPI pattern as a stream: per micro-batch, aggregate
+    with `agg_fn(df) -> (key_cols + sum_cols) DataFrame`, then additive-
+    MERGE into the KPI table (reference transfom_pos.py:140-152), with a
+    batch-id guard so a replayed batch is a no-op instead of a
+    double-add."""
+    guard = BatchGuard(os.path.join(table.path + "_meta", "last_batch.json"))
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        if batch_id <= guard.last_applied():
+            return
+        table.upsert_additive(agg_fn(df), key_cols, sum_cols)
+        guard.mark(batch_id)
+
+    return run_available_now(stream_df, checkpoint, _batch)

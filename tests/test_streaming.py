@@ -1,0 +1,140 @@
+"""Structured Streaming: micro-batch sources, K1 sink, DLQ split,
+hourly alert window, accumulating KPI with batch guard."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+    ParquetUpsertTable,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.schemas import (
+    CRM_INTERACTION_SCHEMA,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.streaming import alerts
+from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+    BatchGuard,
+    accumulating_kpi_sink,
+    stream_json_source,
+    run_available_now,
+)
+
+
+def _write_jsonl(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _crm_rows(n, start_ts=1.7e9, rating=1, cid=1):
+    return [
+        {
+            "customer_id": cid,
+            "interaction_type": "Complaint",
+            "timestamp": start_ts + i,
+            "channel": "web",
+            "rating": rating,
+            "message_excerpt": f"m{i}",
+        }
+        for i in range(n)
+    ]
+
+
+def test_stream_source_micro_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1 -> one micro-batch per input file (the
+    size-bound flush, ST1)."""
+    src_dir = tmp_path / "in"
+    _write_jsonl(src_dir / "f1.jsonl", _crm_rows(3))
+    _write_jsonl(src_dir / "f2.jsonl", _crm_rows(2, start_ts=1.8e9))
+
+    batches = []
+    stream = stream_json_source(spark, str(src_dir), CRM_INTERACTION_SCHEMA)
+    run_available_now(
+        stream,
+        str(tmp_path / "ckpt"),
+        lambda df, bid: batches.append((bid, df.count())),
+    )
+    assert sorted(c for _, c in batches) == [2, 3]
+
+
+def test_alert_window_batch_and_threshold(spark):
+    """Hour-aligned tumbling window; alert iff >= 10 negatives
+    (reference threshold)."""
+    rows = (
+        [(f"2025-01-01 10:{m:02d}:00", 1) for m in range(12)]  # 12 negatives hr 10
+        + [(f"2025-01-01 11:{m:02d}:00", 1) for m in range(5)]  # 5 negatives hr 11
+        + [("2025-01-01 10:30:00", 5)] * 20  # positives don't count
+    )
+    df = spark.createDataFrame(rows, "ts string, rating int").withColumn(
+        "ingestion_time", F.col("ts").cast("timestamp")
+    )
+    counts = {
+        r.window_start.hour: r.negative_count
+        for r in alerts.negative_interaction_counts(df).collect()
+    }
+    assert counts == {10: 12, 11: 5}
+    fired = alerts.alerts(df).collect()
+    assert len(fired) == 1 and fired[0].window_start.hour == 10
+
+
+def test_streaming_alerts_with_watermark(spark, tmp_path):
+    """The same alert query runs as a stream (availableNow drain)."""
+    src_dir = tmp_path / "in"
+    rows = [
+        {"customer_id": 1, "interaction_type": "c", "timestamp": 1.7e9 + i, "rating": 1}
+        for i in range(15)
+    ]
+    _write_jsonl(src_dir / "f1.jsonl", rows)
+    stream = stream_json_source(spark, str(src_dir), CRM_INTERACTION_SCHEMA)
+    stream = stream.withColumn(
+        "ingestion_time", F.timestamp_seconds(F.col("timestamp"))
+    )
+    out = alerts.alerts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("alerts_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM alerts_test").collect()
+    assert len(got) == 1 and got[0].negative_count == 15
+
+
+def test_accumulating_kpi_batch_guard(spark, tmp_path):
+    """ST7: per-batch additive merge accumulates across micro-batches,
+    and the batch guard makes replays no-ops."""
+    src_dir = tmp_path / "in"
+    _write_jsonl(src_dir / "f1.jsonl", _crm_rows(3, cid=1))
+    _write_jsonl(src_dir / "f2.jsonl", _crm_rows(2, cid=1, start_ts=1.8e9))
+
+    table = ParquetUpsertTable(spark, str(tmp_path / "kpi"))
+
+    def agg(df):
+        return df.groupBy("customer_id").agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    def run():
+        stream = stream_json_source(spark, str(src_dir), CRM_INTERACTION_SCHEMA)
+        accumulating_kpi_sink(
+            stream, table, ("customer_id",), ("n",), agg, str(tmp_path / "ckpt")
+        )
+
+    run()
+    assert {r.customer_id: r.n for r in table.read().collect()} == {1: 5.0}
+
+    # Re-running over the same checkpoint: no new batches -> no change.
+    run()
+    assert {r.customer_id: r.n for r in table.read().collect()} == {1: 5.0}
+
+
+def test_batch_guard_roundtrip(tmp_path):
+    g = BatchGuard(str(tmp_path / "meta" / "last.json"))
+    assert g.last_applied() == -1
+    g.mark(7)
+    assert g.last_applied() == 7
