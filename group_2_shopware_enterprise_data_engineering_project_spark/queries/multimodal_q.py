@@ -1,0 +1,142 @@
+"""Multimodal queries with DuckDB oracles.
+
+No media testdata table exists, so each query synthesizes a
+deterministic media table from `documents` (payload = utf8 text bytes,
+metadata derived from n_chars) and pushes it through the real operator
+path — binary columns, metadata structs, Arrow-batched decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import multimodal
+from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> media table: payload = encode(text), kind cycles
+    image/audio/video, meta derived from n_chars."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+            (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+MM1_ORACLE = """
+SELECT md5(text) AS fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+@register(
+    "mm1_media_fingerprint",
+    MM1_ORACLE,
+    doc="exact media dedup on md5(payload bytes) — payloads stay "
+    "JVM-side; only 16-byte digests shuffle",
+)
+def mm1_media_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_fingerprint(_media(spark, sf_dir))
+    return media.groupBy("fingerprint").agg(
+        F.min("media_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+MM2_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(gs.f AS BIGINT) AS frame_idx,
+       CAST(gs.f * 1000 AS BIGINT) AS frame_ms
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0,
+         CAST(floor((n_chars * 40 - 1) / 1000.0) AS BIGINT))) AS f) gs
+WHERE n_chars > 0
+"""
+
+
+@register(
+    "mm2_frame_sample",
+    MM2_ORACLE,
+    doc="video frame-sampling plan: one row per 1s frame from "
+    "meta.duration_ms via sequence+explode — pure metadata math, no "
+    "payload access",
+)
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample_plan(_media(spark, sf_dir), every_ms=1000)
+
+
+def _feature_sql(i: int) -> str:
+    # DuckDB md5 takes VARCHAR; payload bytes ARE the utf8 text, so
+    # md5(text || ':' || i) hashes identical bytes to the Spark codec.
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(concat(text, ':', {i})), 1, 2)) "
+        "AS INT) AS DOUBLE) / CAST(255.0 AS DOUBLE)"
+    )
+
+
+MM3_ORACLE = f"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       {_feature_sql(0)} AS f0,
+       {_feature_sql(7)} AS f7
+FROM documents
+"""
+
+
+@register(
+    "mm3_decode_features",
+    MM3_ORACLE,
+    doc="Arrow-batched mapInPandas decode with the deterministic fake "
+    "codec (md5-derived features) — the real-codec plumbing, "
+    "oracle-checked end to end",
+)
+def mm3_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = multimodal.decode_media(
+        _media(spark, sf_dir), codec=multimodal.deterministic_fake_codec
+    )
+    return decoded.select(
+        "media_id",
+        "n_bytes",
+        F.col("features")[0].alias("f0"),
+        F.col("features")[7].alias("f7"),
+    )
+
+
+MM4_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         n_chars % 640 + 1 AS w, n_chars % 480 + 1 AS h
+  FROM documents
+)
+SELECT media_id,
+       CAST(floor(w * least(1.0, 512.0 / greatest(w, h))) AS INT) AS target_width,
+       CAST(floor(h * least(1.0, 512.0 / greatest(w, h))) AS INT) AS target_height
+FROM m
+"""
+
+
+@register(
+    "mm4_resize_plan",
+    MM4_ORACLE,
+    doc="aspect-preserving resize metadata transform (target dims capped "
+    "at 512px) — native struct math; pixel resample is the pluggable "
+    "codec kernel",
+)
+def mm4_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = multimodal.resize_plan(_media(spark, sf_dir), max_px=512)
+    return out.select("media_id", "target_width", "target_height")

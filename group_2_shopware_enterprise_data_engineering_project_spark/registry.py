@@ -68,6 +68,7 @@ def _load_all() -> None:
     from group_2_shopware_enterprise_data_engineering_project_spark.queries import (  # noqa: F401
         batch_analytics,
         embeddings_sim,
+        multimodal_q,
         streaming_pipelines,
         text_pipeline,
         validation_merge,

@@ -1,0 +1,79 @@
+"""Multimodal operators: binary payloads + metadata structs, frame
+sampling, Arrow-batched decode plumbing, stubbed codec behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"imgbytes-one", ("image/png", 800, 600, 0)),
+        (2, "image", b"imgbytes-one", ("image/png", 800, 600, 0)),  # dup payload
+        (3, "video", b"vidbytes", ("video/mp4", 1920, 1080, 3500)),
+        (4, "audio", None, ("audio/wav", 0, 0, 2000)),  # null payload
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_fingerprint_dedups_identical_payloads(media):
+    fp = multimodal.media_fingerprint(media)
+    groups = fp.groupBy("fingerprint").count().collect()
+    by_n = sorted(r["count"] for r in groups)
+    assert by_n == [1, 1, 2]  # two identical images share a fingerprint
+
+
+def test_frame_sample_plan(media):
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append((r.frame_idx, r.frame_ms))
+    # 3500ms at 1/s -> frames at 0,1000,2000,3000; 2000ms -> 0,1000
+    assert by_media[3] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+    assert by_media[4] == [(0, 0), (1, 1000)]
+    assert 1 not in by_media  # duration 0 -> no frames
+
+
+def test_decode_stub_raises(media):
+    decoded = multimodal.decode_media(media)  # default = stub codec
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decoded.collect()
+
+
+def test_decode_fake_codec_schema_and_determinism(media):
+    out = multimodal.decode_media(media, codec=multimodal.deterministic_fake_codec)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "kind", "decoded_ok", "n_bytes", "features",
+    ]
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[1].decoded_ok and rows[1].n_bytes == len(b"imgbytes-one")
+    assert rows[1].features == rows[2].features  # same payload -> same features
+    assert len(rows[1].features) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in rows[1].features)
+    assert not rows[4].decoded_ok and rows[4].features == []
+    # deterministic across runs
+    again = {r.media_id: r for r in
+             multimodal.decode_media(media, codec=multimodal.deterministic_fake_codec).collect()}
+    assert again[3].features == rows[3].features
+
+
+def test_resize_plan_aspect_ratio(media):
+    out = {r.media_id: (r.target_width, r.target_height)
+           for r in multimodal.resize_plan(media, max_px=512).collect()}
+    assert out[1] == (512, 384)   # 800x600 -> cap long side at 512
+    assert out[3] == (512, 288)   # 1920x1080
+    assert out[4] == (0, 0)       # degenerate dims scale to 0 (scale capped at 1)
+
+
+def test_payloads_not_shuffled_in_fingerprint_agg(media):
+    """The dedup aggregate's shuffle carries digests, not blobs: the agg
+    plan must not reference the payload column after the hash."""
+    fp = multimodal.media_fingerprint(media)
+    agg = fp.groupBy("fingerprint").agg(F.min("media_id").alias("keep_id"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert agg_lines and all("payload" not in ln for ln in agg_lines)
