@@ -178,6 +178,134 @@ def lsh_topk(
     )
 
 
+N_CENTROIDS = 16
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid by cosine (ties -> lowest centroid id).
+
+    Centroids are the first `n_centroids` vectors by id — a
+    deterministic, training-free quantizer (production would k-means a
+    sample; the list-partitioning mechanics are identical). The
+    centroid set broadcasts (n_centroids x dim floats), so assignment
+    is a map-side crossJoin + per-vector argmin: the corpus never
+    shuffles to get partitioned into lists.
+    """
+    centroids = F.broadcast(
+        emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"),
+            _as_double(F.col("embedding")).alias("cv"),
+        )
+    )
+    scored = (
+        spread(emb)
+        .select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
+        .crossJoin(centroids)
+        .select(
+            "vec_id",
+            "v",
+            "centroid_id",
+            (
+                dot(F.col("v"), F.col("cv"))
+                / (l2_norm(F.col("v")) * l2_norm(F.col("cv")))
+            ).alias("c_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    query_pred: Column | None = None,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """IVF-flat ANN: probe the query's own centroid list (n_probe=1)
+    and rank exact cosine within it.
+
+    The scale shape: the corpus shuffles ONCE on centroid_id into
+    inverted lists; each query touches ~N/n_centroids vectors instead
+    of N. Recall tunes with n_probe (probe the p nearest lists) — the
+    mechanics here are the n_probe=1 case.
+    """
+    assigned = ivf_assign(emb, n_centroids).persist()
+    if query_pred is None:
+        query_pred = F.col("vec_id").isin(query_ids or [])
+    queries = F.broadcast(
+        assigned.filter(query_pred).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("centroid_id").alias("qc"),
+        )
+    )
+    cands = (
+        queries.join(assigned, F.col("qc") == assigned["centroid_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("v"))
+                / (l2_norm(F.col("qv")) * l2_norm(F.col("v")))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = NUM_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup stage
+    of a training-data pipeline): SRP-LSH buckets -> same-bucket
+    candidate pairs -> exact cosine >= threshold.
+
+    One shuffle on the H-bit bucket key; near-identical vectors agree
+    on every hyperplane sign with probability ~(1 - theta/pi)^H, so
+    high-threshold pairs are rarely missed. Output ordered for
+    determinism.
+    """
+    planes = hyperplane_signs(num_planes)
+    bucketed = spread(emb).select(
+        F.col("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+        lsh_bucket(_as_double(F.col("embedding")), planes).alias("bucket"),
+    ).persist()
+    pairs = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                dot(F.col("a.v"), F.col("b.v"))
+                / (l2_norm(F.col("a.v")) * l2_norm(F.col("b.v")))
+            ).alias("cos_sim"),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold).orderBy("vec_a", "vec_b")
+
+
 def label_stats(emb: DataFrame) -> DataFrame:
     """Per-label corpus stats (count + norm extrema — order-independent
     aggregates only, so exactly reproducible)."""

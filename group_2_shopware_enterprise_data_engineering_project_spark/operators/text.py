@@ -41,6 +41,31 @@ def token_count(text_col: Column | str) -> Column:
     return F.size(tokens(text_col))
 
 
+# BPE-ish pre-tokenization: contiguous letter runs, single digits,
+# single non-alnum marks — the GPT-2-style split shape (letters stay
+# merged, numbers split per digit, punctuation isolated), without a
+# merges table. One regexp_extract_all, portable to ANSI SQL.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Both token-count flavors per doc: whitespace words and BPE-ish
+    subword-proxy counts (the training-cost estimator at corpus scale —
+    one narrow projection, no shuffle)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text_col).cast("long").alias("n_words"),
+        F.size(bpe_ish_tokens(text_col)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def shingles(tokens_col: Column, k: int = 3, distinct: bool = True) -> Column:
     """k-gram shingles over a token array (the unit for Jaccard /
     MinHash / winnowing). Guarded for short docs (< k tokens -> empty;

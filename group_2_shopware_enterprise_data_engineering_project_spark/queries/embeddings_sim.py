@@ -129,6 +129,92 @@ def e3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+N_CENTROIDS = similarity.N_CENTROIDS
+
+E5_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), scored AS (
+  SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+         {_DOT.format(a='e.embedding', b='c.cv')}
+         / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='c.cv')}) AS c_sim
+  FROM embeddings e CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id AS qc
+  FROM assigned WHERE vec_id < {N_QUERIES}
+), cands AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_DOT.format(a='q.qv', b='a.v')}
+         / ({_NORM.format(v='q.qv')} * {_NORM.format(v='a.v')}) AS cos_sim
+  FROM q JOIN assigned a ON q.qc = a.centroid_id AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cands
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "e5_ann_ivf",
+    E5_ORACLE,
+    doc=f"IVF-flat ANN ({N_CENTROIDS} broadcast centroids, n_probe=1): "
+    "corpus shuffles once into inverted lists; each query scans "
+    "~N/n_centroids candidates",
+)
+def e5_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K)
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+DUP_OFFSET = 1_000_000
+N_DUPS = 50
+
+E6_ORACLE = f"""
+WITH seeded AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET}, embedding FROM embeddings WHERE vec_id < {N_DUPS}
+), sims AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_DOT.format(a='a.embedding', b='b.embedding')}
+         / ({_NORM.format(v='a.embedding')} * {_NORM.format(v='b.embedding')}) AS cos_sim
+  FROM seeded a JOIN seeded b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM sims WHERE cos_sim >= 0.95
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "e6_embedding_near_dup",
+    E6_ORACLE,
+    doc="embedding-cosine near-dup pairs (semantic dedup): SRP-LSH "
+    "bucket join + exact cosine >= 0.95 over a dup-seeded corpus; "
+    "oracle does exhaustive all-pairs (planted dups land in the same "
+    "bucket, so LSH loses nothing at this threshold)",
+)
+def e6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeded = emb.unionAll(
+        emb.filter(F.col("vec_id") < N_DUPS).select(
+            (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding"
+        )
+    )
+    return similarity.embedding_near_dup_pairs(seeded, threshold=0.95)
+
+
 E4_ORACLE = f"""
 WITH norms AS (
   SELECT label, {_NORM.format(v='embedding')} AS n FROM embeddings

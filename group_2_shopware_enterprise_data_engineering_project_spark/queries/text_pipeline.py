@@ -308,3 +308,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash.simhash_dedup(table(spark, sf_dir, "documents"))
+
+
+# --- token counting (whitespace + BPE-ish regex) --------------------------
+
+T6_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_words,
+       CAST(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}', 0)) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
+@register(
+    "t6_token_counts",
+    T6_ORACLE,
+    doc="token counting two ways: whitespace words and a BPE-ish "
+    "pre-tokenizer regex (letter runs | single digits | single marks) — "
+    "the corpus-scale training-cost estimator, one narrow projection",
+)
+def t6_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(table(spark, sf_dir, "documents"))

@@ -86,3 +86,16 @@ def test_simhash_signature_properties(spark):
     sigs = {r.doc_id: r.simhash for r in simhash.simhash_signatures(df).collect()}
     assert sigs[0] == 0
     assert sigs[1] == sigs[2] != 0
+
+
+def test_bpe_ish_tokens(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "Hello, world! 42 abc-def")], "doc_id long, text string")
+    out = text.token_counts(df).collect()[0]
+    # words: Hello, world! 42 abc-def -> 4 whitespace tokens
+    # bpe-ish: Hello , world ! 4 2 abc - def -> 9
+    assert (out.n_words, out.n_bpe_tokens) == (4, 9)
+    toks = df.select(text.bpe_ish_tokens("text").alias("t")).collect()[0].t
+    assert toks == ["Hello", ",", "world", "!", "4", "2", "abc", "-", "def"]

@@ -72,3 +72,42 @@ def test_hyperplanes_are_deterministic_rademacher():
     p2 = similarity.hyperplane_signs(4, 8)
     assert p1 == p2
     assert all(v in (1.0, -1.0) for row in p1 for v in row)
+
+
+def test_ivf_assign_partitions_corpus(emb):
+    df, _ = emb
+    assigned = similarity.ivf_assign(df, n_centroids=4)
+    rows = assigned.collect()
+    assert len(rows) == N  # every vector assigned to exactly one list
+    assert {r.centroid_id for r in rows} <= {0, 1, 2, 3}
+    # a centroid vector is its own nearest centroid (cos=1 with itself)
+    own = {r.vec_id: r.centroid_id for r in rows if r.vec_id < 4}
+    assert own == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_ivf_topk_exact_within_list(emb):
+    df, _ = emb
+    out = similarity.ivf_topk(df, query_ids=[0], k=3, n_centroids=4)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.brute_force_topk(df, query_ids=[0], k=N).collect()
+    }
+    for r in out.collect():
+        # similarities are exact; only the candidate list is approximate
+        assert math.isclose(r.cos_sim, exact[(r.query_id, r.neighbor_id)], rel_tol=1e-12)
+
+
+def test_embedding_near_dup_finds_planted(spark, emb):
+    df, _ = emb
+    dup = df.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "label", "embedding"
+    )
+    seeded = df.unionByName(dup)
+    pairs = similarity.embedding_near_dup_pairs(
+        seeded.select("vec_id", "embedding"), threshold=0.95
+    ).collect()
+    # vec 1 is the fixture's planted near-neighbor of vec 0, so the
+    # full clique {0, 1, 1000} pairs up above 0.95
+    assert [(p.vec_a, p.vec_b) for p in pairs] == [(0, 1), (0, 1000), (1, 1000)]
+    exact_dup = [p for p in pairs if (p.vec_a, p.vec_b) == (0, 1000)]
+    assert exact_dup[0].cos_sim > 0.999999
