@@ -25,7 +25,9 @@ from group_2_shopware_enterprise_data_engineering_project_spark import registry
 from group_2_shopware_enterprise_data_engineering_project_spark.session import get_spark
 
 # Spanning set: scan+agg, join+agg, window, broadcast join, merge,
-# validation, text stats, minhash-LSH dedup, ANN.
+# validation, text stats, minhash-LSH dedup, ANN (exact + IVF),
+# embedding near-dup, Arrow-UDF media decode, streaming KPI, and the
+# POS pipeline end-to-end (CSV -> validate -> dedup -> KPI merge).
 HEADLINE = [
     "a1_sales_kpi",
     "a2_session_metrics",
@@ -36,6 +38,11 @@ HEADLINE = [
     "t2_quality_score",
     "dedup_minhash_lsh",
     "e2_ann_bruteforce",
+    "e5_ann_ivf",
+    "e6_embedding_near_dup",
+    "mm3_decode_features",
+    "st7_stream_kpi",
+    "pipe_pos",
 ]
 
 
