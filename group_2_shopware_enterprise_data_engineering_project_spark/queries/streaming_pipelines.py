@@ -334,3 +334,131 @@ def pipe_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.write.mode("overwrite").json(f"{base}/in")
     inventory.run(spark, f"{base}/in", f"{base}/table")
     return spark.read.parquet(f"{base}/table")
+
+
+# --- WEB streaming pipeline end-to-end ------------------------------------
+
+PIPE_WEB_ORACLE = """
+WITH src AS (
+  SELECT event_id,
+         concat('s', CAST(user_id AS VARCHAR)) AS session_id,
+         CASE WHEN event_id % 10 = 0 THEN NULL
+              ELSE CAST(user_id AS VARCHAR) END AS user_id,
+         CASE WHEN event_id % 50 = 0 THEN NULL ELSE props END AS page,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+  FROM events
+), valid AS (
+  SELECT * FROM src WHERE page IS NOT NULL AND epoch_s > 0
+)
+SELECT strftime(make_timestamp(epoch_s * 1000000), '%Y') AS year,
+       strftime(make_timestamp(epoch_s * 1000000), '%m') AS month,
+       strftime(make_timestamp(epoch_s * 1000000), '%d') AS day,
+       strftime(make_timestamp(epoch_s * 1000000), '%H') AS hour,
+       (user_id IS NULL) AS is_anon,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM valid GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register(
+    "pipe_web",
+    PIPE_WEB_ORACLE,
+    doc="WEB streaming pipeline end-to-end (SURVEY §3.3): synthesized "
+    "event JSONL -> micro-batch stream -> validate/DLQ split -> "
+    "deterministic anon ids -> hour-partitioned event-time parquet -> "
+    "per-partition counts (planted nulls: %10 missing user -> anon, "
+    "%50 missing page -> DLQ)",
+)
+def pipe_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.pipelines import web
+
+    base = _tmp("pipe_web")
+    events = table(spark, sf_dir, "events")
+    src = events.select(
+        F.concat(F.lit("s"), F.col("user_id").cast("string")).alias("session_id"),
+        F.when(F.col("event_id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("user_id"),
+        F.when(F.col("event_id") % 50 == 0, F.lit(None))
+        .otherwise(F.col("props"))
+        .alias("page"),
+        F.lit("desktop").alias("device_type"),
+        F.lit("firefox").alias("browser"),
+        F.col("event_type"),
+        F.floor(F.col("ts").cast("timestamp").cast("double")).cast("double").alias("timestamp"),
+    )
+    # 4 input files -> 4 micro-batches; each batch writes ~720 hour
+    # partitions, so batch count dominates the drain's wall-clock
+    src.coalesce(4).write.mode("overwrite").json(f"{base}/in")
+    web.run_stream(
+        spark, f"{base}/in", f"{base}/out", f"{base}/dlq", f"{base}/ckpt"
+    )
+    landed = read_hour_partitioned(spark, f"{base}/out")
+    return landed.groupBy(
+        "year", "month", "day", "hour",
+        F.col("user_id").startswith("anon").alias("is_anon"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# --- CRM streaming pipeline end-to-end ------------------------------------
+
+PIPE_CRM_ORACLE = """
+WITH src AS (
+  SELECT event_id,
+         CASE WHEN event_id % 100 = 0 THEN -1
+              ELSE CAST(user_id + 1 AS INT) END AS customer_id,
+         concat(' ', event_type, ' ') AS interaction_type,
+         CASE WHEN event_id % 7 = 0 THEN '' ELSE 'web' END AS channel,
+         CAST(CAST(floor(value) AS BIGINT) % 9 AS INT) AS rating,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+  FROM events
+), valid AS (
+  SELECT * FROM src WHERE customer_id > 0
+), cleaned AS (
+  SELECT customer_id,
+         trim(interaction_type) AS interaction_type,
+         CASE WHEN trim(channel) = '' THEN NULL ELSE trim(channel) END AS channel,
+         CASE WHEN rating BETWEEN 1 AND 5 THEN rating ELSE NULL END AS rating
+  FROM valid
+)
+SELECT interaction_type, rating,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN channel IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_channel
+FROM cleaned GROUP BY 1, 2
+"""
+
+
+@register(
+    "pipe_crm",
+    PIPE_CRM_ORACLE,
+    doc="CRM streaming pipeline end-to-end (SURVEY §3.3): synthesized "
+    "interaction JSONL -> micro-batch stream -> positive-key reject to "
+    "DLQ (P6) -> trim/blank->null (P4) + rating 1..5 else null (P5) -> "
+    "ingestion-time-partitioned parquet -> per-type/rating counts",
+)
+def pipe_crm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.pipelines import crm
+
+    base = _tmp("pipe_crm")
+    events = table(spark, sf_dir, "events")
+    src = events.select(
+        F.when(F.col("event_id") % 100 == 0, F.lit(-1))
+        .otherwise((F.col("user_id") + 1).cast("int"))
+        .alias("customer_id"),
+        F.concat(F.lit(" "), F.col("event_type"), F.lit(" ")).alias("interaction_type"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("")).otherwise(F.lit("web")).alias("channel"),
+        (F.floor(F.col("value")).cast("long") % 9).cast("int").alias("rating"),
+        F.lit("m").alias("message_excerpt"),
+        F.floor(F.col("ts").cast("timestamp").cast("double")).cast("double").alias("timestamp"),
+    )
+    src.write.mode("overwrite").json(f"{base}/in")
+    crm.run_stream(
+        spark, f"{base}/in", f"{base}/out", f"{base}/dlq", f"{base}/ckpt",
+        fixed_ingestion_time="2025-06-01 10:00:00",
+    )
+    landed = read_hour_partitioned(spark, f"{base}/out")
+    return landed.groupBy("interaction_type", "rating").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("channel").isNull().cast("long")).alias("n_null_channel"),
+    )

@@ -165,3 +165,48 @@ def test_crm_stream_pipeline_and_alerts(spark, tmp_path):
     # hourly alert over the landed table: 12 negatives >= threshold 10
     fired = alerts.alerts(out).collect()
     assert len(fired) == 1 and fired[0].negative_count == 12
+
+
+def test_archive_lifecycle(tmp_path):
+    from group_2_shopware_enterprise_data_engineering_project_spark.pipelines import lifecycle
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "pos_20250718_101530.csv").write_text("a,b\n1,2\n")
+    (src / "pos_20250719_000000.csv").write_text("a,b\n3,4\n")
+    (src / "nodate.csv").write_text("x\n")
+    (src / "ignore.txt").write_text("x\n")
+
+    res = lifecycle.archive_processed(str(src), str(tmp_path / "archive"))
+    assert res.archived == ["pos_20250718_101530.csv", "pos_20250719_000000.csv"]
+    assert res.skipped == ["nodate.csv"]
+    # archived under date= prefixes, sources deleted, undated left in place
+    assert (tmp_path / "archive" / "date=2025-07-18" / "pos_20250718_101530.csv").exists()
+    assert (tmp_path / "archive" / "date=2025-07-19" / "pos_20250719_000000.csv").exists()
+    assert not (src / "pos_20250718_101530.csv").exists()
+    assert (src / "nodate.csv").exists()
+
+
+def test_msck_partition_registration(spark, tmp_path):
+    """K9 — catalog sync for an externally-written Hive layout
+    (reference s3toathena.py:67-76 per-hour ALTER TABLE loop)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        register_partitions,
+        write_hour_partitioned,
+    )
+
+    path = str(tmp_path / "events_tbl")
+    df = spark.createDataFrame(
+        [("2025-01-01 10:00:00",), ("2025-01-01 11:00:00",)], ["ts"]
+    ).selectExpr("CAST(ts AS timestamp) AS ts", "'x' AS v")
+    write_hour_partitioned(df, "ts", path)
+    spark.sql("DROP TABLE IF EXISTS k9_events")
+    spark.sql(
+        "CREATE TABLE k9_events (v STRING) USING parquet "
+        "PARTITIONED BY (year STRING, month STRING, day STRING, hour STRING) "
+        f"LOCATION '{path}'"
+    )
+    assert spark.table("k9_events").count() == 0  # partitions unregistered
+    register_partitions(spark, "k9_events")
+    assert spark.table("k9_events").count() == 2
+    spark.sql("DROP TABLE k9_events")
