@@ -59,18 +59,25 @@ def write_hour_partitioned(
 
 def read_hour_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a K1 layout back; partition columns come back as columns
-    and partition-key predicates prune directories (P14).
+    and partition-key equality predicates prune directories (P14).
 
-    Spark's partition-type inference parses `year=2023` as int — cast
-    back to the reference's zero-padded string form (`month="07"`) so
-    round-trips are lossless. Pruning still works: Catalyst pushes
-    equality predicates through the cast to the integer partition key.
+    Partition-type inference is disabled for the read so `month=07`
+    stays the zero-padded STRING the reference's layout defines
+    (inference would parse it to int 7). Keeping the raw partition
+    column — rather than re-deriving a padded string with lpad — is
+    what keeps filters on it eligible for pruning: a predicate on a
+    derived expression never reaches the scan's PartitionFilters.
     """
-    df = spark.read.option("basePath", path).parquet(path)
-    pads = {"year": 4, "month": 2, "day": 2, "hour": 2}
-    for k in HOUR_PARTITION_KEYS:
-        df = df.withColumn(k, F.lpad(F.col(k).cast("string"), pads[k], "0"))
-    return df
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        # partition schema discovery happens eagerly here, so the conf
+        # can be restored immediately (other tables keep typed
+        # partition columns, e.g. DATE)
+        return spark.read.option("basePath", path).parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)
 
 
 def write_partitioned(

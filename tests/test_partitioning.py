@@ -1,0 +1,66 @@
+"""Partitioning helpers: spread, salted aggregation, and the P14
+partition-pruning proof on the K1 hour layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+    salted_agg,
+    spread,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+    read_hour_partitioned,
+    write_hour_partitioned,
+)
+
+
+def test_spread_widens_only_narrow_plans(spark):
+    narrow = spark.createDataFrame([(i,) for i in range(100)], ["x"]).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(64)
+    assert spread(wide, min_partitions=8).rdd.getNumPartitions() == 64  # no downsample
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    # heavily skewed: 90% of rows share one key
+    rows = [("hot" if i % 10 else f"k{i}", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    salted = salted_agg(
+        df,
+        ["k"],
+        {
+            "n": ("sum", F.count(F.lit(1))),
+            "total": ("sum", F.sum("v")),
+            "mx": ("max", F.max("v")),
+        },
+        salt_buckets=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx")
+    )
+    a = {r.k: (r.n, r.total, r.mx) for r in salted.collect()}
+    b = {r.k: (r.n, r.total, r.mx) for r in plain.collect()}
+    assert a == b
+
+
+def test_p14_partition_pruning_on_hour_layout(spark, tmp_path):
+    """A partition-key equality filter must prune directories at scan
+    time (reference CRM_README.md:213-217 relies on this in Athena;
+    Catalyst does it for the same layout)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(f"2025-01-0{d} {h:02d}:00:00",) for d in (1, 2) for h in (9, 10)], ["ts"]
+    ).selectExpr("CAST(ts AS timestamp) AS ts", "1 AS v")
+    write_hour_partitioned(df, "ts", path)
+
+    pruned = read_hour_partitioned(spark, path).filter(
+        (F.col("day") == "01") & (F.col("hour") == "09")
+    )
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the filter must reach the scan as a PartitionFilters entry, and
+    # the scan must report having selected a subset of partitions
+    assert "PartitionFilters: [" in plan
+    scan_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "isnotnull" in scan_line or "=" in scan_line
