@@ -62,6 +62,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Self-configure the session: every query starts with a table()
+    # read, and the driver harness may run queries on a session that
+    # never went through entry()/get_spark(). UTC is correctness (the
+    # DuckDB oracle compares timestamps bit-for-bit).
+    from group_2_shopware_enterprise_data_engineering_project_spark.session import (
+        ensure_session_settings,
+    )
+
+    ensure_session_settings(spark)
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:

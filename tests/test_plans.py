@@ -1,0 +1,57 @@
+"""Physical-plan regression tests: the plans we shipped are the plans
+we keep. Each assertion pins a scale-critical property — broadcast
+strategy, map-side partial aggregation, scan-level filter pushdown,
+column pruning — so a refactor that silently degrades one fails CI,
+not the 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+from group_2_shopware_enterprise_data_engineering_project_spark import registry
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = registry.all_queries()
+
+    def plan_of(name: str) -> str:
+        return qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    return plan_of
+
+
+def test_loyalty_join_broadcasts_dim(plans):
+    plan = plans("j1_loyalty_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dim side must never shuffle-sort
+
+
+def test_sales_kpi_partial_aggregation_and_broadcast(plans):
+    plan = plans("a1_sales_kpi")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_date_filter_pushed_to_scan(plans):
+    plan = plans("p15_date_range")
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any("o_orderdate" in ln and "PushedFilters" in ln for ln in scan_lines)
+
+
+def test_column_pruning_on_events_scan(plans):
+    """a3 touches only (user_id, event_type); the events scan must not
+    read ts/value/props."""
+    plan = plans("a3_engagement_score")
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    read_cols = scan.split("FileScan parquet ")[1].split("]")[0]
+    assert "user_id" in read_cols and "event_type" in read_cols
+    assert "props" not in read_cols and "value" not in read_cols
+
+
+def test_ann_bruteforce_broadcasts_queries(plans):
+    """The corpus side must stream past broadcast queries — a shuffled
+    cross join would be catastrophic at corpus scale."""
+    plan = plans("e2_ann_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
