@@ -59,11 +59,15 @@ def main() -> None:
 
     qs = registry.all_queries()
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # record and keep benching the rest
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
         # Drop persists left by pipeline-internal .persist() calls so
         # one query's cached working set can't distort the next one's
         # measurement (isolation between timed queries).
@@ -76,6 +80,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if failures:
+        out["failures"] = failures
     print(json.dumps(out))
 
 
