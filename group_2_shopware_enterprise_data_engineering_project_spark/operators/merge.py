@@ -110,6 +110,36 @@ class ParquetUpsertTable:
             w = w.partitionBy(*self.partition_by)
         w.parquet(self.path)
 
+    def _scoped_merge(self, source: DataFrame, merge_fn) -> bool:
+        """Partition-scoped MERGE: read, merge, and dynamically
+        overwrite ONLY the partitions the source touches — the rewrite
+        surface is per-batch data volume, not table volume (at 100 TB
+        the difference between the two is the whole ballgame).
+
+        Only valid when every partition column is part of the merge
+        key: then a key can never move between partitions, so rows in
+        untouched partitions are provably unaffected. Returns False
+        when that doesn't hold (caller falls back to the full merge,
+        which is also what Delta's join-based MERGE does absent file
+        pruning)."""
+        touched = source.select(*self.partition_by).distinct()
+        merged = merge_fn(
+            self.read().join(F.broadcast(touched), list(self.partition_by), "semi")
+        )
+        merged = merged.localCheckpoint(eager=True)
+        spark = self.spark
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            self._write(merged, "overwrite")
+        finally:
+            spark.conf.set(conf_key, prev)
+        return True
+
+    def _partition_scoped_ok(self, key_cols: tuple[str, ...]) -> bool:
+        return bool(self.partition_by) and set(self.partition_by) <= set(key_cols)
+
     def create_or_overwrite(self, df: DataFrame) -> None:
         """K3 — first-write bootstrap (reference transfom_pos.py:156-159)."""
         self._write(df, "overwrite")
@@ -121,22 +151,37 @@ class ParquetUpsertTable:
     def upsert_replace(
         self, source: DataFrame, key_cols: tuple[str, ...], order_col: str | None = None
     ) -> None:
-        """K4 against stored state."""
+        """K4 against stored state. Partition-scoped when the partition
+        columns are part of the key; full read-merge-overwrite
+        otherwise (keys may move partitions, e.g. inventory rows whose
+        last_updated_date advances)."""
         if not self.exists():
             self.create_or_overwrite(source)
             return
+        if self._partition_scoped_ok(key_cols):
+            self._scoped_merge(
+                source, lambda tgt: merge_replace(tgt, source, key_cols, order_col)
+            )
+            return
         merged = merge_replace(self.read(), source, key_cols, order_col)
         # Materialize before overwriting the path we read from.
-        merged = self.spark.createDataFrame(merged.collect(), merged.schema) \
-            if merged.isStreaming else merged.localCheckpoint(eager=True)
+        merged = merged.localCheckpoint(eager=True)
         self._write(merged, "overwrite")
 
     def upsert_additive(
         self, source: DataFrame, key_cols: tuple[str, ...], sum_cols: tuple[str, ...]
     ) -> None:
-        """K5 against stored state."""
+        """K5 against stored state. The KPI shape (partition col in the
+        key, e.g. (product_id, date) partitioned by date) always takes
+        the partition-scoped path: a daily batch rewrites one date, not
+        the table's history."""
         if not self.exists():
             self.create_or_overwrite(source)
+            return
+        if self._partition_scoped_ok(key_cols):
+            self._scoped_merge(
+                source, lambda tgt: merge_additive(tgt, source, key_cols, sum_cols)
+            )
             return
         merged = merge_additive(self.read(), source, key_cols, sum_cols)
         merged = merged.localCheckpoint(eager=True)

@@ -65,3 +65,64 @@ def test_parquet_upsert_replace_lifecycle(spark, tmp_path):
     t.upsert_replace(b2, ("id",), "ts")
     out = {r.id: r.v for r in t.read().collect()}
     assert out == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_partition_scoped_additive_merge_leaves_other_partitions_untouched(spark, tmp_path):
+    """When partition cols are part of the merge key, an upsert must
+    dynamically overwrite ONLY the partitions the batch touches — at
+    scale the rewrite surface is batch size, not table size."""
+    import glob
+    import os
+
+    path = str(tmp_path / "kpi")
+    t = ParquetUpsertTable(spark, path, partition_by=("date",))
+    b1 = spark.createDataFrame(
+        [(1, "2025-01-01", 10.0), (2, "2025-01-02", 20.0)],
+        "pid long, date string, total double",
+    )
+    t.upsert_additive(b1, ("pid", "date"), ("total",))
+
+    untouched = sorted(glob.glob(f"{path}/date=2025-01-02/*.parquet"))
+    mtimes_before = [os.path.getmtime(f) for f in untouched]
+
+    b2 = spark.createDataFrame([(1, "2025-01-01", 5.0)], "pid long, date string, total double")
+    t.upsert_additive(b2, ("pid", "date"), ("total",))
+
+    # partition-type inference reads the date= dirs back as DATE
+    out = {(r.pid, str(r.date)): r.total for r in t.read().collect()}
+    assert out == {(1, "2025-01-01"): 15.0, (2, "2025-01-02"): 20.0}
+    # date=2025-01-02 files must be byte-identical and not rewritten
+    assert sorted(glob.glob(f"{path}/date=2025-01-02/*.parquet")) == untouched
+    assert [os.path.getmtime(f) for f in untouched] == mtimes_before
+
+
+def test_partition_scoped_replace_merge(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = ParquetUpsertTable(spark, path, partition_by=("date",))
+    b1 = spark.createDataFrame(
+        [(1, "2025-01-01", "a"), (2, "2025-01-01", "b"), (3, "2025-01-02", "c")],
+        "id long, date string, v string",
+    )
+    t.upsert_replace(b1, ("id", "date"))
+    b2 = spark.createDataFrame(
+        [(1, "2025-01-01", "a2"), (4, "2025-01-01", "d")], "id long, date string, v string"
+    )
+    t.upsert_replace(b2, ("id", "date"))
+    out = {r.id: r.v for r in t.read().collect()}
+    assert out == {1: "a2", 2: "b", 3: "c", 4: "d"}
+
+
+def test_full_merge_fallback_when_keys_can_move_partitions(spark, tmp_path):
+    """Inventory shape: key inventory_id, partition last_updated_date —
+    an update MOVES the row to a new partition, so the scoped path is
+    invalid and the full merge must run (old-partition copy removed)."""
+    path = str(tmp_path / "inv")
+    t = ParquetUpsertTable(spark, path, partition_by=("d",))
+    b1 = spark.createDataFrame(
+        [(1, 100, "2025-01-01"), (2, 100, "2025-01-01")], "id long, ts long, d string"
+    )
+    t.upsert_replace(b1, ("id",), "ts")
+    b2 = spark.createDataFrame([(1, 200, "2025-02-09")], "id long, ts long, d string")
+    t.upsert_replace(b2, ("id",), "ts")
+    rows = {(r.id, str(r.d)) for r in t.read().collect()}
+    assert rows == {(1, "2025-02-09"), (2, "2025-01-01")}  # no stale (1, 2025-01-01)
