@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -105,29 +106,33 @@ def stub_codec(batch: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
     )
 
 
-def _fake_features(payload: bytes | None) -> list[float]:
-    """Deterministic md5-derived 'features' — reproducible in ANSI SQL
-    (md5(payload || ':' || i)), so UDF plumbing is oracle-checkable."""
-    if payload is None:
-        return []
-    return [
-        int(hashlib.md5(payload + f":{i}".encode()).hexdigest()[:2], 16) / 255.0
-        for i in range(FEATURE_DIM)
-    ]
-
-
 def deterministic_fake_codec(batch: pd.DataFrame) -> pd.DataFrame:
     """The test stand-in codec: 'decodes' payload bytes into a fixed-dim
     feature vector, exercising the exact Arrow batch path a real codec
-    would use."""
+    would use.
+
+    Batch-vectorized: ONE md5 digest per payload, then the feature
+    matrix is a single numpy slice over the concatenated digests
+    (feature i = digest byte i / 255). Reproducible in ANSI SQL —
+    feature i = substr(md5(payload), 2i+1, 2) as a hex byte — so the
+    UDF plumbing stays oracle-checkable.
+    """
     payloads = batch["payload"]
-    return pd.DataFrame(
-        {
-            "decoded_ok": payloads.notna(),
-            "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-            "features": payloads.map(_fake_features),
-        }
-    )
+    ok = payloads.notna()
+    features = pd.Series([[]] * len(payloads), index=payloads.index, dtype=object)
+    n_bytes = pd.Series(0, index=payloads.index, dtype="int64")
+    vals = payloads[ok]
+    if len(vals):
+        n_bytes[ok] = vals.map(len)
+        digest_mat = np.frombuffer(
+            b"".join(hashlib.md5(p).digest() for p in vals), dtype=np.uint8
+        ).reshape(-1, 16)
+        features[ok] = pd.Series(
+            (digest_mat[:, :FEATURE_DIM] / 255.0).tolist(),
+            index=vals.index,
+            dtype=object,
+        )
+    return pd.DataFrame({"decoded_ok": ok, "n_bytes": n_bytes, "features": features})
 
 
 def decode_media(

@@ -14,10 +14,11 @@ native DataFrame ops:
 - exact Hamming verify = bit_count(a XOR b), a codegen'd long op.
 
 Scale: signatures are 8 bytes/doc; the band join shuffles (16-bit key,
-id) pairs. Deterministic md5 hashing -> stable across runs/engines,
-but the signature itself isn't practical to mirror in ANSI SQL, so the
-registry exposes this as a rows-only check; pytest asserts the
-invariants (planted near-dups at small Hamming distance, determinism).
+id) pairs. Deterministic md5 hashing -> stable across runs/engines.
+Token hashes are the LITTLE-endian uint64 of the first 8 md5 digest
+bytes — exactly DuckDB's ``md5_number_upper`` — so the whole pipeline
+(bit-voting signature, band split, Hamming verify) mirrors into the
+DuckDB oracle bit-for-bit (see queries/text_pipeline.py SIMHASH_ORACLE).
 """
 
 from __future__ import annotations
@@ -44,7 +45,7 @@ def _simhash64(text: str) -> int:
         return 0
     hashes = np.frombuffer(
         b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks),
-        dtype=">u8",
+        dtype="<u8",  # little-endian == DuckDB md5_number_upper (oracle parity)
     ).astype(np.uint64)
     bits = (hashes[:, None] >> _BIT_IDX) & np.uint64(1)
     votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
@@ -105,7 +106,7 @@ def simhash_near_pairs(
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            ).cast("long").alias("hamming"),
         )
         .distinct()
     )

@@ -82,9 +82,11 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _feature_sql(i: int) -> str:
     # DuckDB md5 takes VARCHAR; payload bytes ARE the utf8 text, so
-    # md5(text || ':' || i) hashes identical bytes to the Spark codec.
+    # md5(text) hashes identical bytes to the Spark codec. Feature i is
+    # digest byte i (hex chars 2i+1..2i+2) / 255 — the codec's single-
+    # digest numpy slice, mirrored.
     return (
-        f"CAST(CAST(concat('0x', substr(md5(concat(text, ':', {i})), 1, 2)) "
+        f"CAST(CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) "
         "AS INT) AS DOUBLE) / CAST(255.0 AS DOUBLE)"
     )
 

@@ -297,14 +297,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash.allpairs_jaccard_dedup(table(spark, sf_dir, "documents"), threshold=0.4)
 
 
-# --- simhash (rows-only: signature not ANSI-SQL-expressible) ---------------
+# --- simhash ---------------------------------------------------------------
+#
+# The oracle reproduces the ENTIRE SimHash pipeline in DuckDB SQL: token
+# hashes via md5_number_upper (== little-endian uint64 of the first 8 md5
+# bytes, the exact hash the Pandas UDF computes), 64-bit bit-voting via
+# nested list comprehensions, the 4x16-bit band self-join, and the
+# bit_count(xor) Hamming verify — bit-for-bit parity, not a weaker proxy.
+
+SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), hs AS (
+  SELECT doc_id, [md5_number_upper(tok) FOR tok IN t] AS h, len(t) AS n FROM toks
+), sig AS (
+  SELECT doc_id,
+    CAST(CASE WHEN n = 0 THEN 0 ELSE
+      list_sum([
+        CASE WHEN 2 * list_sum([CAST((x >> b) & 1 AS BIGINT) FOR x IN h]) > n
+             THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+        FOR b IN generate_series(0, 63)])
+    END AS UBIGINT) AS usig
+  FROM hs
+), bands AS (
+  SELECT doc_id, usig, band_idx, (usig >> (band_idx * 16)) & 65535 AS band_key
+  FROM sig, unnest([0,1,2,3]) AS u(band_idx)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.usig AS sa, b.usig AS sb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 @register(
     "dedup_simhash",
-    None,
+    SIMHASH_ORACLE,
     doc="SimHash(64-bit, Pandas-UDF signatures) near-pairs at Hamming<=3 "
-    "via 4x16-bit band join; rows-only check, invariants in pytest",
+    "via 4x16-bit band join; oracle mirrors the full bit-voting pipeline "
+    "in DuckDB (md5_number_upper == the UDF's little-endian token hash)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash.simhash_dedup(table(spark, sf_dir, "documents"))
