@@ -18,6 +18,11 @@ threads through to the writer for exactly that.
 
 from __future__ import annotations
 
+import json
+import os
+import re
+import shutil
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,11 +85,31 @@ def merge_additive(
     )
 
 
+_MANIFEST = "_MANIFEST.json"
+_SNAPSHOT_RE = re.compile(r"^v(\d{6})$")
+
+
 class ParquetUpsertTable:
-    """A partitioned parquet table with MERGE semantics — the pure-Spark
-    stand-in for the reference's Delta tables. Writes a new snapshot
-    directory per merge (read-merge-overwrite); `partition_by` limits
-    the rewrite surface the way Delta partition pruning would.
+    """A partitioned parquet table with MERGE semantics and an atomic
+    snapshot commit — the pure-Spark stand-in for the reference's Delta
+    tables (which get this from the Delta log; reference
+    inventory_transform.py:265-275).
+
+    Layout: ``path/_MANIFEST.json`` names the active snapshot subdir
+    (``v000001``, ``v000002``, ...). Full-table merges write the merged
+    result to a NEW snapshot directory while the old one is still being
+    read (no read-overwrite hazard, no defensive materialization), then
+    commit by atomically replacing the manifest (``os.replace``). A
+    crash at any point before the manifest swap leaves the previous
+    snapshot fully intact; orphaned half-written snapshot dirs are
+    overwritten by the next merge and pruned after commit. Single-writer
+    by design — same as the reference's per-pipeline Delta tables.
+
+    Partition-scoped merges (`_scoped_merge`) still rewrite touched
+    partitions in place inside the active snapshot: that path's rewrite
+    surface is the batch's partitions only, and Spark's committer stages
+    files in ``_temporary`` until job commit, so old files are replaced
+    only at the final rename step.
     """
 
     def __init__(self, spark, path: str, partition_by: tuple[str, ...] = ()):
@@ -92,9 +117,63 @@ class ParquetUpsertTable:
         self.path = path
         self.partition_by = tuple(partition_by)
 
+    # -- snapshot bookkeeping (driver-side O(1) metadata ops) ------------
+
+    def _manifest_file(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _active(self) -> tuple[int, str] | None:
+        """(version, snapshot dir) of the committed snapshot, or None."""
+        try:
+            with open(self._manifest_file()) as f:
+                m = json.load(f)
+            return int(m["version"]), os.path.join(self.path, m["dir"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _data_dir(self) -> str:
+        """Directory the current table data lives in: the committed
+        snapshot, else the bare path (pre-manifest legacy layout)."""
+        act = self._active()
+        return act[1] if act else self.path
+
+    def _commit(self, version: int, dir_name: str) -> None:
+        """Atomically point the manifest at a fully-written snapshot.
+        os.replace is atomic on POSIX — readers see either the old or
+        the new manifest, never a partial one."""
+        tmp = self._manifest_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "dir": dir_name}, f)
+        os.replace(tmp, self._manifest_file())
+
+    def _prune(self, keep: int = 2) -> None:
+        """Drop snapshot dirs older than the last `keep` (the active one
+        plus one rollback). Best-effort: pruning failures never fail the
+        committed merge."""
+        act = self._active()
+        if act is None:
+            return
+        for name in os.listdir(self.path):
+            m = _SNAPSHOT_RE.match(name)
+            if m and int(m.group(1)) <= act[0] - keep:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+    def _snapshot_write(self, df: DataFrame) -> None:
+        """Write df as the next snapshot, then commit + prune. The write
+        streams from the old snapshot (lazy) — safe because it targets a
+        different directory."""
+        act = self._active()
+        version = (act[0] + 1) if act else 1
+        dir_name = f"v{version:06d}"
+        self._write(df, "overwrite", os.path.join(self.path, dir_name))
+        self._commit(version, dir_name)
+        self._prune()
+
     def exists(self) -> bool:
         from pyspark.errors import AnalysisException
 
+        if self._active() is not None:
+            return True
         try:
             self.spark.read.parquet(self.path).limit(0).collect()
             return True
@@ -102,13 +181,13 @@ class ParquetUpsertTable:
             return False
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(self._data_dir())
 
-    def _write(self, df: DataFrame, mode: str) -> None:
+    def _write(self, df: DataFrame, mode: str, dest: str | None = None) -> None:
         w = df.write.mode(mode)
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
-        w.parquet(self.path)
+        w.parquet(dest if dest is not None else self._data_dir())
 
     def _scoped_merge(self, source: DataFrame, merge_fn) -> bool:
         """Partition-scoped MERGE: read, merge, and dynamically
@@ -141,11 +220,18 @@ class ParquetUpsertTable:
         return bool(self.partition_by) and set(self.partition_by) <= set(key_cols)
 
     def create_or_overwrite(self, df: DataFrame) -> None:
-        """K3 — first-write bootstrap (reference transfom_pos.py:156-159)."""
-        self._write(df, "overwrite")
+        """K3 — first-write bootstrap (reference transfom_pos.py:156-159).
+        Snapshot-committed, so overwriting an existing table is atomic."""
+        self._snapshot_write(df)
 
     def append(self, df: DataFrame) -> None:
-        """K2 — partitioned append (reference transfom_pos.py:165-168)."""
+        """K2 — partitioned append (reference transfom_pos.py:165-168).
+        Appends add files to the active snapshot; existing files are
+        never rewritten, so a crash leaves at worst staged _temporary
+        files, not data loss."""
+        if not self.exists():
+            self._snapshot_write(df)
+            return
         self._write(df, "append")
 
     def upsert_replace(
@@ -163,10 +249,10 @@ class ParquetUpsertTable:
                 source, lambda tgt: merge_replace(tgt, source, key_cols, order_col)
             )
             return
-        merged = merge_replace(self.read(), source, key_cols, order_col)
-        # Materialize before overwriting the path we read from.
-        merged = merged.localCheckpoint(eager=True)
-        self._write(merged, "overwrite")
+        # New snapshot dir: streams lazily from the old snapshot and
+        # commits via manifest swap — no read-overwrite hazard, no
+        # defensive materialization.
+        self._snapshot_write(merge_replace(self.read(), source, key_cols, order_col))
 
     def upsert_additive(
         self, source: DataFrame, key_cols: tuple[str, ...], sum_cols: tuple[str, ...]
@@ -183,9 +269,7 @@ class ParquetUpsertTable:
                 source, lambda tgt: merge_additive(tgt, source, key_cols, sum_cols)
             )
             return
-        merged = merge_additive(self.read(), source, key_cols, sum_cols)
-        merged = merged.localCheckpoint(eager=True)
-        self._write(merged, "overwrite")
+        self._snapshot_write(merge_additive(self.read(), source, key_cols, sum_cols))
 
 
 def delta_upsert_replace(spark, path: str, source: DataFrame, key_cols: tuple[str, ...]):

@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+    ParquetUpsertTable,
+)
 from group_2_shopware_enterprise_data_engineering_project_spark.pipelines import inventory, pos
 from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
 from group_2_shopware_enterprise_data_engineering_project_spark.schemas import (
@@ -279,7 +282,7 @@ def pipe_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{base}/in", f"{base}/fact", f"{base}/kpi",
         partition_by=(), collect_stats=False,
     )
-    return spark.read.parquet(f"{base}/kpi")
+    return ParquetUpsertTable(spark, f"{base}/kpi").read()
 
 
 PIPE_INVENTORY_ORACLE = """
@@ -333,7 +336,7 @@ def pipe_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src.write.mode("overwrite").json(f"{base}/in")
     inventory.run(spark, f"{base}/in", f"{base}/table")
-    return spark.read.parquet(f"{base}/table")
+    return ParquetUpsertTable(spark, f"{base}/table").read()
 
 
 # --- WEB streaming pipeline end-to-end ------------------------------------

@@ -82,17 +82,20 @@ def test_partition_scoped_additive_merge_leaves_other_partitions_untouched(spark
     )
     t.upsert_additive(b1, ("pid", "date"), ("total",))
 
-    untouched = sorted(glob.glob(f"{path}/date=2025-01-02/*.parquet"))
+    data_dir = t._data_dir()  # active snapshot dir
+    untouched = sorted(glob.glob(f"{data_dir}/date=2025-01-02/*.parquet"))
     mtimes_before = [os.path.getmtime(f) for f in untouched]
 
     b2 = spark.createDataFrame([(1, "2025-01-01", 5.0)], "pid long, date string, total double")
     t.upsert_additive(b2, ("pid", "date"), ("total",))
 
+    # scoped merge rewrites in place — same snapshot dir, no new version
+    assert t._data_dir() == data_dir
     # partition-type inference reads the date= dirs back as DATE
     out = {(r.pid, str(r.date)): r.total for r in t.read().collect()}
     assert out == {(1, "2025-01-01"): 15.0, (2, "2025-01-02"): 20.0}
     # date=2025-01-02 files must be byte-identical and not rewritten
-    assert sorted(glob.glob(f"{path}/date=2025-01-02/*.parquet")) == untouched
+    assert sorted(glob.glob(f"{data_dir}/date=2025-01-02/*.parquet")) == untouched
     assert [os.path.getmtime(f) for f in untouched] == mtimes_before
 
 
@@ -110,6 +113,53 @@ def test_partition_scoped_replace_merge(spark, tmp_path):
     t.upsert_replace(b2, ("id", "date"))
     out = {r.id: r.v for r in t.read().collect()}
     assert out == {1: "a2", 2: "b", 3: "c", 4: "d"}
+
+
+def test_snapshot_commit_crash_leaves_old_snapshot_intact(spark, tmp_path, monkeypatch):
+    """Atomic-commit contract: a crash AFTER the new snapshot's files
+    are written but BEFORE the manifest swap must leave the previous
+    committed snapshot fully readable (the round-1 read-overwrite path
+    could lose the whole table here)."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    t = ParquetUpsertTable(spark, path)
+    b1 = spark.createDataFrame([(1, 100, "a"), (2, 100, "b")], "id long, ts long, v string")
+    t.upsert_replace(b1, ("id",), "ts")
+    before = {r.id: r.v for r in t.read().collect()}
+
+    def crash(version, dir_name):
+        raise RuntimeError("injected crash before manifest swap")
+
+    monkeypatch.setattr(t, "_commit", crash)
+    b2 = spark.createDataFrame([(2, 200, "b2")], "id long, ts long, v string")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t.upsert_replace(b2, ("id",), "ts")
+
+    # the failed merge is invisible: table still reads the old snapshot
+    fresh = ParquetUpsertTable(spark, path)
+    assert {r.id: r.v for r in fresh.read().collect()} == before
+
+    # recovery: retrying the merge on a clean handle succeeds and the
+    # orphaned half-committed snapshot dir is overwritten, then pruned
+    fresh.upsert_replace(b2, ("id",), "ts")
+    assert {r.id: r.v for r in fresh.read().collect()} == {1: "a", 2: "b2"}
+
+
+def test_snapshot_prune_keeps_active_plus_rollback(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t")
+    t = ParquetUpsertTable(spark, path)
+    for i in range(4):
+        t.upsert_replace(
+            spark.createDataFrame([(1, i, f"v{i}")], "id long, ts long, v string"),
+            ("id",),
+            "ts",
+        )
+    assert {r.v for r in t.read().collect()} == {"v3"}
+    snaps = sorted(d for d in os.listdir(path) if d.startswith("v"))
+    assert snaps == ["v000003", "v000004"]  # active + one rollback
 
 
 def test_full_merge_fallback_when_keys_can_move_partitions(spark, tmp_path):

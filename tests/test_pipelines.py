@@ -8,6 +8,9 @@ import json
 
 from pyspark.sql import functions as F
 
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+    ParquetUpsertTable,
+)
 from group_2_shopware_enterprise_data_engineering_project_spark.pipelines import (
     crm,
     inventory,
@@ -50,7 +53,7 @@ def test_inventory_pipeline(spark, tmp_path):
     )
     assert (res.valid_rows, res.rejected_rows, res.upserted_rows) == (3, 1, 2)
     state = {r.inventory_id: r.stock_level for r in
-             spark.read.parquet(str(tmp_path / "table")).collect()}
+             ParquetUpsertTable(spark, str(tmp_path / "table")).read().collect()}
     assert state == {1: 8, 2: 3}
 
     # second batch updates inv 2 and inserts inv 4 (K4 replace semantics)
@@ -65,7 +68,7 @@ def test_inventory_pipeline(spark, tmp_path):
         now="2023-11-15 00:00:00",
     )
     state = {r.inventory_id: r.stock_level for r in
-             spark.read.parquet(str(tmp_path / "table")).collect()}
+             ParquetUpsertTable(spark, str(tmp_path / "table")).read().collect()}
     assert state == {1: 8, 2: 99, 4: 7} and res2.upserted_rows == 3
 
 
@@ -96,7 +99,7 @@ def test_pos_pipeline_accumulating_kpi(spark, tmp_path):
     )
     assert (res.valid_rows, res.rejected_rows) == (4, 1)
     assert res.fact_rows == 3  # exact dup dropped
-    kpi = {r.product_id: r.total_sales for r in spark.read.parquet(str(tmp_path / "kpi")).collect()}
+    kpi = {r.product_id: r.total_sales for r in ParquetUpsertTable(spark, str(tmp_path / "kpi")).read().collect()}
     assert kpi[100] == 15.56 and kpi[200] == 7.0  # round(sum, 2) per batch
 
     # day-2 batch for the same (product, date) accumulates additively
@@ -104,7 +107,7 @@ def test_pos_pipeline_accumulating_kpi(spark, tmp_path):
         ("t9", 1, 100, 1, 4.0, 0.0, day + 3600),
     ])
     pos.run(spark, str(tmp_path / "d2"), str(tmp_path / "fact"), str(tmp_path / "kpi"))
-    kpi = {r.product_id: r.total_sales for r in spark.read.parquet(str(tmp_path / "kpi")).collect()}
+    kpi = {r.product_id: r.total_sales for r in ParquetUpsertTable(spark, str(tmp_path / "kpi")).read().collect()}
     # 15.56 + 4.0 (K5 accumulate, reference transfom_pos.py:140-152);
     # approx: the accumulator is a float sum like the reference's Delta col
     import pytest
