@@ -36,6 +36,37 @@ from group_2_shopware_enterprise_data_engineering_project_spark.functions.partit
 NUM_PLANES = 8
 DIM = 64
 
+# Bucket-scaling policy: LSH bucket count must GROW with the corpus, or
+# every bucket goes quadratic at scale. num_planes=None on the public
+# entry points derives H from the corpus row count (one metadata-cheap
+# count()) so expected bucket occupancy stays ~TARGET_BUCKET_ROWS;
+# MIN/MAX bound the hash width (2^8=256 .. 2^24=16M buckets).
+MIN_PLANES = 8
+MAX_PLANES = 24
+TARGET_BUCKET_ROWS = 1024
+# Hard per-reducer cap for the near-dup self-join: any bucket larger
+# than this is salt-split across (s*(s+1))/2 sub-tasks, bounding a
+# task's candidate-pair work at ~BUCKET_CAP^2 regardless of skew.
+BUCKET_CAP = 1024
+
+
+def derive_num_planes(
+    n_rows: int,
+    target_bucket: int = TARGET_BUCKET_ROWS,
+    min_planes: int = MIN_PLANES,
+    max_planes: int = MAX_PLANES,
+) -> int:
+    """H such that n / 2^H ~= target_bucket, clamped to [min, max].
+
+    10^9 vectors -> H=20 (1M buckets); <=2^8*target -> the floor H=8,
+    which keeps small-corpus oracle runs on the fixed 8-plane family.
+    """
+    import math
+
+    if n_rows <= target_bucket:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(n_rows / target_bucket))))
+
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -136,11 +167,20 @@ def lsh_topk(
     query_ids: list[int] | None = None,
     query_pred: Column | None = None,
     k: int = 5,
-    num_planes: int = NUM_PLANES,
+    num_planes: int | None = NUM_PLANES,
 ) -> DataFrame:
     """ANN top-k within same-bucket candidates. Approximate: neighbors
     in other buckets are missed by design (recall ~ (1 - theta/pi)^H
-    per Charikar's collision bound); determinism is exact."""
+    per Charikar's collision bound); determinism is exact.
+
+    num_planes=None derives H from the corpus size (bucket-scaling
+    policy) so buckets don't grow with the corpus. Reducer skew is a
+    non-issue on this path: queries are BROADCAST, so the bucket match
+    is a map-side hash join — the corpus never shuffles on the bucket
+    key and an oversized bucket just streams past the query map.
+    """
+    if num_planes is None:
+        num_planes = derive_num_planes(emb.count())
     planes = hyperplane_signs(num_planes)
     bucketed = spread(emb).select(
         F.col("vec_id"),
@@ -181,23 +221,27 @@ def lsh_topk(
 N_CENTROIDS = 16
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest
-    centroid by cosine (ties -> lowest centroid id).
-
-    Centroids are the first `n_centroids` vectors by id — a
-    deterministic, training-free quantizer (production would k-means a
-    sample; the list-partitioning mechanics are identical). The
-    centroid set broadcasts (n_centroids x dim floats), so assignment
-    is a map-side crossJoin + per-vector argmin: the corpus never
-    shuffles to get partitioned into lists.
-    """
-    centroids = F.broadcast(
+def _centroids(emb: DataFrame, n_centroids: int):
+    """Broadcast centroid set: the first `n_centroids` vectors by id —
+    a deterministic, training-free quantizer (production would k-means
+    a sample; the list-partitioning mechanics are identical)."""
+    return F.broadcast(
         emb.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("centroid_id"),
             _as_double(F.col("embedding")).alias("cv"),
         )
     )
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid by cosine (ties -> lowest centroid id).
+
+    The centroid set broadcasts (n_centroids x dim floats), so
+    assignment is a map-side crossJoin + per-vector argmin: the corpus
+    never shuffles to get partitioned into lists.
+    """
+    centroids = _centroids(emb, n_centroids)
     scored = (
         spread(emb)
         .select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
@@ -226,27 +270,46 @@ def ivf_topk(
     query_pred: Column | None = None,
     k: int = 5,
     n_centroids: int = N_CENTROIDS,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF-flat ANN: probe the query's own centroid list (n_probe=1)
-    and rank exact cosine within it.
+    """IVF-flat ANN: probe the query's `n_probe` nearest centroid lists
+    and rank exact cosine within the probed candidates.
 
     The scale shape: the corpus shuffles ONCE on centroid_id into
-    inverted lists; each query touches ~N/n_centroids vectors instead
-    of N. Recall tunes with n_probe (probe the p nearest lists) — the
-    mechanics here are the n_probe=1 case.
+    inverted lists; each query touches ~n_probe * N/n_centroids vectors
+    instead of N. Recall tunes with n_probe — at n_probe == n_centroids
+    the result equals brute force exactly (tests/test_similarity.py
+    pins recall@k monotonicity and that equivalence).
     """
     assigned = ivf_assign(emb, n_centroids).persist()
     if query_pred is None:
         query_pred = F.col("vec_id").isin(query_ids or [])
-    queries = F.broadcast(
-        assigned.filter(query_pred).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("centroid_id").alias("qc"),
+    queries = assigned.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+    )
+    # Per-query probe list: rank all centroids by cosine (|Q| x C rows,
+    # both sides driver-small) and keep the n_probe nearest.
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("p_sim").desc(), F.col("centroid_id")
+    )
+    probes = F.broadcast(
+        queries.crossJoin(_centroids(emb, n_centroids))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))
+            ).alias("p_sim"),
         )
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", F.col("centroid_id").alias("qc"))
     )
     cands = (
-        queries.join(assigned, F.col("qc") == assigned["centroid_id"])
+        probes.join(assigned, F.col("qc") == assigned["centroid_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -270,33 +333,54 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
-    num_planes: int = NUM_PLANES,
+    num_planes: int | None = NUM_PLANES,
+    bucket_cap: int = BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic-dedup stage
     of a training-data pipeline): SRP-LSH buckets -> same-bucket
     candidate pairs -> exact cosine >= threshold.
 
-    One shuffle on the H-bit bucket key; near-identical vectors agree
-    on every hyperplane sign with probability ~(1 - theta/pi)^H, so
-    high-threshold pairs are rarely missed. Output ordered for
-    determinism.
+    Scale shape: num_planes=None derives H from the corpus size so
+    expected bucket occupancy is constant, and any bucket that STILL
+    exceeds `bucket_cap` (skew: dense embedding clusters, exact-dup
+    floods) is salt-split — its rows are hashed into s = ceil(n/cap)
+    groups and the (i, j) group-pair sub-tasks are enumerated
+    explicitly, so no reducer ever sees more than ~cap^2 candidate
+    pairs. The split is LOSSLESS: every same-bucket pair lands in
+    exactly one (min(g_a, g_b), max(g_a, g_b)) sub-task, so results are
+    identical to the unsalted join — skew changes the schedule, never
+    the answer. Near-identical vectors agree on every hyperplane sign
+    with probability ~(1 - theta/pi)^H, so high-threshold pairs are
+    rarely missed. Output ordered for determinism.
     """
+    if num_planes is None:
+        num_planes = derive_num_planes(emb.count())
     planes = hyperplane_signs(num_planes)
     bucketed = spread(emb).select(
         F.col("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
         lsh_bucket(_as_double(F.col("embedding")), planes).alias("bucket"),
-    ).persist()
+    )
+    tasks = _salted_pair_tasks(bucketed, bucket_cap).persist()
+    a, b = tasks.alias("a"), tasks.alias("b")
     pairs = (
-        bucketed.alias("a")
-        .join(
-            bucketed.alias("b"),
+        a.join(
+            b,
             (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a._i") == F.col("b._i"))
+            & (F.col("a._j") == F.col("b._j"))
+            # a plays the i-group role, b the j-group role; same-group
+            # tasks (i == j) order by id to emit each pair once
+            & (F.col("a._g") == F.col("a._i"))
+            & (F.col("b._g") == F.col("b._j"))
+            & (
+                (F.col("a._i") != F.col("a._j"))
+                | (F.col("a.vec_id") < F.col("b.vec_id"))
+            ),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
             (
                 dot(F.col("a.v"), F.col("b.v"))
                 / (l2_norm(F.col("a.v")) * l2_norm(F.col("b.v")))
@@ -304,6 +388,30 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("cos_sim") >= threshold).orderBy("vec_a", "vec_b")
+
+
+def _salted_pair_tasks(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
+    """Explode each bucket's rows into self-join sub-task assignments.
+
+    s = ceil(bucket_size / cap); each row gets group g = hash(id) mod s
+    and one output row per sub-task it participates in: task
+    (min(g, t), max(g, t)) for t in 0..s-1. A pair with groups (ga, gb)
+    meets in exactly the (min, max) task. Buckets under the cap have
+    s = 1 and degenerate to the plain self-join row. The bucket-size
+    window is one shuffle on the bucket key — the same key the
+    downstream join shuffles on, so AQE coalesces them back-to-back.
+    """
+    w = Window.partitionBy("bucket")
+    sized = bucketed.withColumn(
+        "_s", F.ceil(F.count(F.lit(1)).over(w) / F.lit(bucket_cap)).cast("int")
+    )
+    return (
+        sized.withColumn("_g", F.pmod(F.xxhash64("vec_id"), F.col("_s")).cast("int"))
+        .withColumn("_t", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
+        .withColumn("_i", F.least("_g", "_t"))
+        .withColumn("_j", F.greatest("_g", "_t"))
+        .drop("_t", "_s")
+    )
 
 
 def label_stats(emb: DataFrame) -> DataFrame:

@@ -178,6 +178,61 @@ def e5_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+N_PROBE = 2
+
+E7_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), scored AS (
+  SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+         {_DOT.format(a='e.embedding', b='c.cv')}
+         / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='c.cv')}) AS c_sim
+  FROM embeddings e CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, centroid_id AS qc FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS pr
+    FROM scored WHERE vec_id < {N_QUERIES}
+  ) WHERE pr <= {N_PROBE}
+), cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_DOT.format(a='p.qv', b='a.v')}
+         / ({_NORM.format(v='p.qv')} * {_NORM.format(v='a.v')}) AS cos_sim
+  FROM probes p JOIN assigned a ON p.qc = a.centroid_id AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cands
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "e7_ann_ivf_probe2",
+    E7_ORACLE,
+    doc=f"IVF-flat ANN with multi-probe (n_probe={N_PROBE}): each query "
+    "scans its 2 nearest inverted lists — the recall/cost knob; "
+    "tests/test_similarity.py pins recall@k monotonicity in n_probe "
+    "and probe-all == brute force",
+)
+def e7_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K, n_probe=N_PROBE
+    )
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 DUP_OFFSET = 1_000_000
 N_DUPS = 50
 

@@ -111,3 +111,85 @@ def test_embedding_near_dup_finds_planted(spark, emb):
     assert [(p.vec_a, p.vec_b) for p in pairs] == [(0, 1), (0, 1000), (1, 1000)]
     exact_dup = [p for p in pairs if (p.vec_a, p.vec_b) == (0, 1000)]
     assert exact_dup[0].cos_sim > 0.999999
+
+
+def test_bucket_cap_salt_split_is_lossless(spark):
+    """Adversarial skew: one dense cluster floods a single LSH bucket.
+    With a tiny bucket_cap the self-join must salt-split that bucket
+    across sub-tasks and STILL produce the identical pair set — the cap
+    bounds per-reducer work, never changes the answer."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(DIM).astype(np.float64)
+    rows = []
+    for i in range(60):  # 60 near-copies -> one bucket, 1770 pairs
+        rows.append((i, "c", [float(x) for x in base + 1e-4 * rng.randn(DIM)]))
+    for i in range(60, 80):  # background noise
+        rows.append((i, "n", [float(x) for x in rng.randn(DIM)]))
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+
+    uncapped = [
+        (r.vec_a, r.vec_b, round(r.cos_sim, 12))
+        for r in similarity.embedding_near_dup_pairs(df, threshold=0.99, bucket_cap=10**9).collect()
+    ]
+    capped = [
+        (r.vec_a, r.vec_b, round(r.cos_sim, 12))
+        for r in similarity.embedding_near_dup_pairs(df, threshold=0.99, bucket_cap=8).collect()
+    ]
+    assert len(uncapped) == 60 * 59 // 2  # the planted cluster, all pairs
+    assert capped == uncapped
+
+
+def test_bucket_cap_bounds_subtask_size(spark):
+    """No (bucket, i, j) sub-task may hold more than ~2*cap rows
+    (i-group + j-group), regardless of how skewed the bucket is."""
+    rng = np.random.RandomState(4)
+    base = rng.randn(DIM).astype(np.float64)
+    rows = [(i, "c", [float(x) for x in base + 1e-4 * rng.randn(DIM)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    cap = 10
+    planes = similarity.hyperplane_signs(similarity.NUM_PLANES)
+    bucketed = df.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        similarity.lsh_bucket(
+            F.transform("embedding", lambda x: x.cast("double")), planes
+        ).alias("bucket"),
+    )
+    tasks = similarity._salted_pair_tasks(bucketed, cap)
+    sizes = tasks.groupBy("bucket", "_i", "_j").count().collect()
+    # each sub-task holds one i-group + one j-group; groups are
+    # hash-assigned so sizes are ~cap in expectation, O(cap) whp — a
+    # 4x slack bound (vs the unsplit bucket's 100 rows) pins the fanout
+    assert max(r["count"] for r in sizes) <= 4 * cap
+    # and the sub-tasks genuinely fan out the flooded bucket
+    assert len(sizes) > 1
+
+
+def test_derive_num_planes_policy():
+    d = similarity.derive_num_planes
+    assert d(0) == 8 and d(1000) == 8  # floor: small corpora keep H=8
+    assert d(10**6) == 10
+    assert d(10**9) == 20
+    assert d(10**12) == 24  # ceiling
+
+
+def test_ivf_recall_at_k_monotone_and_probe_all_exact(emb):
+    """Measured recall@k vs brute force: more probes never hurt, and
+    probing every list IS brute force."""
+    df, _ = emb
+    qids = [0, 5, 9]
+    k = 5
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(df, query_ids=qids, k=k).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(df, query_ids=qids, k=k, n_probe=n_probe).collect()
+        }
+        return len(got & bf) / len(bf)
+
+    r1, r2, rall = recall(1), recall(2), recall(similarity.N_CENTROIDS)
+    assert r1 <= r2 <= rall == 1.0
