@@ -1,0 +1,268 @@
+"""Direct oracle queries for operators previously verified by pytest
+only: P2 extra-column split, K9 catalog partition registration, K10
+archive lifecycle, ST2 cross-batch stateful dedup, S5 record decode.
+
+Each query routes real testdata through the actual operator (not a
+re-implementation) and returns a DataFrame whose oracle is plain SQL
+over the source table — so the operator's effect is inside the checked
+surface, same pattern as the roundtrip queries in
+streaming_pipelines.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.transform import (
+    enforce_schema,
+    extra_columns,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.pipelines.lifecycle import (
+    archive_processed,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
+from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+    register_partitions,
+    write_hour_partitioned,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+from group_2_shopware_enterprise_data_engineering_project_spark.sources.readers import (
+    decode_json_records,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+    run_available_now,
+    stream_json_source,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.streaming.stateful import (
+    streaming_exact_dedup,
+)
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"shopware_spark_{prefix}_")
+
+
+# --- P2: extra-column detection + split -----------------------------------
+
+P2_DECLARED = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+P2_ORACLE = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       ['noise_a', 'noise_b'] AS dropped_cols
+FROM documents
+"""
+
+
+@register(
+    "p2_extra_column_split",
+    P2_ORACLE,
+    doc="P2 extra-column split (reference api.py:125-135): a frame with "
+    "two undeclared columns -> extra_columns() detects them, "
+    "enforce_schema() projects them away; the dropped names ride along "
+    "as a literal array column for the oracle to pin",
+)
+def p2_extra_column_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        "n_chars",
+        F.lit("x").alias("noise_a"),
+        (F.col("doc_id") * 2).alias("noise_b"),
+    )
+    dropped = sorted(extra_columns(wide, P2_DECLARED))
+    projected = enforce_schema(wide, P2_DECLARED)
+    return projected.withColumn(
+        "dropped_cols", F.array(*[F.lit(c) for c in dropped])
+    )
+
+
+# --- K9: catalog partition registration (MSCK) ----------------------------
+
+K9_ORACLE = """
+SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+       strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2, 3, 4
+"""
+
+
+@register(
+    "k9_partition_registration",
+    K9_ORACLE,
+    doc="K9 partition registration (reference s3toathena.py:67-76): K1 "
+    "layout -> external partitioned table -> MSCK REPAIR -> read via the "
+    "CATALOG (not the path), proving the partitions were registered",
+)
+def k9_partition_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp("k9")
+    events = table(spark, sf_dir, "events")
+    write_hour_partitioned(events, "ts", f"{base}/tbl")
+    spark.sql("DROP TABLE IF EXISTS k9_events")
+    spark.sql(
+        "CREATE TABLE k9_events "
+        "(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING) "
+        "USING PARQUET "
+        "PARTITIONED BY (year STRING, month STRING, day STRING, hour STRING) "
+        f"LOCATION '{base}/tbl'"
+    )
+    # freshly created external table knows NO partitions until MSCK
+    register_partitions(spark, "k9_events")
+    return spark.table("k9_events").groupBy("year", "month", "day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# --- K10: archive lifecycle ------------------------------------------------
+
+K10_ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+K10_ORACLE = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '2023-11-14' ELSE '2023-11-15' END
+           AS date,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key
+FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "k10_archive_lifecycle",
+    K10_ORACLE,
+    doc="K10 archive lifecycle (reference transfom_pos.py:56-110): two "
+    "pos_YYYYMMDD_* csv landing files -> archive_processed moves them to "
+    "archive/date=YYYY-MM-DD/ and clears the landing zone; result reads "
+    "the ARCHIVED layout back with its hive date partition",
+)
+def k10_archive_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp("k10")
+    landing, archive = f"{base}/landing", f"{base}/archive"
+    os.makedirs(landing)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for fname, parity in (("pos_20231114_000000.csv", 0), ("pos_20231115_000000.csv", 1)):
+        part_dir = f"{base}/stage_{parity}"
+        (
+            orders.filter(F.col("o_orderkey") % 2 == parity)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(part_dir)
+        )
+        part = next(n for n in os.listdir(part_dir) if n.endswith(".csv"))
+        shutil.move(os.path.join(part_dir, part), os.path.join(landing, fname))
+
+    res = archive_processed(landing, archive, suffix=".csv")
+    assert sorted(res.archived) == [
+        "pos_20231114_000000.csv",
+        "pos_20231115_000000.csv",
+    ] and not os.listdir(landing), "archive must move every landing file"
+
+    back = (
+        spark.read.schema(K10_ORDERS_SCHEMA)
+        .option("header", "true")
+        .option("basePath", archive)
+        .csv(f"{archive}/date=*")
+    )
+    return back.groupBy(F.col("date").cast("string").alias("date")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+# --- ST2: cross-batch stateful dedup --------------------------------------
+
+ST2_ORACLE = """
+SELECT CAST(event_id % 50 AS BIGINT) AS key,
+       CAST(min(event_id % 3) AS BIGINT) AS batch
+FROM events GROUP BY 1
+"""
+
+
+@register(
+    "st2_stateful_dedup",
+    ST2_ORACLE,
+    doc="ST2 cross-batch exact dedup (applyInPandasWithState): 3 ordered "
+    "micro-batches with overlapping keys -> each key admitted exactly "
+    "once, in its FIRST batch; per-(key, batch) payload makes the "
+    "admitted row deterministic",
+)
+def st2_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp("st2")
+    src, ckpt, out = f"{base}/in", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+    events = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 50).alias("key"),
+        (F.col("event_id") % 3).alias("batch"),
+    )
+    # one file per batch, mtimes strictly increasing so the file source
+    # processes them in batch order (FileStreamSource orders by mtime)
+    for b in range(3):
+        stage = f"{base}/stage_{b}"
+        events.filter(F.col("batch") == b).coalesce(1).write.mode("overwrite").json(stage)
+        part = next(n for n in os.listdir(stage) if n.endswith(".json"))
+        dest = os.path.join(src, f"b{b}.json")
+        shutil.move(os.path.join(stage, part), dest)
+        t = os.path.getmtime(dest)
+        os.utime(dest, (t + 10 * b, t + 10 * b))
+
+    schema = T.StructType(
+        [T.StructField("key", T.LongType()), T.StructField("batch", T.LongType())]
+    )
+    deduped = streaming_exact_dedup(
+        stream_json_source(spark, src, schema, max_files_per_trigger=1),
+        "key",
+        schema,
+    )
+    run_available_now(
+        deduped, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
+    )
+    return spark.read.parquet(out)
+
+
+# --- S5: record decode (base64 -> json -> columns) ------------------------
+
+S5_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+S5_ORACLE = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
+FROM documents
+"""
+
+
+@register(
+    "s5_record_decode",
+    S5_ORACLE,
+    doc="S5 record decode (reference transformation.py:55-58): rows "
+    "serialized to base64(json) payloads, decoded back to typed columns "
+    "via unbase64 -> from_json -> star-expand (single native projection)",
+)
+def s5_record_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.base64(
+            F.encode(F.to_json(F.struct("doc_id", "n_chars", "lang")), "utf-8")
+        ).alias("payload")
+    )
+    return decode_json_records(payloads, "payload", S5_SCHEMA)

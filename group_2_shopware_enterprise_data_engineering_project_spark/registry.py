@@ -67,6 +67,7 @@ def _load_all() -> None:
         return
     from group_2_shopware_enterprise_data_engineering_project_spark.queries import (  # noqa: F401
         batch_analytics,
+        coverage_q,
         embeddings_sim,
         multimodal_q,
         streaming_pipelines,

@@ -208,3 +208,62 @@ def test_running_counts_accumulate_in_state(spark, tmp_path):
     for r in rows:
         final[r.key] = max(final.get(r.key, 0), r.n_total)
     assert final == {"a": 3, "b": 3}
+
+
+def test_time_bound_trigger_processing_time(spark, tmp_path):
+    """ST1's time-bound flush half (reference api.py:22-23: flush on
+    100 records OR 10s): a processingTime trigger drains files on a
+    wall-clock cadence rather than per-file. Both flush modes share
+    stream_json_source; this pins the time-bound path end to end."""
+    import time
+
+    from pyspark.sql import types as T
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    for b in range(2):
+        _write_jsonl(src / f"b{b}.jsonl", [{"k": b * 10 + i} for i in range(5)])
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    stream = stream_json_source(spark, str(src), schema, max_files_per_trigger=None)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(str(out)).count() == 10:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert spark.read.parquet(str(out)).count() == 10
+        # a file arriving BETWEEN triggers is picked up by a later tick
+        _write_jsonl(src / "late.jsonl", [{"k": 99}])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.read.parquet(str(out)).count() == 11:
+                break
+            time.sleep(0.5)
+        assert spark.read.parquet(str(out)).count() == 11
+    finally:
+        q.stop()
+
+
+def test_kafka_source_gate_names_missing_connector(spark):
+    """The network source shares stream_json_source's interface; without
+    the kafka connector jar it must fail fast with the package name,
+    not an opaque ClassNotFound at start()."""
+    from pyspark.sql import types as T
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        stream_kafka_source,
+    )
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    with pytest.raises(ImportError, match="spark-sql-kafka"):
+        stream_kafka_source(spark, "localhost:9092", "events", schema)
