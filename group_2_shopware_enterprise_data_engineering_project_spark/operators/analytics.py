@@ -32,25 +32,24 @@ def session_metrics(
     Quirk preserved: entry/exit event is the *alphabetical* MIN/MAX of
     event_type, not first/last by time (SURVEY §2.5 A2).
 
-    One shuffle on the session key; everything else is map-side.
+    One shuffle on the session key; everything else is map-side. The
+    reference SQL's ORDER BY session_start DESC is display-only — a
+    global sort is a pure-cost range exchange at scale, so it is NOT
+    part of this operator; callers that need ranked output use top_k
+    (TakeOrderedAndProject) and oracles keep ORDER BY in SQL.
     """
     ts = F.col(ts_col)
-    out = (
-        events.groupBy(*session_cols)
-        .agg(
-            F.min(ts).alias("session_start"),
-            F.max(ts).alias("session_end"),
-            (F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts))).alias(
-                "duration_sec"
-            ),
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct(F.col(distinct_col)).alias("n_distinct"),
-            F.min(F.col(event_type_col)).alias("entry_event"),
-            F.max(F.col(event_type_col)).alias("exit_event"),
-        )
-        .orderBy(F.col("session_start").desc(), *[F.col(c) for c in session_cols])
+    return events.groupBy(*session_cols).agg(
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        (F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts))).alias(
+            "duration_sec"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.col(distinct_col)).alias("n_distinct"),
+        F.min(F.col(event_type_col)).alias("entry_event"),
+        F.max(F.col(event_type_col)).alias("exit_event"),
     )
-    return out
 
 
 # Engagement weights — reference script.sql:63-71 uses
@@ -76,11 +75,10 @@ def engagement_score(
     """A3 — weighted CASE-sum engagement score per session.
 
     Reference: script.sql:59-76 (SUM over CASE event_type weights).
+    Display ordering stays in the oracle SQL / top_k, not the plan.
     """
-    return (
-        events.groupBy(*session_cols)
-        .agg(F.sum(engagement_weight(event_type_col)).alias("engagement_score"))
-        .orderBy(F.col("engagement_score").desc(), *[F.col(c) for c in session_cols])
+    return events.groupBy(*session_cols).agg(
+        F.sum(engagement_weight(event_type_col)).alias("engagement_score")
     )
 
 
@@ -210,11 +208,13 @@ def loyalty_join(
     session_user_col: str = "user_id",
     cust_key_col: str = "c_custkey",
 ) -> DataFrame:
-    """J1 + J2 + O1 — session summary LEFT JOIN customer dim on a cast
-    key, COALESCE defaults for misses, ORDER BY session key DESC.
+    """J1 + J2 — session summary LEFT JOIN customer dim on a cast key,
+    COALESCE defaults for misses.
 
     Reference: script.sql:93-103 (LEFT JOIN ON CAST(s.user_id AS int) =
-    l.customer_id; COALESCE(l.x, 0); ORDER BY s.session_id DESC).
+    l.customer_id; COALESCE(l.x, 0)). The reference's trailing ORDER BY
+    session_id DESC is display-only and stays in the oracle SQL / top_k
+    — not a range exchange in the plan.
 
     The customer side is a dimension — explicitly broadcast so the join
     is shuffle-free on the (large) fact side at any scale.
@@ -230,14 +230,11 @@ def loyalty_join(
     joined = sessions.join(
         right, sessions[session_user_col].cast("int") == right["_ck"], "left"
     )
-    return (
-        joined.select(
-            *[sessions[c] for c in sessions.columns],
-            F.coalesce(F.col("c_name"), F.lit("unknown")).alias("customer_name"),
-            F.coalesce(F.col("c_acctbal"), F.lit(0.0)).alias("acctbal"),
-            F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("mktsegment"),
-        )
-        .orderBy(F.col(session_user_col).desc())
+    return joined.select(
+        *[sessions[c] for c in sessions.columns],
+        F.coalesce(F.col("c_name"), F.lit("unknown")).alias("customer_name"),
+        F.coalesce(F.col("c_acctbal"), F.lit(0.0)).alias("acctbal"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("NONE")).alias("mktsegment"),
     )
 
 

@@ -55,3 +55,12 @@ def test_ann_bruteforce_broadcasts_queries(plans):
     plan = plans("e2_ann_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_headline_aggregates_have_no_global_sort(plans):
+    """a2/a3/j1 mirror reference queries whose ORDER BY is display-only.
+    A global sort is a pure-cost range exchange at scale — the plans
+    must not contain one (ordering lives in oracle SQL / top_k)."""
+    for q in ("a2_session_metrics", "a3_engagement_score", "j1_loyalty_join"):
+        plan = plans(q)
+        assert "rangepartitioning" not in plan.lower(), q
