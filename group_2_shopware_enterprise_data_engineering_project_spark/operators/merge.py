@@ -234,6 +234,30 @@ class ParquetUpsertTable:
             return
         self._write(df, "append")
 
+    def compact(self, target_partitions: int | None = None) -> None:
+        """Small-files compaction: rewrite the table as a NEW snapshot
+        with coalesced files, committed atomically — readers of the old
+        snapshot are unaffected until the manifest swap. Many small
+        appends / per-batch merges accrete files; at scale the fix is a
+        maintenance rewrite (Delta OPTIMIZE's role), which the versioned
+        snapshot layout makes safe to run online.
+
+        For a partitioned table rows are re-clustered by the partition
+        columns so each partition lands as one file per shuffle
+        partition; `target_partitions` bounds the file count for the
+        unpartitioned case (default: spark.sql.shuffle.partitions).
+        """
+        df = self.read()
+        if self.partition_by:
+            df = df.repartition(*[F.col(c) for c in self.partition_by])
+        elif target_partitions:
+            df = df.repartition(target_partitions)
+        else:
+            df = df.coalesce(
+                int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            )
+        self._snapshot_write(df)
+
     def upsert_replace(
         self, source: DataFrame, key_cols: tuple[str, ...], order_col: str | None = None
     ) -> None:

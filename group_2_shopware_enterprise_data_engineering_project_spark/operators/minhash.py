@@ -186,7 +186,10 @@ def minhash_lsh_dedup(
     buckets = band_buckets(sigs, num_perm, band_rows).persist()
     cands = candidate_pairs(buckets)
     verified = exact_jaccard(ss, cands)
-    return verified.filter(F.col("jaccard") >= threshold).orderBy("doc_a", "doc_b")
+    # No terminal global sort: at scale the pair list is huge and the
+    # driver compare / downstream joins are order-insensitive (oracle
+    # SQL keeps ORDER BY for display).
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def allpairs_jaccard_dedup(
@@ -223,5 +226,4 @@ def allpairs_jaccard_dedup(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )

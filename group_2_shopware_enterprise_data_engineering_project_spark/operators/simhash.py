@@ -110,7 +110,8 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming).orderBy("doc_a", "doc_b")
+    # No terminal global sort on the (potentially huge) pair list.
+    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_dedup(

@@ -387,7 +387,8 @@ def embedding_near_dup_pairs(
             ).alias("cos_sim"),
         )
     )
-    return pairs.filter(F.col("cos_sim") >= threshold).orderBy("vec_a", "vec_b")
+    # No terminal global sort on the (potentially huge) pair list.
+    return pairs.filter(F.col("cos_sim") >= threshold)
 
 
 def _salted_pair_tasks(bucketed: DataFrame, bucket_cap: int) -> DataFrame:

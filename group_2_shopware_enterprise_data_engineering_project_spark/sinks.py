@@ -92,3 +92,27 @@ def register_partitions(spark: SparkSession, table_name: str) -> None:
     """K9 — sync the catalog with on-disk Hive-style partitions.
     One statement replaces the reference's per-hour ALTER TABLE loop."""
     spark.sql(f"MSCK REPAIR TABLE {table_name}")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed catalog table: co-locates rows by join/agg key at
+    WRITE time so repeated equi-joins and groupBys on the bucket key
+    read back shuffle-free — both sides of a bucketed⋈bucketed join
+    (same key, same bucket count) skip their Exchange entirely, the
+    pre-partitioning strategy for fact⋈fact joins too big to broadcast.
+    Pinned by tests/test_partitioning.py::test_bucketed_join_elides_both_exchanges.
+
+    `sort_cols` additionally sorts within buckets (sort-merge joins then
+    skip the per-task sort as well).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

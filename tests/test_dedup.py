@@ -66,8 +66,8 @@ def test_allpairs_jaccard_matches_lsh_on_planted(docs):
 
 
 def test_minhash_deterministic(docs):
-    a = minhash.minhash_lsh_dedup(docs).collect()
-    b = minhash.minhash_lsh_dedup(docs).collect()
+    a = sorted(map(tuple, minhash.minhash_lsh_dedup(docs).collect()))
+    b = sorted(map(tuple, minhash.minhash_lsh_dedup(docs).collect()))
     assert a == b
 
 

@@ -176,3 +176,45 @@ def test_full_merge_fallback_when_keys_can_move_partitions(spark, tmp_path):
     t.upsert_replace(b2, ("id",), "ts")
     rows = {(r.id, str(r.d)) for r in t.read().collect()}
     assert rows == {(1, "2025-02-09"), (2, "2025-01-01")}  # no stale (1, 2025-01-01)
+
+
+def test_compact_coalesces_files_and_preserves_data(spark, tmp_path):
+    """Small-files compaction: many tiny appends -> one maintenance
+    rewrite, snapshot-committed so it is safe while readers are live."""
+    import glob
+
+    path = str(tmp_path / "t")
+    t = ParquetUpsertTable(spark, path)
+    for i in range(5):
+        t.append(
+            spark.createDataFrame([(i * 10 + j, float(j)) for j in range(4)],
+                                  "id long, v double")
+        )
+    before_files = glob.glob(f"{t._data_dir()}/*.parquet")
+    before_rows = sorted((r.id, r.v) for r in t.read().collect())
+    assert len(before_files) >= 5  # accreted per-append files
+
+    t.compact(target_partitions=1)
+    after_files = glob.glob(f"{t._data_dir()}/*.parquet")
+    assert len(after_files) == 1
+    assert sorted((r.id, r.v) for r in t.read().collect()) == before_rows
+
+
+def test_compact_partitioned_reclusters_per_partition(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "t")
+    t = ParquetUpsertTable(spark, path, partition_by=("d",))
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, "2025-01-0%d" % (j % 2 + 1)) for j in range(4)],
+                "id long, d string",
+            )
+        )
+    before_rows = sorted((r.id, r.d) for r in t.read().collect())
+    t.compact()
+    for part in ("2025-01-01", "2025-01-02"):
+        files = glob.glob(f"{t._data_dir()}/d={part}/*.parquet")
+        assert len(files) == 1  # one file per partition after recluster
+    assert sorted((r.id, r.d) for r in t.read().collect()) == before_rows

@@ -64,3 +64,37 @@ def test_p14_partition_pruning_on_hour_layout(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     scan_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
     assert "isnotnull" in scan_line or "=" in scan_line
+
+
+def test_bucketed_join_elides_both_exchanges(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    must join with NO shuffle on either side — the write-time
+    co-location strategy for fact-to-fact joins too big to broadcast."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        write_bucketed_table,
+    )
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_left")
+    spark.sql("DROP TABLE IF EXISTS bkt_right")
+    write_bucketed_table(left, "bkt_left", ("k",), 8, sort_cols=("k",))
+    write_bucketed_table(right, "bkt_right", ("k",), 8, sort_cols=("k",))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucketing co-located both sides
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

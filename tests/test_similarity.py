@@ -108,7 +108,7 @@ def test_embedding_near_dup_finds_planted(spark, emb):
     ).collect()
     # vec 1 is the fixture's planted near-neighbor of vec 0, so the
     # full clique {0, 1, 1000} pairs up above 0.95
-    assert [(p.vec_a, p.vec_b) for p in pairs] == [(0, 1), (0, 1000), (1, 1000)]
+    assert sorted((p.vec_a, p.vec_b) for p in pairs) == [(0, 1), (0, 1000), (1, 1000)]
     exact_dup = [p for p in pairs if (p.vec_a, p.vec_b) == (0, 1000)]
     assert exact_dup[0].cos_sim > 0.999999
 
@@ -127,14 +127,14 @@ def test_bucket_cap_salt_split_is_lossless(spark):
         rows.append((i, "n", [float(x) for x in rng.randn(DIM)]))
     df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
 
-    uncapped = [
+    uncapped = sorted(
         (r.vec_a, r.vec_b, round(r.cos_sim, 12))
         for r in similarity.embedding_near_dup_pairs(df, threshold=0.99, bucket_cap=10**9).collect()
-    ]
-    capped = [
+    )
+    capped = sorted(
         (r.vec_a, r.vec_b, round(r.cos_sim, 12))
         for r in similarity.embedding_near_dup_pairs(df, threshold=0.99, bucket_cap=8).collect()
-    ]
+    )
     assert len(uncapped) == 60 * 59 // 2  # the planted cluster, all pairs
     assert capped == uncapped
 
