@@ -25,7 +25,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def streaming_exact_dedup(
-    stream: DataFrame, key_col: str, out_schema: T.StructType
+    stream: DataFrame,
+    key_col: str,
+    out_schema: T.StructType,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Emit only the FIRST occurrence of each key across the whole
     stream (cross-batch): state per key = one 'seen' flag.
@@ -33,11 +36,27 @@ def streaming_exact_dedup(
     The reference has no cross-batch dedup (its Lambda batches are
     independent); this is the stateful upgrade of D1/W1 for streams —
     e.g. exactly-once event admission when the upstream replays.
+
+    `ttl_ms` bounds state growth for unbounded key spaces: an admitted
+    key's flag expires `ttl_ms` after admission (fixed-from-admission,
+    not sliding), after which the key can be admitted again. At 100 TB
+    / billions of keys this is the difference between bounded state and
+    an OOM-ing state store; None keeps flags forever (exact dedup,
+    bounded-key-space workloads).
+
+    Caveat: with ttl_ms set, run under a processingTime trigger and
+    stop explicitly. ProcessingTimeTimeout makes the engine keep
+    scheduling batches to deliver timeouts, so trigger(availableNow)
+    never self-terminates (observed: endless empty epochs after the
+    source drains). The no-TTL path is availableNow-safe.
     """
 
     def _dedup(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # expired flag: key becomes admissible again
+            return
         if state.exists:
             return  # key already admitted in an earlier batch
         first = None
@@ -46,6 +65,8 @@ def streaming_exact_dedup(
                 first = pdf.iloc[:1]
         if first is not None:
             state.update((True,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             yield first
 
     return stream.groupBy(key_col).applyInPandasWithState(
@@ -53,7 +74,11 @@ def streaming_exact_dedup(
         outputStructType=out_schema,
         stateStructType="seen boolean",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -267,3 +267,57 @@ def test_kafka_source_gate_names_missing_connector(spark):
     schema = T.StructType([T.StructField("k", T.LongType())])
     with pytest.raises(ImportError, match="spark-sql-kafka"):
         stream_kafka_source(spark, "localhost:9092", "events", schema)
+
+
+def test_streaming_dedup_ttl_expires_and_readmits(spark, tmp_path):
+    """ttl_ms bounds dedup state: an admitted key's flag expires after
+    the TTL, after which the key is admissible again. Uses a
+    processingTime trigger + manual stop because ProcessingTimeTimeout
+    keeps scheduling timeout batches, so availableNow never
+    self-terminates (pinned as a documented operator caveat)."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.stateful import (
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "in"
+    _write_jsonl(src / "f1.jsonl", [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    out = streaming_exact_dedup(stream, "k", schema, ttl_ms=2_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_ttl_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+
+    def _sink():
+        return spark.sql("SELECT * FROM dedup_ttl_test").collect()
+
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(_sink()) < 2:
+            time.sleep(0.25)
+        assert {(r.k, r.v) for r in _sink()} == {("a", 1), ("b", 2)}
+
+        # Let the flags expire (timeout batches fire past the 2s TTL),
+        # then replay key 'a': it must be admitted AGAIN.
+        time.sleep(4)
+        _write_jsonl(src / "f2.jsonl", [{"k": "a", "v": 99}])
+        deadline = time.time() + 60
+        while time.time() < deadline and len(_sink()) < 3:
+            time.sleep(0.25)
+        assert {(r.k, r.v) for r in _sink()} == {("a", 1), ("b", 2), ("a", 99)}
+    finally:
+        q.stop()
