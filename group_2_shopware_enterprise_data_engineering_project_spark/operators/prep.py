@@ -1,0 +1,264 @@
+"""Training-data preparation operators: deterministic splits, gap
+sessionization, PII redaction, group-wise top-k, document frequency,
+stratified sampling.
+
+These extend the reference's batch analytics (no counterpart in
+GEssuman/Group_2-Shopware-Enterprise-Data-Engineering-Project — its
+pipelines stop at KPI aggregation) with the operations a large-scale
+LLM training-data pipeline runs over the same tables. Every function
+is pure DataFrame API (whole-stage codegen, no Python in the hot
+path), and every derivation is deterministic so the DuckDB oracles in
+queries/ml_prep.py reproduce results bit-for-bit.
+
+Scale notes per operator are in the docstrings; the common theme:
+one shuffle where one is unavoidable (window/groupBy on the natural
+key), zero where it isn't (hash-projection splits, per-row redaction).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- deterministic split assignment ---------------------------------------
+
+#: 16-bit bucket space: md5-hex prefix length 4 -> 65536 lexicographic
+#: buckets, uniform over any key distribution.
+_SPLIT_BUCKETS = 65536
+
+
+def split_thresholds(fracs: tuple[float, ...]) -> list[str]:
+    """Cumulative hex-prefix upper bounds for each split fraction.
+    Lexicographic comparison on fixed-width lowercase hex == numeric
+    comparison, and behaves identically in Spark (Java) and DuckDB
+    (binary collation), so the oracle can reuse these exact literals.
+    """
+    bounds, acc = [], 0.0
+    for f in fracs[:-1]:
+        acc += f
+        bounds.append(format(int(acc * _SPLIT_BUCKETS), "04x"))
+    return bounds
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    names: tuple[str, ...] = ("train", "val", "test"),
+    fracs: tuple[float, ...] = (0.9, 0.05, 0.05),
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hashing its key: bucket =
+    first 4 hex chars of md5(salt ':' key). Deterministic (same key ->
+    same split across runs, clusters, and engines), independent of row
+    order and partitioning, and stable under corpus growth — adding
+    documents never reassigns existing ones, unlike fraction-based
+    ``randomSplit``.
+
+    Scale: a pure projection — no shuffle, no state; the split of 100
+    TB costs one codegen'd map over the scan.
+    """
+    if len(names) != len(fracs):
+        raise ValueError("names and fracs must align")
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), 1, 4
+    )
+    bounds = split_thresholds(fracs)
+    expr: Column = F.lit(names[-1])
+    for name, bound in reversed(list(zip(names[:-1], bounds))):
+        expr = F.when(bucket < bound, name).otherwise(expr)
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+# --- gap-based sessionization ---------------------------------------------
+
+
+def sessionize(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Derive sessions from raw events by inactivity gap: a session
+    breaks when the time since the user's previous event exceeds
+    ``gap_sec``. This is the scalable generalization of the reference's
+    pre-assigned session_id analytics (ST6 — web_transform.py groups by
+    an upstream-provided session): here the engine derives the sessions
+    itself, which is what a 100 TB event log demands.
+
+    Returns one row per (user, session): event count, start/end,
+    duration_ms, and total value (exact integer-cents sum — float sums
+    are order-dependent and would break cross-engine parity).
+
+    Scale: ONE shuffle. The window partitions by user; the subsequent
+    groupBy(user, session_seq) reuses that hash partitioning because
+    the partition key is a prefix of the group key (EnsureRequirements
+    accepts HashPartitioning(user) for the clustered distribution), so
+    no second exchange. Per-user data must fit a task's sort spill —
+    true at any corpus size since it scales with per-user activity,
+    not corpus size.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev_ms = F.unix_millis(F.lag(ts_col).over(w))
+    is_new = F.when(
+        prev_ms.isNull() | (F.unix_millis(F.col(ts_col)) - prev_ms > gap_sec * 1000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_seq = events.withColumn(
+        "session_seq", F.sum(is_new).over(w).cast("long")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        with_seq.groupBy(user_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (F.unix_millis(F.max(ts_col)) - F.unix_millis(F.min(ts_col))).alias(
+                "duration_ms"
+            ),
+            (F.sum(cents) / 100.0).alias("total_value"),
+        )
+    )
+
+
+# --- PII redaction ---------------------------------------------------------
+
+#: Patterns restricted to syntax with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround; greedy
+#: quantifiers whose leftmost-first and leftmost-longest matches agree.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count and redact emails / phone numbers. Emits per-doc match
+    counts and the redacted text (plus its length), replacing matches
+    with ``[EMAIL]`` / ``[PHONE]`` placeholders.
+
+    Scale: pure per-row projection — regexp_count/replace run inside
+    whole-stage codegen; no shuffle, no Python.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]"), PHONE_PATTERN, "[PHONE]"
+    )
+    return docs.select(
+        id_col,
+        F.regexp_count(c, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+        redacted.alias("redacted_text"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# --- group-wise top-k ------------------------------------------------------
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tiebreak_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` desc (ties broken by
+    ``tiebreak_col`` asc, making the selected set deterministic).
+
+    Scale: one shuffle on the group key; the rank filter runs during
+    the sort (WindowExec emits rows streamingly per group, and rows
+    past rank k are dropped before any downstream operator). Unlike
+    global top-k (O1's TakeOrderedAndProject) the result is per-group,
+    so a full-partition sort per group key is the right plan.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
+# --- document frequency / IDF ---------------------------------------------
+
+
+def doc_frequency(
+    docs: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-term document frequency over the corpus with an exact IDF
+    ratio (n_docs / df as double — no transcendental, so the oracle
+    matches bit-for-bit; callers wanting classic idf apply ln() on
+    top). Returns the ``top_n`` terms by (df desc, term asc) — a total
+    order, so the selected set is deterministic.
+
+    Scale: explode(distinct tokens per doc) -> groupBy(term). The
+    shuffle carries (term, partial count) after map-side combine, not
+    doc bodies. The scalar corpus count joins in as a broadcast of one
+    row. top_n lands in TakeOrderedAndProject (per-partition heaps,
+    driver merges top_n per partition — no global sort).
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    )
+    exploded = docs.select(id_col, F.explode(toks).alias("term"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        exploded.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            (F.col("n_docs").cast("double") / F.col("df")).alias("idf_ratio"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+
+
+# --- stratified sampling ---------------------------------------------------
+
+
+def stratified_sample(
+    docs: DataFrame,
+    frac: Fraction = Fraction(1, 5),
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "samp",
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: within each stratum,
+    rank rows by md5(salt ':' id) and keep rank * frac.denominator <=
+    stratum_size * frac.numerator — exactly floor(frac * n) rows per
+    stratum, chosen uniformly by the hash. The Fraction keeps the
+    quota in integer arithmetic, so Spark and the SQL oracle agree
+    without any float-rounding hazard.
+
+    This is the rebalancing step of a data-mixing pipeline (downsample
+    dominant languages/sources to a target distribution) — sampling
+    ``randomSplit`` can't do deterministically or per-stratum.
+
+    Scale: one shuffle on the stratum key; count-over-window and
+    rank share the same partitioning. Per-stratum data must fit a
+    task sort — salt-split strata (functions/partitioning.py) if one
+    stratum dominates the corpus.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w_rank = Window.partitionBy(strata_col).orderBy(h, id_col)
+    w_all = Window.partitionBy(strata_col)
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("n_stratum", F.count(F.lit(1)).over(w_all).cast("long"))
+        .filter(
+            F.col("sample_rank") * F.lit(frac.denominator)
+            <= F.col("n_stratum") * F.lit(frac.numerator)
+        )
+        .select(strata_col, id_col, "sample_rank", "n_stratum")
+    )

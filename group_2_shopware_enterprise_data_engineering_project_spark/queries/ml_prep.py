@@ -1,0 +1,243 @@
+"""Training-data preparation queries (beyond-reference family: the
+reference's pipelines stop at KPI aggregation — these are the ops an
+LLM-scale data pipeline adds on the same tables), each with an exact
+DuckDB oracle.
+
+Determinism discipline: hash-based assignment (md5), integer-cents
+float sums, total-order tiebreaks on every rank/limit — so the oracle
+reproduces each result bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+# --- m1: deterministic train/val/test split -------------------------------
+
+_T1, _T2 = prep.split_thresholds((0.9, 0.05, 0.05))
+
+M1_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < '{_T1}' THEN 'train'
+            WHEN bucket < '{_T2}' THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register(
+    "m1_split_assign",
+    M1_ORACLE,
+    doc="deterministic 90/5/5 train/val/test assignment by md5 hex-"
+    "prefix range: stable under corpus growth, zero-shuffle projection",
+)
+def m1_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return prep.split_assign(docs, "doc_id").select("doc_id", "bucket", "split")
+
+
+# --- m2: gap-based sessionization -----------------------------------------
+
+M2_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *,
+         CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
+  FROM seq
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms,
+       CAST(sum(CAST(floor(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "m2_sessionize",
+    M2_ORACLE,
+    doc="inactivity-gap sessionization (30 min) over raw events — the "
+    "engine-derived generalization of ST6's pre-assigned sessions; one "
+    "shuffle (window partitioning reused by the per-session groupBy)",
+)
+def m2_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.sessionize(table(spark, sf_dir, "events"), gap_sec=1800)
+
+
+# --- m3: PII redaction -----------------------------------------------------
+
+# The synthetic corpus carries no PII, so both engines seed identical
+# synthetic contact strings on every 7th doc, then count+redact them.
+_SEED_SQL = """
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' Contact: user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com or +1 555 123-4567.'
+                      ELSE '' END AS text
+  FROM documents
+"""
+
+M3_ORACLE = rf"""
+WITH seeded AS ({_SEED_SQL}),
+red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '{prep.EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text,
+              '{prep.PHONE_PATTERN}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(text,
+              '{prep.EMAIL_PATTERN}', '[EMAIL]', 'g'),
+              '{prep.PHONE_PATTERN}', '[PHONE]', 'g') AS redacted_text
+  FROM seeded
+)
+SELECT doc_id, n_emails, n_phones,
+       CAST(length(redacted_text) AS BIGINT) AS redacted_len,
+       md5(redacted_text) AS redacted_digest
+FROM red
+"""
+
+
+@register(
+    "m3_pii_redact",
+    M3_ORACLE,
+    doc="email/phone PII counting + placeholder redaction (regex "
+    "dialect restricted to the Java-regex/RE2 common subset); "
+    "zero-shuffle codegen projection",
+)
+def m3_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" Contact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +1 555 123-4567."),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return prep.pii_redact(seeded).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "redacted_len",
+        F.md5("redacted_text").alias("redacted_digest"),
+    )
+
+
+# --- m4: group-wise top-k --------------------------------------------------
+
+M4_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+           AS rank_in_group
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_group
+FROM ranked WHERE rank_in_group <= 3
+"""
+
+
+@register(
+    "m4_topk_per_group",
+    M4_ORACLE,
+    doc="top-3 orders per customer by price (row_number window, "
+    "deterministic tiebreak) — per-group top-k, the grouped sibling "
+    "of O1's global TakeOrderedAndProject",
+)
+def m4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return prep.topk_per_group(
+        orders, "o_custkey", "o_totalprice", "o_orderkey", k=3
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_group")
+
+
+# --- m5: document frequency / IDF -----------------------------------------
+
+M5_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY term
+)
+SELECT term, df,
+       CAST((SELECT count(*) FROM documents) AS DOUBLE) / df AS idf_ratio
+FROM dfreq
+ORDER BY df DESC, term ASC
+LIMIT 50
+"""
+
+
+@register(
+    "m5_doc_frequency",
+    M5_ORACLE,
+    doc="top-50 terms by document frequency with exact IDF ratio; "
+    "shuffle carries (term, partial count) after map-side combine, "
+    "corpus count broadcast, top-n via TakeOrderedAndProject",
+)
+def m5_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.doc_frequency(table(spark, sf_dir, "documents"), top_n=50)
+
+
+# --- m6: stratified sampling ----------------------------------------------
+
+M6_ORACLE = """
+WITH r AS (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS sample_rank,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_stratum
+  FROM documents
+)
+SELECT lang, doc_id, sample_rank, n_stratum
+FROM r WHERE sample_rank * 5 <= n_stratum * 1
+"""
+
+
+@register(
+    "m6_stratified_sample",
+    M6_ORACLE,
+    doc="deterministic 1/5 quota sample per language stratum (md5 "
+    "rank, integer-arithmetic quota) — the data-mixing/rebalancing "
+    "primitive; one shuffle shared by rank and stratum-count windows",
+)
+def m6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.stratified_sample(
+        table(spark, sf_dir, "documents"), frac=Fraction(1, 5)
+    )

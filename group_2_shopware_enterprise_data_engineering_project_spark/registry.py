@@ -69,6 +69,7 @@ def _load_all() -> None:
         batch_analytics,
         coverage_q,
         embeddings_sim,
+        ml_prep,
         multimodal_q,
         streaming_pipelines,
         text_pipeline,

@@ -1,0 +1,141 @@
+"""Training-data prep operators: split assignment, sessionization,
+PII redaction, group-wise top-k, document frequency, stratified
+sampling — semantics plus the plan shapes that matter at scale."""
+
+from __future__ import annotations
+
+import datetime
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_split_assign_is_deterministic_and_total(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = prep.split_assign(df, "k").select("k", "split")
+    a = {r.k: r.split for r in out.collect()}
+    b = {r.k: r.split for r in prep.split_assign(df, "k").collect()}
+    assert a == b  # same key -> same split, run to run
+    counts = {s: 0 for s in ("train", "val", "test")}
+    for s in a.values():
+        counts[s] += 1
+    assert sum(counts.values()) == 2000  # total: every row assigned
+    # hash uniformity: 90/5/5 within generous tolerance at n=2000
+    assert 0.85 <= counts["train"] / 2000 <= 0.95
+    assert counts["val"] > 0 and counts["test"] > 0
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    """Adding rows never reassigns existing keys (the property
+    randomSplit lacks)."""
+    small = prep.split_assign(spark.range(100).withColumnRenamed("id", "k"), "k")
+    big = prep.split_assign(spark.range(5000).withColumnRenamed("id", "k"), "k")
+    small_map = {r.k: r.split for r in small.collect()}
+    big_map = {r.k: r.split for r in big.collect()}
+    assert all(big_map[k] == v for k, v in small_map.items())
+
+
+def test_split_assign_has_no_shuffle(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    assert "Exchange" not in _plan(prep.split_assign(df, "k"))
+
+
+def test_sessionize_gap_semantics(spark):
+    t0 = datetime.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: two sessions split by a >30min gap
+        (1, ts(0), 1, 10.0),
+        (1, ts(60), 2, 5.0),
+        (1, ts(60 + 1801), 3, 2.5),  # 1801s after prev -> new session
+        # user 2: one session, exactly-at-gap boundary stays (> not >=)
+        (2, ts(0), 4, 1.0),
+        (2, ts(1800), 5, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {
+        (r.user_id, r.session_seq): r for r in prep.sessionize(df, gap_sec=1800).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    assert out[(1, 1)].n_events == 2 and out[(1, 1)].total_value == 15.0
+    assert out[(1, 1)].duration_ms == 60_000
+    assert out[(1, 2)].n_events == 1 and out[(1, 2)].duration_ms == 0
+    assert out[(2, 1)].n_events == 2  # 1800s gap == threshold: same session
+
+
+def test_sessionize_single_shuffle(spark):
+    """The groupBy(user, session_seq) must reuse the window's hash
+    partitioning on user — two exchanges would double the shuffle
+    surface of every 100 TB sessionization run."""
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2025, 1, 1), 1, 1.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    plan = _plan(prep.sessionize(df))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test.org or call +49 30 1234567 now"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in prep.pii_redact(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "[EMAIL]" in out[1].redacted_text and "[PHONE]" in out[1].redacted_text
+    assert "@" not in out[1].redacted_text
+    assert out[2].n_emails == 0 and out[2].n_phones == 0
+    assert out[2].redacted_text == "no pii here"
+
+
+def test_topk_per_group_rank_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 5.0), (1, 12, 9.0), (1, 13, 1.0), (2, 20, 3.0)],
+        "g long, k long, v double",
+    )
+    out = prep.topk_per_group(df, "g", "v", "k", k=2).collect()
+    got = {(r.g, r.k): r.rank_in_group for r in out}
+    # g=1: 12 (9.0) then the v=5.0 tie broken by k asc -> 10
+    assert got == {(1, 12): 1, (1, 10): 2, (2, 20): 1}
+
+
+def test_doc_frequency_counts_docs_not_occurrences(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x z"), (3, "z")], "doc_id long, text string"
+    )
+    out = {r.term: r for r in prep.doc_frequency(df, top_n=10).collect()}
+    assert out["x"].df == 2  # three occurrences in doc 1 count once
+    assert out["z"].df == 2 and out["y"].df == 1
+    assert out["y"].idf_ratio == 3.0
+
+
+def test_stratified_sample_exact_quota_per_stratum(spark):
+    rows = [(i, "en") for i in range(100)] + [(i + 1000, "de") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = prep.stratified_sample(df, frac=Fraction(1, 5)).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang["en"]) == 20  # floor(100/5)
+    assert len(by_lang["de"]) == 1  # floor(7/5)
+    # deterministic: the same sample every run
+    again = prep.stratified_sample(df, frac=Fraction(1, 5)).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in out}
+
+
+def test_stratified_sample_single_shuffle(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    plan = _plan(prep.stratified_sample(df))
+    assert plan.count("Exchange hashpartitioning") == 1
