@@ -12,10 +12,22 @@ from __future__ import annotations
 
 from fractions import Fraction
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    minhash,
+    prep,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.asof import (
+    asof_join,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.components import (
+    dedup_verdicts,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.queries import (
+    text_pipeline,
+)
 from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
 from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
 
@@ -241,3 +253,92 @@ def m6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.stratified_sample(
         table(spark, sf_dir, "documents"), frac=Fraction(1, 5)
     )
+
+
+# --- m7: as-of join --------------------------------------------------------
+
+# Both engines pre-dedup the right side to one order per (custkey,
+# date) — DuckDB's ASOF JOIN is nondeterministic when several right
+# rows share the matched timestamp, so tie-free input is part of the
+# operator contract here.
+M7_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey, o_orderdate
+           ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), r AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+  FROM ranked WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_totalprice
+FROM events e ASOF JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+@register(
+    "m7_asof_join",
+    M7_ORACLE,
+    doc="point-in-time join: each event attributed to its user's most "
+    "recent prior order — single-shuffle union+window formulation vs "
+    "DuckDB's native ASOF JOIN as the oracle",
+)
+def m7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return asof_join(
+        events,
+        latest,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=("o_orderkey", "o_totalprice"),
+    )
+
+
+# --- m8: dedup clustering (connected components) ---------------------------
+
+# The oracle embeds the full MinHash-LSH pair derivation (bit-for-bit
+# identical to dedup_minhash_lsh) and resolves clusters with a
+# recursive CTE: labels propagate along symmetric edges; min reachable
+# id == component representative.
+M8_ORACLE = f"""
+WITH RECURSIVE pairs AS ({text_pipeline._minhash_oracle()}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS doc_id,
+       CAST(min(label) AS BIGINT) AS cluster_rep,
+       min(label) = id AS is_keep
+FROM reach GROUP BY id
+"""
+
+
+@register(
+    "m8_dedup_clusters",
+    M8_ORACLE,
+    doc="near-dup pairs -> connected clusters -> one kept doc per "
+    "cluster (iterative min-label propagation; oracle = recursive CTE "
+    "over the identical MinHash-LSH pair set)",
+)
+def m8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash.minhash_lsh_dedup(docs, threshold=0.4).select("doc_a", "doc_b")
+    return dedup_verdicts(docs, pairs)

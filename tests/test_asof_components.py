@@ -1,0 +1,111 @@
+"""As-of join and connected-components semantics + plan shape."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.asof import (
+    asof_join,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.components import (
+    connected_components,
+    dedup_verdicts,
+)
+
+
+def _ts(s):
+    return datetime.datetime(2025, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(5), "e1"),
+            (1, _ts(15), "e2"),
+            (1, _ts(2), "e0"),  # before any right row -> dropped (inner)
+            (2, _ts(100), "e3"),
+            (3, _ts(50), "e4"),  # key with no right rows -> dropped
+        ],
+        "k long, t timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(3), 100, 1.5),
+            (1, _ts(10), 101, 2.5),
+            (1, _ts(10), 102, 3.5),  # tie on ts: greatest tiebreak wins
+            (1, _ts(20), 103, 9.9),  # future row: never visible
+            (2, _ts(100), 200, 7.0),  # exactly-coincident: visible
+        ],
+        "k long, t timestamp, rid long, val double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_inclusive_with_tiebreak(spark):
+    left, right = _frames(spark)
+    out = {
+        r.ev: (r.rid, r.val)
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", ("rid", "val"), right_tiebreak="rid"
+        ).collect()
+    }
+    assert out == {
+        "e1": (100, 1.5),  # latest right at ts<=5 is ts=3
+        "e2": (102, 3.5),  # ts=10 tie -> rid 102 wins, ts=20 invisible
+        "e3": (200, 7.0),  # inclusive at equality
+    }  # e0 (no prior) and e4 (no key) dropped
+
+
+def test_asof_join_null_payload_field_stays_with_its_row(spark):
+    """A NULL payload field must NOT be backfilled from an older row —
+    the struct fill keeps each match's columns together."""
+    left = spark.createDataFrame([(1, _ts(30), "e")], "k long, t timestamp, ev string")
+    right = spark.createDataFrame(
+        [(1, _ts(1), 10, 5.0), (1, _ts(20), 20, None)],
+        "k long, t timestamp, rid long, val double",
+    )
+    row = asof_join(
+        left, right, "k", "k", "t", "t", ("rid", "val"), right_tiebreak="rid"
+    ).collect()[0]
+    assert row.rid == 20 and row.val is None  # not 5.0 from rid=10
+
+
+def test_asof_join_single_shuffle(spark):
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, "k", "k", "t", "t", ("rid",), right_tiebreak="rid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    # chain 1-2-3-4 (diameter > 1 forces multiple rounds),
+    # triangle 5-6-7, singleton 8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)], "src long, dst long"
+    )
+    got = {
+        r.id: r.cluster_rep for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_dedup_verdicts_keep_one_per_cluster(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 4), (4, 5)], "doc_a long, doc_b long")
+    out = {r.doc_id: (r.cluster_rep, r.is_keep) for r in dedup_verdicts(docs, pairs).collect()}
+    assert out == {
+        1: (1, True),
+        2: (2, True),
+        3: (3, True),
+        4: (2, False),
+        5: (2, False),
+    }
+    assert sum(1 for _, keep in out.values() if keep) == 3
