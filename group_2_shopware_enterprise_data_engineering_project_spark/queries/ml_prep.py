@@ -342,3 +342,90 @@ def m8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = minhash.minhash_lsh_dedup(docs, threshold=0.4).select("doc_a", "doc_b")
     return dedup_verdicts(docs, pairs)
+
+
+# --- m9: native session_window parity -------------------------------------
+
+# Pins Spark's NATIVE gap-session operator (the one Structured
+# Streaming uses for stream sessionization) against an independent SQL
+# derivation. Boundary semantics (pinned by test_prep.py): an event at
+# EXACTLY last_ts + gap still merges — a new session starts only when
+# the gap is strictly exceeded — and the comparison runs at full
+# microsecond precision, hence epoch_us and strict >.
+M9_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *,
+         CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_seq
+  FROM seq
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end_gap,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "m9_session_window_native",
+    M9_ORACLE,
+    doc="Spark's native session_window(gap=30min) — the operator "
+    "streaming sessionization uses — verified against an independent "
+    "lag/cumsum SQL derivation at microsecond precision",
+)
+def m9_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_gap"),
+            "n_events",
+        )
+    )
+
+
+# --- m10: exact grouped percentiles ---------------------------------------
+
+# Spark `percentile` and DuckDB `quantile_cont` share the linear-
+# interpolation definition (h = (n-1)q; v = a + (h-floor(h))(b-a)) and
+# produce bit-identical doubles (probed on this corpus before
+# registering) — so EXACT percentiles are oracle-checkable; no
+# approx-sketch escape hatch needed.
+M10_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "m10_percentiles",
+    M10_ORACLE,
+    doc="exact p50/p90/p99 order value per status (single shuffle, "
+    "per-group sort inside the percentile aggregate); the latency/"
+    "value-distribution reporting primitive",
+)
+def m10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )

@@ -135,6 +135,33 @@ def test_stratified_sample_exact_quota_per_stratum(spark):
     assert {r.doc_id for r in again} == {r.doc_id for r in out}
 
 
+def test_session_window_boundary_matches_gap_split(spark):
+    """Boundary semantics of Spark's native session_window, pinned
+    empirically: an event at EXACTLY last_ts + gap still MERGES into
+    the session (new session only when the gap is strictly exceeded) —
+    same contract as prep.sessionize, and what the m9 oracle mirrors
+    with its strict-> comparison. One microsecond past the gap splits."""
+    t0 = datetime.datetime(2025, 1, 1)
+
+    def sessions(offset_us):
+        df = spark.createDataFrame(
+            [
+                (1, t0, 1, 0.0),
+                (1, t0 + datetime.timedelta(seconds=1800, microseconds=offset_us), 2, 0.0),
+            ],
+            "user_id long, ts timestamp, event_id long, value double",
+        )
+        native = (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .count()
+            .collect()
+        )
+        return len(native), len(prep.sessionize(df, gap_sec=1800).collect())
+
+    assert sessions(0) == (1, 1)  # exact gap: merged in both
+    assert sessions(1)[0] == 2  # 1 us past the gap: native splits
+
+
 def test_stratified_sample_single_shuffle(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     plan = _plan(prep.stratified_sample(df))
