@@ -35,6 +35,74 @@ except ImportError:
     HAVE_DELTA = False
 
 
+def _align_to(df: DataFrame, ref: DataFrame) -> DataFrame:
+    """Project df onto ref's column set: columns df lacks appear as
+    typed NULLs, columns ref lacks are dropped, order matches ref."""
+    have = set(df.columns)
+    out = df
+    for c in ref.columns:
+        if c not in have:
+            out = out.withColumn(c, F.lit(None).cast(ref.schema[c].dataType))
+    return out.select(*ref.columns)
+
+
+def evolve_schemas(
+    target: DataFrame, source: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for MERGE (Delta's autoMerge semantics): the
+    merged schema is the union of both; new source columns read as NULL
+    in historical rows, columns the source dropped read as NULL in new
+    rows. Pure projection — no data rewrite beyond the merge itself."""
+    t_have, s_have = set(target.columns), set(source.columns)
+    for c in source.columns:
+        if c not in t_have:
+            target = target.withColumn(
+                c, F.lit(None).cast(source.schema[c].dataType)
+            )
+    for c in target.columns:
+        if c not in s_have:
+            source = source.withColumn(
+                c, F.lit(None).cast(target.schema[c].dataType)
+            )
+    return target, source.select(*target.columns)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """CDC classification between two table states: one row per
+    changed key with ``_change_type`` in (insert, update, delete) and
+    the row's columns (post-image; pre-image for deletes). Unchanged
+    keys emit nothing.
+
+    Distributed: full-outer join on the key comparing non-key columns
+    as single structs with NULL-SAFE equality (plain != on a
+    NULL-bearing struct yields NULL and would silently drop the row) —
+    one shuffle, no collect, any snapshot size. If schemas evolved,
+    pass ``old`` already aligned (see ``_align_to``).
+    """
+    keys = list(key_cols)
+    data_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(*keys, F.struct(*data_cols).alias("_old"))
+    n = new.select(*keys, F.struct(*data_cols).alias("_new"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), "insert")
+        .when(F.col("_new").isNull(), "delete")
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), "update")
+    )
+    img = F.coalesce(F.col("_new"), F.col("_old"))
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(
+            *keys,
+            "_change_type",
+            *[img.getField(c).alias(c) for c in data_cols],
+        )
+    )
+
+
 def merge_replace(
     target: DataFrame,
     source: DataFrame,
@@ -183,6 +251,51 @@ class ParquetUpsertTable:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self._data_dir())
 
+    # -- time travel + CDC over retained snapshots -----------------------
+
+    def versions(self) -> list[int]:
+        """Committed snapshot versions still on disk, oldest first.
+        Excludes orphaned future dirs (written but never committed —
+        a crash between write and manifest swap leaves one)."""
+        act = self._active()
+        if act is None:
+            return []
+        found = []
+        for name in os.listdir(self.path):
+            m = _SNAPSHOT_RE.match(name)
+            if m and int(m.group(1)) <= act[0]:
+                found.append(int(m.group(1)))
+        return sorted(found)
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read a retained snapshot (the active version
+        plus the rollback window `_prune` keeps). The Delta/Iceberg
+        `versionAsOf` idea, done with the manifest layout."""
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} not retained; available: {self.versions()}"
+            )
+        return self.spark.read.parquet(
+            os.path.join(self.path, f"v{version:06d}")
+        )
+
+    def table_changes(
+        self, v_from: int, v_to: int, key_cols: tuple[str, ...]
+    ) -> DataFrame:
+        """CDC between two retained snapshots: one row per changed key
+        with ``_change_type`` in (insert, update, delete) plus the
+        row's current columns (post-image; pre-image for deletes).
+
+        Distributed: a full-outer join on the key comparing non-key
+        columns as single structs with null-safe equality — one
+        shuffle, no collect, works at any snapshot size. This is the
+        incremental-consumer primitive (Delta CDF's role): downstream
+        jobs process table deltas instead of re-reading 100 TB.
+        """
+        old, new = self.read_version(v_from), self.read_version(v_to)
+        old = _align_to(old, new)  # evolved columns read as NULL pre-image
+        return snapshot_diff(old, new, key_cols)
+
     def _write(self, df: DataFrame, mode: str, dest: str | None = None) -> None:
         w = df.write.mode(mode)
         if self.partition_by:
@@ -259,14 +372,29 @@ class ParquetUpsertTable:
         self._snapshot_write(df)
 
     def upsert_replace(
-        self, source: DataFrame, key_cols: tuple[str, ...], order_col: str | None = None
+        self,
+        source: DataFrame,
+        key_cols: tuple[str, ...],
+        order_col: str | None = None,
+        evolve_schema: bool = False,
     ) -> None:
         """K4 against stored state. Partition-scoped when the partition
         columns are part of the key; full read-merge-overwrite
         otherwise (keys may move partitions, e.g. inventory rows whose
-        last_updated_date advances)."""
+        last_updated_date advances).
+
+        ``evolve_schema=True`` (Delta autoMerge semantics) widens the
+        table to the union of both schemas. A widening merge always
+        takes the full-snapshot path: a scoped merge would leave
+        untouched partitions under the old schema, forcing mergeSchema
+        reads on every consumer forever."""
         if not self.exists():
             self.create_or_overwrite(source)
+            return
+        target = self.read()
+        if evolve_schema and set(target.columns) != set(source.columns):
+            target, source = evolve_schemas(target, source)
+            self._snapshot_write(merge_replace(target, source, key_cols, order_col))
             return
         if self._partition_scoped_ok(key_cols):
             self._scoped_merge(
@@ -276,7 +404,7 @@ class ParquetUpsertTable:
         # New snapshot dir: streams lazily from the old snapshot and
         # commits via manifest swap — no read-overwrite hazard, no
         # defensive materialization.
-        self._snapshot_write(merge_replace(self.read(), source, key_cols, order_col))
+        self._snapshot_write(merge_replace(target, source, key_cols, order_col))
 
     def upsert_additive(
         self, source: DataFrame, key_cols: tuple[str, ...], sum_cols: tuple[str, ...]

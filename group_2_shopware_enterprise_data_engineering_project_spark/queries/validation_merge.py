@@ -285,3 +285,70 @@ def k5_additive_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.merge_additive(
         kpi1, kpi2, ("product_id", "sale_date"), ("total_sales",)
     )
+
+
+# --- K11: CDC snapshot diff --------------------------------------------------
+
+# Two keep-latest table states over sliding time windows: users active
+# only in the old window delete, only in the new window insert, and a
+# changed latest event updates. Null-safe field comparison on both
+# sides (IS DISTINCT FROM <-> eqNullSafe).
+_K11_OLD_END = "2024-01-20 00:00:00"
+_K11_NEW_START = "2024-01-10 00:00:00"
+
+K11_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{_K11_OLD_END}'
+  ) WHERE rn = 1
+), n AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts >= TIMESTAMP '{_K11_NEW_START}'
+  ) WHERE rn = 1
+), d AS (
+  SELECT coalesce(o.user_id, n.user_id) AS user_id,
+         CASE WHEN o.user_id IS NULL THEN 'insert'
+              WHEN n.user_id IS NULL THEN 'delete'
+              WHEN (o.event_id IS DISTINCT FROM n.event_id)
+                OR (o.ts IS DISTINCT FROM n.ts)
+                OR (o.event_type IS DISTINCT FROM n.event_type)
+                OR (o.value IS DISTINCT FROM n.value)
+                   THEN 'update' END AS _change_type,
+         coalesce(n.event_id, o.event_id) AS event_id,
+         coalesce(n.ts, o.ts) AS ts,
+         coalesce(n.event_type, o.event_type) AS event_type,
+         coalesce(n.value, o.value) AS value
+  FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+)
+SELECT * FROM d WHERE _change_type IS NOT NULL
+"""
+
+
+@register(
+    "k11_snapshot_diff",
+    K11_ORACLE,
+    doc="CDC between two keep-latest table states (insert/update/"
+    "delete classification, null-safe struct compare, single "
+    "full-outer shuffle) — the incremental-consumer primitive behind "
+    "ParquetUpsertTable.table_changes",
+)
+def k11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    old = dedup.keep_latest(
+        events.filter(F.col("ts") < F.lit(_K11_OLD_END).cast("timestamp")),
+        ("user_id",),
+        "ts",
+        "event_id",
+    ).select(*cols)
+    new = dedup.keep_latest(
+        events.filter(F.col("ts") >= F.lit(_K11_NEW_START).cast("timestamp")),
+        ("user_id",),
+        "ts",
+        "event_id",
+    ).select(*cols)
+    return merge.snapshot_diff(old, new, ("user_id",))

@@ -218,3 +218,62 @@ def test_compact_partitioned_reclusters_per_partition(spark, tmp_path):
         files = glob.glob(f"{t._data_dir()}/d={part}/*.parquet")
         assert len(files) == 1  # one file per partition after recluster
     assert sorted((r.id, r.d) for r in t.read().collect()) == before_rows
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"))
+    t.create_or_overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.upsert_replace(spark.createDataFrame([(1, "b")], "id long, v string"), ("id",))
+    assert t.versions() == [1, 2]
+    assert t.read_version(1).collect()[0].v == "a"
+    assert t.read_version(2).collect()[0].v == "b"
+    assert t.read().collect()[0].v == "b"  # read() == active version
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not retained"):
+        t.read_version(99)
+
+
+def test_table_changes_classifies_insert_update_delete(spark, tmp_path):
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"))
+    t.create_or_overwrite(
+        spark.createDataFrame(
+            [(1, "keep"), (2, "old"), (3, "gone")], "id long, v string"
+        )
+    )
+    t.create_or_overwrite(
+        spark.createDataFrame([(1, "keep"), (2, "new"), (4, "ins")], "id long, v string")
+    )
+    got = {r.id: r._change_type for r in t.table_changes(1, 2, ("id",)).collect()}
+    # unchanged key 1 emits nothing; 2 updated, 3 deleted, 4 inserted
+    assert got == {2: "update", 3: "delete", 4: "insert"}
+    vals = {r.id: r.v for r in t.table_changes(1, 2, ("id",)).collect()}
+    assert vals[2] == "new" and vals[3] == "gone" and vals[4] == "ins"
+
+
+def test_table_changes_null_fields_are_not_updates(spark, tmp_path):
+    """Null-safe struct comparison: a row whose value stays NULL is
+    unchanged, and NULL -> value is an update (plain != would yield
+    NULL and drop it)."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"))
+    t.create_or_overwrite(
+        spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    )
+    t.create_or_overwrite(
+        spark.createDataFrame([(1, None), (2, "set")], "id long, v string")
+    )
+    got = {r.id: r._change_type for r in t.table_changes(1, 2, ("id",)).collect()}
+    assert got == {2: "update"}
+
+
+def test_upsert_replace_schema_evolution(spark, tmp_path):
+    t = ParquetUpsertTable(spark, str(tmp_path / "t"))
+    t.create_or_overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    src = spark.createDataFrame([(2, "b2", 9.5)], "id long, v string, score double")
+    t.upsert_replace(src, ("id",), evolve_schema=True)
+    out = {r.id: (r.v, r.score) for r in t.read().collect()}
+    # historical row widened with NULL; merged row carries the new column
+    assert out == {1: ("a", None), 2: ("b2", 9.5)}
+    # CDC across the widening still works (old snapshot lacks `score`)
+    got = {r.id: r._change_type for r in t.table_changes(1, 2, ("id",)).collect()}
+    assert got == {2: "update"}
