@@ -66,3 +66,67 @@ def test_replace_merge_source_wins_and_is_idempotent(spark, t, s):
     assert got == expect
     twice = merge_replace(once, _df(spark, sa), ("k",))
     assert {r.k: r.v for r in twice.collect()} == expect
+
+
+# --- CDC round-trip --------------------------------------------------------
+
+STATE = st.dictionaries(KEYS, st.one_of(st.none(), VALS), max_size=6)
+
+
+@given(old=STATE, new=STATE)
+@_settings
+def test_snapshot_diff_roundtrip_reconstructs_new_state(spark, old, new):
+    """Applying the CDC stream to the old state reproduces the new
+    state exactly: inserts/updates overwrite, deletes remove, silence
+    means unchanged. This is the contract an incremental consumer
+    relies on — if it holds for arbitrary states (including NULL
+    values), no diff class is ever missed or spurious."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    def df(state):
+        rows = list(state.items()) or [(0, 0)]
+        return spark.createDataFrame(rows, "k long, v long").limit(len(state))
+
+    changes = snapshot_diff(df(old), df(new), ("k",)).collect()
+
+    rebuilt = dict(old)
+    for r in changes:
+        assert r._change_type in ("insert", "update", "delete")
+        if r._change_type == "delete":
+            assert r.k in rebuilt
+            del rebuilt[r.k]
+        else:
+            if r._change_type == "insert":
+                assert r.k not in rebuilt
+            else:
+                assert r.k in rebuilt and rebuilt[r.k] != r.v
+            rebuilt[r.k] = r.v
+    assert rebuilt == new
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**9), max_size=20))
+@_settings
+def test_split_assign_total_and_consistent(spark, keys):
+    """Every key lands in exactly one split, and reassignments never
+    happen across differing corpora (hash depends on the key alone)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.prep import (
+        split_assign,
+    )
+
+    uniq = sorted(set(keys))
+    df = spark.createDataFrame([(k,) for k in uniq] or [(0,)], "k long").limit(
+        len(uniq)
+    )
+    rows = split_assign(df, "k").collect()
+    assert len(rows) == len(uniq)
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    # subset invariance: the assignment of each key is context-free
+    half = uniq[::2]
+    df2 = spark.createDataFrame([(k,) for k in half] or [(0,)], "k long").limit(
+        len(half)
+    )
+    sub = {r.k: r.split for r in split_assign(df2, "k").collect()}
+    full = {r.k: r.split for r in rows}
+    assert all(full[k] == v for k, v in sub.items())
