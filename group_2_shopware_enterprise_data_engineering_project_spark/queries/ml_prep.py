@@ -429,3 +429,85 @@ def m10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
         F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
     )
+
+
+# --- m11: semi-structured JSON extraction ---------------------------------
+
+M11_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "m11_json_extract",
+    M11_ORACLE,
+    doc="typed JSON extraction from the semi-structured props column "
+    "(from_json with an explicit schema — JVM-side JacksonParser, no "
+    "Python; the scan prunes to two columns) aggregated per event type",
+)
+def m11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json("props", "k long").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# --- m12: text normalization ----------------------------------------------
+
+# Canonicalization before hashing/dedup: lowercase, strip punctuation
+# to spaces, collapse whitespace runs, trim. Exactly mirrored in SQL,
+# so the normalized digest is cross-engine stable — the precondition
+# for cross-system dedup joins.
+M12_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(norm_text) AS BIGINT) AS norm_len,
+       md5(norm_text) AS norm_digest
+FROM norm
+"""
+
+
+@register(
+    "m12_text_normalize",
+    M12_ORACLE,
+    doc="canonicalizing text normalization (lower, punct->space, "
+    "whitespace collapse, trim) + stable digest — zero-shuffle "
+    "codegen projection, the pre-hash step of every dedup family",
+)
+def m12_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_len"),
+        F.md5(norm).alias("norm_digest"),
+    )
