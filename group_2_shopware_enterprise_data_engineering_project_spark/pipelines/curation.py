@@ -1,0 +1,61 @@
+"""End-to-end LLM corpus curation: the flagship composition of the
+training-data operator family over one pass of the corpus.
+
+    documents
+      -> exact dedup        (md5 fingerprint, keep min doc_id)
+      -> near-dup clusters  (MinHash-LSH pairs -> connected components,
+                             keep cluster representative)
+      -> quality gate       (4-check score == 4)
+      -> split assignment   (hash-stable 90/5/5 train/val/test)
+
+This is the pipeline shape of a pretraining data refresh (the
+reference's pipelines stop at KPI aggregation; curation is the
+beyond-reference continuation). Every stage is itself oracle-verified
+standalone (t4, dedup_minhash_lsh + m8, t2, m1); the composed query
+(pipe_llm_curation) verifies the END-TO-END dataflow bit-for-bit.
+
+Scale shape: the expensive stage is MinHash-LSH (one band-bucket
+shuffle over (band_hash, doc_id) pairs); everything else is hash
+groupBys and semi joins on doc_id. Each stage's survivor set only
+shrinks, so later stages run on less data — the composition never
+re-reads the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    minhash,
+    prep,
+    text,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.components import (
+    dedup_verdicts,
+)
+
+
+def curate_corpus(docs: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
+    """Run the full curation pass; returns the surviving corpus as
+    (doc_id, n_tokens, quality_score, split)."""
+    # 1. exact dedup: one survivor (min doc_id) per distinct text
+    exact = text.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(exact, "doc_id", "semi")
+
+    # 2. near-dup clusters over the exact survivors; keep representatives
+    pairs = minhash.minhash_lsh_dedup(survivors, threshold=jaccard_threshold)
+    verdicts = dedup_verdicts(survivors, pairs.select("doc_a", "doc_b"))
+    keep = verdicts.filter(F.col("is_keep")).select("doc_id")
+    survivors = survivors.join(keep, "doc_id", "semi")
+
+    # 3. quality gate
+    scored = text.quality_score(text.text_stats(survivors))
+    passed = scored.filter(F.col("is_quality")).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+
+    # 4. hash-stable split assignment
+    return prep.split_assign(passed, "doc_id").select(
+        "doc_id", "n_tokens", "quality_score", "split"
+    )

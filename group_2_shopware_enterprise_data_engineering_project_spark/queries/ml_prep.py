@@ -511,3 +511,76 @@ def m12_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("long").alias("norm_len"),
         F.md5(norm).alias("norm_digest"),
     )
+
+
+# --- flagship: end-to-end corpus curation ---------------------------------
+
+from group_2_shopware_enterprise_data_engineering_project_spark.pipelines.curation import (  # noqa: E402
+    curate_corpus,
+)
+
+_CURATION_ORACLE = f"""
+WITH RECURSIVE exact AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), surv1 AS (
+  SELECT d.* FROM documents d JOIN exact e ON d.doc_id = e.doc_id
+), pairs AS ({text_pipeline._minhash_oracle(src="surv1")}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM surv1
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+), verdict AS (
+  SELECT id AS doc_id FROM reach GROUP BY id HAVING min(label) = id
+), surv2 AS (
+  SELECT s.* FROM surv1 s JOIN verdict v ON s.doc_id = v.doc_id
+), base AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {text_pipeline._TOKS} AS t,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_no_space,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+             AS n_punct
+  FROM surv2
+), stats AS (
+  SELECT doc_id, n_chars,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(chars_no_space AS DOUBLE) / len(t) AS avg_token_len,
+         CAST(len(list_filter(t, x -> x IN {text_pipeline._STOPLIST}))
+              AS DOUBLE) / len(t) AS stopword_ratio,
+         CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio
+  FROM base
+), quality AS (
+  SELECT doc_id, n_tokens,
+         CAST((n_tokens BETWEEN 20 AND 2000)::INT
+            + (stopword_ratio <= 0.6)::INT
+            + (punct_ratio <= 0.2)::INT
+            + (avg_token_len BETWEEN 2.0 AND 15.0)::INT AS BIGINT)
+             AS quality_score
+  FROM stats
+), passed AS (
+  SELECT * FROM quality WHERE quality_score = 4
+)
+SELECT doc_id, n_tokens, quality_score,
+       CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{_T1}' THEN 'train'
+            WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{_T2}' THEN 'val'
+            ELSE 'test' END AS split
+FROM passed
+"""
+
+
+@register(
+    "pipe_llm_curation",
+    _CURATION_ORACLE,
+    doc="flagship end-to-end corpus curation: exact dedup -> MinHash-"
+    "LSH near-dup clusters (connected components keep one per "
+    "cluster) -> 4-check quality gate -> hash-stable train/val/test "
+    "split; every stage oracle-verified standalone AND composed",
+)
+def pipe_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_corpus(table(spark, sf_dir, "documents"))

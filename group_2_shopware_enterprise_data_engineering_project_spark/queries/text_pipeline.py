@@ -196,7 +196,7 @@ def t5_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- minhash LSH near-dup --------------------------------------------------
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(src: str = "documents") -> str:
     p, r = minhash.NUM_PERM, minhash.BAND_ROWS
     mh_cols = ",\n         ".join(
         f"list_min([md5('{i}:' || s) FOR s IN shingles]) AS mh{i}" for i in range(p)
@@ -210,7 +210,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, {_TOKS} AS t FROM documents
+  SELECT doc_id, {_TOKS} AS t FROM {src}
 ), sh AS (
   SELECT doc_id,
          list_distinct([array_to_string(t[i:i+2], ' ')
