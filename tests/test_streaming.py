@@ -4,6 +4,7 @@ hourly alert window, accumulating KPI with batch guard."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -321,3 +322,84 @@ def test_streaming_dedup_ttl_expires_and_readmits(spark, tmp_path):
         assert {(r.k, r.v) for r in _sink()} == {("a", 1), ("b", 2), ("a", 99)}
     finally:
         q.stop()
+
+
+def test_polling_writer_flushes_on_size_or_age(tmp_path):
+    """S6 flush contract (reference api.py:22-23): 100 records OR 10
+    seconds, whichever first — pinned with an injected clock, no
+    sleeps."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.polling import (
+        BufferedNdjsonWriter,
+    )
+
+    now = [0.0]
+    w = BufferedNdjsonWriter(
+        str(tmp_path / "out"),
+        reject_dir=str(tmp_path / "rej"),
+        batch_size=3,
+        batch_seconds=10.0,
+        required_fields=("session_id", "user_id"),
+        clock=lambda: now[0],
+    )
+    ok = {"session_id": "s", "user_id": 1}
+    # size-bound: 3rd record trips a flush
+    w.add(dict(ok, i=1)); w.add(dict(ok, i=2))
+    assert os.listdir(tmp_path / "out") == []
+    w.add(dict(ok, i=3))
+    assert len(os.listdir(tmp_path / "out")) == 1
+    # time-bound: one buffered record, clock advances past 10s, next
+    # poll tick flushes it even though the size bound is far away
+    w.add(dict(ok, i=4))
+    now[0] = 11.0
+    w.maybe_flush()
+    assert len(os.listdir(tmp_path / "out")) == 2
+    # reject split: missing identity diverts, never reaches a batch
+    w.add({"session_id": None, "user_id": 9})
+    paths = w.close()
+    assert any("rej" in p for p in paths)
+    rej_rows = [
+        json.loads(line)
+        for p in os.listdir(tmp_path / "rej")
+        for line in open(tmp_path / "rej" / p)
+    ]
+    assert rej_rows == [{"session_id": None, "user_id": 9}]
+
+
+def test_polling_loop_feeds_micro_batch_source(spark, tmp_path):
+    """End to end: poll -> buffered NDJSON flush -> the SAME files
+    drain through stream_json_source as micro-batches, rejects
+    excluded."""
+    from pyspark.sql import types as T
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.polling import (
+        BufferedNdjsonWriter,
+        run_polling_loop,
+    )
+
+    src = tmp_path / "in"
+    ticks = iter(
+        [
+            [{"session_id": "a", "user_id": 1}, {"session_id": "b", "user_id": 2}],
+            [{"session_id": None, "user_id": 3}],  # rejected pre-stream
+            [{"session_id": "c", "user_id": 4}],
+        ]
+    )
+    w = BufferedNdjsonWriter(
+        str(src),
+        reject_dir=str(tmp_path / "rej"),
+        batch_size=2,
+        required_fields=("session_id", "user_id"),
+    )
+    run_polling_loop(lambda: next(ticks), w, n_polls=3)
+
+    schema = T.StructType(
+        [T.StructField("session_id", T.StringType()), T.StructField("user_id", T.LongType())]
+    )
+    batches = []
+    stream = stream_json_source(spark, str(src), schema)
+    run_available_now(
+        stream,
+        str(tmp_path / "ckpt"),
+        lambda df, bid: batches.append(sorted(r.session_id for r in df.collect())),
+    )
+    assert sorted(s for b in batches for s in b) == ["a", "b", "c"]
