@@ -274,3 +274,29 @@ def date_range_summary(
         )
         .orderBy("month")
     )
+
+
+def approx_engagement_stats(
+    events: DataFrame, rsd: float = 0.02, pct_err: int = 100
+) -> DataFrame:
+    """Sketch-based per-event-type stats: HLL++ distinct users
+    (`approx_count_distinct`, relative sd `rsd`) and KLL-style
+    approximate value percentiles (`percentile_approx`, rank error
+    1/`pct_err`).
+
+    At 100 TB these replace their exact siblings (A-family
+    countDistinct, m10 exact percentiles): exact distinct shuffles
+    every (type, user) pair and exact percentiles sort whole groups,
+    while the sketches reduce map-side to KB-sized state per partition
+    and merge associatively — constant memory, one narrow shuffle, no
+    sort. Both sketches are hash-based and deterministic (no RNG), so
+    results are stable run to run; accuracy-vs-exact is pinned by
+    measured error-bound tests, not an oracle (an approximation can't
+    hash-match exact SQL).
+    """
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(pct_err)).alias("p50_approx"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(pct_err)).alias("p99_approx"),
+    )

@@ -584,3 +584,22 @@ FROM passed
 )
 def pipe_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(table(spark, sf_dir, "documents"))
+
+
+# --- m13: sketch aggregates (rows-only: approximations can't hash-match) ---
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (  # noqa: E402
+    analytics as _analytics,
+)
+
+
+@register(
+    "m13_approx_stats",
+    None,  # deliberate rows-only check; accuracy pinned by pytest bounds
+    doc="HLL++ distinct users + KLL-style approx percentiles per event "
+    "type — the constant-memory 100 TB replacements for exact "
+    "countDistinct / percentile; accuracy-vs-exact asserted in "
+    "tests/test_prep.py, determinism by construction (hash sketches)",
+)
+def m13_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _analytics.approx_engagement_stats(table(spark, sf_dir, "events"))

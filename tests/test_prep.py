@@ -166,3 +166,70 @@ def test_stratified_sample_single_shuffle(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     plan = _plan(prep.stratified_sample(df))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_approx_stats_error_bounds_vs_exact(spark):
+    """The sketches must be loudly close to exact: HLL distinct within
+    5*rsd, approx percentiles within the documented rank error
+    (epsilon = 1/accuracy) of the exact value-at-rank window."""
+    import os
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.analytics import (
+        approx_engagement_stats,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    ev = table(spark, sf_dir, "events")
+    approx = {r.event_type: r for r in approx_engagement_stats(ev, rsd=0.02).collect()}
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    values = {}
+    for r in ev.select("event_type", "value").collect():
+        values.setdefault(r.event_type, []).append(r.value)
+
+    def rank_err(vals, approx_v, q):
+        """|rank(approx) - q*n| / n — the quantity percentile_approx
+        actually bounds (by eps = 1/accuracy). Value-relative checks
+        would be wrong on heavy-tailed columns, where a tiny rank slip
+        is a large value jump."""
+        vals = sorted(vals)
+        n = len(vals)
+        import bisect
+
+        lo = bisect.bisect_left(vals, approx_v)
+        hi = bisect.bisect_right(vals, approx_v)
+        target = q * (n - 1)
+        dist = 0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+        return dist / n
+
+    assert set(approx) == set(exact)
+    for t, e in exact.items():
+        a = approx[t]
+        assert abs(a.approx_users - e.users) <= max(0.10 * e.users, 2), (t, a, e)
+        # eps = 1/accuracy = 0.01; allow 2x slack
+        assert rank_err(values[t], a.p50_approx, 0.50) <= 0.02, (t, a.p50_approx)
+        assert rank_err(values[t], a.p99_approx, 0.99) <= 0.02, (t, a.p99_approx)
+
+
+def test_approx_stats_deterministic(spark):
+    import os
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.analytics import (
+        approx_engagement_stats,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    ev = table(spark, sf_dir, "events")
+    a = sorted(map(tuple, approx_engagement_stats(ev).collect()))
+    b = sorted(map(tuple, approx_engagement_stats(ev).collect()))
+    assert a == b
