@@ -153,6 +153,13 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     src = tmp_path / "in"
     _write_jsonl(src / "f1.jsonl", [{"k": "a", "v": 1}, {"k": "b", "v": 2}])
     _write_jsonl(src / "f2.jsonl", [{"k": "a", "v": 99}, {"k": "c", "v": 3}])
+    # batch order follows file mtime; same-millisecond writes tie
+    # arbitrarily — pin f1 before f2
+    import time as _time
+
+    t0 = _time.time()
+    os.utime(src / "f1.jsonl", (t0, t0))
+    os.utime(src / "f2.jsonl", (t0 + 10, t0 + 10))
 
     schema = T.StructType(
         [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
@@ -403,3 +410,63 @@ def test_polling_loop_feeds_micro_batch_source(spark, tmp_path):
         lambda df, bid: batches.append(sorted(r.session_id for r in df.collect())),
     )
     assert sorted(s for b in batches for s in b) == ["a", "b", "c"]
+
+
+def test_watermark_append_mode_drops_late_data(spark, tmp_path):
+    """Watermarked windowed agg in APPEND mode: a window's result
+    emits only once the watermark passes it, and events arriving
+    after that are dropped rather than mutating the emitted row —
+    the at-scale contract that bounds streaming state. (The complete-
+    mode alert test keeps all state; this pins the bounded path.)"""
+    from pyspark.sql import types as T
+
+    src = tmp_path / "in"
+    # batch 0: hour-10 events + an hour-12 event that will advance the
+    # watermark (delay 30min) past hour 10's window end
+    _write_jsonl(
+        src / "f1.jsonl",
+        [{"ts": f"2025-01-01 10:{m:02d}:00", "rating": 1} for m in range(12)]
+        + [{"ts": "2025-01-01 12:00:00", "rating": 1}],
+    )
+    # batch 1: keeps the stream moving — the watermark computed from
+    # batch 0 (11:30) takes EFFECT here (one-batch propagation lag,
+    # pinned by this test's structure)
+    _write_jsonl(src / "f2.jsonl", [{"ts": "2025-01-01 12:30:00", "rating": 1}])
+    # batch 2: a LATE hour-10 event — watermark 11:30 now in force
+    _write_jsonl(src / "f3.jsonl", [{"ts": "2025-01-01 10:59:00", "rating": 1}])
+    # the file source orders batches by MODIFICATION TIME, and same-
+    # millisecond writes tie arbitrarily — pin the intended order
+    import time as _time
+
+    t0 = _time.time()
+    for i, name in enumerate(["f1.jsonl", "f2.jsonl", "f3.jsonl"]):
+        os.utime(src / name, (t0 + 10 * i, t0 + 10 * i))
+
+    schema = T.StructType(
+        [T.StructField("ts", T.StringType()), T.StructField("rating", T.IntegerType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+        .withWatermark("event_time", "30 minutes")
+    )
+    agg = stream.groupBy(F.window("event_time", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_append_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.window.start.hour: r.n for r in spark.sql("SELECT * FROM wm_append_test").collect()
+    }
+    # hour 10 emitted with the ON-TIME count only; the late event never
+    # resurfaces it. hour 12 stays open (watermark hasn't passed it).
+    assert got == {10: 12}
