@@ -92,3 +92,104 @@ def asof_join(
         filled.filter((F.col("_src") == 1) & F.col("_p").isNotNull())
         .select(*lcols, *[F.col(f"_p.{c}").alias(c) for c in payload_cols])
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: tuple[str, ...],
+    right_tiebreak: str | None = None,
+    bucket_sec: int = 86400,
+) -> DataFrame:
+    """`asof_join` with bounded per-task memory: identical semantics,
+    different physical shape for HOT keys.
+
+    The plain formulation sorts each key's ENTIRE history in one task —
+    a key with 10^8 rows is one 10^8-row sort spill. Here rows
+    partition by (key, time-bucket) so a task sorts only one bucket of
+    one key, and match information crosses buckets through a per-
+    (key, bucket) summary table that is smaller than the data by the
+    bucket size:
+
+      1. forward-fill WITHIN each (key, bucket)         [big shuffle 1]
+      2. per (key, bucket): last right row, as a one-row summary
+         (reuses the same partitioning — no new exchange)
+      3. carry: for each bucket, the last summary of any EARLIER
+         bucket (window over summaries — rows per key = #buckets,
+         tiny)                                          [small shuffle]
+      4. join carry back on (key, bucket), coalesce local fill with
+         carry-in                                       [small shuffle]
+
+    Buckets with only left rows still get their carry because step 2
+    emits a (payload-less) summary row for every occupied bucket, not
+    just right-occupied ones. Choose ``bucket_sec`` so one key's rows
+    per bucket fit a task sort (e.g. a day of a hot user's events).
+    """
+    lcols = left.columns
+    payload_t = T.StructType([right.schema[c] for c in payload_cols])
+
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_src"),
+        *(
+            [F.col(right_tiebreak).alias("_tie")]
+            if right_tiebreak
+            else [F.lit(0).alias("_tie")]
+        ),
+        F.struct(*payload_cols).alias("_p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_src"),
+        F.lit(0).alias("_tie"),
+        F.lit(None).cast(payload_t).alias("_p"),
+        *lcols,
+    )
+    u = r.unionByName(l).withColumn(
+        "_b", F.floor(F.unix_timestamp("_t") / F.lit(bucket_sec))
+    )
+
+    # 1. local forward fill inside (key, bucket)
+    w_local = (
+        Window.partitionBy("_k", "_b")
+        .orderBy(F.col("_t").asc(), F.col("_src").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_p_local", F.last("_p", ignorenulls=True).over(w_local))
+
+    # 2. one summary row per OCCUPIED (key, bucket): the last right
+    # row's payload, or NULL if the bucket has no right rows. max() of
+    # an ordering struct picks "last by (_t, _tie)" without a sort.
+    summaries = u.groupBy("_k", "_b").agg(
+        F.max(
+            F.when(
+                F.col("_p").isNotNull(), F.struct("_t", "_tie", "_p")
+            )
+        )["_p"].alias("_bucket_last")
+    )
+
+    # 3. carry-in per bucket: last summary of any strictly-earlier bucket
+    w_carry = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summaries.withColumn(
+        "_carry", F.last("_bucket_last", ignorenulls=True).over(w_carry)
+    ).select("_k", "_b", "_carry")
+
+    # 4. resolve: local fill wins inside the bucket, else carry-in
+    filled = u.join(carry, ["_k", "_b"]).withColumn(
+        "_p_fin", F.coalesce(F.col("_p_local"), F.col("_carry"))
+    )
+    return (
+        filled.filter((F.col("_src") == 1) & F.col("_p_fin").isNotNull())
+        .select(*lcols, *[F.col(f"_p_fin.{c}").alias(c) for c in payload_cols])
+    )

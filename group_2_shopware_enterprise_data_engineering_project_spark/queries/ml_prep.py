@@ -21,6 +21,7 @@ from group_2_shopware_enterprise_data_engineering_project_spark.operators import
 )
 from group_2_shopware_enterprise_data_engineering_project_spark.operators.asof import (
     asof_join,
+    asof_join_bucketed,
 )
 from group_2_shopware_enterprise_data_engineering_project_spark.operators.components import (
     dedup_verdicts,
@@ -603,3 +604,37 @@ from group_2_shopware_enterprise_data_engineering_project_spark.operators import
 )
 def m13_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _analytics.approx_engagement_stats(table(spark, sf_dir, "events"))
+
+
+# --- m7b: bucketed as-of join (same semantics, hot-key-safe plan) ----------
+
+
+@register(
+    "m7b_asof_join_bucketed",
+    M7_ORACLE,  # identical semantics to m7 — same oracle, different plan
+    doc="as-of join, bounded-memory formulation: partitions by (key, "
+    "time-bucket) with cross-bucket carry summaries, so a hot key's "
+    "history never lands in one task sort; equivalence to the plain "
+    "plan pinned by tests AND by sharing m7's oracle",
+)
+def m7b_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return asof_join_bucketed(
+        events,
+        latest,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=("o_orderkey", "o_totalprice"),
+        bucket_sec=86400 * 30,
+    )

@@ -109,3 +109,84 @@ def test_dedup_verdicts_keep_one_per_cluster(spark):
         5: (2, False),
     }
     assert sum(1 for _, keep in out.values() if keep) == 3
+
+
+def test_asof_join_bucketed_equals_plain(spark):
+    """The bounded-memory bucketed formulation is semantics-identical
+    to the plain one — checked on the testdata events/orders pair
+    (1000 events at sf0.001) AND on a crafted empty-middle-bucket
+    case where the carry must cross a bucket with no right rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.asof import (
+        asof_join_bucketed,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    orders = table(spark, sf, "orders")
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "o_custkey", "o_orderdate"
+    ).orderBy(F.col("o_orderkey").desc())
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    events = table(spark, sf, "events").select("event_id", "user_id", "ts")
+    kw = dict(
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=("o_orderkey", "o_totalprice"),
+    )
+    plain = {r.event_id: (r.o_orderkey, r.o_totalprice)
+             for r in asof_join(events, latest, **kw).collect()}
+    for bucket in (86400, 86400 * 30):
+        bucketed = {r.event_id: (r.o_orderkey, r.o_totalprice)
+                    for r in asof_join_bucketed(events, latest, bucket_sec=bucket, **kw).collect()}
+        assert bucketed == plain, f"bucket_sec={bucket}"
+
+    # empty-middle-bucket: right at t=0h, left at t=50h, bucket=1 day
+    # -> left's bucket (2) and bucket 1 have no right rows; carry must
+    # reach back across both
+    t0 = dt.datetime(2025, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=50), "e")], "k long, t timestamp, ev string"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, 7, 1.0)], "k long, t timestamp, rid long, val double"
+    )
+    out = asof_join_bucketed(
+        left, right, "k", "k", "t", "t", ("rid", "val"), bucket_sec=86400
+    ).collect()
+    assert len(out) == 1 and out[0].rid == 7
+
+
+def test_asof_join_bucketed_partitions_by_key_and_bucket(spark):
+    """The big shuffle must be on (key, bucket) — partitioning by key
+    alone would recreate the hot-key single-task sort this variant
+    exists to avoid."""
+    import datetime as dt
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.asof import (
+        asof_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2025, 1, 1), "e")], "k long, t timestamp, ev string"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2025, 1, 1), 1, 1.0)], "k long, t timestamp, rid long, val double"
+    )
+    plan = (
+        asof_join_bucketed(left, right, "k", "k", "t", "t", ("rid",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(_k" in plan
+    assert "_b" in plan.split("hashpartitioning(_k")[1][:40]  # (key, bucket)
