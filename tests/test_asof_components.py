@@ -190,3 +190,42 @@ def test_asof_join_bucketed_partitions_by_key_and_bucket(spark):
     )
     assert "hashpartitioning(_k" in plan
     assert "_b" in plan.split("hashpartitioning(_k")[1][:40]  # (key, bucket)
+
+
+def test_star_cc_matches_propagation_on_random_graphs(spark):
+    """Alternating large/small-star must produce the identical
+    (id -> min-of-component) labeling as min-label propagation on
+    assorted graph shapes."""
+    import random
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.components import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges_py = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+    ] + [(i, i + 1) for i in range(10, 16)]  # guaranteed chain segment
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    a = {r.id: r.cluster_rep for r in connected_components(nodes, edges).collect()}
+    b = {r.id: r.cluster_rep for r in connected_components_star(nodes, edges).collect()}
+    assert a == b
+
+
+def test_star_cc_handles_long_chain_in_log_rounds(spark):
+    """A 300-node chain needs ~300 propagation rounds but must
+    converge for star CC well inside its 40-round cap — the O(log n)
+    property that makes it the adversarial-diameter fallback."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.components import (
+        connected_components_star,
+    )
+
+    n = 300
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {r.id: r.cluster_rep for r in connected_components_star(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
