@@ -307,3 +307,154 @@ def p15_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.date_range_summary(
         table(spark, sf_dir, "orders"), "1996-01-01", "1996-12-31"
     )
+
+
+# --- A9: ROLLUP multi-level aggregation -------------------------------------
+
+A9_ORACLE = """
+SELECT o_orderstatus,
+       strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(grouping(o_orderstatus) * 2 + grouping(strftime(o_orderdate, '%Y-%m'))
+            AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           / CAST(100 AS DOUBLE) AS total_value
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, strftime(o_orderdate, '%Y-%m'))
+"""
+
+
+@register(
+    "a9_rollup_sales",
+    A9_ORACLE,
+    doc="multi-level ROLLUP (status, month) with GROUPING ids and "
+    "exact-cents totals — subtotal + grand-total levels in ONE "
+    "pass/shuffle instead of three unioned aggregations",
+)
+def a9_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    return (
+        orders.rollup("o_orderstatus", month)
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+# --- A10: pivot (conditional aggregation) -----------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "scroll", "share")
+
+A10_ORACLE = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+           for t in _EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "a10_pivot_events",
+    A10_ORACLE,
+    doc="per-user event-type pivot with an EXPLICIT pivot value list — "
+    "one shuffle with map-side combine; an unlisted-values pivot would "
+    "add a distinct-scan job first (the 100 TB anti-pattern)",
+)
+def a10_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (user, type) pair never occurred;
+    # counts mean 0 — and the oracle's FILTER form agrees
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# --- J3: anti join ----------------------------------------------------------
+
+J3_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+"""
+
+
+@register(
+    "j3_customers_without_orders",
+    J3_ORACLE,
+    doc="LEFT ANTI join: customers with no order since 2000 (lapsed-"
+    "customer retention cut) — the complement of J1; the date filter "
+    "pushes to the orders scan, then one shuffle",
+)
+def j3_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --- D4: set operations -----------------------------------------------------
+
+D4_ORACLE = """
+WITH w1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+), w2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+)
+SELECT user_id, 'both' AS cohort FROM (SELECT * FROM w1 INTERSECT SELECT * FROM w2)
+UNION ALL
+SELECT user_id, 'early_only' AS cohort FROM (SELECT * FROM w1 EXCEPT SELECT * FROM w2)
+UNION ALL
+SELECT user_id, 'late_only' AS cohort FROM (SELECT * FROM w2 EXCEPT SELECT * FROM w1)
+"""
+
+
+@register(
+    "d4_cohort_set_ops",
+    D4_ORACLE,
+    doc="INTERSECT / EXCEPT cohort split of users across a time "
+    "boundary (retention-analysis primitive); distinct inputs keep "
+    "the set ops one hash shuffle each",
+)
+def d4_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    w1 = ev.filter(F.col("ts") < split).select("user_id").distinct()
+    w2 = ev.filter(F.col("ts") >= split).select("user_id").distinct()
+    return (
+        w1.intersect(w2).select("user_id", F.lit("both").alias("cohort"))
+        .unionAll(
+            w1.exceptAll(w2).select("user_id", F.lit("early_only").alias("cohort"))
+        )
+        .unionAll(
+            w2.exceptAll(w1).select("user_id", F.lit("late_only").alias("cohort"))
+        )
+    )
