@@ -64,3 +64,40 @@ def test_headline_aggregates_have_no_global_sort(plans):
     for q in ("a2_session_metrics", "a3_engagement_score", "j1_loyalty_join"):
         plan = plans(q)
         assert "rangepartitioning" not in plan.lower(), q
+
+
+def test_prep_projections_have_no_exchange(plans):
+    """m1/m3/m12 are pure per-row derivations — any Exchange appearing
+    here means someone added an accidental wide op to a map-only path."""
+    for q in ("m1_split_assign", "m3_pii_redact", "m12_text_normalize"):
+        assert "Exchange" not in plans(q), q
+
+
+def test_rollup_aggregates_map_side(plans):
+    """ROLLUP runs as Expand + partial aggregation before its single
+    exchange — NOT as three unioned scans."""
+    plan = plans("a9_rollup_sales")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_pivot_single_scan_two_combined_shuffles(plans):
+    """Spark's pivot shape: pre-aggregate per (user, type), then
+    pivotfirst per user — two exchanges, each behind a map-side
+    partial (the second shuffles already-pivoted compact rows)."""
+    plan = plans("a10_pivot_events")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan and "partial_pivotfirst" in plan
+
+
+def test_anti_join_pushes_date_filter(plans):
+    plan = plans("j3_customers_without_orders")
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any("o_orderdate" in ln and "PushedFilters" in ln for ln in scan_lines)
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_frequency_uses_top_n_not_global_sort(plans):
+    assert "TakeOrderedAndProject" in plans("m5_doc_frequency")
