@@ -429,3 +429,84 @@ def label_stats(emb: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- int8 scalar quantization ----------------------------------------------
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Per-vector max-abs int8 quantization: q_i = round_half_up(x_i *
+    127 / max|x|) in [-127, 127]. At 100 TB this is the
+    storage/bandwidth lever of vector search — 4x smaller than
+    float32 AND integer dot products, at a small recall cost that
+    `test_similarity.py` measures rather than assumes.
+
+    Scale factors cancel inside cosine (cos(qa, qb) needs no
+    dequantization), so downstream search carries only the int vector
+    and its precomputed integer-exact norm. floor(x*s + 0.5) is the
+    deterministic rounding both engines share (F.round's half-even on
+    doubles is not guaranteed identical cross-engine).
+    """
+    x = _as_double(F.col("embedding"))
+    s = F.lit(127.0) / F.array_max(F.transform(x, F.abs))
+    qvec = F.transform(x, lambda v: F.floor(v * s + F.lit(0.5)).cast("long"))
+    qq = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        spread(emb)
+        .select("vec_id", qvec.alias("qvec"))
+        .withColumn("qnorm", F.sqrt(qq.cast("double")))
+    )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    query_pred: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force top-k on int8-quantized cosine: integer dot
+    products (exact, fold-order-free semantics since int addition is
+    associative — though the fold is still fixed-order) divided by
+    precomputed norms. Same broadcast-queries/corpus-streams shape as
+    `brute_force_topk`; the corpus side is 4x less I/O.
+    """
+    if query_pred is None:
+        query_pred = F.col("vec_id").isin(query_ids or [])
+    q = quantize_embeddings(emb)
+    queries = F.broadcast(
+        q.filter(query_pred).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qvec").alias("qa"),
+            F.col("qnorm").alias("na"),
+        )
+    )
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qvec").alias("qb"),
+        F.col("qnorm").alias("nb"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sims = (
+        queries.crossJoin(corpus)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (idot.cast("double") / (F.col("na") * F.col("nb"))).alias("q_cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("q_cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

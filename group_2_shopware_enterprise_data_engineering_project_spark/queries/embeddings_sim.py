@@ -286,3 +286,55 @@ FROM norms GROUP BY label ORDER BY label
 )
 def e4_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_stats(table(spark, sf_dir, "embeddings"))
+
+
+# --- E8: int8-quantized ANN -------------------------------------------------
+
+E8_ORACLE = f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+           * (CAST(127 AS DOUBLE)
+              / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qvec
+  FROM embeddings
+), qn AS (
+  SELECT vec_id, qvec,
+         sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> qvec[i] * qvec[i])) AS DOUBLE)) AS qnorm
+  FROM qz
+), q AS (
+  SELECT vec_id AS query_id, qvec AS qa, qnorm AS na
+  FROM qn WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, qvec AS qb, qnorm AS nb FROM qn
+), sims AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> qa[i] * qb[i])) AS DOUBLE) / (na * nb) AS q_cos_sim
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, q_cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY q_cos_sim DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "e8_ann_quantized",
+    E8_ORACLE,
+    doc="int8-quantized cosine top-5 (per-vector max-abs scaling, "
+    "integer dot products, scale factors cancel in cosine) — 4x "
+    "smaller corpus I/O than float32; recall-vs-exact measured in "
+    "tests, determinism via floor-half-up shared by both engines",
+)
+def e8_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.quantized_topk(
+        emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K
+    )
+    return out.select("query_id", "neighbor_id", "q_cos_sim", "rank")

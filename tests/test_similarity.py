@@ -193,3 +193,28 @@ def test_ivf_recall_at_k_monotone_and_probe_all_exact(emb):
 
     r1, r2, rall = recall(1), recall(2), recall(similarity.N_CENTROIDS)
     assert r1 <= r2 <= rall == 1.0
+
+
+def test_quantized_topk_recall_vs_exact(emb):
+    """int8 quantization must trade accuracy measurably, not silently:
+    recall@5 vs exact float cosine >= 0.8 on the 64-dim corpus, and
+    quantized values stay in [-127, 127]."""
+    from pyspark.sql import functions as F
+
+    df, _ = emb
+    qids = list(range(10))
+    exact = {}
+    for r in similarity.brute_force_topk(df, query_ids=qids, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    quant = {}
+    for r in similarity.quantized_topk(df, query_ids=qids, k=5).collect():
+        quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & quant.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.8, f"recall@5 = {hits}/{total}"
+
+    qz = similarity.quantize_embeddings(df)
+    bounds = qz.select(
+        F.max(F.array_max("qvec")).alias("hi"), F.min(F.array_min("qvec")).alias("lo")
+    ).collect()[0]
+    assert -127 <= bounds.lo and bounds.hi <= 127
