@@ -458,3 +458,156 @@ def d4_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             w2.exceptAll(w1).select("user_id", F.lit("late_only").alias("cohort"))
         )
     )
+
+
+# --- W2: running totals (cumulative window) ---------------------------------
+
+W2_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(floor(o_totalprice * CAST(100 AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) / CAST(100 AS DOUBLE) AS running_total,
+       CAST(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS BIGINT) AS order_seq
+FROM orders
+"""
+
+
+@register(
+    "w2_running_totals",
+    W2_ORACLE,
+    doc="per-customer cumulative spend (ROWS UNBOUNDED PRECEDING "
+    "window, exact cents) — lifetime-value running metric; one "
+    "shuffle shared by both window functions",
+)
+def w2_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (
+            F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+            / F.lit(100.0)
+        ).alias("running_total"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+# --- A11: one-pass column profile -------------------------------------------
+
+A11_ORACLE = """
+SELECT 'o_totalprice' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(o_totalprice) AS BIGINT) AS n_non_null,
+       CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+       min(o_totalprice) AS min_val, max(o_totalprice) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(count(*) AS BIGINT), CAST(count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+FROM orders
+"""
+
+
+@register(
+    "a11_profile_orders",
+    A11_ORACLE,
+    doc="column profiling (rows / non-null / distinct / min / max) — "
+    "the data-quality survey primitive; Spark computes ALL columns in "
+    "one scan+aggregate (the SQL mirror unions per-column for "
+    "readability, Spark does not)",
+)
+def a11_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    one = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("double").alias("min_cust"),
+        F.max("o_custkey").cast("double").alias("max_cust"),
+    )
+    return one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_totalprice").alias("column_name"),
+                    F.col("n_rows"),
+                    F.col("nn_price").alias("n_non_null"),
+                    F.col("nd_price").alias("n_distinct"),
+                    F.col("min_price").alias("min_val"),
+                    F.col("max_price").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("column_name"),
+                    F.col("n_rows"),
+                    F.col("nn_cust").alias("n_non_null"),
+                    F.col("nd_cust").alias("n_distinct"),
+                    F.col("min_cust").alias("min_val"),
+                    F.col("max_cust").alias("max_val"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+# --- A12: fixed-bin histogram -----------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 20
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_BINS
+
+A12_ORACLE = f"""
+WITH binned AS (
+  SELECT event_type,
+         least(greatest(CAST(floor((value - CAST({_HIST_LO} AS DOUBLE))
+             / CAST({_HIST_W} AS DOUBLE)) AS BIGINT), 0), {_HIST_BINS - 1}) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bin,
+       CAST({_HIST_LO} AS DOUBLE) + bin * CAST({_HIST_W} AS DOUBLE) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM binned GROUP BY event_type, bin
+"""
+
+
+@register(
+    "a12_value_histogram",
+    A12_ORACLE,
+    doc="fixed-width value histogram per event type (20 bins, clamped "
+    "edges) — distribution monitoring in one combined shuffle; bins "
+    "computed in codegen, only (type, bin, count) survives",
+)
+def a12_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(_HIST_W)).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(_HIST_BINS - 1).cast("long"),
+    )
+    return (
+        ev.select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.lit(_HIST_LO) + F.col("bin") * F.lit(_HIST_W)).alias("bin_lo"),
+            "n",
+        )
+    )
