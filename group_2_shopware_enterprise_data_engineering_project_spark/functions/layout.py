@@ -1,0 +1,109 @@
+"""Z-order (Morton-curve) data layout for multi-dimensional scan
+pruning — the role Delta's OPTIMIZE ZORDER / Iceberg's sort orders
+play, done with plain Spark writes.
+
+Parquet scans prune at file/row-group granularity from column min-max
+footers. A single-column sort clusters ONE predicate dimension —
+queries on any other dimension read the whole table. Interleaving the
+bits of min-max-normalized dimension values (the Morton code) makes
+every file a small box in N-dim space, so range predicates on EITHER
+clustered column (or both) skip most files. The measured trade
+(tests/test_layout.py, on real footer stats): the dedicated
+single-dim sort prunes its own dimension sharper, but Z-order prunes
+BOTH to <=half the files — the right default when the query mix
+filters on more than one column.
+
+Everything is native column expressions: one min/max aggregate per
+write (driver-side scalars), bit-twiddling in codegen, then
+repartitionByRange + sortWithinPartitions on the code. Tests prove
+the pruning with actual parquet footer statistics, not a claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per dimension in the interleave (16 -> 2 dims fit a 32-bit code)
+BITS = 16
+
+
+def _normalize(col: Column, lo: float, hi: float) -> Column:
+    """Map a numeric column onto [0, 2^BITS) by min-max scaling.
+    Rank-normalization via ntile would resist skew better but costs a
+    global sort; min-max is the one-aggregate approximation and is
+    what the pruning test measures."""
+    span = (hi - lo) or 1.0
+    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(span))
+    return F.least(
+        F.greatest((scaled * F.lit((1 << BITS) - 1)).cast("long"), F.lit(0)),
+        F.lit((1 << BITS) - 1),
+    )
+
+
+def morton_code(a: Column, b: Column) -> Column:
+    """Interleave BITS bits of two BITS-bit integers: bit i of `a`
+    lands at position 2i, bit i of `b` at 2i+1. Pure shift/and/or
+    expressions — whole-stage codegen, no UDF."""
+    code = F.lit(0).cast("long")
+    for i in range(BITS):
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return code
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write df as ~n_files parquet files clustered along the Morton
+    curve of (col_a, col_b). Timestamp/date columns are handled via
+    their epoch values. One extra aggregate (4 scalars) + one range
+    shuffle over the data — the layout cost is a single rewrite, paid
+    once, amortized over every pruned scan after it."""
+    from pyspark.sql import types as T
+
+    for c in (col_a, col_b):
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            df = df.withColumn(
+                f"_z_{c}", F.unix_timestamp(F.col(c).cast("timestamp")).cast("double")
+            )
+        else:
+            df = df.withColumn(f"_z_{c}", F.col(c).cast("double"))
+    stats = df.agg(
+        F.min(f"_z_{col_a}"), F.max(f"_z_{col_a}"),
+        F.min(f"_z_{col_b}"), F.max(f"_z_{col_b}"),
+    ).first()
+    code = morton_code(
+        _normalize(F.col(f"_z_{col_a}"), stats[0], stats[1]),
+        _normalize(F.col(f"_z_{col_b}"), stats[2], stats[3]),
+    )
+    (
+        df.withColumn("_zcode", code)
+        .repartitionByRange(n_files, "_zcode")
+        .sortWithinPartitions("_zcode")
+        .drop("_zcode", f"_z_{col_a}", f"_z_{col_b}")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def linear_write(
+    df: DataFrame, path: str, col_a: str, n_files: int, mode: str = "overwrite"
+) -> None:
+    """Single-dimension sort layout (the baseline Z-order beats on
+    multi-dimensional predicates)."""
+    (
+        df.repartitionByRange(n_files, col_a)
+        .sortWithinPartitions(col_a)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1,0 +1,114 @@
+"""Z-order layout: the pruning claim is proved with parquet footer
+statistics, not asserted rhetorically."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from group_2_shopware_enterprise_data_engineering_project_spark.functions.layout import (
+    linear_write,
+    morton_code,
+    zorder_write,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+
+def _files_overlapping_box(path, a_col, a_lo, a_hi, b_col, b_lo, b_hi):
+    """Fraction of parquet files whose (min,max) footer stats overlap
+    the 2-D box predicate — exactly what a stats-pruning scan reads."""
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        amin = amax = bmin = bmax = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None:
+                    continue
+                if name == a_col:
+                    amin = st.min if amin is None else min(amin, st.min)
+                    amax = st.max if amax is None else max(amax, st.max)
+                elif name == b_col:
+                    bmin = st.min if bmin is None else min(bmin, st.min)
+                    bmax = st.max if bmax is None else max(bmax, st.max)
+        if amin is None or bmin is None:
+            hit += 1  # no stats -> must read
+        elif not (amax < a_lo or amin > a_hi or bmax < b_lo or bmin > b_hi):
+            hit += 1
+    return hit, len(files)
+
+
+def test_morton_code_interleaves_locally(spark):
+    """Nearby points in BOTH dims get nearby codes; far points don't —
+    spot-check the interleave arithmetic against a Python reference."""
+    import pyspark.sql.functions as F
+
+    def py_morton(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(5, 9), (1000, 7), (65535, 65535), (0, 0), (12345, 54321)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r.a, r.b): r.code
+        for r in df.select("a", "b", morton_code(F.col("a"), F.col("b")).alias("code")).collect()
+    }
+    assert got == {(a, b): py_morton(a, b) for a, b in rows}
+
+
+def test_zorder_prunes_on_either_dimension(spark, tmp_path):
+    """Z-order's actual contract (and why Delta OPTIMIZE ZORDER
+    exists): useful footer-stats pruning on EITHER clustered dimension
+    ALONE. A single-dim sort beats it narrowly on its own dimension
+    but degenerates to a full scan on the other — at 100 TB that is
+    the difference between reading ~sqrt-of-table and reading the
+    table for half the query mix."""
+    import datetime
+
+    orders = table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    n_files = 64
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "l")
+    zorder_write(orders, zpath, "o_custkey", "o_orderdate", n_files)
+    linear_write(orders, lpath, "o_orderdate", n_files)
+
+    full_cust = dict(a_col="o_custkey", a_lo=-(10**9), a_hi=10**9)
+    full_date = dict(
+        b_col="o_orderdate",
+        b_lo=datetime.datetime(1900, 1, 1),
+        b_hi=datetime.datetime(2100, 1, 1),
+    )
+    cust_pred = dict(a_col="o_custkey", a_lo=100, a_hi=250)
+    date_pred = dict(
+        b_col="o_orderdate",
+        b_lo=datetime.datetime(1996, 1, 1),
+        b_hi=datetime.datetime(1996, 7, 1),
+    )
+
+    # custkey-only predicate: the date-sorted layout cannot prune AT
+    # ALL; z-order must skip at least half
+    z_cust, z_total = _files_overlapping_box(zpath, **cust_pred, **full_date)
+    l_cust, l_total = _files_overlapping_box(lpath, **cust_pred, **full_date)
+    assert l_cust == l_total, "date-sorted layout has no custkey locality"
+    assert z_cust <= z_total // 2, f"zorder custkey pruning: {z_cust}/{z_total}"
+
+    # date-only predicate: z-order must still prune meaningfully
+    # (coarser than the dedicated date sort — that trade is the point)
+    z_date, _ = _files_overlapping_box(zpath, **full_cust, **date_pred)
+    l_date, _ = _files_overlapping_box(lpath, **full_cust, **date_pred)
+    assert l_date <= l_total // 4  # the dedicated sort is sharpest
+    assert z_date <= z_total // 2, f"zorder date pruning: {z_date}/{z_total}"
+
+    # layouts must not change the data
+    a = spark.read.parquet(zpath).count()
+    b = spark.read.parquet(lpath).count()
+    assert a == b == orders.count()
