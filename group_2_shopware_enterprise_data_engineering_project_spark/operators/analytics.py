@@ -300,3 +300,56 @@ def approx_engagement_stats(
         F.percentile_approx("value", F.lit(0.5), F.lit(pct_err)).alias("p50_approx"),
         F.percentile_approx("value", F.lit(0.99), F.lit(pct_err)).alias("p99_approx"),
     )
+
+
+def sketch_accuracy_report(
+    events: DataFrame,
+    rsd: float = 0.02,
+    pct_err: int = 100,
+    users_tol: float = 0.10,
+) -> DataFrame:
+    """Driver-checkable accuracy audit of `approx_engagement_stats`:
+    recompute the exact stats and emit per-group BOOLEANS asserting the
+    sketches landed inside their published error bounds — 5-sigma on
+    the HLL++ user count (`users_tol`), 2x the KLL rank-error `1/
+    pct_err` on each percentile. Booleans (not the approx values) are
+    what the oracle hashes, so an approximation becomes exactly
+    verifiable: the DuckDB side computes the same exact counts and
+    literal TRUEs, and any out-of-bound sketch breaks the hash.
+
+    The exact recomputation (countDistinct shuffle + a rank-count pass
+    against the broadcast sketch row) is the audit's cost, paid in THIS
+    query only — production reads `approx_engagement_stats`, whose
+    constant-memory merge is the point at 100 TB.
+    """
+    approx = F.broadcast(approx_engagement_stats(events, rsd, pct_err))
+    eps = 2.0 / pct_err  # 2x slack over the sketch's nominal rank error
+    joined = events.join(approx, "event_type")
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.max("approx_users").alias("au"),
+        F.count("value").alias("n_val"),
+        F.sum(F.when(F.col("value") < F.col("p50_approx"), 1).otherwise(0)).alias("lt50"),
+        F.sum(F.when(F.col("value") <= F.col("p50_approx"), 1).otherwise(0)).alias("le50"),
+        F.sum(F.when(F.col("value") < F.col("p99_approx"), 1).otherwise(0)).alias("lt99"),
+        F.sum(F.when(F.col("value") <= F.col("p99_approx"), 1).otherwise(0)).alias("le99"),
+    )
+
+    def _rank_ok(lt: str, le: str, q: float):
+        lo = (F.lit(q) - F.lit(eps)) * F.col("n_val")
+        hi = (F.lit(q) + F.lit(eps)) * F.col("n_val")
+        cond = (F.col(lt) + F.lit(1) <= hi + F.lit(1.0)) & (F.col(le) >= lo - F.lit(1.0))
+        return F.when(F.col("n_val") == 0, F.lit(True)).otherwise(cond)
+
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        (
+            F.abs(F.col("au") - F.col("n_users_exact"))
+            <= F.lit(users_tol) * F.col("n_users_exact")
+        ).alias("users_within_bound"),
+        _rank_ok("lt50", "le50", 0.5).alias("p50_rank_ok"),
+        _rank_ok("lt99", "le99", 0.99).alias("p99_rank_ok"),
+    )

@@ -587,23 +587,40 @@ def pipe_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(table(spark, sf_dir, "documents"))
 
 
-# --- m13: sketch aggregates (rows-only: approximations can't hash-match) ---
+# --- m13: sketch aggregates, bounds-audited so the oracle CAN hash them ----
 
 from group_2_shopware_enterprise_data_engineering_project_spark.operators import (  # noqa: E402
     analytics as _analytics,
 )
 
+# An approximation can't hash-match exact SQL — but a BOUND on it can.
+# The Spark side recomputes the exact stats next to the sketches and
+# emits within-bound booleans; the oracle emits the same exact counts
+# and literal TRUEs, so any sketch outside its error bound fails the
+# driver's hash. (Accuracy magnitudes additionally pinned by
+# tests/test_prep.py rank-error assertions.)
+M13_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS users_within_bound,
+       TRUE AS p50_rank_ok,
+       TRUE AS p99_rank_ok
+FROM events
+GROUP BY event_type
+"""
+
 
 @register(
     "m13_approx_stats",
-    None,  # deliberate rows-only check; accuracy pinned by pytest bounds
+    M13_ORACLE,
     doc="HLL++ distinct users + KLL-style approx percentiles per event "
     "type — the constant-memory 100 TB replacements for exact "
-    "countDistinct / percentile; accuracy-vs-exact asserted in "
-    "tests/test_prep.py, determinism by construction (hash sketches)",
+    "countDistinct / percentile — audited against their error bounds "
+    "in-query: the oracle hashes exact counts + within-bound booleans",
 )
 def m13_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _analytics.approx_engagement_stats(table(spark, sf_dir, "events"))
+    return _analytics.sketch_accuracy_report(table(spark, sf_dir, "events"))
 
 
 # --- m7b: bucketed as-of join (same semantics, hot-key-safe plan) ----------
