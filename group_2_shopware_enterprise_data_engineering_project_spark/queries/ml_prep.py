@@ -655,3 +655,56 @@ def m7b_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=("o_orderkey", "o_totalprice"),
         bucket_sec=86400 * 30,
     )
+
+
+# --- m14: train/eval contamination detection -------------------------------
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (  # noqa: E402
+    contamination as _contamination,
+)
+
+_M14_K = 4  # testdata docs are short; production decontamination uses 8-13
+
+M14_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+  FROM documents
+), toks AS (
+  SELECT doc_id, bucket, {text_pipeline._TOKS} AS t FROM b
+), sh AS (
+  SELECT doc_id, bucket,
+         list_distinct([array_to_string(t[i:i+{_M14_K - 1}], ' ')
+                        FOR i IN generate_series(1, greatest(len(t) - {_M14_K - 1}, 0))]) AS shingles
+  FROM toks
+), ev AS (
+  SELECT DISTINCT md5(unnest(shingles)) AS ngram_md5 FROM sh WHERE bucket >= '{_T2}'
+), ex AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+         md5(unnest(shingles)) AS ngram_md5
+  FROM sh WHERE bucket < '{_T1}'
+)
+SELECT e.doc_id,
+       max(e.n_shingles) AS n_shingles,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) AS DOUBLE) / max(e.n_shingles) AS contamination_ratio
+FROM ex e JOIN ev ON e.ngram_md5 = ev.ngram_md5
+GROUP BY e.doc_id
+"""
+
+
+@register(
+    "m14_contamination",
+    M14_ORACLE,
+    doc="train/eval verbatim n-gram contamination check (GPT-3-style "
+    "decontamination): eval n-gram digests broadcast, corpus probed "
+    "map-side — flags train-split docs sharing any k-gram with the "
+    "test split, with hit counts and contaminated fraction",
+)
+def m14_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = prep.split_assign(table(spark, sf_dir, "documents"), "doc_id")
+    return _contamination.contamination_report(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
+        k=_M14_K,
+    )

@@ -233,3 +233,51 @@ def test_approx_stats_deterministic(spark):
     a = sorted(map(tuple, approx_engagement_stats(ev).collect()))
     b = sorted(map(tuple, approx_engagement_stats(ev).collect()))
     assert a == b
+
+
+# --- contamination detection ------------------------------------------------
+
+
+def test_contamination_flags_verbatim_overlap(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        contamination,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here nothing shared at all"),
+            (3, "short"),  # < k tokens -> zero shingles, never flagged
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(100, "we observed the quick brown fox in the wild")],
+        ["doc_id", "text"],
+    )
+    out = contamination.contamination_report(train, evals, k=4).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 1 shares the 4-gram "the quick brown fox"; docs 2/3 are clean
+    assert set(by_id) == {1}
+    r = by_id[1]
+    assert r.n_overlap == 1 and r.n_shingles == 6
+    assert abs(r.contamination_ratio - 1 / 6) < 1e-12
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    """Scale pin: the corpus-side probe must be a broadcast hash join —
+    the 100 TB corpus never shuffles on the n-gram key."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        contamination,
+    )
+
+    train = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    evals = spark.createDataFrame([(2, "c d e f g h")], ["doc_id", "text"])
+    plan = (
+        contamination.contamination_report(train, evals, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
