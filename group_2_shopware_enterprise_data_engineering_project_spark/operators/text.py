@@ -187,3 +187,62 @@ def exact_dedup(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals, per document —
+    the within-doc complement to the cross-doc dedup family. All four
+    repetition measures from the Gopher filtering appendix that apply
+    to unsegmented text: unique-token fraction, most-common-token
+    fraction, and duplicate 2-/3-gram fractions (MassiveText drops
+    docs dominated by repeated phrases); `symbol_ratio` is the C4-ish
+    non-alphanumeric share.
+
+    Everything stays inside whole-stage codegen: per-doc arrays with
+    higher-order functions — the most-common-token count is an
+    in-array argmax (distinct x count scan, O(d*n) per doc, no
+    explode/groupBy shuffle per document), and n-gram dup fractions
+    compare raw vs distinct shingle counts. Zero shuffles: a pure
+    projection the optimizer pipelines into the scan.
+    """
+    docs = spread(docs)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    uniq = F.array_distinct(toks)
+    top_cnt = F.array_max(
+        F.transform(uniq, lambda x: F.size(F.filter(toks, lambda y: y == x)))
+    )
+
+    def _dup_frac(k: int):
+        all_sh = shingles(toks, k, distinct=False)
+        return F.when(F.size(all_sh) == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct(all_sh)).cast("double") / F.size(all_sh)
+        )
+
+    symbols = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    sig = docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(F.size(uniq).cast("double") / n_tok)
+        .alias("unique_token_frac"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(top_cnt.cast("double") / n_tok)
+        .alias("top_token_frac"),
+        _dup_frac(2).alias("dup_2gram_frac"),
+        _dup_frac(3).alias("dup_3gram_frac"),
+        F.when(F.length(text_col) == 0, F.lit(0.0))
+        .otherwise(symbols.cast("double") / F.length(text_col))
+        .alias("symbol_ratio"),
+    )
+    keep = (
+        (F.col("unique_token_frac") >= 0.5)
+        & (F.col("top_token_frac") <= 0.2)
+        & (F.col("dup_2gram_frac") <= 0.2)
+        & (F.col("dup_3gram_frac") <= 0.18)
+        & (F.col("symbol_ratio") <= 0.1)
+    )
+    return sig.withColumn("repetition_keep", keep)

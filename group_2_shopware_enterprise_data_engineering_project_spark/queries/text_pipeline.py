@@ -365,3 +365,62 @@ FROM documents
 )
 def t6_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_counts(table(spark, sf_dir, "documents"))
+
+
+# --- within-doc repetition signals (Gopher/C4-style) -----------------------
+#
+# Mirrors operators/text.py:repetition_signals exactly: same token split,
+# same distinct-vs-raw shingle ratios, same argmax-count for the top
+# token, same symbol regex. All divisions are int/int -> DOUBLE in both
+# engines, so the hash comparison is bit-exact.
+
+REPETITION_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, text, t,
+         [array_to_string(t[i:i+1], ' ')
+          FOR i IN generate_series(1, greatest(len(t) - 1, 0))] AS g2,
+         [array_to_string(t[i:i+2], ' ')
+          FOR i IN generate_series(1, greatest(len(t) - 2, 0))] AS g3
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+         END AS unique_token_frac,
+         CASE WHEN len(t) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(list_max([len(list_filter(t, y -> y = x))
+                                  FOR x IN list_distinct(t)]) AS DOUBLE) / len(t)
+         END AS top_token_frac,
+         CASE WHEN len(g2) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE 1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+         END AS dup_2gram_frac,
+         CASE WHEN len(g3) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE 1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+         END AS dup_3gram_frac,
+         CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                        AS DOUBLE) / length(text)
+         END AS symbol_ratio
+  FROM sh
+)
+SELECT *,
+       (unique_token_frac >= 0.5 AND top_token_frac <= 0.2
+        AND dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.18
+        AND symbol_ratio <= 0.1) AS repetition_keep
+FROM sig
+"""
+
+
+@register(
+    "t7_repetition_signals",
+    REPETITION_ORACLE,
+    doc="Gopher/C4-style within-doc repetition quality signals: unique-"
+    "token frac, most-common-token frac, dup 2-/3-gram fracs, symbol "
+    "ratio, and the combined keep flag — pure codegen projection, zero "
+    "shuffles",
+)
+def t7_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_signals(table(spark, sf_dir, "documents"))

@@ -99,3 +99,43 @@ def test_bpe_ish_tokens(spark):
     assert (out.n_words, out.n_bpe_tokens) == (4, 9)
     toks = df.select(text.bpe_ish_tokens("text").alias("t")).collect()[0].t
     assert toks == ["Hello", ",", "world", "!", "4", "2", "abc", "-", "def"]
+
+
+def test_repetition_signals(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    rows = [
+        (0, "clean varied prose with many different words here today"),
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, ""),
+        (3, "buy now buy now buy now buy now buy now buy now"),
+        (4, "$$$ !!! ### @@@ %%% ^^^ &&& *** ((( )))"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+
+    # clean doc: all-distinct tokens, no repeated n-grams, keeps
+    assert out[0].unique_token_frac == 1.0
+    assert out[0].dup_2gram_frac == 0.0
+    assert out[0].repetition_keep is True
+
+    # one-token spam: top token owns the doc, n-grams all duplicate
+    assert out[1].unique_token_frac == pytest.approx(0.1)
+    assert out[1].top_token_frac == 1.0
+    assert out[1].dup_2gram_frac == pytest.approx(1 - 1 / 9)
+    assert out[1].repetition_keep is False
+
+    # empty doc: guarded zeros, no nulls/NaNs; fails the unique-frac gate
+    assert out[2].n_tokens == 0
+    assert out[2].unique_token_frac == 0.0
+    assert out[2].symbol_ratio == 0.0
+    assert out[2].repetition_keep is False
+
+    # phrase spam: every token appears 6x, every 2-gram repeats
+    assert out[3].top_token_frac == pytest.approx(0.5)
+    assert out[3].dup_2gram_frac > 0.8
+    assert out[3].repetition_keep is False
+
+    # symbol soup: symbol_ratio ~ 30/39, fails the C4-ish symbol gate
+    assert out[4].symbol_ratio > 0.5
+    assert out[4].repetition_keep is False
