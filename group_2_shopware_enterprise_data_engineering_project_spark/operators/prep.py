@@ -262,3 +262,101 @@ def stratified_sample(
         )
         .select(strata_col, id_col, "sample_rank", "n_stratum")
     )
+
+
+# --- sequence packing (concat-and-chunk plan) ------------------------------
+
+
+def sequence_pack(
+    docs: DataFrame,
+    cap: int = 1024,
+    shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-2/T5-style concat-and-chunk packing PLAN: lay documents
+    end-to-end in a deterministic order, cut the token stream into
+    fixed-``cap`` windows, and emit each doc's pack assignment,
+    intra-pack offset, and whether it spans a pack boundary. This is
+    the layout step a tokenize-and-pack job needs before writing
+    training shards; the actual byte concatenation is a per-pack
+    ``array_agg`` the writer does downstream.
+
+    Scale: a single global running sum would serialize the corpus
+    through ONE task (empty ``partitionBy`` window), so the stream is
+    sharded by ``doc_id % shards`` and packed independently per shard
+    — exactly how multi-file tokenized corpora are packed in practice
+    (one writer per output shard). Window state per task is one
+    running sum (O(1) memory); at 100 TB set ``shards`` ~ the number
+    of output files and the window sort is per-shard, not global.
+    Pack ids are (shard, pack_id) pairs so no cross-shard coordination
+    exists anywhere in the plan.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    d = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % F.lit(shards)).alias("shard"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before")
+    d = d.withColumn("cum_before", cum_before)
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.expr(f"cum_before div {cap}").alias("pack_id"),
+        (F.col("cum_before") % F.lit(cap)).alias("pack_offset"),
+        ((F.col("cum_before") % F.lit(cap)) + F.col("n_tokens") > F.lit(cap)).alias(
+            "spans_boundary"
+        ),
+    )
+
+
+# --- domain mixture weights (temperature sampling) -------------------------
+
+
+def mixture_weights(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain mixture statistics for temperature-scaled sampling
+    (the XLM-R / GPT-3-style rebalancing that up-samples small domains:
+    sample domain d with weight ∝ p_d^alpha, alpha=0.5 here). Emits per
+    domain: doc/token counts, the natural token share p_d, the
+    UNNORMALIZED alpha-weight sqrt(p_d), and the relative up-sampling
+    factor vs natural sampling 1/sqrt(p_d).
+
+    Weights are left unnormalized on purpose: normalizing requires
+    summing sqrt() terms across domains, whose float ordering differs
+    between engines (a last-ulp hazard for the oracle) — and with D
+    domains it is a trivial O(D) epilogue for the caller. Everything
+    emitted here is deterministic: BIGINT-exact counts, one int→double
+    division, and sqrt/division, which IEEE 754 requires to be
+    correctly rounded — so Spark and DuckDB agree bit-for-bit.
+
+    Scale: one map-side-combining groupBy on the domain key; D is
+    small so the final agg is a few rows. No second pass over data.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    per = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col).cast("long")).alias("n_tokens"),
+    )
+    # Global total via an empty-partition window: legitimate here because
+    # the input is the POST-AGGREGATION frame (D rows), not the corpus.
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    share = F.col("n_tokens").cast("double") / total
+    return per.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.sqrt(share).alias("alpha_weight_unnorm"),
+        (F.lit(1.0) / F.sqrt(share)).alias("rel_upsample"),
+    )

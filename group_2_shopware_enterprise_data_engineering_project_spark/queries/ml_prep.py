@@ -708,3 +708,74 @@ def m14_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("split") == "test"),
         k=_M14_K,
     )
+
+
+# --- m15: sequence packing (concat-and-chunk plan) -------------------------
+
+_M15_CAP, _M15_SHARDS = 1024, 8
+
+M15_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_M15_SHARDS} AS shard,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       cum_before // {_M15_CAP} AS pack_id,
+       cum_before % {_M15_CAP} AS pack_offset,
+       (cum_before % {_M15_CAP}) + n_tokens > {_M15_CAP} AS spans_boundary
+FROM c
+"""
+
+
+@register(
+    "m15_sequence_pack",
+    M15_ORACLE,
+    doc=f"GPT-2/T5-style concat-and-chunk packing plan (cap={_M15_CAP} "
+    f"tokens, {_M15_SHARDS} shards): per-doc pack id, intra-pack offset, "
+    "boundary-span flag; sharded running sum so no global single-task "
+    "window exists in the plan",
+)
+def m15_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.sequence_pack(
+        table(spark, sf_dir, "documents"), cap=_M15_CAP, shards=_M15_SHARDS
+    )
+
+
+# --- m16: domain mixture weights (temperature sampling) --------------------
+
+M16_ORACLE = """
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / total AS token_share,
+       sqrt(CAST(n_tokens AS DOUBLE) / total) AS alpha_weight_unnorm,
+       1 / sqrt(CAST(n_tokens AS DOUBLE) / total) AS rel_upsample
+FROM tot
+"""
+
+
+@register(
+    "m16_mixture_weights",
+    M16_ORACLE,
+    doc="temperature-scaled domain mixture stats (alpha=0.5, XLM-R/GPT-3 "
+    "style): per-source token share, sqrt alpha-weight, relative "
+    "up-sample factor — exact-rounded ops only, so the oracle is "
+    "bit-for-bit",
+)
+def m16_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.mixture_weights(table(spark, sf_dir, "documents"))

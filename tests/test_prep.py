@@ -281,3 +281,54 @@ def test_contamination_eval_side_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sequence_pack_semantics(spark):
+    # one shard (ids all even, shards=2 -> shard 0), cap 10:
+    # docs of 4,4,4 tokens -> cum_before 0,4,8; packs 0,0,0; third spans.
+    rows = [
+        (0, "a b c d"),
+        (2, "e f g h"),
+        (4, "i j k l"),
+        (6, "m n o p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in prep.sequence_pack(df, cap=10, shards=2).collect()}
+    assert all(r.shard == 0 for r in out.values())
+    assert [out[i].pack_id for i in (0, 2, 4, 6)] == [0, 0, 0, 1]
+    assert [out[i].pack_offset for i in (0, 2, 4, 6)] == [0, 4, 8, 2]
+    # doc 4 starts at offset 8 of a cap-10 pack: spans the boundary
+    assert out[4].spans_boundary is True
+    assert out[0].spans_boundary is False
+    # pack stream is gapless: offsets+lengths tile the token stream
+    assert out[6].pack_id * 10 + out[6].pack_offset == 12
+
+
+def test_sequence_pack_no_global_window(spark):
+    df = spark.createDataFrame([(i, "x y z") for i in range(100)], "doc_id long, text string")
+    plan = _plan(prep.sequence_pack(df, cap=8, shards=4))
+    # the window sort is per-shard: partitioning is on shard, never a
+    # single global partition (which would serialize the corpus)
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_mixture_weights_invariants(spark):
+    rows = [(i, "w " * (i % 3 + 1), "s" + str(i % 4)) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], "doc_id long, text string, source string"
+    )
+    out = prep.mixture_weights(df).collect()
+    assert len(out) == 4
+    # shares sum to 1 (exact: disjoint BIGINT counts over one total)
+    assert abs(sum(r.token_share for r in out) - 1.0) < 1e-12
+    for r in out:
+        assert r.alpha_weight_unnorm**2 == pytest_approx(r.token_share)
+        # sqrt temperature flattens: up-sample factor >= 1 iff share <= 1
+        assert r.rel_upsample >= 1.0
+
+
+def pytest_approx(x):
+    import pytest
+
+    return pytest.approx(x, rel=1e-12)
