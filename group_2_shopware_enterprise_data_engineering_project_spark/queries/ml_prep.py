@@ -779,3 +779,22 @@ FROM tot
 )
 def m16_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.mixture_weights(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "m14b_contamination_bloom",
+    M14_ORACLE,
+    doc="same contamination semantics via the bloom scale path: eval "
+    "n-gram bloom bitmap (DataFrame-built array<bigint>, broadcast one "
+    "row) pre-filters corpus n-grams map-side; exact digest join runs "
+    "only on survivors — identical output (no false negatives), "
+    "~1.2 bytes/item broadcast instead of 8+",
+)
+def m14b_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = prep.split_assign(table(spark, sf_dir, "documents"), "doc_id")
+    return _contamination.contamination_report_bloom(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
+        k=_M14_K,
+        m_bits=1 << 20,
+    )

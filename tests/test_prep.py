@@ -332,3 +332,53 @@ def pytest_approx(x):
     import pytest
 
     return pytest.approx(x, rel=1e-12)
+
+
+def test_contamination_bloom_matches_exact(spark):
+    """The bloom pre-filter must be output-invisible: no false
+    negatives by construction, false positives killed by the exact
+    verify join — so both paths return identical reports."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(i, f"doc {i} body alpha beta gamma delta {'x ' * (i % 5)}epsilon") for i in range(60)]
+        + [(100, "the planted quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(200, "a report on the planted quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    exact = sorted(contamination.contamination_report(train, evals, k=6).collect())
+    # tiny bitmap on purpose: high fpp stresses the verify join
+    bloom = sorted(
+        contamination.contamination_report_bloom(
+            train, evals, k=6, m_bits=1 << 10
+        ).collect()
+    )
+    assert exact == bloom
+    assert [r.doc_id for r in exact] == [100]
+
+
+def test_contamination_bloom_plan_shape(spark):
+    """Scale pins: the bitmap row reaches the corpus side via a
+    broadcast nested-loop join (single build row), and the survivor
+    join is the non-broadcast digest-keyed shuffle join this path
+    exists for."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        contamination,
+    )
+
+    train = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    evals = spark.createDataFrame([(2, "c d e f g h i j")], ["doc_id", "text"])
+    plan = (
+        contamination.contamination_report_bloom(train, evals, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # one-row bitmap build side
+    assert "bit_get" in plan  # probe stays JVM-side codegen
+    assert "CartesianProduct" not in plan
