@@ -360,3 +360,75 @@ def mixture_weights(
         F.sqrt(share).alias("alpha_weight_unnorm"),
         (F.lit(1.0) / F.sqrt(share)).alias("rel_upsample"),
     )
+
+
+# --- token-budget corpus selection -----------------------------------------
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "sel",
+) -> DataFrame:
+    """Select the best docs under a token budget — the final cut of a
+    curation pipeline ("10B tokens of the highest-quality data"):
+    fill the budget from the highest quality band down, breaking the
+    one partially-fitting band uniformly by a deterministic hash.
+
+    Scale shape (the reason this is NOT one global quality-ordered
+    window): band totals are a map-side-combining groupBy to ~5 rows;
+    whole bands are then accepted/rejected by a band-level prefix sum
+    (driver-sized frame, broadcast back) with NO per-doc ordering; only
+    the single straddling band pays a window sort, and that sort is
+    hash-ordered, so at extreme scale it can be swapped for a hash
+    THRESHOLD cut (keep h < t with t ≈ remaining/band_total) at the
+    cost of exactness — the knob is documented, the default is exact.
+
+    Output: (doc_id, quality_score, n_tokens, band_rule) for selected
+    docs; band_rule marks 'full_band' vs 'partial_band' provenance.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        quality_score,
+        text_stats,
+    )
+
+    stats = quality_score(text_stats(docs, text_col, id_col)).select(
+        F.col(id_col), "quality_score", "n_tokens"
+    )
+    bands = stats.groupBy("quality_score").agg(
+        F.sum("n_tokens").alias("band_tokens")
+    )
+    wb = Window.orderBy(F.col("quality_score").desc())
+    band_cum = bands.select(
+        "quality_score",
+        "band_tokens",
+        (F.sum("band_tokens").over(wb) - F.col("band_tokens")).alias("band_cum_before"),
+    )
+    banded = stats.join(F.broadcast(band_cum), "quality_score")
+
+    full = banded.filter(
+        F.col("band_cum_before") + F.col("band_tokens") <= F.lit(budget_tokens)
+    ).select(
+        id_col, "quality_score", "n_tokens", F.lit("full_band").alias("band_rule")
+    )
+
+    strad = banded.filter(
+        (F.col("band_cum_before") < F.lit(budget_tokens))
+        & (F.col("band_cum_before") + F.col("band_tokens") > F.lit(budget_tokens))
+    )
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    ws = Window.partitionBy("quality_score").orderBy(h, id_col)
+    partial = (
+        strad.withColumn(
+            "cum_in_band", F.sum("n_tokens").over(ws)
+        )
+        .filter(
+            F.col("band_cum_before") + F.col("cum_in_band") <= F.lit(budget_tokens)
+        )
+        .select(
+            id_col, "quality_score", "n_tokens", F.lit("partial_band").alias("band_rule")
+        )
+    )
+    return full.unionByName(partial)

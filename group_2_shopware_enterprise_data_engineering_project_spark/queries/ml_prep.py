@@ -798,3 +798,73 @@ def m14b_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_M14_K,
         m_bits=1 << 20,
     )
+
+
+# --- m17: token-budget corpus selection ------------------------------------
+
+_M17_BUDGET = 20_000
+
+M17_ORACLE = f"""
+WITH stats AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS n_tokens,
+         text
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tokens,
+         CAST((n_tokens BETWEEN 20 AND 2000) AS INT)
+         + CAST((CAST(len(list_filter(string_split(text, ' '), x -> x = 'a'))
+                      + len(list_filter(string_split(text, ' '), x -> x = 'value'))
+                      + len(list_filter(string_split(text, ' '), x -> x = 'row'))
+                      + len(list_filter(string_split(text, ' '), x -> x = 'table'))
+                 AS DOUBLE) / n_tokens <= 0.6) AS INT)
+         + CAST((CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / length(text) <= 0.2) AS INT)
+         + CAST((CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tokens
+                 BETWEEN 2.0 AND 15.0) AS INT) AS quality_score
+  FROM stats
+), bands AS (
+  SELECT quality_score, CAST(sum(n_tokens) AS BIGINT) AS band_tokens
+  FROM scored GROUP BY quality_score
+), band_cum AS (
+  SELECT quality_score, band_tokens,
+         CAST(sum(band_tokens) OVER (ORDER BY quality_score DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - band_tokens
+              AS BIGINT) AS band_cum_before
+  FROM bands
+), banded AS (
+  SELECT s.*, b.band_tokens, b.band_cum_before
+  FROM scored s JOIN band_cum b USING (quality_score)
+), fullb AS (
+  SELECT doc_id, CAST(quality_score AS BIGINT) AS quality_score, n_tokens,
+         'full_band' AS band_rule
+  FROM banded WHERE band_cum_before + band_tokens <= {_M17_BUDGET}
+), partialb AS (
+  SELECT doc_id, CAST(quality_score AS BIGINT) AS quality_score, n_tokens,
+         'partial_band' AS band_rule
+  FROM (
+    SELECT *, sum(n_tokens) OVER (PARTITION BY quality_score
+              ORDER BY md5('sel:' || CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in_band
+    FROM banded
+    WHERE band_cum_before < {_M17_BUDGET}
+      AND band_cum_before + band_tokens > {_M17_BUDGET}
+  ) WHERE band_cum_before + cum_in_band <= {_M17_BUDGET}
+)
+SELECT * FROM fullb UNION ALL SELECT * FROM partialb
+"""
+
+
+@register(
+    "m17_token_budget_select",
+    M17_ORACLE,
+    doc=f"best-docs-under-a-token-budget selection ({_M17_BUDGET} tokens): "
+    "whole quality bands accepted/rejected via a 5-row band prefix sum "
+    "(broadcast back, no per-doc ordering); only the straddling band "
+    "pays a hash-ordered window",
+)
+def m17_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.token_budget_select(
+        table(spark, sf_dir, "documents"), budget_tokens=_M17_BUDGET
+    )

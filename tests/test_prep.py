@@ -382,3 +382,31 @@ def test_contamination_bloom_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan  # one-row bitmap build side
     assert "bit_get" in plan  # probe stays JVM-side codegen
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_select_fills_best_bands_first(spark):
+    # 60-token quality docs (score 4) + junk docs (low score): with a
+    # budget of 150 the selector must take quality docs only, and the
+    # straddling band keeps exactly floor(150/60)=2 of them.
+    good = [(i, "the and of " + "word " * 56 + "end") for i in range(5)]  # 60 tokens
+    junk = [(100 + i, "!!! ??? ...") for i in range(5)]
+    df = spark.createDataFrame(good + junk, "doc_id long, text string")
+    out = prep.token_budget_select(df, budget_tokens=150).collect()
+    assert all(r.quality_score == 4 for r in out)
+    assert len(out) == 2  # 2*60 <= 150 < 3*60
+    assert all(r.band_rule == "partial_band" for r in out)
+    # determinism: same selection every run
+    again = prep.token_budget_select(df, budget_tokens=150).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+def test_token_budget_select_full_bands_skip_window(spark):
+    # budget large enough for the whole top band -> marked full_band
+    good = [(i, "the and of " + "word " * 56 + "end") for i in range(3)]
+    junk = [(100, "!!! ??? ...")]
+    df = spark.createDataFrame(good + junk, "doc_id long, text string")
+    # 181: whole top band (180) fits; junk band straddles and its one
+    # doc would overflow, so nothing from it survives
+    out = {r.doc_id: r for r in prep.token_budget_select(df, budget_tokens=181).collect()}
+    assert set(out) == {0, 1, 2}
+    assert all(r.band_rule == "full_band" for r in out.values())
