@@ -6,6 +6,7 @@ training-data operator family over one pass of the corpus.
       -> near-dup clusters  (MinHash-LSH pairs -> connected components,
                              keep cluster representative)
       -> quality gate       (4-check score == 4)
+      -> repetition gate    (Gopher-style within-doc repetition keep)
       -> split assignment   (hash-stable 90/5/5 train/val/test)
 
 This is the pipeline shape of a pretraining data refresh (the
@@ -54,6 +55,16 @@ def curate_corpus(docs: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
     passed = scored.filter(F.col("is_quality")).select(
         "doc_id", "n_tokens", "quality_score"
     )
+
+    # 3b. within-doc repetition gate (Gopher-style), computed only over
+    # the quality survivors — each stage shrinks the next stage's input
+    q_docs = survivors.join(passed.select("doc_id"), "doc_id", "semi")
+    rep_keep = (
+        text.repetition_signals(q_docs)
+        .filter(F.col("repetition_keep"))
+        .select("doc_id")
+    )
+    passed = passed.join(rep_keep, "doc_id", "semi")
 
     # 4. hash-stable split assignment
     return prep.split_assign(passed, "doc_id").select(

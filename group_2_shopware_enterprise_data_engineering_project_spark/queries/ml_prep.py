@@ -564,6 +564,25 @@ WITH RECURSIVE exact AS (
   FROM stats
 ), passed AS (
   SELECT * FROM quality WHERE quality_score = 4
+), rsh AS (
+  SELECT s.doc_id, s.text, {text_pipeline._TOKS} AS t,
+         [array_to_string({text_pipeline._TOKS}[i:i+1], ' ')
+          FOR i IN generate_series(1, greatest(len({text_pipeline._TOKS}) - 1, 0))] AS g2,
+         [array_to_string({text_pipeline._TOKS}[i:i+2], ' ')
+          FOR i IN generate_series(1, greatest(len({text_pipeline._TOKS}) - 2, 0))] AS g3
+  FROM surv2 s JOIN passed p USING (doc_id)
+), rkeep AS (
+  SELECT doc_id FROM rsh
+  WHERE len(t) > 0
+    AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.5
+    AND CAST(list_max([len(list_filter(t, y -> y = x))
+                       FOR x IN list_distinct(t)]) AS DOUBLE) / len(t) <= 0.2
+    AND (len(g2) = 0 OR
+         1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) <= 0.2)
+    AND (len(g3) = 0 OR
+         1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) <= 0.18)
+    AND CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+        / length(text) <= 0.1
 )
 SELECT doc_id, n_tokens, quality_score,
        CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
@@ -571,7 +590,7 @@ SELECT doc_id, n_tokens, quality_score,
             WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
                  < '{_T2}' THEN 'val'
             ELSE 'test' END AS split
-FROM passed
+FROM passed JOIN rkeep USING (doc_id)
 """
 
 
