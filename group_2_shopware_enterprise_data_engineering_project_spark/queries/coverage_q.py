@@ -59,7 +59,7 @@ P2_DECLARED = T.StructType(
 
 P2_ORACLE = """
 SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-       ['noise_a', 'noise_b'] AS dropped_cols
+       'noise_a,noise_b' AS dropped_cols
 FROM documents
 """
 
@@ -70,7 +70,8 @@ FROM documents
     doc="P2 extra-column split (reference api.py:125-135): a frame with "
     "two undeclared columns -> extra_columns() detects them, "
     "enforce_schema() projects them away; the dropped names ride along "
-    "as a literal array column for the oracle to pin",
+    "as a comma-joined literal column for the oracle to pin (a scalar, "
+    "not an array — the driver's pandas hash-compare can't sort arrays)",
 )
 def p2_extra_column_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -82,9 +83,7 @@ def p2_extra_column_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dropped = sorted(extra_columns(wide, P2_DECLARED))
     projected = enforce_schema(wide, P2_DECLARED)
-    return projected.withColumn(
-        "dropped_cols", F.array(*[F.lit(c) for c in dropped])
-    )
+    return projected.withColumn("dropped_cols", F.lit(",".join(dropped)))
 
 
 # --- K9: catalog partition registration (MSCK) ----------------------------
