@@ -100,6 +100,11 @@ def sessionize(
     true at any corpus size since it scales with per-user activity,
     not corpus size.
     """
+    # Type-defensive: TIMESTAMP_NTZ (Spark 4.x parquet inference) breaks
+    # unix_millis. Normalize once up front — with a UTC session TZ the
+    # NTZ->TIMESTAMP cast is value-exact, and it is a no-op otherwise.
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     prev_ms = F.unix_millis(F.lag(ts_col).over(w))
     is_new = F.when(

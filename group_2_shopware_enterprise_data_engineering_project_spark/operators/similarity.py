@@ -220,11 +220,128 @@ def lsh_topk(
 
 N_CENTROIDS = 16
 
+# --- sampled k-means (trained coarse quantizer) ----------------------------
+# Centroid means are snapped to a 1e-6 grid: per-dimension component =
+# SUM(BIGINT floor(x*1e6 + 0.5)) / (count * 1e6). BIGINT addition is
+# associative (order-free across partitions/engines) and the final
+# int/int double division is IEEE-exact, so trained centroids are
+# bit-identical between Spark and the DuckDB oracle — a float mean
+# would be summation-order-dependent and break the exact hash compare.
+KMEANS_ITERS = 2
+KMEANS_SCALE = 1_000_000
+KMEANS_SAMPLE = 4096
+TARGET_LIST_ROWS = 1024
+MIN_CENTROIDS = 4
+MAX_CENTROIDS = 65_536
+
+
+def derive_n_centroids(
+    n_rows: int,
+    min_centroids: int = MIN_CENTROIDS,
+    max_centroids: int = MAX_CENTROIDS,
+) -> int:
+    """C ~= ceil(sqrt(n)), clamped. The sqrt rule balances per-query
+    probe cost (C centroid dot products) against list-scan cost
+    (n_probe * n/C candidates) — the standard IVF sizing. 10^9 vectors
+    -> ~32k lists of ~32k vectors."""
+    import math
+
+    if n_rows <= 0:
+        return min_centroids
+    return max(min_centroids, min(max_centroids, math.ceil(math.sqrt(n_rows))))
+
+
+def _sample_key() -> Column:
+    """Deterministic cross-engine shuffle key: md5 of the decimal id
+    string, identical in Spark (md5 of UTF-8 bytes) and DuckDB
+    (md5(CAST(vec_id AS VARCHAR)))."""
+    return F.md5(F.col("vec_id").cast("string").cast("binary"))
+
+
+def _assign_nearest(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-side nearest-centroid assignment (centroids broadcast;
+    ties -> lowest centroid id). vectors: (vec_id, v)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        (
+            dot(F.col("v"), F.col("cv"))
+            / (l2_norm(F.col("v")) * l2_norm(F.col("cv")))
+        ).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+
+
+def _int_mean_centroids(assigned: DataFrame, scale: int = KMEANS_SCALE) -> DataFrame:
+    """Lloyd update with integer-snapped means (see module comment):
+    posexplode -> per-(centroid, dim) BIGINT sum -> exact division ->
+    reassemble the array ordered by dimension. One shuffle on
+    (centroid_id, pos); empty clusters drop out, as in the oracle."""
+    exploded = assigned.select(
+        "centroid_id", F.posexplode("v").alias("pos", "val")
+    )
+    means = exploded.groupBy("centroid_id", "pos").agg(
+        (
+            F.sum(F.floor(F.col("val") * scale + F.lit(0.5)).cast("long")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) * F.lit(float(scale)))
+        ).alias("m")
+    )
+    return means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int | None = None,
+    iters: int = KMEANS_ITERS,
+    sample: int = KMEANS_SAMPLE,
+) -> DataFrame:
+    """Train IVF centroids: Lloyd iterations on a deterministic
+    md5-ordered sample (distributed top-k take, never a full sort),
+    seeded by the sample's first `n_centroids` rows. n_centroids=None
+    derives C from the corpus size (sqrt rule). Returns (centroid_id,
+    cv) — driver-small at <= MAX_CENTROIDS rows, so downstream
+    assignment broadcasts it."""
+    if n_centroids is None:
+        n_centroids = derive_n_centroids(emb.count())
+    base = spread(emb).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    samp = (
+        base.orderBy(_sample_key(), "vec_id").limit(sample).persist()
+    )
+    seed = (
+        samp.orderBy(_sample_key(), "vec_id")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(Window.orderBy(_sample_key(), "vec_id")) - 1).alias(
+                "centroid_id"
+            ),
+            F.col("v").alias("cv"),
+        )
+    )
+    cents = seed
+    for _ in range(iters):
+        cents = _int_mean_centroids(_assign_nearest(samp, cents))
+    return cents
+
 
 def _centroids(emb: DataFrame, n_centroids: int):
     """Broadcast centroid set: the first `n_centroids` vectors by id —
-    a deterministic, training-free quantizer (production would k-means
-    a sample; the list-partitioning mechanics are identical)."""
+    a deterministic, training-free quantizer. The e5/e7 oracle family
+    mirrors exactly this seed; `kmeans_centroids` is the trained
+    alternative (e9) for real skewed corpora."""
     return F.broadcast(
         emb.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("centroid_id"),
@@ -233,7 +350,11 @@ def _centroids(emb: DataFrame, n_centroids: int):
     )
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest
     centroid by cosine (ties -> lowest centroid id).
 
@@ -241,7 +362,10 @@ def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     assignment is a map-side crossJoin + per-vector argmin: the corpus
     never shuffles to get partitioned into lists.
     """
-    centroids = _centroids(emb, n_centroids)
+    if centroids is None:
+        centroids = _centroids(emb, n_centroids)
+    else:
+        centroids = F.broadcast(centroids)
     scored = (
         spread(emb)
         .select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
@@ -271,6 +395,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = N_CENTROIDS,
     n_probe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: probe the query's `n_probe` nearest centroid lists
     and rank exact cosine within the probed candidates.
@@ -279,9 +404,15 @@ def ivf_topk(
     inverted lists; each query touches ~n_probe * N/n_centroids vectors
     instead of N. Recall tunes with n_probe — at n_probe == n_centroids
     the result equals brute force exactly (tests/test_similarity.py
-    pins recall@k monotonicity and that equivalence).
+    pins recall@k monotonicity and that equivalence). Pass
+    ``centroids`` (e.g. from ``kmeans_centroids``) to search against a
+    trained quantizer instead of the first-N seed.
     """
-    assigned = ivf_assign(emb, n_centroids).persist()
+    if centroids is None:
+        centroids = _centroids(emb, n_centroids)
+    else:
+        centroids = F.broadcast(centroids.persist())
+    assigned = ivf_assign(emb, centroids=centroids).persist()
     if query_pred is None:
         query_pred = F.col("vec_id").isin(query_ids or [])
     queries = assigned.filter(query_pred).select(
@@ -294,7 +425,7 @@ def ivf_topk(
         F.col("p_sim").desc(), F.col("centroid_id")
     )
     probes = F.broadcast(
-        queries.crossJoin(_centroids(emb, n_centroids))
+        queries.crossJoin(centroids)
         .select(
             "query_id",
             "qv",

@@ -338,3 +338,109 @@ def e8_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K
     )
     return out.select("query_id", "neighbor_id", "q_cos_sim", "rank")
+
+
+# --- e9: IVF with a TRAINED (sampled k-means) coarse quantizer -------------
+#
+# The oracle mirrors the full training loop: md5-ordered deterministic
+# sample, first-C seed, KMEANS_ITERS unrolled Lloyd iterations with
+# integer-snapped centroid means (BIGINT sums are order-free; int/int
+# double division is IEEE-exact — see operators/similarity.py), then a
+# full-corpus assignment and n_probe=1 search. C is derived from the
+# corpus size in BOTH engines (ceil(sqrt(n)), clamped), so the same SQL
+# is valid at any sf.
+
+_KM_SCALE = similarity.KMEANS_SCALE
+_KM_SAMPLE = similarity.KMEANS_SAMPLE
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / ({_NORM.format(v=a)} * {_NORM.format(v=b)})"
+    )
+
+
+def _km_assign_cte(vec_src: str, cent_src: str) -> str:
+    """Nearest-centroid assignment (ties -> lowest centroid id)."""
+    return f"""
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT s.vec_id, s.v, c.centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY {_cos_sql('s.v', 'c.cv')} DESC, c.centroid_id) AS rn
+    FROM {vec_src} s CROSS JOIN {cent_src} c
+  ) WHERE rn = 1"""
+
+
+def _km_update_cte(assign_src: str) -> str:
+    """Lloyd update with integer-snapped means; empty clusters drop."""
+    return f"""
+  SELECT centroid_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT centroid_id, i AS pos,
+           CAST(SUM(CAST(floor(v[i] * {_KM_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * {_KM_SCALE}.0) AS m
+    FROM {assign_src}, range(1, 65) t(i)
+    GROUP BY centroid_id, i
+  ) GROUP BY centroid_id"""
+
+
+def _e9_oracle() -> str:
+    iter_ctes = []
+    prev = "seed"
+    for it in range(1, similarity.KMEANS_ITERS + 1):
+        iter_ctes.append(f"a{it} AS ({_km_assign_cte('samp', prev)}\n)")
+        iter_ctes.append(f"c{it} AS ({_km_update_cte(f'a{it}')}\n)")
+        prev = f"c{it}"
+    return f"""
+WITH params AS (
+  SELECT GREATEST({similarity.MIN_CENTROIDS}, LEAST({similarity.MAX_CENTROIDS},
+         CAST(ceil(sqrt(count(*))) AS INT))) AS c
+  FROM embeddings
+), samp AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KM_SAMPLE}
+), seed AS (
+  SELECT rn - 1 AS centroid_id, v AS cv FROM (
+    SELECT row_number() OVER (
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn, v
+    FROM samp
+  ) WHERE rn <= (SELECT c FROM params)
+), {', '.join(iter_ctes)}, corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), assigned AS ({_km_assign_cte('corpus', prev)}
+), cands AS (
+  -- n_probe = 1: each query's probe list IS its assigned centroid
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_cos_sql('q.v', 'a.v')} AS cos_sim
+  FROM assigned q JOIN assigned a
+    ON q.centroid_id = a.centroid_id AND a.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cands
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "e9_ann_ivf_kmeans",
+    _e9_oracle(),
+    doc="IVF-flat ANN over a TRAINED quantizer: sampled k-means "
+    f"({similarity.KMEANS_ITERS} int-snapped Lloyd iterations, "
+    "C=ceil(sqrt(n)) derived from the corpus) instead of the first-N "
+    "seed — the recall fix for skewed real-world corpora; "
+    "tests/test_similarity.py shows it beats first-N recall on "
+    "clustered data",
+)
+def e9_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb)
+    out = similarity.ivf_topk(
+        emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K, centroids=cents
+    )
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")

@@ -31,6 +31,70 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+#: Driver-facing core set. The correctness harness checks the FIRST 50
+#: registered queries, so ordering is part of the verification contract:
+#: this list front-loads (a) every query that had never had a driver
+#: oracle row through r3 (m9-m17, m7b, m14b, k11, pipe_llm_curation),
+#: (b) the 19 queries whose last green row was r1, and (c) one query per
+#: remaining SURVEY §2 ID — exactly 50. Everything else (all green in
+#: r3, code unchanged) follows and is covered by the committed local
+#: 82-query sweep (tools/verify_local.py -> CORRECTNESS_LOCAL_r*.json).
+CORE_ORDER: tuple[str, ...] = (
+    # never driver-checked before r4
+    "m9_session_window_native",
+    "m10_percentiles",
+    "m11_json_extract",
+    "m12_text_normalize",
+    "m13_approx_stats",
+    "m14_contamination",
+    "m14b_contamination_bloom",
+    "m15_sequence_pack",
+    "m16_mixture_weights",
+    "m17_token_budget_select",
+    "m7b_asof_join_bucketed",
+    "k11_snapshot_diff",
+    "pipe_llm_curation",
+    # green in r1 only, outside the r2/r3 window
+    "k1_hour_partition_roundtrip",
+    "k4_replace_merge",
+    "k5_additive_merge",
+    "k8_validation_summary",
+    "mm1_media_fingerprint",
+    "mm2_frame_sample",
+    "mm3_decode_features",
+    "mm4_resize_plan",
+    "p3_validation_flags",
+    "p9_transform_pipeline",
+    "p13_regex_extract",
+    "pipe_pos",
+    "pipe_inventory",
+    "pipe_web",
+    "pipe_crm",
+    "s2_csv_roundtrip",
+    "s3_jsonl_roundtrip",
+    "st5_hourly_alert_counts",
+    "st7_stream_kpi",
+    # one query per remaining §2 ID (+ the r3-regressed m2, re-proven)
+    "m2_sessionize",
+    "a1_sales_kpi",
+    "a2_session_metrics",
+    "a3_engagement_score",
+    "a4_loyalty_metrics",
+    "a5_alert_count",
+    "a6_duplicate_keys",
+    "a8_null_counts",
+    "j1_loyalty_join",
+    "w1_keep_latest",
+    "d1_distinct_rows",
+    "o1_topk_orders",
+    "p2_extra_column_split",
+    "p15_date_range",
+    "k9_partition_registration",
+    "k10_archive_lifecycle",
+    "st2_stateful_dedup",
+    "s5_record_decode",
+)
+
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
@@ -40,15 +104,27 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def _ordered() -> list[QuerySpec]:
+    """Core set first (in CORE_ORDER), then the rest in registration
+    order. Every CORE_ORDER name must exist — a typo here would silently
+    shrink the verified window, so fail loudly instead."""
+    missing = [n for n in CORE_ORDER if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"CORE_ORDER names not registered: {missing}")
+    core = [_REGISTRY[n] for n in CORE_ORDER]
+    rest = [s for n, s in _REGISTRY.items() if n not in set(CORE_ORDER)]
+    return core + rest
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {spec.name: spec.fn for spec in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
     return {
-        name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None
+        spec.name: spec.oracle for spec in _ordered() if spec.oracle is not None
     }
 
 

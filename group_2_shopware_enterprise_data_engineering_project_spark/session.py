@@ -48,6 +48,8 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
@@ -62,7 +64,20 @@ def get_spark(
 
 def ensure_session_settings(spark: SparkSession) -> SparkSession:
     """Apply the correctness-critical runtime confs to an externally
-    created session (the driver harness passes us its own)."""
+    created session (the driver harness passes us its own).
+
+    ``inferTimestampNTZ`` must be off BEFORE any parquet read: testdata
+    ``events.ts`` is parquet timestamp[us] with isAdjustedToUTC=false,
+    which Spark 4.x otherwise surfaces as TIMESTAMP_NTZ — a type that
+    ``unix_millis``/``unix_micros`` reject. The session timezone is UTC,
+    so reading NTZ micros as instant-semantics TIMESTAMP is value-exact
+    and matches the DuckDB oracle bit-for-bit."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Write instant timestamps as INT64 micros, not legacy INT96: INT96
+    # carries NO parquet min/max footer stats, which silently disables
+    # file/row-group pruning on every timestamp predicate downstream —
+    # a table-scan-vs-pruned-scan difference at 100 TB.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     return spark

@@ -78,6 +78,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Belt-and-braces vs session conf: if a pre-existing session already
+    # read parquet with inferTimestampNTZ on (the conf is sticky per
+    # file-scan cache), normalize NTZ -> TIMESTAMP here. Session TZ is
+    # UTC, so the cast is value-exact.
+    for name_, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name_, F.col(name_).cast("timestamp"))
     return df
 
 

@@ -15,6 +15,17 @@ from group_2_shopware_enterprise_data_engineering_project_spark.functions.layout
 from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
 
 
+def _naive_utc(v):
+    """Footer stats for instant (INT64 UTC-adjusted) timestamps come
+    back tz-aware; normalize to naive UTC so they compare against the
+    naive predicate bounds."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def _files_overlapping_box(path, a_col, a_lo, a_hi, b_col, b_lo, b_hi):
     """Fraction of parquet files whose (min,max) footer stats overlap
     the 2-D box predicate — exactly what a stats-pruning scan reads."""
@@ -31,11 +42,13 @@ def _files_overlapping_box(path, a_col, a_lo, a_hi, b_col, b_lo, b_hi):
                 if st is None:
                     continue
                 if name == a_col:
-                    amin = st.min if amin is None else min(amin, st.min)
-                    amax = st.max if amax is None else max(amax, st.max)
+                    lo, hi = _naive_utc(st.min), _naive_utc(st.max)
+                    amin = lo if amin is None else min(amin, lo)
+                    amax = hi if amax is None else max(amax, hi)
                 elif name == b_col:
-                    bmin = st.min if bmin is None else min(bmin, st.min)
-                    bmax = st.max if bmax is None else max(bmax, st.max)
+                    lo, hi = _naive_utc(st.min), _naive_utc(st.max)
+                    bmin = lo if bmin is None else min(bmin, lo)
+                    bmax = hi if bmax is None else max(bmax, hi)
         if amin is None or bmin is None:
             hit += 1  # no stats -> must read
         elif not (amax < a_lo or amin > a_hi or bmax < b_lo or bmin > b_hi):

@@ -72,6 +72,27 @@ def test_sessionize_gap_semantics(spark):
     assert out[(2, 1)].n_events == 2  # 1800s gap == threshold: same session
 
 
+def test_sessionize_accepts_timestamp_ntz(spark):
+    """Spark 4.x parquet inference can hand us TIMESTAMP_NTZ; sessionize
+    must normalize rather than fail analysis (unix_millis is
+    TIMESTAMP-only). Semantics must match the TIMESTAMP path exactly."""
+    t0 = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, 10.0),
+        (1, t0 + datetime.timedelta(seconds=1801), 2, 5.0),
+    ]
+    ntz = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, value double"
+    )
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    out = {
+        (r.user_id, r.session_seq): r
+        for r in prep.sessionize(ntz, gap_sec=1800).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2)}
+    assert out[(1, 1)].n_events == 1 and out[(1, 2)].n_events == 1
+
+
 def test_sessionize_single_shuffle(spark):
     """The groupBy(user, session_seq) must reuse the window's hash
     partitioning on user — two exchanges would double the shuffle

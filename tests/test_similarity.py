@@ -218,3 +218,85 @@ def test_quantized_topk_recall_vs_exact(emb):
         F.max(F.array_max("qvec")).alias("hi"), F.min(F.array_min("qvec")).alias("lo")
     ).collect()[0]
     assert -127 <= bounds.lo and bounds.hi <= 127
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Adversarial corpus for the first-N quantizer: 8 well-separated
+    clusters, but ids assigned so the FIRST 16 vectors all fall in
+    cluster 0 — first-N centroids then all sit in one cluster and
+    n_probe=1 recall collapses for queries in other clusters. k-means
+    on an md5-ordered sample sees every cluster."""
+    rng = np.random.RandomState(11)
+    n_clusters, per_cluster = 8, 20
+    centers = rng.randn(n_clusters, DIM) * 10.0
+    rows = []
+    vid = 0
+    # ids 0..15 from cluster 0 first (poisons the first-N seed)
+    for _ in range(16):
+        rows.append((vid, 0, centers[0] + rng.randn(DIM)))
+        vid += 1
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            rows.append((vid, c, centers[c] + rng.randn(DIM)))
+            vid += 1
+    df = spark.createDataFrame(
+        [(i, f"c{c}", [float(x) for x in v]) for i, c, v in rows],
+        "vec_id long, label string, embedding array<float>",
+    )
+    vecs = np.stack([v for _, _, v in rows])
+    return df, vecs
+
+
+def _recall_at_k(topk_rows, vecs, k=5):
+    """Mean recall@k vs exact cosine ground truth (numpy)."""
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    by_q: dict[int, set[int]] = {}
+    for r in topk_rows:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = []
+    for qid, got in by_q.items():
+        order = np.argsort(-sims[qid])
+        expect = {int(i) for i in order if i != qid}
+        expect = set(list(sorted(expect, key=lambda i: -sims[qid][i]))[:k])
+        recalls.append(len(got & expect) / k)
+    return sum(recalls) / len(recalls)
+
+
+def test_kmeans_centroids_deterministic_and_sized(clustered_emb):
+    df, _ = clustered_emb
+    c1 = similarity.kmeans_centroids(df, n_centroids=8).collect()
+    c2 = similarity.kmeans_centroids(df, n_centroids=8).collect()
+    assert {r.centroid_id: r.cv for r in c1} == {r.centroid_id: r.cv for r in c2}
+    assert 0 < len(c1) <= 8  # empty clusters may drop, never grow
+    assert all(len(r.cv) == DIM for r in c1)
+
+
+def test_derive_n_centroids_policy():
+    assert similarity.derive_n_centroids(0) == similarity.MIN_CENTROIDS
+    assert similarity.derive_n_centroids(10) == similarity.MIN_CENTROIDS
+    assert similarity.derive_n_centroids(1_000_000) == 1000
+    assert similarity.derive_n_centroids(10**12) == similarity.MAX_CENTROIDS
+
+
+def test_kmeans_ivf_beats_first_n_on_clustered_corpus(clustered_emb):
+    """The r3-flagged recall risk, made concrete: on a corpus whose
+    first 16 ids are one cluster, trained centroids must beat the
+    first-N seed at equal n_probe — and be usable in absolute terms."""
+    df, vecs = clustered_emb
+    qpred = F.col("vec_id") >= 16  # queries spread across all clusters
+    k = 5
+    first_n = similarity.ivf_topk(df, query_pred=qpred, k=k, n_centroids=16).collect()
+    trained = similarity.ivf_topk(
+        df,
+        query_pred=qpred,
+        k=k,
+        centroids=similarity.kmeans_centroids(df, n_centroids=8),
+    ).collect()
+    r_first = _recall_at_k(first_n, vecs, k)
+    r_trained = _recall_at_k(trained, vecs, k)
+    assert r_trained > r_first, (r_trained, r_first)
+    assert r_trained >= 0.9, r_trained

