@@ -103,6 +103,92 @@ def snapshot_diff(
     )
 
 
+def snapshot_diff_images(
+    old: DataFrame, new: DataFrame, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """Delta-CDF-shaped change stream: one row per image with
+    ``_change_type`` in (insert, delete, update_preimage,
+    update_postimage). Updates emit BOTH images — the shape downstream
+    incremental maintenance needs, since retracting an update requires
+    the pre-image that ``snapshot_diff``'s single post-image row drops.
+
+    Same single full-outer shuffle as ``snapshot_diff``; the image
+    fan-out is a per-row explode of at most 2 structs (map-side, no
+    extra exchange).
+    """
+    keys = list(key_cols)
+    data_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(*keys, F.struct(*data_cols).alias("_old"))
+    n = new.select(*keys, F.struct(*data_cols).alias("_new"))
+    j = o.join(n, keys, "full_outer")
+    pair = lambda t, img: F.struct(  # noqa: E731
+        F.lit(t).alias("t"), img.alias("img")
+    )
+    images = (
+        F.when(F.col("_old").isNull(), F.array(pair("insert", F.col("_new"))))
+        .when(F.col("_new").isNull(), F.array(pair("delete", F.col("_old"))))
+        .when(
+            ~F.col("_old").eqNullSafe(F.col("_new")),
+            F.array(
+                pair("update_preimage", F.col("_old")),
+                pair("update_postimage", F.col("_new")),
+            ),
+        )
+    )
+    e = j.select(*keys, F.explode(images).alias("_e"))
+    return e.select(
+        *keys,
+        F.col("_e.t").alias("_change_type"),
+        *[F.col("_e.img").getField(c).alias(c) for c in data_cols],
+    )
+
+
+def incremental_agg(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str = "value",
+    count_alias: str = "n_rows",
+    sum_alias: str = "value_cents",
+) -> DataFrame:
+    """Incremental view maintenance for a decomposable aggregate
+    (count + integer-cents sum per group): apply a
+    ``snapshot_diff_images`` change stream to a previously materialized
+    aggregate WITHOUT rescanning the base table — the cost is
+    O(changed rows), not O(table). insert/update_postimage contribute
+    +1/+cents, delete/update_preimage retract -1/-cents; groups whose
+    maintained count reaches zero drop (exactly what a recompute would
+    produce). At 100 TB this turns an hourly full-table re-aggregation
+    into a delta-sized job; the result is BIT-IDENTICAL to a fresh
+    aggregate because the cents sums are order-free BIGINTs (the k13
+    oracle proves maintained == recomputed).
+
+    One map-side-combining shuffle over the changes, broadcast-or-
+    shuffle merge with the (group-cardinality-sized) base aggregate.
+    """
+    gcols = list(group_cols)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    delta = changes.groupBy(*gcols).agg(
+        F.sum(sign).cast("long").alias("_dn"),
+        F.sum(sign * cents).cast("long").alias("_dc"),
+    )
+    merged = base_agg.join(delta, gcols, "full_outer").select(
+        *gcols,
+        (
+            F.coalesce(F.col(count_alias), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias(count_alias),
+        (
+            F.coalesce(F.col(sum_alias), F.lit(0))
+            + F.coalesce(F.col("_dc"), F.lit(0))
+        ).alias(sum_alias),
+    )
+    return merged.filter(F.col(count_alias) > 0)
+
+
 def merge_replace(
     target: DataFrame,
     source: DataFrame,

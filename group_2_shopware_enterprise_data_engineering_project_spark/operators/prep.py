@@ -437,3 +437,50 @@ def token_budget_select(
         )
     )
     return full.unionByName(partial)
+
+
+# --- sequence-length bucketing ---------------------------------------------
+
+#: Power-of-two bucket caps for length-bucketed batching. The last cap
+#: doubles as the overflow clamp (longer docs get truncated/packed by
+#: the downstream collator; the stats here price that decision).
+LENGTH_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def length_buckets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sequence-length bucketing stats — the dataloader-prep step that
+    batches similar-length sequences together so per-batch padding is
+    bounded by the bucket cap instead of the corpus max (the standard
+    bucketed-batching trade; cf. the fixed-cap alternative in
+    ``sequence_pack``). Per power-of-two cap: doc count, real tokens,
+    padding tokens, and the bucket's packing efficiency
+    (real / (real + pad)).
+
+    Determinism: bucket caps are integer CASE comparisons and every
+    aggregate is a BIGINT sum; the one double division is int-exact /
+    int-exact, so Spark and DuckDB agree bit-for-bit. Scale: a narrow
+    projection plus ONE map-side-combining groupBy onto
+    len(LENGTH_BUCKETS) rows — no data shuffle beyond the ~11-row agg.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    n = token_count(text_col).cast("long")
+    cap = F.lit(LENGTH_BUCKETS[-1]).cast("long")
+    for b in reversed(LENGTH_BUCKETS):
+        cap = F.when(n <= b, F.lit(b).cast("long")).otherwise(cap)
+    d = docs.select(
+        F.col(id_col), n.alias("n_tokens"), cap.alias("bucket_cap_tokens")
+    )
+    return d.groupBy("bucket_cap_tokens").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("bucket_cap_tokens") - F.col("n_tokens")).alias("pad_tokens"),
+        (
+            F.sum("n_tokens").cast("double")
+            / F.sum("bucket_cap_tokens").cast("double")
+        ).alias("pack_efficiency"),
+    )

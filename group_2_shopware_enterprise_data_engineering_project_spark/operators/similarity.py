@@ -87,6 +87,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _topk_per_query(sims: DataFrame, k: int, sim_col: str = "cos_sim") -> DataFrame:
+    """Exact distributed top-k per query WITHOUT shuffling every scored
+    row. A window over partitionBy(query_id) ships |Q| x N scored rows
+    through one exchange (1e10 rows for 10 queries over a 1e9 corpus);
+    instead: (1) per-PHYSICAL-partition top-k — groupBy(query_id,
+    spark_partition_id) completes map-side, so the exchange carries at
+    most |Q| x num_partitions x k rows — then (2) top-k of that union.
+    Semantics are identical to ranking by (sim DESC, neighbor_id ASC):
+    elements sort by a (-sim, neighbor_id) struct key; `+ 0.0`
+    normalizes an IEEE -0.0 so both engines order sim == 0 rows purely
+    by the neighbor tiebreak. Output: (query_id, neighbor_id, sim_col,
+    rank), rank 1-based.
+    """
+    elem = F.struct(
+        ((F.lit(0.0) - F.col(sim_col)) + F.lit(0.0)).alias("_neg"),
+        F.col("neighbor_id").alias("neighbor_id"),
+        F.col(sim_col).alias(sim_col),
+    )
+    topk = lambda col: F.slice(F.array_sort(F.collect_list(col)), 1, k)  # noqa: E731
+    stage1 = (
+        sims.withColumn("_pid", F.spark_partition_id())
+        .groupBy("query_id", "_pid")
+        .agg(topk(elem).alias("_t"))
+    )
+    stage2 = (
+        stage1.select("query_id", F.explode("_t").alias("_e"))
+        .groupBy("query_id")
+        .agg(topk(F.col("_e")).alias("_t"))
+    )
+    return stage2.select(
+        "query_id", F.posexplode("_t").alias("_pos", "_e")
+    ).select(
+        "query_id",
+        F.col("_e.neighbor_id").alias("neighbor_id"),
+        F.col(f"_e.{sim_col}").alias(sim_col),
+        (F.col("_pos") + 1).cast("long").alias("rank"),
+    )
+
+
 def embedding_norms(emb: DataFrame) -> DataFrame:
     v = _as_double(F.col("embedding"))
     return spread(emb).select(
@@ -128,14 +167,7 @@ def brute_force_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _topk_per_query(sims, k).orderBy("query_id", "rank")
 
 
 def hyperplane_signs(num_planes: int = NUM_PLANES, dim: int = DIM) -> list[list[float]]:
@@ -208,14 +240,7 @@ def lsh_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        cands.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _topk_per_query(cands, k).orderBy("query_id", "rank")
 
 
 N_CENTROIDS = 16
@@ -259,22 +284,32 @@ def _sample_key() -> Column:
 
 
 def _assign_nearest(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Map-side nearest-centroid assignment (centroids broadcast;
-    ties -> lowest centroid id). vectors: (vec_id, v)."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "v",
-        "centroid_id",
-        (
-            dot(F.col("v"), F.col("cv"))
-            / (l2_norm(F.col("v")) * l2_norm(F.col("cv")))
-        ).alias("c_sim"),
+    """TRULY map-side nearest-centroid assignment: the centroid set is
+    packed into ONE array-of-structs row (sorted by centroid_id),
+    broadcast, and each vector folds over it keeping the best
+    (strictly-greater cosine; ties keep the earlier = lowest id) —
+    identical semantics to ranking c_sim DESC, centroid_id ASC, but
+    with ZERO shuffle. The naive crossJoin + window-per-vec_id
+    formulation shuffles N x C scored rows (3e13 at N=1e9, C=sqrt(N));
+    this fold is whole-stage-codegen per corpus row. vectors:
+    (vec_id, v) -> (vec_id, v, centroid_id)."""
+    packed = centroids.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "cv"))).alias("_cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "v", "centroid_id")
+    init = F.struct(
+        F.lit(-2.0).cast("double").alias("sim"), F.lit(-1).cast("long").alias("id")
+    )
+
+    def step(acc, c):
+        s = dot(F.col("v"), c["cv"]) / (l2_norm(F.col("v")) * l2_norm(c["cv"]))
+        return F.when(
+            s > acc["sim"],
+            F.struct(s.alias("sim"), c["centroid_id"].cast("long").alias("id")),
+        ).otherwise(acc)
+
+    best = F.aggregate(F.col("_cents"), init, step)
+    return vectors.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "v", best["id"].alias("centroid_id")
     )
 
 
@@ -364,27 +399,11 @@ def ivf_assign(
     """
     if centroids is None:
         centroids = _centroids(emb, n_centroids)
-    else:
-        centroids = F.broadcast(centroids)
-    scored = (
-        spread(emb)
-        .select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
-        .crossJoin(centroids)
-        .select(
-            "vec_id",
-            "v",
-            "centroid_id",
-            (
-                dot(F.col("v"), F.col("cv"))
-                / (l2_norm(F.col("v")) * l2_norm(F.col("cv")))
-            ).alias("c_sim"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "v", "centroid_id")
+    return _assign_nearest(
+        spread(emb).select(
+            F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
+        ),
+        centroids,
     )
 
 
@@ -451,14 +470,7 @@ def ivf_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        cands.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _topk_per_query(cands, k).orderBy("query_id", "rank")
 
 
 def embedding_near_dup_pairs(
@@ -634,10 +646,4 @@ def quantized_topk(
             (idot.cast("double") / (F.col("na") * F.col("nb"))).alias("q_cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("q_cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(sims, k, sim_col="q_cos_sim")

@@ -887,3 +887,39 @@ def m17_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.token_budget_select(
         table(spark, sf_dir, "documents"), budget_tokens=_M17_BUDGET
     )
+
+
+# --- m18: sequence-length bucketing ----------------------------------------
+
+_M18_CASE = "CASE " + " ".join(
+    f"WHEN n_tokens <= {b} THEN {b}" for b in prep.LENGTH_BUCKETS
+) + f" ELSE {prep.LENGTH_BUCKETS[-1]} END"
+
+M18_ORACLE = f"""
+WITH n AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT n_tokens, CAST({_M18_CASE} AS BIGINT) AS bucket_cap_tokens FROM n
+)
+SELECT bucket_cap_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(bucket_cap_tokens - n_tokens) AS BIGINT) AS pad_tokens,
+       CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(bucket_cap_tokens) AS DOUBLE)
+           AS pack_efficiency
+FROM b GROUP BY 1
+"""
+
+
+@register(
+    "m18_length_buckets",
+    M18_ORACLE,
+    doc="sequence-length bucketing stats (power-of-two caps): per-bucket "
+    "doc/token/padding counts and packing efficiency - the "
+    "bucketed-batching costing step of a dataloader prep pipeline; one "
+    "map-side-combining groupBy onto ~11 rows",
+)
+def m18_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.length_buckets(table(spark, sf_dir, "documents"))

@@ -352,3 +352,64 @@ def k11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     ).select(*cols)
     return merge.snapshot_diff(old, new, ("user_id",))
+
+
+# --- K13 (beyond-reference): incremental aggregate maintenance -------------
+#
+# The oracle computes the aggregate DIRECTLY from the new snapshot; the
+# Spark side never touches the new snapshot as a whole — it maintains
+# the old snapshot's aggregate by applying the CDC image stream. A hash
+# match therefore proves maintained == recomputed, the defining
+# property of incremental view maintenance.
+
+K13_ORACLE = f"""
+WITH n AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts >= TIMESTAMP '{_K11_NEW_START}'
+  ) WHERE rn = 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM n GROUP BY event_type
+"""
+
+
+@register(
+    "k13_incremental_agg",
+    K13_ORACLE,
+    doc="incremental view maintenance: a per-event_type (count, cents) "
+    "aggregate materialized on the OLD keep-latest snapshot is "
+    "maintained to the NEW state by applying only the "
+    "snapshot_diff_images CDC stream (insert/delete/update pre+post "
+    "images, signed contributions) - O(changes) not O(table); oracle "
+    "recomputes from the new snapshot directly, so the hash match "
+    "proves maintained == recomputed",
+)
+def k13_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    old = dedup.keep_latest(
+        events.filter(F.col("ts") < F.lit(_K11_OLD_END).cast("timestamp")),
+        ("user_id",),
+        "ts",
+        "event_id",
+    ).select(*cols)
+    new = dedup.keep_latest(
+        events.filter(F.col("ts") >= F.lit(_K11_NEW_START).cast("timestamp")),
+        ("user_id",),
+        "ts",
+        "event_id",
+    ).select(*cols)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = old.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("value_cents"),
+    )
+    changes = merge.snapshot_diff_images(old, new, ("user_id",))
+    return merge.incremental_agg(
+        base, changes, ("event_type",), value_col="value"
+    )

@@ -25,6 +25,12 @@ many-small-files killer at 100 TB.
 
 from __future__ import annotations
 
+import glob
+import math
+import os
+import shutil
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,6 +98,103 @@ def register_partitions(spark: SparkSession, table_name: str) -> None:
     """K9 — sync the catalog with on-disk Hive-style partitions.
     One statement replaces the reference's per-hour ALTER TABLE loop."""
     spark.sql(f"MSCK REPAIR TABLE {table_name}")
+
+
+@dataclass
+class CompactionStats:
+    """Per-run compaction accounting (the numbers OPTIMIZE reports)."""
+
+    leaves_touched: int
+    leaves_skipped: int
+    files_before: int
+    files_after: int
+    bytes_before: int
+
+
+def _leaf_parquet_dirs(path: str) -> list[str]:
+    """Every directory under `path` that directly holds parquet files —
+    the partition leaves of a Hive layout, or `path` itself for a flat
+    table. Pure filesystem-metadata walk (at table scale this listing
+    is the table manifest, the same planning input Delta's OPTIMIZE
+    uses); no data is read."""
+    leaves = []
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            leaves.append(root)
+    return sorted(leaves)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    max_concurrency: int = 16,
+) -> CompactionStats:
+    """K12 (beyond-reference) — small-file compaction, the table
+    maintenance that keeps a streamed-into / frequently-merged table
+    scannable: each partition leaf with >= ``min_files`` files is
+    rewritten into ceil(bytes / target_file_bytes) files.
+
+    Why it matters at 100 TB: a micro-batch landing one file per
+    (task x partition x trigger) makes a day's hot partition thousands
+    of small files, and scan cost becomes per-file overhead (open +
+    footer + seek) instead of bytes. Compaction restores
+    ~target-sized files so `maxPartitionBytes` splitting works again.
+
+    Shape: PLANNING is driver-side filesystem metadata (file counts +
+    sizes — never data); each leaf REWRITE is a distributed
+    read→repartition(n)→write of only that leaf, so per-leaf task
+    memory is bounded by target_file_bytes regardless of table size.
+    Leaves are independent, so rewrites are submitted as
+    ``max_concurrency`` CONCURRENT Spark jobs (the Spark scheduler
+    interleaves them across executors) — a sequential leaf loop would
+    serialize thousands of sub-second jobs behind driver latency,
+    which is the actual bottleneck of naive compactors. The per-leaf
+    swap is write-to-temp + directory rename, same crash contract as
+    the snapshot store's manifest swap (operators/merge.py): a failure
+    mid-rewrite leaves that leaf's old files in place, never a partial
+    mix, and completed leaves stay compacted (the job is idempotently
+    resumable).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    stats = CompactionStats(0, 0, 0, 0, 0)
+    plans: list[tuple[str, int]] = []  # (leaf, n_out) needing rewrite
+    for leaf in _leaf_parquet_dirs(path):
+        files = glob.glob(os.path.join(leaf, "*.parquet"))
+        n_bytes = sum(os.path.getsize(f) for f in files)
+        stats.files_before += len(files)
+        stats.bytes_before += n_bytes
+        n_out = max(1, math.ceil(n_bytes / target_file_bytes))
+        if len(files) < min_files or n_out >= len(files):
+            stats.leaves_skipped += 1
+            stats.files_after += len(files)
+        else:
+            plans.append((leaf, n_out))
+
+    def rewrite(plan: tuple[str, int]) -> int:
+        leaf, n_out = plan
+        tmp = leaf + ".compact.tmp"
+        old = leaf + ".compact.old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        spark.read.parquet(leaf).repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        # commit point: two renames; readers see old files or new, never
+        # a mixture (rename is atomic per directory on one filesystem)
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+        return len(glob.glob(os.path.join(leaf, "*.parquet")))
+
+    if plans:
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for n_files_after in pool.map(rewrite, plans):
+                stats.leaves_touched += 1
+                stats.files_after += n_files_after
+    return stats
 
 
 def write_bucketed_table(

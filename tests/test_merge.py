@@ -3,6 +3,8 @@ upsert table."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
     ParquetUpsertTable,
     merge_additive,
@@ -277,3 +279,62 @@ def test_upsert_replace_schema_evolution(spark, tmp_path):
     # CDC across the widening still works (old snapshot lacks `score`)
     got = {r.id: r._change_type for r in t.table_changes(1, 2, ("id",)).collect()}
     assert got == {2: "update"}
+
+
+def test_snapshot_diff_images_emits_both_update_images(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        merge,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, g string, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "x", 9.0), (4, "d", 4.0)], "k long, g string, v double"
+    )
+    rows = merge.snapshot_diff_images(old, new, ("k",)).collect()
+    by = {(r.k, r._change_type): r for r in rows}
+    # unchanged key 1 silent; update emits BOTH images; delete pre; insert post
+    assert set(by) == {
+        (2, "update_preimage"),
+        (2, "update_postimage"),
+        (3, "delete"),
+        (4, "insert"),
+    }
+    assert by[(2, "update_preimage")].g == "b" and by[(2, "update_postimage")].g == "x"
+    assert by[(3, "delete")].v == 3.0 and by[(4, "insert")].v == 4.0
+
+
+def test_incremental_agg_matches_recompute_with_group_migration(spark):
+    """The defining IVM property on the nasty cases: an update that
+    MOVES a row between groups must retract from the old group and add
+    to the new one, and a group whose last row is deleted must vanish
+    — exactly what recomputing from the new snapshot yields."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        merge,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.00), (2, "a", 2.00), (3, "b", 3.00)],
+        "k long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.00), (2, "c", 2.50)],  # 2 migrates a->c, 3 deleted (b empties)
+        "k long, g string, v double",
+    )
+    cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+
+    def agg(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum(cents).alias("value_cents")
+        )
+
+    maintained = merge.incremental_agg(
+        agg(old),
+        merge.snapshot_diff_images(old, new, ("k",)),
+        ("g",),
+        value_col="v",
+    )
+    got = {r.g: (r.n_rows, r.value_cents) for r in maintained.collect()}
+    want = {r.g: (r.n_rows, r.value_cents) for r in agg(new).collect()}
+    assert got == want == {"a": (1, 100), "c": (1, 250)}  # b is gone

@@ -98,3 +98,62 @@ def test_bucketed_join_elides_both_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_compaction_rewrites_leaves_and_preserves_rows(spark, tmp_path):
+    """K12 physical contract: per-leaf file counts drop to the plan's
+    ceil(bytes/target), rows and content survive bit-for-bit, and
+    under-threshold leaves are left untouched (their file mtimes/names
+    prove no rewrite happened)."""
+    import glob
+    import os
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).withColumn("p", F.col("id") % 2)
+    df.repartition(8).write.partitionBy("p").parquet(path)
+    before = {
+        p: sorted(glob.glob(os.path.join(path, p, "*.parquet")))
+        for p in ("p=0", "p=1")
+    }
+    assert all(len(v) == 8 for v in before.values())
+
+    stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert stats.leaves_touched == 2 and stats.leaves_skipped == 0
+    assert stats.files_before == 16 and stats.files_after == 2
+    for p in ("p=0", "p=1"):
+        assert len(glob.glob(os.path.join(path, p, "*.parquet"))) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.groupBy("p").count().orderBy("p").collect()[0][1] == 5_000
+
+    # idempotent second run: nothing above threshold remains
+    stats2 = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert stats2.leaves_touched == 0 and stats2.leaves_skipped == 2
+    assert stats2.files_after == 2
+
+
+def test_compaction_respects_target_file_bytes(spark, tmp_path):
+    """A leaf bigger than one target file splits into ceil(bytes/target)
+    files, not one — compaction must not create oversized files."""
+    import glob
+    import os
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "t2")
+    spark.range(50_000).withColumn("payload", F.md5(F.col("id").cast("string"))).repartition(10).write.parquet(path)
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+    target = total // 3  # expect ceil(3.x) = 4 (or 3 if exact) output files
+    stats = compact_parquet_dir(spark, path, target_file_bytes=target)
+    n_out = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert stats.leaves_touched == 1
+    assert 3 <= n_out <= 4, n_out
+    assert spark.read.parquet(path).count() == 50_000

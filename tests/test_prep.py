@@ -431,3 +431,29 @@ def test_token_budget_select_full_bands_skip_window(spark):
     out = {r.doc_id: r for r in prep.token_budget_select(df, budget_tokens=181).collect()}
     assert set(out) == {0, 1, 2}
     assert all(r.band_rule == "full_band" for r in out.values())
+
+
+def test_length_buckets_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                    # 3 tokens -> cap 8
+            (2, " ".join(["w"] * 8)),        # exactly 8 -> cap 8
+            (3, " ".join(["w"] * 9)),        # 9 -> cap 16
+            (4, " ".join(["w"] * 9000)),     # beyond last cap -> clamp 8192
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.bucket_cap_tokens: r for r in prep.length_buckets(docs).collect()}
+    assert set(out) == {8, 16, 8192}
+    assert out[8].n_docs == 2 and out[8].total_tokens == 11
+    assert out[8].pad_tokens == (8 - 3) + (8 - 8)
+    assert out[16].pad_tokens == 7
+    # clamped docs can exceed the cap: pad goes NEGATIVE, pricing the
+    # truncation the collator must do — the stat is a signed balance
+    assert out[8192].pad_tokens == 8192 - 9000
+    assert abs(out[8].pack_efficiency - 11 / 16) < 1e-15
+
+
+def test_length_buckets_single_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert _plan(prep.length_buckets(docs)).count("Exchange") == 1

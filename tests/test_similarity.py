@@ -300,3 +300,34 @@ def test_kmeans_ivf_beats_first_n_on_clustered_corpus(clustered_emb):
     r_trained = _recall_at_k(trained, vecs, k)
     assert r_trained > r_first, (r_trained, r_first)
     assert r_trained >= 0.9, r_trained
+
+
+def test_ivf_assign_is_shuffle_free(emb):
+    """Coarse-quantizer assignment must never shuffle the corpus: the
+    packed-centroid fold keeps it map-side (a crossJoin + per-vec_id
+    window would shuffle N x C scored rows — 3e13 at 1e9 vectors)."""
+    df, _ = emb
+    plan = (
+        similarity.ivf_assign(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_topk_uses_partial_agg_not_window(emb):
+    """Top-k ranking must be the two-stage partial aggregate, not a
+    window over all scored rows: a Window(partitionBy=query_id) would
+    shuffle |Q| x N scored rows; the partial top-k exchange carries at
+    most |Q| x partitions x k."""
+    df, _ = emb
+    plan = (
+        similarity.brute_force_topk(df, query_ids=[0, 1], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial_collect_list" in plan or "ObjectHashAggregate" in plan
