@@ -130,3 +130,98 @@ def test_split_assign_total_and_consistent(spark, keys):
     sub = {r.k: r.split for r in split_assign(df2, "k").collect()}
     full = {r.k: r.split for r in rows}
     assert all(full[k] == v for k, v in sub.items())
+
+
+GROUPS = st.sampled_from(["a", "b", "c"])
+SNAP = st.lists(
+    st.tuples(KEYS, GROUPS, st.integers(min_value=-99, max_value=99)),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],  # one row per key (snapshot invariant)
+)
+
+
+@given(old=SNAP, new=SNAP)
+@_settings
+def test_incremental_agg_always_equals_recompute(spark, old, new):
+    """IVM law: for ANY pair of snapshots, maintaining the old
+    aggregate with the CDC image stream equals recomputing from the
+    new snapshot — inserts, deletes, value updates, group migrations,
+    and groups emptying out all included."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        incremental_agg,
+        snapshot_diff_images,
+    )
+
+    schema = "k long, g string, v double"
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(k, g, float(v)) for k, g, v in rows] or [(0, "a", 0.0)], schema
+        ).limit(len(rows))
+
+    cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+
+    def agg(d):
+        return d.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum(cents).alias("value_cents")
+        )
+
+    o, n = df(old), df(new)
+    maintained = incremental_agg(
+        agg(o), snapshot_diff_images(o, n, ("k",)), ("g",), value_col="v"
+    )
+    got = {r.g: (r.n_rows, r.value_cents) for r in maintained.collect()}
+    want = {r.g: (r.n_rows, r.value_cents) for r in agg(n).collect()}
+    assert got == want
+
+
+SIMROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # query_id
+        st.integers(min_value=0, max_value=20),    # neighbor_id
+        st.floats(
+            min_value=-1.0, max_value=1.0, allow_nan=False, width=32
+        ),                                          # cos_sim (incl. +/-0 ties)
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(rows=SIMROWS, k=st.integers(min_value=1, max_value=5))
+@_settings
+def test_topk_per_query_matches_window_reference(spark, rows, k):
+    """The two-stage partial top-k must equal the naive window ranking
+    (sim DESC, neighbor ASC) for any score set — including duplicate
+    sims and signed zeros, where only the tiebreak orders rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.similarity import (
+        _topk_per_query,
+    )
+
+    sims = spark.createDataFrame(
+        [(q, n, float(s)) for q, n, s in rows] or [(0, 0, 0.0)],
+        "query_id long, neighbor_id long, cos_sim double",
+    ).limit(len(rows))
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in _topk_per_query(sims.repartition(4), k).collect()
+    }
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in sims.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank") <= k)
+        .collect()
+    }
+    assert got == want
