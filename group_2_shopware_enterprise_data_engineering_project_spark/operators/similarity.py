@@ -243,6 +243,73 @@ def lsh_topk(
     return _topk_per_query(cands, k).orderBy("query_id", "rank")
 
 
+def lsh_topk_multiprobe(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    query_pred: Column | None = None,
+    k: int = 5,
+    num_planes: int | None = NUM_PLANES,
+) -> DataFrame:
+    """Multi-probe SRP-LSH (Lv et al. 2007): besides its own bucket,
+    each query probes the H Hamming-distance-1 buckets (one sign bit
+    flipped). A near neighbor that disagrees on exactly one hyperplane
+    — the dominant miss mode at high cosine — is recovered, so recall
+    rises steeply without adding planes (which would shrink every
+    bucket and cost corpus-side work instead of query-side).
+
+    Cost shape: the corpus is bucketed once (same as `lsh_topk`); only
+    the BROADCAST query side fans out x(H+1). Probe buckets are
+    pairwise distinct and each corpus vector lives in exactly one
+    bucket, so a (query, neighbor) candidate arises at most once — no
+    dedup stage. Candidates then rank via the partial top-k.
+    """
+    if num_planes is None:
+        num_planes = derive_num_planes(emb.count())
+    planes = hyperplane_signs(num_planes)
+    bucketed = spread(emb).select(
+        F.col("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+        lsh_bucket(_as_double(F.col("embedding")), planes).alias("bucket"),
+    )
+    if query_pred is None:
+        query_pred = F.col("vec_id").isin(query_ids or [])
+    flip = lambda i: F.concat(  # noqa: E731 — flip sign bit i (1-based)
+        F.substring(F.col("qbucket"), 1, i - 1),
+        F.when(F.substring(F.col("qbucket"), i, 1) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        ),
+        F.substring(F.col("qbucket"), i + 1, num_planes - i),
+    )
+    queries = F.broadcast(
+        bucketed.filter(query_pred)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.array(F.col("qbucket"), *[flip(i) for i in range(1, num_planes + 1)])
+            ).alias("pbucket"),
+        )
+    )
+    cands = (
+        queries.join(bucketed, queries["pbucket"] == bucketed["bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("v"))
+                / (l2_norm(F.col("qv")) * l2_norm(F.col("v")))
+            ).alias("cos_sim"),
+        )
+    )
+    return _topk_per_query(cands, k).orderBy("query_id", "rank")
+
+
 N_CENTROIDS = 16
 
 # --- sampled k-means (trained coarse quantizer) ----------------------------

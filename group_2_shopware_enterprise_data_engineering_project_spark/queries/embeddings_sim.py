@@ -444,3 +444,56 @@ def e9_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K, centroids=cents
     )
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+# --- e10: multi-probe LSH --------------------------------------------------
+
+_H = similarity.NUM_PLANES
+
+E10_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+  FROM b WHERE vec_id < {N_QUERIES}
+), probes AS (
+  -- probe 0 = own bucket; probe i flips sign bit i (Hamming distance 1)
+  SELECT query_id, qv,
+         CASE WHEN t.i = 0 THEN qbucket
+              ELSE substr(qbucket, 1, t.i - 1)
+                   || (CASE WHEN substr(qbucket, t.i, 1) = '1'
+                            THEN '0' ELSE '1' END)
+                   || substr(qbucket, t.i + 1, {_H} - t.i)
+         END AS pbucket
+  FROM q, range(0, {_H} + 1) t(i)
+), cands AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         {_DOT.format(a='p.qv', b='b.embedding')}
+         / ({_NORM.format(v='p.qv')} * {_NORM.format(v='b.embedding')}) AS cos_sim
+  FROM probes p JOIN b ON p.pbucket = b.bucket AND b.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM cands
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "e10_ann_lsh_multiprobe",
+    E10_ORACLE,
+    doc="multi-probe SRP-LSH (Lv et al. 2007): each query also probes "
+    "its 8 Hamming-distance-1 buckets, recovering neighbors that "
+    "disagree on exactly one hyperplane - recall rises query-side with "
+    "no extra corpus work; probe buckets are pairwise distinct so no "
+    "candidate dedup stage exists",
+)
+def e10_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk_multiprobe(
+        emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K
+    )
+    return out.select("query_id", "neighbor_id", "cos_sim", "rank")

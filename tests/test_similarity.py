@@ -331,3 +331,21 @@ def test_topk_uses_partial_agg_not_window(emb):
     )
     assert "Window" not in plan
     assert "partial_collect_list" in plan or "ObjectHashAggregate" in plan
+
+
+def test_multiprobe_recall_dominates_single_bucket(emb):
+    """Multi-probe candidates are a superset of the single-bucket
+    candidates (probe 0 IS the own bucket), so recall@k can only
+    improve — and on this fixture it must actually find MORE results
+    (single-bucket leaves some queries' top-k short)."""
+    df, vecs = emb
+    qids = list(range(6))
+    single = similarity.lsh_topk(df, query_ids=qids, k=3).collect()
+    multi = similarity.lsh_topk_multiprobe(df, query_ids=qids, k=3).collect()
+    assert len(multi) >= len(single)
+    r_single = _recall_at_k(single, vecs, 3)
+    r_multi = _recall_at_k(multi, vecs, 3)
+    assert r_multi >= r_single
+    # the planted near-neighbor of query 0 must survive multiprobe
+    top1 = [r for r in multi if r.query_id == 0 and r.rank == 1]
+    assert top1 and top1[0].neighbor_id == 1
