@@ -484,3 +484,52 @@ def length_buckets(
             / F.sum("bucket_cap_tokens").cast("double")
         ).alias("pack_efficiency"),
     )
+
+
+# --- document chunking (fixed token windows with overlap) ------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG/pretraining chunker: split each document into fixed-size
+    token windows with overlap (stride = chunk - overlap), the standard
+    context-window splitter. Emits (doc_id, chunk_idx, chunk_text,
+    n_tokens); the final window may be short, and a doc shorter than
+    one window yields exactly one chunk.
+
+    Window count is pure integer arithmetic
+    (1 + (n - W + S - 1) div S for n > W) so both engines agree
+    exactly. Scale: tokenize -> per-row sequence explode — narrow,
+    shuffle-free, embarrassingly parallel; output size is
+    input x (1/stride) overlap factor, priced by the caller.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        tokens,
+    )
+
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    d = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    n = F.size("_t")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(f"(size(_t) - {chunk_tokens} + {stride - 1}) div {stride}").cast(
+            "int"
+        )
+    )
+    d = d.select(
+        id_col, "_t", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    )
+    window = F.slice(F.col("_t"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return d.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).cast("long").alias("n_tokens"),
+    )

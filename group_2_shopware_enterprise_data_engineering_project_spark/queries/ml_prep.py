@@ -923,3 +923,45 @@ FROM b GROUP BY 1
 )
 def m18_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.length_buckets(table(spark, sf_dir, "documents"))
+
+
+# --- m19: document chunking ------------------------------------------------
+
+_M19_W, _M19_O = 32, 8
+_M19_S = _M19_W - _M19_O
+
+M19_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest([{{'idx': i - 1,
+                   'txt': array_to_string(t[((i-1)*{_M19_S}+1):((i-1)*{_M19_S}+{_M19_W})], ' '),
+                   'n': len(t[((i-1)*{_M19_S}+1):((i-1)*{_M19_S}+{_M19_W})])}}
+                 FOR i IN generate_series(1,
+                   CASE WHEN len(t) <= {_M19_W} THEN 1
+                        ELSE 1 + (len(t) - {_M19_W} + {_M19_S - 1}) // {_M19_S}
+                   END)]) AS ch
+  FROM toks
+)
+SELECT doc_id,
+       CAST(ch.idx AS BIGINT) AS chunk_idx,
+       ch.txt AS chunk_text,
+       CAST(ch.n AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
+@register(
+    "m19_chunk_documents",
+    M19_ORACLE,
+    doc="RAG/pretraining chunker: fixed 32-token windows with 8-token "
+    "overlap (stride 24), integer-exact window counts, short final "
+    "window, one chunk for short docs; tokenize -> sequence explode, "
+    "shuffle-free",
+)
+def m19_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_tokens=_M19_W, overlap_tokens=_M19_O
+    )

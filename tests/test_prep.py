@@ -457,3 +457,44 @@ def test_length_buckets_semantics(spark):
 def test_length_buckets_single_shuffle(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     assert _plan(prep.length_buckets(docs)).count("Exchange") == 1
+
+
+def test_chunk_documents_window_arithmetic(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks, W=6 S=4 -> 2 chunks
+            (2, "a b"),                                  # shorter than W -> 1 chunk
+            (3, " ".join(f"t{i}" for i in range(6))),    # exactly W -> 1 chunk
+            (4, ""),                                     # empty -> 1 empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = prep.chunk_documents(docs, chunk_tokens=6, overlap_tokens=2)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    assert len([k for k in rows if k[0] == 1]) == 2
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3 t4 t5"
+    # overlap: chunk 1 starts at token 4 (stride 4), short final window
+    assert rows[(1, 1)].chunk_text == "t4 t5 t6 t7 t8 t9"
+    assert rows[(1, 1)].n_tokens == 6
+    assert rows[(2, 0)].n_tokens == 2 and len([k for k in rows if k[0] == 2]) == 1
+    assert len([k for k in rows if k[0] == 3]) == 1
+    assert rows[(4, 0)].chunk_text == "" and rows[(4, 0)].n_tokens == 0
+    # every token of doc 1 is covered by some chunk
+    covered = set()
+    for (d, _), r in rows.items():
+        if d == 1 and r.chunk_text:
+            covered.update(r.chunk_text.split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prep.chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_chunk_documents_shuffle_free(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert "Exchange" not in _plan(prep.chunk_documents(docs))
