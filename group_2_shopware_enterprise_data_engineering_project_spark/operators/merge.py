@@ -175,8 +175,22 @@ def incremental_agg(
         F.sum(sign).cast("long").alias("_dn"),
         F.sum(sign * cents).cast("long").alias("_dc"),
     )
-    merged = base_agg.join(delta, gcols, "full_outer").select(
-        *gcols,
+    # NULL-SAFE group equality: groupBy treats NULL as a real group, so
+    # the merge join must too — a plain `on=gcols` full outer would
+    # never match NULL groups and emit two divergent rows for them
+    # (groupBy-vs-join NULL semantics mismatch).
+    b, d = base_agg.alias("_b"), delta.alias("_d")
+    cond = None
+    for g in gcols:
+        eq = F.col(f"_b.{g}").eqNullSafe(F.col(f"_d.{g}"))
+        cond = eq if cond is None else (cond & eq)
+    merged = b.join(d, cond, "full_outer").select(
+        *[
+            F.when(
+                F.col("_dn").isNotNull(), F.col(f"_d.{g}")
+            ).otherwise(F.col(f"_b.{g}")).alias(g)
+            for g in gcols
+        ],
         (
             F.coalesce(F.col(count_alias), F.lit(0))
             + F.coalesce(F.col("_dn"), F.lit(0))

@@ -97,11 +97,17 @@ def _topk_per_query(sims: DataFrame, k: int, sim_col: str = "cos_sim") -> DataFr
     Semantics are identical to ranking by (sim DESC, neighbor_id ASC):
     elements sort by a (-sim, neighbor_id) struct key; `+ 0.0`
     normalizes an IEEE -0.0 so both engines order sim == 0 rows purely
-    by the neighbor tiebreak. Output: (query_id, neighbor_id, sim_col,
-    rank), rank 1-based.
+    by the neighbor tiebreak, and a NaN sim (zero-norm vector -> 0/0)
+    maps to -Infinity so it ranks FIRST — both Spark's descending sort
+    and DuckDB's ORDER BY DESC treat NaN as the largest double, and a
+    naive negation would instead sink it to last. Output: (query_id,
+    neighbor_id, sim_col, rank), rank 1-based.
     """
+    neg = F.when(F.isnan(F.col(sim_col)), F.lit(float("-inf"))).otherwise(
+        (F.lit(0.0) - F.col(sim_col)) + F.lit(0.0)
+    )
     elem = F.struct(
-        ((F.lit(0.0) - F.col(sim_col)) + F.lit(0.0)).alias("_neg"),
+        neg.alias("_neg"),
         F.col("neighbor_id").alias("neighbor_id"),
         F.col(sim_col).alias(sim_col),
     )
@@ -194,75 +200,21 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
-def lsh_topk(
+def _lsh_search(
     emb: DataFrame,
-    query_ids: list[int] | None = None,
-    query_pred: Column | None = None,
-    k: int = 5,
-    num_planes: int | None = NUM_PLANES,
+    query_ids: list[int] | None,
+    query_pred: Column | None,
+    k: int,
+    num_planes: int | None,
+    n_flip_bits: int,
 ) -> DataFrame:
-    """ANN top-k within same-bucket candidates. Approximate: neighbors
-    in other buckets are missed by design (recall ~ (1 - theta/pi)^H
-    per Charikar's collision bound); determinism is exact.
-
-    num_planes=None derives H from the corpus size (bucket-scaling
-    policy) so buckets don't grow with the corpus. Reducer skew is a
-    non-issue on this path: queries are BROADCAST, so the bucket match
-    is a map-side hash join — the corpus never shuffles on the bucket
-    key and an oversized bucket just streams past the query map.
-    """
-    if num_planes is None:
-        num_planes = derive_num_planes(emb.count())
-    planes = hyperplane_signs(num_planes)
-    bucketed = spread(emb).select(
-        F.col("vec_id"),
-        _as_double(F.col("embedding")).alias("v"),
-        lsh_bucket(_as_double(F.col("embedding")), planes).alias("bucket"),
-    )
-    if query_pred is None:
-        query_pred = F.col("vec_id").isin(query_ids or [])
-    queries = F.broadcast(
-        bucketed.filter(query_pred).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("bucket").alias("qbucket"),
-        )
-    )
-    cands = (
-        queries.join(bucketed, queries["qbucket"] == bucketed["bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                dot(F.col("qv"), F.col("v"))
-                / (l2_norm(F.col("qv")) * l2_norm(F.col("v")))
-            ).alias("cos_sim"),
-        )
-    )
-    return _topk_per_query(cands, k).orderBy("query_id", "rank")
-
-
-def lsh_topk_multiprobe(
-    emb: DataFrame,
-    query_ids: list[int] | None = None,
-    query_pred: Column | None = None,
-    k: int = 5,
-    num_planes: int | None = NUM_PLANES,
-) -> DataFrame:
-    """Multi-probe SRP-LSH (Lv et al. 2007): besides its own bucket,
-    each query probes the H Hamming-distance-1 buckets (one sign bit
-    flipped). A near neighbor that disagrees on exactly one hyperplane
-    — the dominant miss mode at high cosine — is recovered, so recall
-    rises steeply without adding planes (which would shrink every
-    bucket and cost corpus-side work instead of query-side).
-
-    Cost shape: the corpus is bucketed once (same as `lsh_topk`); only
-    the BROADCAST query side fans out x(H+1). Probe buckets are
-    pairwise distinct and each corpus vector lives in exactly one
-    bucket, so a (query, neighbor) candidate arises at most once — no
-    dedup stage. Candidates then rank via the partial top-k.
-    """
+    """Shared SRP-LSH search body: bucket the corpus once, broadcast
+    the query side fanned out to its own bucket plus the first
+    ``n_flip_bits`` Hamming-distance-1 probe buckets, exact-cosine the
+    candidates, rank with the partial top-k. ``n_flip_bits=0`` is
+    plain single-bucket LSH; ``n_flip_bits=num_planes`` is full
+    1-bit multi-probe. One body so the bucketing/cosine semantics
+    cannot drift between the two public entry points."""
     if num_planes is None:
         num_planes = derive_num_planes(emb.count())
     planes = hyperplane_signs(num_planes)
@@ -291,7 +243,9 @@ def lsh_topk_multiprobe(
             "query_id",
             "qv",
             F.explode(
-                F.array(F.col("qbucket"), *[flip(i) for i in range(1, num_planes + 1)])
+                F.array(
+                    F.col("qbucket"), *[flip(i) for i in range(1, n_flip_bits + 1)]
+                )
             ).alias("pbucket"),
         )
     )
@@ -308,6 +262,53 @@ def lsh_topk_multiprobe(
         )
     )
     return _topk_per_query(cands, k).orderBy("query_id", "rank")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    query_pred: Column | None = None,
+    k: int = 5,
+    num_planes: int | None = NUM_PLANES,
+) -> DataFrame:
+    """ANN top-k within same-bucket candidates. Approximate: neighbors
+    in other buckets are missed by design (recall ~ (1 - theta/pi)^H
+    per Charikar's collision bound); determinism is exact.
+
+    num_planes=None derives H from the corpus size (bucket-scaling
+    policy) so buckets don't grow with the corpus. Reducer skew is a
+    non-issue on this path: queries are BROADCAST, so the bucket match
+    is a map-side hash join — the corpus never shuffles on the bucket
+    key and an oversized bucket just streams past the query map.
+    """
+    return _lsh_search(emb, query_ids, query_pred, k, num_planes, n_flip_bits=0)
+
+
+def lsh_topk_multiprobe(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    query_pred: Column | None = None,
+    k: int = 5,
+    num_planes: int | None = NUM_PLANES,
+) -> DataFrame:
+    """Multi-probe SRP-LSH (Lv et al. 2007): besides its own bucket,
+    each query probes the H Hamming-distance-1 buckets (one sign bit
+    flipped). A near neighbor that disagrees on exactly one hyperplane
+    — the dominant miss mode at high cosine — is recovered, so recall
+    rises steeply without adding planes (which would shrink every
+    bucket and cost corpus-side work instead of query-side).
+
+    Cost shape: the corpus is bucketed once (same as `lsh_topk`); only
+    the BROADCAST query side fans out x(H+1). Probe buckets are
+    pairwise distinct and each corpus vector lives in exactly one
+    bucket, so a (query, neighbor) candidate arises at most once — no
+    dedup stage. Candidates then rank via the partial top-k.
+    """
+    if num_planes is None:
+        num_planes = derive_num_planes(emb.count())
+    return _lsh_search(
+        emb, query_ids, query_pred, k, num_planes, n_flip_bits=num_planes
+    )
 
 
 N_CENTROIDS = 16
@@ -358,8 +359,11 @@ def _assign_nearest(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     identical semantics to ranking c_sim DESC, centroid_id ASC, but
     with ZERO shuffle. The naive crossJoin + window-per-vec_id
     formulation shuffles N x C scored rows (3e13 at N=1e9, C=sqrt(N));
-    this fold is whole-stage-codegen per corpus row. vectors:
-    (vec_id, v) -> (vec_id, v, centroid_id)."""
+    this fold is whole-stage-codegen per corpus row. NaN cosines
+    (zero-norm vector or centroid) rank LARGEST — matching the
+    window / DuckDB ORDER BY DESC semantics the oracles use: the
+    first (lowest-id) NaN-sim centroid wins and is never displaced.
+    vectors: (vec_id, v) -> (vec_id, v, centroid_id)."""
     packed = centroids.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("centroid_id", "cv"))).alias("_cents")
     )
@@ -369,8 +373,9 @@ def _assign_nearest(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
     def step(acc, c):
         s = dot(F.col("v"), c["cv"]) / (l2_norm(F.col("v")) * l2_norm(c["cv"]))
+        take = (~F.isnan(acc["sim"])) & (F.isnan(s) | (s > acc["sim"]))
         return F.when(
-            s > acc["sim"],
+            take,
             F.struct(s.alias("sim"), c["centroid_id"].cast("long").alias("id")),
         ).otherwise(acc)
 
@@ -413,8 +418,12 @@ def kmeans_centroids(
     md5-ordered sample (distributed top-k take, never a full sort),
     seeded by the sample's first `n_centroids` rows. n_centroids=None
     derives C from the corpus size (sqrt rule). Returns (centroid_id,
-    cv) — driver-small at <= MAX_CENTROIDS rows, so downstream
-    assignment broadcasts it."""
+    cv) MATERIALIZED — training runs eagerly, the sample cache is
+    released, and the result is rebuilt as a local-rows DataFrame.
+    Centroids are a *model* (<= MAX_CENTROIDS rows by construction),
+    so driver materialization is the standard k-means contract; it
+    also keeps downstream plans free of the training lineage and
+    leaves no persisted RDDs pinned for the session's lifetime."""
     if n_centroids is None:
         n_centroids = derive_n_centroids(emb.count())
     base = spread(emb).select(
@@ -423,20 +432,24 @@ def kmeans_centroids(
     samp = (
         base.orderBy(_sample_key(), "vec_id").limit(sample).persist()
     )
-    seed = (
-        samp.orderBy(_sample_key(), "vec_id")
-        .limit(n_centroids)
-        .select(
-            (F.row_number().over(Window.orderBy(_sample_key(), "vec_id")) - 1).alias(
-                "centroid_id"
-            ),
-            F.col("v").alias("cv"),
+    try:
+        seed = (
+            samp.orderBy(_sample_key(), "vec_id")
+            .limit(n_centroids)
+            .select(
+                (
+                    F.row_number().over(Window.orderBy(_sample_key(), "vec_id")) - 1
+                ).alias("centroid_id"),
+                F.col("v").alias("cv"),
+            )
         )
-    )
-    cents = seed
-    for _ in range(iters):
-        cents = _int_mean_centroids(_assign_nearest(samp, cents))
-    return cents
+        cents = seed
+        for _ in range(iters):
+            cents = _int_mean_centroids(_assign_nearest(samp, cents))
+        rows = cents.collect()
+        return emb.sparkSession.createDataFrame(rows, cents.schema)
+    finally:
+        samp.unpersist()
 
 
 def _centroids(emb: DataFrame, n_centroids: int):
@@ -497,7 +510,9 @@ def ivf_topk(
     if centroids is None:
         centroids = _centroids(emb, n_centroids)
     else:
-        centroids = F.broadcast(centroids.persist())
+        # trained centroids arrive materialized (kmeans_centroids) —
+        # broadcast-hint only, no persist to leak across the session
+        centroids = F.broadcast(centroids)
     assigned = ivf_assign(emb, centroids=centroids).persist()
     if query_pred is None:
         query_pred = F.col("vec_id").isin(query_ids or [])

@@ -36,9 +36,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: this list front-loads (a) every query that had never had a driver
 #: oracle row through r3 (m9-m17, m7b, m14b, k11, pipe_llm_curation),
 #: (b) the 19 queries whose last green row was r1, and (c) one query per
-#: remaining SURVEY §2 ID — exactly 50. Everything else (all green in
-#: r3, code unchanged) follows and is covered by the committed local
-#: 82-query sweep (tools/verify_local.py -> CORRECTNESS_LOCAL_r*.json).
+#: remaining SURVEY §2 ID — exactly 50. Everything else follows and is
+#: covered by the committed FULL-registry local sweep
+#: (tools/verify_local.py --json -> CORRECTNESS_LOCAL_r*.json — the
+#: artifact, not this comment, is the query count of record). Rotation
+#: policy: queries outside the window rely on their newest green driver
+#: row plus the sweep; when a round frees slots (older entries
+#: accumulate multiple green rounds), rotate never-driver-checked
+#: queries in. r4: e9_ann_ivf_kmeans swapped in for a5_alert_count
+#: (A5 keeps its r3 green row, and st5's hour-aligned negative-event
+#: counts exercise the same alert-count semantics in-window).
 CORE_ORDER: tuple[str, ...] = (
     # never driver-checked before r4
     "m9_session_window_native",
@@ -80,7 +87,7 @@ CORE_ORDER: tuple[str, ...] = (
     "a2_session_metrics",
     "a3_engagement_score",
     "a4_loyalty_metrics",
-    "a5_alert_count",
+    "e9_ann_ivf_kmeans",
     "a6_duplicate_keys",
     "a8_null_counts",
     "j1_loyalty_join",

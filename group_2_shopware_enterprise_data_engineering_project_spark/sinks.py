@@ -111,17 +111,52 @@ class CompactionStats:
     bytes_before: int
 
 
+_COMPACT_TMP = ".compact.tmp"
+_COMPACT_OLD = ".compact.old"
+
+
 def _leaf_parquet_dirs(path: str) -> list[str]:
     """Every directory under `path` that directly holds parquet files —
     the partition leaves of a Hive layout, or `path` itself for a flat
-    table. Pure filesystem-metadata walk (at table scale this listing
+    table. In-flight compaction work dirs (*.compact.tmp/.old) are
+    NEVER leaves — treating a stale one as a partition would compact
+    garbage. Pure filesystem-metadata walk (at table scale this listing
     is the table manifest, the same planning input Delta's OPTIMIZE
     uses); no data is read."""
     leaves = []
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [
+            d
+            for d in dirs
+            if not (d.endswith(_COMPACT_TMP) or d.endswith(_COMPACT_OLD))
+        ]
         if any(f.endswith(".parquet") for f in files):
             leaves.append(root)
     return sorted(leaves)
+
+
+def _recover_interrupted_compaction(path: str) -> None:
+    """Crash recovery, run before planning: a leaf's `.compact.old`
+    with the leaf itself MISSING means a crash hit between the two
+    renames — restore the old data (rename back). A `.compact.old`
+    with the leaf present means the swap completed but cleanup didn't
+    — drop it. Stray `.compact.tmp` dirs are always incomplete
+    rewrites — drop them. After this pass the table is exactly its
+    pre-crash committed state and the run proceeds normally
+    (idempotent resume)."""
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            full = os.path.join(root, d)
+            if d.endswith(_COMPACT_TMP):
+                shutil.rmtree(full, ignore_errors=True)
+                dirs.remove(d)
+            elif d.endswith(_COMPACT_OLD):
+                leaf = full[: -len(_COMPACT_OLD)]
+                if os.path.exists(leaf):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    os.rename(full, leaf)
+                dirs.remove(d)
 
 
 def compact_parquet_dir(
@@ -150,16 +185,24 @@ def compact_parquet_dir(
     ``max_concurrency`` CONCURRENT Spark jobs (the Spark scheduler
     interleaves them across executors) — a sequential leaf loop would
     serialize thousands of sub-second jobs behind driver latency,
-    which is the actual bottleneck of naive compactors. The per-leaf
-    swap is write-to-temp + directory rename, same crash contract as
-    the snapshot store's manifest swap (operators/merge.py): a failure
-    mid-rewrite leaves that leaf's old files in place, never a partial
-    mix, and completed leaves stay compacted (the job is idempotently
-    resumable).
+    which is the actual bottleneck of naive compactors.
+
+    Crash contract (honest version): the per-leaf swap is
+    write-to-temp + two renames, which is NOT a single atomic step —
+    a crash between the renames leaves the leaf's data parked in
+    `<leaf>.compact.old`. Every run therefore begins with a recovery
+    pass that restores parked leaves and drops incomplete temp dirs,
+    so data is never lost and a re-run resumes idempotently; but a
+    concurrent READER during the swap window can see the leaf absent.
+    Run compaction when the table has no concurrent readers, or put a
+    snapshot/manifest layer in front (operators/merge.py's
+    ParquetUpsertTable does exactly that — its manifest swap IS
+    atomic).
     """
     from concurrent.futures import ThreadPoolExecutor
 
     stats = CompactionStats(0, 0, 0, 0, 0)
+    _recover_interrupted_compaction(path)
     plans: list[tuple[str, int]] = []  # (leaf, n_out) needing rewrite
     for leaf in _leaf_parquet_dirs(path):
         files = glob.glob(os.path.join(leaf, "*.parquet"))
@@ -175,8 +218,8 @@ def compact_parquet_dir(
 
     def rewrite(plan: tuple[str, int]) -> int:
         leaf, n_out = plan
-        tmp = leaf + ".compact.tmp"
-        old = leaf + ".compact.old"
+        tmp = leaf + _COMPACT_TMP
+        old = leaf + _COMPACT_OLD
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         spark.read.parquet(leaf).repartition(n_out).write.mode(

@@ -157,3 +157,33 @@ def test_compaction_respects_target_file_bytes(spark, tmp_path):
     assert stats.leaves_touched == 1
     assert 3 <= n_out <= 4, n_out
     assert spark.read.parquet(path).count() == 50_000
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames parks the leaf's data in
+    <leaf>.compact.old; the next run must restore it, drop stale tmp
+    dirs, never treat work dirs as partitions, and lose no rows."""
+    import glob
+    import os
+    import shutil
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "t3")
+    df = spark.range(4_000).withColumn("p", F.col("id") % 2)
+    df.repartition(4).write.partitionBy("p").parquet(path)
+
+    # simulate the worst crash point: leaf renamed away, tmp not yet in
+    leaf = os.path.join(path, "p=0")
+    os.rename(leaf, leaf + ".compact.old")
+    # plus a stale half-written tmp for the other leaf
+    shutil.copytree(os.path.join(path, "p=1"), os.path.join(path, "p=1.compact.tmp"))
+
+    stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert not glob.glob(os.path.join(path, "*.compact.*"))
+    back = spark.read.parquet(path)
+    assert back.count() == 4_000  # p=0 rows restored, none duplicated
+    assert stats.leaves_touched == 2  # both leaves then compacted
+    assert spark.read.parquet(path).groupBy("p").count().count() == 2

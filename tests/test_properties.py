@@ -132,7 +132,7 @@ def test_split_assign_total_and_consistent(spark, keys):
     assert all(full[k] == v for k, v in sub.items())
 
 
-GROUPS = st.sampled_from(["a", "b", "c"])
+GROUPS = st.sampled_from(["a", "b", None])  # NULL is a real group too
 SNAP = st.lists(
     st.tuples(KEYS, GROUPS, st.integers(min_value=-99, max_value=99)),
     min_size=0,
@@ -182,9 +182,10 @@ SIMROWS = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),     # query_id
         st.integers(min_value=0, max_value=20),    # neighbor_id
-        st.floats(
-            min_value=-1.0, max_value=1.0, allow_nan=False, width=32
-        ),                                          # cos_sim (incl. +/-0 ties)
+        st.one_of(                                  # sims incl. +/-0 AND NaN
+            st.just(float("nan")),
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        ),
     ),
     min_size=0,
     max_size=25,
@@ -192,12 +193,19 @@ SIMROWS = st.lists(
 )
 
 
+def _nan_safe(v):
+    import math
+
+    return None if isinstance(v, float) and math.isnan(v) else v
+
+
 @given(rows=SIMROWS, k=st.integers(min_value=1, max_value=5))
 @_settings
 def test_topk_per_query_matches_window_reference(spark, rows, k):
     """The two-stage partial top-k must equal the naive window ranking
     (sim DESC, neighbor ASC) for any score set — including duplicate
-    sims and signed zeros, where only the tiebreak orders rows."""
+    sims, signed zeros, and NaNs (which rank FIRST under descending
+    order in both Spark windows and DuckDB)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -210,14 +218,14 @@ def test_topk_per_query_matches_window_reference(spark, rows, k):
         "query_id long, neighbor_id long, cos_sim double",
     ).limit(len(rows))
     got = {
-        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        (r.query_id, r.rank): (r.neighbor_id, _nan_safe(r.cos_sim))
         for r in _topk_per_query(sims.repartition(4), k).collect()
     }
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     want = {
-        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        (r.query_id, r.rank): (r.neighbor_id, _nan_safe(r.cos_sim))
         for r in sims.withColumn(
             "rank", F.row_number().over(w).cast("long")
         )

@@ -78,9 +78,16 @@ def close_enough(a, b):
 def main():
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    if "--json" in argv:  # accept --json anywhere, not only first
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    bad_flags = [a for a in argv if a.startswith("--")]
+    if bad_flags:
+        # an unknown flag silently matching zero queries would be a
+        # vacuous ALL GREEN — refuse instead
+        sys.exit(f"unknown flag(s): {bad_flags}; usage: "
+                 "verify_local.py [--json OUT.json] [sf_dir] [query ...]")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     report: dict[str, dict] = {}
@@ -94,6 +101,10 @@ def main():
 
     qs = registry.all_queries()
     oracles = registry.all_oracles()
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"unknown query name(s): {sorted(unknown)} — refusing a "
+                 "vacuous run (0 queries checked would print ALL GREEN)")
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
