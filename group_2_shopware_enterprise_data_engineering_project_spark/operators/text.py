@@ -246,3 +246,54 @@ def repetition_signals(
         & (F.col("symbol_ratio") <= 0.1)
     )
     return sig.withColumn("repetition_keep", keep)
+
+
+def corpus_dup_ngrams(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide duplicate n-gram profile (the Gopher-style quality
+    signal): per document, how many of its distinct n-grams occur in
+    at least one OTHER document. High dup_gram_frac marks boilerplate /
+    templated text that within-doc repetition signals (t7) and
+    token-level doc frequency (m5) both miss — the unit here is the
+    n-gram and the scope is the whole corpus.
+
+    Scale shape: the inverted-index pattern — shuffle carries
+    (md5(gram), doc_id) pairs only, never text; one groupBy on the
+    gram hash, one join back (AQE skew-join absorbs boilerplate
+    grams), one groupBy on doc_id. Short docs (< n tokens) have zero
+    grams and report frac 0.0 via the left join.
+    """
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(tokens(text_col), n)).alias("g"),
+        )
+        .select("doc_id", F.md5(F.col("g").cast("binary")).alias("h"))
+    )
+    counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_grams"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_shared_grams"), F.lit(0))
+        .cast("long")
+        .alias("n_shared_grams"),
+        F.when(
+            F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+            F.col("n_shared_grams").cast("double")
+            / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_frac"),
+    )

@@ -424,3 +424,44 @@ FROM sig
 )
 def t7_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_signals(table(spark, sf_dir, "documents"))
+
+
+# --- t8: corpus-wide duplicate n-gram profile ------------------------------
+
+T8_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         md5(unnest(list_distinct(
+           [array_to_string(t[i:i+2], ' ')
+            FOR i IN generate_series(1, len(t) - 2)]))) AS h
+  FROM toks
+), c AS (
+  SELECT h, count(*) AS df FROM g GROUP BY h
+), p AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (WHERE c.df > 1) AS BIGINT) AS n_shared_grams
+  FROM g JOIN c USING (h) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN CAST(p.n_shared_grams AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+            ELSE 0.0 END AS dup_gram_frac
+FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+"""
+
+
+@register(
+    "t8_corpus_dup_ngrams",
+    T8_ORACLE,
+    doc="corpus-wide duplicate 3-gram profile (Gopher-style boilerplate "
+    "signal): per doc, fraction of its distinct 3-grams appearing in "
+    "other docs - inverted-index shape, shuffle carries md5+doc_id "
+    "only; complements t7 (within-doc) and m5 (token doc frequency)",
+)
+def t8_corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.corpus_dup_ngrams(table(spark, sf_dir, "documents"))

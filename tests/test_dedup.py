@@ -139,3 +139,31 @@ def test_repetition_signals(spark):
     # symbol soup: symbol_ratio ~ 30/39, fails the C4-ish symbol gate
     assert out[4].symbol_ratio > 0.5
     assert out[4].repetition_keep is False
+
+
+def test_corpus_dup_ngrams_scope_and_edges(spark):
+    """Corpus-scope semantics: a gram shared ACROSS docs counts, a gram
+    repeated only WITHIN one doc does not (per-doc distinct), short and
+    empty docs report zero grams with frac 0.0."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        corpus_dup_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # grams: abc, bcd
+            (2, "a b c x"),          # grams: abc (shared w/ 1), bcx
+            (3, "q q q q q"),        # within-doc repeat only: qqq distinct once
+            (4, "x y"),              # < 3 tokens -> no grams
+            (5, ""),                 # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in corpus_dup_ngrams(docs).collect()}
+    assert len(out) == 5  # every doc present, incl. gram-less ones
+    assert out[1].n_grams == 2 and out[1].n_shared_grams == 1
+    assert out[1].dup_gram_frac == 0.5
+    assert out[2].n_shared_grams == 1
+    assert out[3].n_grams == 1 and out[3].n_shared_grams == 0  # no cross-doc
+    assert out[4].n_grams == 0 and out[4].dup_gram_frac == 0.0
+    assert out[5].n_grams == 0 and out[5].dup_gram_frac == 0.0
