@@ -353,3 +353,80 @@ def sketch_accuracy_report(
         _rank_ok("lt50", "le50", 0.5).alias("p50_rank_ok"),
         _rank_ok("lt99", "le99", 0.99).alias("p99_rank_ok"),
     )
+
+
+# --- ordered-funnel analysis -----------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Strict-order funnel conversion: per user, step i counts only if
+    an event of steps[i] occurs AFTER the first completion of
+    steps[i-1] (first-touch semantics, (ts, tiebreak) total order).
+    Output: one row per step with the user count that reached it — the
+    classic product-analytics conversion query.
+
+    Scale shape: ONE shuffle. Events are filtered to funnel types,
+    grouped per user into a time-sorted (ts, tiebreak, type) array,
+    and a codegen fold walks it carrying one timestamp per step —
+    per-user state is O(len(steps)), per-task memory is bounded by a
+    user's own funnel events. The window/self-join formulation (which
+    the DuckDB oracle deliberately uses as an INDEPENDENT mirror)
+    would shuffle per-step candidate sets instead.
+    """
+    ev = events.filter(F.col(type_col).isin(*steps)).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak).alias("tb"),
+        F.col(type_col).alias("et"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "tb", "et"))).alias("seq")
+    )
+    init = F.struct(
+        *[F.lit(None).cast("timestamp").alias(f"s{i}") for i in range(len(steps))]
+    )
+
+    def fold(acc, e):
+        fields = []
+        for i, name in enumerate(steps):
+            gate = acc[f"s{i}"].isNull() & (e["et"] == name)
+            if i > 0:
+                gate = gate & acc[f"s{i-1}"].isNotNull()
+            fields.append(
+                F.when(gate, e["ts"]).otherwise(acc[f"s{i}"]).alias(f"s{i}")
+            )
+        return F.struct(*fields)
+
+    state = per_user.select(
+        "user_id", F.aggregate("seq", init, fold).alias("st")
+    )
+    counts = state.agg(
+        *[
+            F.sum(F.when(F.col(f"st.s{i}").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, name in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select(
+        "r.step", "r.step_name", "r.n_users"
+    )

@@ -611,3 +611,57 @@ def a12_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --- a13: ordered funnel ---------------------------------------------------
+#
+# Oracle deliberately uses the OTHER standard formulation (per-step
+# first-completion via windows + strictly-after joins) so the Spark
+# fold and the SQL are independent derivations of the same semantics.
+
+A13_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), s0 AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+    FROM e WHERE event_type = 'view'
+  ) WHERE rn = 1
+), s1 AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT e.user_id, e.ts, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) rn
+    FROM e JOIN s0 ON e.user_id = s0.user_id
+    WHERE e.event_type = 'click'
+      AND (e.ts > s0.ts OR (e.ts = s0.ts AND e.event_id > s0.event_id))
+  ) WHERE rn = 1
+), s2 AS (
+  SELECT user_id FROM (
+    SELECT e.user_id,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) rn
+    FROM e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'purchase'
+      AND (e.ts > s1.ts OR (e.ts = s1.ts AND e.event_id > s1.event_id))
+  ) WHERE rn = 1
+)
+SELECT CAST(0 AS BIGINT) AS step, 'view' AS step_name,
+       CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', CAST((SELECT count(*) FROM s1) AS BIGINT)
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
+"""
+
+
+@register(
+    "a13_funnel",
+    A13_ORACLE,
+    doc="strict-order funnel (view -> click -> purchase, first-touch): "
+    "per-user time-sorted fold in ONE shuffle with O(steps) state; "
+    "oracle is the independent window/join formulation of the same "
+    "semantics",
+)
+def a13_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.funnel(table(spark, sf_dir, "events"))

@@ -115,3 +115,36 @@ def test_hour_partition_cols_zero_padded(spark):
     cols = hour_partition_cols("t")
     r = df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
     assert (r.year, r.month, r.day, r.hour) == ("2025", "07", "03", "04")
+
+
+def test_funnel_strict_order_semantics(spark):
+    """Funnel steps count only strictly after the FIRST completion of
+    the previous step: a click before any view is ignored, and a
+    purchase between view and click does not count."""
+    import datetime
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.analytics import (
+        funnel,
+    )
+
+    t0 = datetime.datetime(2025, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, ts(0), 1, "view"), (1, ts(1), 2, "click"), (1, ts(2), 3, "purchase"),
+        # user 2: click BEFORE view -> click/purchase never reached
+        (2, ts(0), 4, "click"), (2, ts(1), 5, "view"),
+        # user 3: purchase before click -> stops at click step unreached;
+        # then a later click counts, but no purchase after it
+        (3, ts(0), 6, "view"), (3, ts(1), 7, "purchase"), (3, ts(2), 8, "click"),
+        # user 4: non-funnel event types only
+        (4, ts(0), 9, "error"), (4, ts(1), 10, "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r.step_name: r.n_users for r in funnel(df).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
