@@ -430,3 +430,35 @@ def funnel(
     return counts.select(F.explode(rows).alias("r")).select(
         "r.step", "r.step_name", "r.n_users"
     )
+
+
+def cohort_retention(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the ISO
+    week (Monday-truncated) of their FIRST event; each (cohort_week,
+    week_offset) cell counts the cohort's users active in that week —
+    the standard retention triangle.
+
+    Determinism: week truncation and the day-difference `div 7` are
+    integer-exact and share the Monday convention with DuckDB's
+    date_trunc, so the oracle matches bit-for-bit. Scale: activity
+    dedups to (user, week) FIRST (the big reduction — raw events never
+    reach the join), then a per-user min, a user-keyed join, and a
+    final small groupBy onto cohort x offset cells.
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    activity = events.select(
+        F.col(user_col).alias("user_id"), wk.alias("week")
+    ).distinct()
+    first = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7").cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

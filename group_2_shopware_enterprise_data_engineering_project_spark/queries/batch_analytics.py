@@ -665,3 +665,32 @@ SELECT CAST(2 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM s2) AS BIGINT)
 )
 def a13_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.funnel(table(spark, sf_dir, "events"))
+
+
+# --- a14: weekly cohort retention ------------------------------------------
+
+A14_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), f AS (
+  SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT)
+           AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "a14_cohort_retention",
+    A14_ORACLE,
+    doc="weekly cohort retention triangle (first-event ISO-week cohorts, "
+    "distinct-active-users per cohort x offset cell): dedup to "
+    "(user, week) before any join so raw events never shuffle twice",
+)
+def a14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.cohort_retention(table(spark, sf_dir, "events"))

@@ -148,3 +148,39 @@ def test_funnel_strict_order_semantics(spark):
     )
     out = {r.step_name: r.n_users for r in funnel(df).collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_matrix(spark):
+    """Known retention triangle: cohort = first-activity week; offsets
+    count distinct active users, multiple events in a week count once."""
+    import datetime
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    mon = datetime.datetime(2025, 1, 6)  # a Monday
+
+    def ts(week, dow=0):
+        return mon + datetime.timedelta(weeks=week, days=dow)
+
+    rows = [
+        # cohort week 0: users 1, 2; user 1 returns weeks 1 and 2,
+        # user 2 only week 0 (3 events same week -> one active cell)
+        (1, ts(0)), (1, ts(1)), (1, ts(2)),
+        (2, ts(0)), (2, ts(0, 2)), (2, ts(0, 4)),
+        # cohort week 1: user 3, returns week 2
+        (3, ts(1, 3)), (3, ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_week.isoformat(), r.week_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    assert out == {
+        ("2025-01-06", 0): 2,
+        ("2025-01-06", 1): 1,
+        ("2025-01-06", 2): 1,
+        ("2025-01-13", 0): 1,
+        ("2025-01-13", 1): 1,
+    }
