@@ -353,6 +353,21 @@ class ParquetUpsertTable:
 
     # -- time travel + CDC over retained snapshots -----------------------
 
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Explicit retention control (the Delta VACUUM analog): drop
+        all but the newest `keep_last` committed snapshots and return
+        the versions removed. keep_last >= 1 always — the active
+        snapshot is never removable (time travel to vacuumed versions
+        raises, exactly like a vacuumed Delta table). Merges already
+        auto-prune to a depth-2 rollback window; vacuum is for
+        reclaiming space on long-retention tables or tightening to
+        keep_last=1 before an archival copy."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (active snapshot stays)")
+        before = self.versions()
+        self._prune(keep=keep_last)
+        return [v for v in before if v not in self.versions()]
+
     def versions(self) -> list[int]:
         """Committed snapshot versions still on disk, oldest first.
         Excludes orphaned future dirs (written but never committed —

@@ -338,3 +338,32 @@ def test_incremental_agg_matches_recompute_with_group_migration(spark):
     got = {r.g: (r.n_rows, r.value_cents) for r in maintained.collect()}
     want = {r.g: (r.n_rows, r.value_cents) for r in agg(new).collect()}
     assert got == want == {"a": (1, 100), "c": (1, 250)}  # b is gone
+
+
+def test_vacuum_retention_and_time_travel(spark, tmp_path):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    for i in range(4):
+        src = spark.createDataFrame(
+            [(1, i, f"v{i}")], "id long, ts long, v string"
+        )
+        t.upsert_replace(src, ("id",), "ts")
+    assert len(t.versions()) >= 2  # auto-prune keeps a rollback window
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.vacuum(keep_last=0)
+
+    removed = t.vacuum(keep_last=1)
+    kept = t.versions()
+    assert len(kept) == 1  # only the active snapshot remains
+    assert set(removed).isdisjoint(kept)
+    # active data intact; vacuumed versions refuse time travel
+    assert t.read().collect()[0].v == "v3"
+    if removed:
+        with _pytest.raises(ValueError):
+            t.read_version(removed[-1])
