@@ -616,6 +616,120 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cos_sim") >= threshold)
 
 
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def derive_semdedup_centroids(
+    n_rows: int,
+    target_cluster: int = TARGET_LIST_ROWS,
+    min_centroids: int = MIN_CENTROIDS,
+    max_centroids: int = MAX_CENTROIDS,
+) -> int:
+    """C = ceil(n / target_cluster), clamped. Unlike IVF's sqrt rule
+    (which balances probe cost vs list-scan cost), SemDedup's cluster
+    count must grow LINEARLY with the corpus: the within-cluster
+    self-join does O(size^2) work per cluster, so holding expected
+    cluster size constant (~target_cluster rows) keeps per-cluster
+    pair work bounded at any corpus scale — 10^9 vectors -> ~10^6
+    clusters of ~1k (capped at MAX_CENTROIDS, where the residual
+    oversize is absorbed by the salt-split cap instead)."""
+    import math
+
+    if n_rows <= 0:
+        return min_centroids
+    return max(
+        min_centroids, min(max_centroids, math.ceil(n_rows / target_cluster))
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int | None = None,
+    centroids: DataFrame | None = None,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine.
+
+    Each vector keeps unless some LOWER-id vector in its cluster is
+    more similar than `threshold` — the lowest id in any semantic
+    duplicate group survives as the representative, exactly the
+    keep-one-per-group rule of the paper (which keeps one point per
+    high-similarity pair within each cluster; id order stands in for
+    the paper's arbitrary choice, making the result deterministic).
+
+    Scale shape (the reason this beats all-pairs near-dup for SEMANTIC
+    — mid-similarity — dedup, where LSH recall collapses):
+    - centroids are a trained sampled-k-means model (`kmeans_centroids`
+      — driver-small, broadcast);
+    - assignment is the zero-shuffle packed-centroid fold
+      (`_assign_nearest`);
+    - the only wide exchange is the self-join's shuffle on
+      centroid_id, with cluster count derived linearly from corpus
+      size (`derive_semdedup_centroids`) so expected per-cluster work
+      is constant, and `_salted_pair_tasks` hard-capping any skewed
+      cluster at ~bucket_cap^2 candidate pairs per task;
+    - the shuffle carries (vec_id, v, cluster) — vectors, not
+      payloads, and only cluster-mates ever meet.
+
+    Returns one row per input vector: (vec_id, centroid_id,
+    max_lower_sim, keep) — max_lower_sim is NULL when no lower-id
+    cluster-mate exists (cluster representatives), and such rows
+    always keep.
+    """
+    if centroids is None:
+        if n_centroids is None:
+            n_centroids = derive_semdedup_centroids(emb.count())
+        centroids = kmeans_centroids(emb, n_centroids=n_centroids)
+    assigned = ivf_assign(emb, centroids=centroids).persist()
+    bucketed = assigned.select(
+        "vec_id", "v", F.col("centroid_id").alias("bucket")
+    )
+    tasks = _salted_pair_tasks(bucketed, bucket_cap)
+    a, b = tasks.alias("a"), tasks.alias("b")
+    # Same lossless sub-task enumeration as embedding_near_dup_pairs;
+    # orientation matters here: the HIGHER id of each pair is the dup
+    # candidate, so attribute the similarity to greatest(vec_id).
+    pair_sims = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a._i") == F.col("b._i"))
+        & (F.col("a._j") == F.col("b._j"))
+        & (F.col("a._g") == F.col("a._i"))
+        & (F.col("b._g") == F.col("b._j"))
+        & (
+            (F.col("a._i") != F.col("a._j"))
+            | (F.col("a.vec_id") < F.col("b.vec_id"))
+        ),
+    ).select(
+        F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id"),
+        (
+            dot(F.col("a.v"), F.col("b.v"))
+            / (l2_norm(F.col("a.v")) * l2_norm(F.col("b.v")))
+        ).alias("sim"),
+    )
+    # max() is order-free, so the reduced column is exactly
+    # reproducible cross-engine; NaN (zero-norm vectors) ranks largest
+    # in BOTH Spark and DuckDB max/comparison semantics.
+    max_lower = pair_sims.groupBy("vec_id").agg(
+        F.max("sim").alias("max_lower_sim")
+    )
+    out = (
+        assigned.join(max_lower, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "max_lower_sim",
+            (
+                F.col("max_lower_sim").isNull()
+                | (F.col("max_lower_sim") < F.lit(threshold))
+            ).alias("keep"),
+        )
+    )
+    return out
+
+
 def _salted_pair_tasks(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
     """Explode each bucket's rows into self-join sub-task assignments.
 

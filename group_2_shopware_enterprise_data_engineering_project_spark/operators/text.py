@@ -14,7 +14,7 @@ Swap `tokens()` for a regex/BPE tokenizer without touching the rest.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
@@ -296,4 +296,68 @@ def corpus_dup_ngrams(
         )
         .otherwise(F.lit(0.0))
         .alias("dup_gram_frac"),
+    )
+
+
+SPAN_WORDS = 10
+
+
+def dedup_spans(
+    docs: DataFrame,
+    span_words: int = SPAN_WORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicate-SPAN removal (CCNet-style paragraph
+    dedup, Wenzek et al. 2020 §4.1 — there the unit is the paragraph;
+    this corpus has no paragraph breaks, so the unit is a fixed
+    non-overlapping window of `span_words` whitespace tokens).
+
+    Every span that occurs anywhere else in the corpus keeps exactly
+    its FIRST occurrence — ordered by (doc_id, span_idx), so the rule
+    is deterministic — and is dropped from every later document, then
+    documents are reassembled from their surviving spans. This removes
+    boilerplate (headers, navbars, license blocks) that document-level
+    dedup (t4/minhash/simhash) cannot touch because the containing
+    documents differ.
+
+    Scale shape: two shuffles, both unavoidable for a rewrite —
+    (1) first-occurrence ranking partitions by the span's md5 digest
+    (128-bit key; boilerplate spans are exactly the hot keys, and AQE
+    skew handling splits them), (2) document reassembly partitions by
+    doc_id. The span text rides along only for the rebuild; the
+    ranking key itself is the fixed-width digest, never raw text.
+    Output: (doc_id, clean_text, n_spans, n_dropped) — one row per
+    input document, clean_text == '' when every span was dropped.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
+    span_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "
+        ),
+    )
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(span_arr).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy(F.md5(F.col("span").cast("binary"))).orderBy(
+        "doc_id", "span_idx"
+    )
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("span_idx", "span")
+    )  # collect_list skips the NULLs for dropped spans
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["span"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
     )

@@ -383,17 +383,20 @@ def _km_update_cte(assign_src: str) -> str:
   ) GROUP BY centroid_id"""
 
 
-def _e9_oracle() -> str:
+def _km_training_ctes(c_sql: str) -> str:
+    """Shared WITH-clause body: deterministic sample, first-C seed,
+    KMEANS_ITERS unrolled Lloyd iterations, full-corpus `assigned`
+    (vec_id, v, centroid_id). `c_sql` is the centroid-count derivation
+    (e9: sqrt rule; e11 SemDedup: linear rule) — the only difference
+    between the two training oracles."""
     iter_ctes = []
     prev = "seed"
     for it in range(1, similarity.KMEANS_ITERS + 1):
         iter_ctes.append(f"a{it} AS ({_km_assign_cte('samp', prev)}\n)")
         iter_ctes.append(f"c{it} AS ({_km_update_cte(f'a{it}')}\n)")
         prev = f"c{it}"
-    return f"""
-WITH params AS (
-  SELECT GREATEST({similarity.MIN_CENTROIDS}, LEAST({similarity.MAX_CENTROIDS},
-         CAST(ceil(sqrt(count(*))) AS INT))) AS c
+    return f"""params AS (
+  SELECT {c_sql} AS c
   FROM embeddings
 ), samp AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -409,7 +412,18 @@ WITH params AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), assigned AS ({_km_assign_cte('corpus', prev)}
-), cands AS (
+)"""
+
+
+_E9_C_SQL = (
+    f"GREATEST({similarity.MIN_CENTROIDS}, LEAST({similarity.MAX_CENTROIDS}, "
+    "CAST(ceil(sqrt(count(*))) AS INT)))"
+)
+
+
+def _e9_oracle() -> str:
+    return f"""
+WITH {_km_training_ctes(_E9_C_SQL)}, cands AS (
   -- n_probe = 1: each query's probe list IS its assigned centroid
   SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
          {_cos_sql('q.v', 'a.v')} AS cos_sim
@@ -497,3 +511,53 @@ def e10_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K
     )
     return out.select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+# --- e11: SemDedup — k-means clusters + within-cluster cosine dedup --------
+#
+# Same training CTEs as e9 but with the LINEAR centroid-count rule
+# (clusters grow with the corpus so within-cluster pair work per
+# cluster stays constant — see similarity.derive_semdedup_centroids).
+# The dedup rule itself: a vector drops iff some LOWER-id cluster-mate
+# has cosine >= threshold; the lowest id in a duplicate group is the
+# surviving representative.
+
+_E11_C_SQL = (
+    f"GREATEST({similarity.MIN_CENTROIDS}, LEAST({similarity.MAX_CENTROIDS}, "
+    f"CAST(ceil(count(*) / {similarity.TARGET_LIST_ROWS}.0) AS INT)))"
+)
+
+_E11_THRESH = f"CAST({similarity.SEMDEDUP_THRESHOLD!r} AS DOUBLE)"
+
+
+def _e11_oracle() -> str:
+    return f"""
+WITH {_km_training_ctes(_E11_C_SQL)}, pair_sims AS (
+  SELECT b.vec_id AS vec_id, {_cos_sql('a.v', 'b.v')} AS sim
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+), ml AS (
+  SELECT vec_id, max(sim) AS max_lower_sim FROM pair_sims GROUP BY vec_id
+)
+SELECT s.vec_id, CAST(s.centroid_id AS BIGINT) AS centroid_id,
+       ml.max_lower_sim,
+       (ml.max_lower_sim IS NULL OR ml.max_lower_sim < {_E11_THRESH}) AS keep
+FROM assigned s LEFT JOIN ml ON s.vec_id = ml.vec_id
+"""
+
+
+@register(
+    "e11_semdedup",
+    _e11_oracle(),
+    doc="SemDedup (Abbas et al. 2023): trained k-means clusters + "
+    "within-cluster cosine; a vector drops iff a lower-id cluster-mate "
+    "is more similar than the threshold (lowest id survives as the "
+    "group representative). Cluster count grows linearly with corpus "
+    "size and skewed clusters salt-split, so per-task pair work is "
+    "bounded at any scale — the semantic-dedup stage LSH cannot serve "
+    "(mid-similarity pairs have near-zero bucket-collision recall)",
+)
+def e11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.semdedup(emb)
+    return out.select("vec_id", "centroid_id", "max_lower_sim", "keep")

@@ -465,3 +465,41 @@ FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
 )
 def t8_corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_dup_ngrams(table(spark, sf_dir, "documents"))
+
+
+_SW = text.SPAN_WORDS
+
+T9_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(
+           list_slice(w, i * {_SW} + 1, (i + 1) * {_SW}), ' ') AS span
+  FROM s, unnest(range(CAST(ceil(len(w) / {_SW}.0) AS BIGINT))) t(i)
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                           ORDER BY span_idx), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY doc_id
+"""
+
+
+@register(
+    "t9_dedup_spans",
+    T9_ORACLE,
+    doc="CCNet-style duplicate-span removal (Wenzek et al. 2020): "
+    "every 10-word span keeps only its first corpus occurrence "
+    "(doc_id, span_idx order) and documents are reassembled from "
+    "surviving spans - removes cross-document boilerplate that "
+    "document-level dedup cannot; ranking shuffles span digests, "
+    "reassembly shuffles doc_id",
+)
+def t9_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dedup_spans(table(spark, sf_dir, "documents"))

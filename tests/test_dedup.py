@@ -167,3 +167,33 @@ def test_corpus_dup_ngrams_scope_and_edges(spark):
     assert out[3].n_grams == 1 and out[3].n_shared_grams == 0  # no cross-doc
     assert out[4].n_grams == 0 and out[4].dup_gram_frac == 0.0
     assert out[5].n_grams == 0 and out[5].dup_gram_frac == 0.0
+
+
+def test_dedup_spans_removes_cross_doc_boilerplate(spark):
+    """The CCNet rule: a repeated span keeps only its first (doc_id,
+    span_idx) occurrence; documents rebuild from surviving spans in
+    original order."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        dedup_spans,
+    )
+
+    boiler = "b1 b2 b3"  # one span at span_words=3
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} u1 u2 u3"),           # first occurrence -> keeps all
+            (2, f"{boiler} v1 v2 v3"),           # later occurrence -> drops span 0
+            (3, f"w1 w2 w3 {boiler}"),           # drops span 1, keeps span 0
+            (4, boiler),                          # everything drops -> empty text
+            (5, "solo"),                          # short doc, 1 partial span
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_spans(docs, span_words=3).collect()}
+    assert len(out) == 5
+    assert out[1].clean_text == f"{boiler} u1 u2 u3" and out[1].n_dropped == 0
+    assert out[2].clean_text == "v1 v2 v3" and out[2].n_dropped == 1
+    assert out[3].clean_text == "w1 w2 w3" and out[3].n_dropped == 1
+    assert out[4].clean_text == "" and out[4].n_dropped == 1
+    assert out[5].clean_text == "solo" and out[5].n_spans == 1
+    # span accounting: n_spans counts pre-drop spans
+    assert out[1].n_spans == 2 and out[2].n_spans == 2

@@ -349,3 +349,67 @@ def test_multiprobe_recall_dominates_single_bucket(emb):
     # the planted near-neighbor of query 0 must survive multiprobe
     top1 = [r for r in multi if r.query_id == 0 and r.rank == 1]
     assert top1 and top1[0].neighbor_id == 1
+
+
+def test_semdedup_drops_planted_dups_keeps_lowest_id(spark):
+    """Planted near-duplicate groups: every group's lowest id survives,
+    every higher-id member with cosine >= threshold to it drops."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, DIM)
+    rows = []
+    vid = 0
+    dup_of = {}
+    for g in range(6):
+        for j in range(3):  # ids 3g..3g+2 are near-dups of each other
+            rows.append((vid, base[g] + 0.001 * rng.randn(DIM)))
+            if j > 0:
+                dup_of[vid] = 3 * g
+            vid += 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in similarity.semdedup(df, threshold=0.95).collect()}
+    assert len(out) == vid  # one verdict per input vector
+    for i in range(vid):
+        if i in dup_of:
+            assert not out[i].keep, i
+            assert out[i].max_lower_sim >= 0.95
+        else:
+            assert out[i].keep, i  # group representative (lowest id)
+
+
+def test_semdedup_max_lower_sim_matches_numpy(clustered_emb):
+    """Within whatever clusters k-means produced, max_lower_sim must be
+    the exact max cosine to lower-id cluster-mates (and keep its
+    threshold complement) — verifies the pair join + order-free max."""
+    df, vecs = clustered_emb
+    thr = 0.6
+    out = similarity.semdedup(df, threshold=thr, n_centroids=8).collect()
+    # the DataFrame stores float32; round-trip so numpy sees the same bits
+    v = vecs.astype(np.float32).astype(np.float64)
+    sims = (v @ v.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    cluster = {r.vec_id: r.centroid_id for r in out}
+    for r in out:
+        lower = [
+            i for i in range(len(vecs))
+            if i < r.vec_id and cluster[i] == r.centroid_id
+        ]
+        if not lower:
+            assert r.max_lower_sim is None and r.keep
+        else:
+            expect = max(sims[r.vec_id][i] for i in lower)
+            assert math.isclose(r.max_lower_sim, expect, rel_tol=1e-9)
+            assert r.keep == (r.max_lower_sim < thr)
+
+
+def test_derive_semdedup_centroids_linear_policy():
+    assert similarity.derive_semdedup_centroids(500) == similarity.MIN_CENTROIDS
+    assert similarity.derive_semdedup_centroids(10**6) == math.ceil(
+        10**6 / similarity.TARGET_LIST_ROWS
+    )
+    assert (
+        similarity.derive_semdedup_centroids(10**12) == similarity.MAX_CENTROIDS
+    )
