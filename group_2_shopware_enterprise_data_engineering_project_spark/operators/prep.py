@@ -533,3 +533,71 @@ def chunk_documents(
         F.array_join(window, " ").alias("chunk_text"),
         F.size(window).cast("long").alias("n_tokens"),
     )
+
+
+N_SHARDS = 8
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = N_SHARDS,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data
+    writes: shard = md5_16(salt ':' key) mod n_shards (a pure
+    projection — assigning 100 TB to shards costs one codegen'd map,
+    like `split_assign`), plus shard_pos = the row's rank within its
+    shard under the same hash order. The (shard, shard_pos) pair IS
+    the reproducible random order data loaders need: independent of
+    input partitioning, stable across runs/engines, and adding new
+    rows never permutes the relative order of existing ones within a
+    shard (md5 order is fixed per key).
+
+    Scale shape: one shuffle on the shard key. Within-shard ranking
+    sorts per shard in a task, so n_shards should scale with corpus
+    size (shard ~ a few GB); writers that only need shard-local order
+    can skip the rank and `repartition(shard).sortWithinPartitions(h)`
+    instead — same order, no row numbers.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(n_shards)
+    )
+    out = df.withColumn("_h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        out.withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )
+
+
+def group_quantile_filter(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    q: float = 0.25,
+) -> DataFrame:
+    """Per-group adaptive threshold filter: compute the exact q-th
+    percentile of `value_col` WITHIN each group and flag rows at or
+    above their own group's threshold. This is the per-domain quality
+    cut of training-data pipelines (per-source perplexity / length
+    cutoffs a la CCNet): a global threshold over-prunes strict-format
+    sources and under-prunes noisy ones; per-group quantiles adapt.
+
+    Scale shape: the threshold table is one row per group (a dimension
+    by construction) — groups aggregate in one shuffle with map-side
+    partial percentile buffers, then the per-row flag is a broadcast
+    join, so the corpus itself never reshuffles. Exact interpolated
+    percentile matches SQL quantile_cont bit-for-bit (see m10);
+    sketch-based `percentile_approx` is the drop-in at extreme group
+    cardinality.
+    """
+    th = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(q)).alias("q_threshold")
+    )
+    return df.join(F.broadcast(th), group_col).select(
+        *df.columns,
+        "q_threshold",
+        (F.col(value_col).cast("double") >= F.col("q_threshold")).alias("keep"),
+    )

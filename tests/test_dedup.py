@@ -197,3 +197,29 @@ def test_dedup_spans_removes_cross_doc_boilerplate(spark):
     assert out[5].clean_text == "solo" and out[5].n_spans == 1
     # span accounting: n_spans counts pre-drop spans
     assert out[1].n_spans == 2 and out[2].n_spans == 2
+
+
+def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),  # tf(common)=3 but df=3
+            (2, "common rare2"),
+            (3, "common zzz zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.rank] = r
+    # doc 1: tf=3 * 4/4 = 3.0 for 'common' vs tf=1 * 4/2 = 2.0 for rare1
+    assert by_doc[1][1].term == "common" and by_doc[1][1].weight == 3.0
+    assert by_doc[1][2].term == "rare1" and by_doc[1][2].weight == 2.0
+    # doc 3: doc-unique repeated term dominates the ubiquitous one
+    assert by_doc[3][1].term == "zzz"
+    assert by_doc[3][1].weight == 2 * 4.0 / 2.0
+    assert all(max(d) <= 2 for d in by_doc.values())  # k enforced

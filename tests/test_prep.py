@@ -498,3 +498,66 @@ def test_chunk_documents_rejects_bad_overlap(spark):
 def test_chunk_documents_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert "Exchange" not in _plan(prep.chunk_documents(docs))
+
+
+def test_shard_assign_deterministic_balanced_and_single_shuffle(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out1 = prep.shard_assign(df, "k", n_shards=8).collect()
+    out2 = prep.shard_assign(df, "k", n_shards=8).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_shard = {}
+    for r in out1:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert set(by_shard) <= set(range(8))
+    # hash balance: no shard takes more than 3x its fair share
+    assert max(len(v) for v in by_shard.values()) < 3 * 1000 / 8
+    # shard_pos is a dense 1..n rank within each shard
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # shard assignment itself is a projection; ranking is the only shuffle
+    plan = _plan(prep.shard_assign(df, "k"))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_shard_assign_order_stable_under_growth(spark):
+    """Adding rows must never permute the relative order of existing
+    rows within a shard (md5 order is per-key) — the property that
+    makes shard manifests append-friendly."""
+    small = spark.range(100).withColumnRenamed("id", "k")
+    big = spark.range(200).withColumnRenamed("id", "k")
+    o_small = prep.shard_assign(small, "k").collect()
+    o_big = prep.shard_assign(big, "k").collect()
+
+    def rel_order(rows, universe):
+        by_shard = {}
+        for r in sorted(rows, key=lambda r: (r.shard, r.shard_pos)):
+            if r.k in universe:
+                by_shard.setdefault(r.shard, []).append(r.k)
+        return by_shard
+
+    keys = {r.k for r in o_small}
+    assert rel_order(o_small, keys) == rel_order(o_big, keys)
+
+
+def test_group_quantile_filter_per_group_thresholds(spark):
+    rows = [(i, "a", float(i)) for i in range(1, 5)]        # a: 1..4, p50=2.5
+    rows += [(i, "b", float(100 + i)) for i in range(1, 5)]  # b: 101..104
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = {
+        (r.grp, r.id): r
+        for r in prep.group_quantile_filter(df, "v", "grp", q=0.5).collect()
+    }
+    assert len(out) == 8
+    assert not out[("a", 1)].keep and not out[("a", 2)].keep
+    assert out[("a", 3)].keep and out[("a", 4)].keep
+    # group b's threshold adapts: its small values still keep vs group a's scale
+    assert not out[("b", 1)].keep and out[("b", 3)].keep
+    assert out[("a", 3)].q_threshold == 2.5
+
+
+def test_group_quantile_filter_broadcasts_thresholds(spark):
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(50)], "id long, grp string, v double"
+    )
+    plan = _plan(prep.group_quantile_filter(df, "v", "grp"))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
