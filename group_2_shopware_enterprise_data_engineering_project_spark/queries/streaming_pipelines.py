@@ -465,3 +465,98 @@ def pipe_crm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("channel").isNull().cast("long")).alias("n_null_channel"),
     )
+
+
+# --- ST9: streaming sessionization (native session_window) ----------------
+
+# The oracle is the m9 batch derivation PLUS the append-mode emission
+# rule probed on this Spark version: with a 0-second watermark and an
+# availableNow drain, a session emits iff its window end (last event +
+# gap) <= the max event time observed — inclusive boundary. Input
+# files are time-range buckets with strictly increasing mtimes, so the
+# per-batch watermark never outruns a later batch's events (no
+# late-drop divergence from the batch computation).
+ST9_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *,
+         CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_seq
+  FROM seq
+), sess AS (
+  SELECT user_id,
+         min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end_gap,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s
+  GROUP BY user_id, session_seq
+)
+SELECT * FROM sess
+WHERE session_end_gap <= (SELECT max(ts) FROM events)
+"""
+
+
+@register(
+    "st9_stream_sessions",
+    ST9_ORACLE,
+    doc="streaming sessionization: native session_window + 0s watermark "
+    "over 3 time-ordered file micro-batches, availableNow drain - "
+    "sessions merge across batches in bounded state and emit exactly "
+    "once when the watermark passes; oracle = m9 batch derivation + "
+    "the probed inclusive emission boundary (end <= max event time)",
+)
+def st9_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        run_available_now,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.sessions import (
+        stream_session_metrics,
+    )
+
+    base = _tmp("st9")
+    src, ckpt, out = f"{base}/in", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+    events = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    # 3 time-range buckets (value cuts, so equal timestamps never split
+    # across batches) written with strictly increasing mtimes: batch k's
+    # watermark can never exceed batch k+1's earliest event.
+    t1, t2 = events.select(
+        F.percentile("ts_us", F.lit(1.0 / 3)).cast("long"),
+        F.percentile("ts_us", F.lit(2.0 / 3)).cast("long"),
+    ).first()
+    bucket = (
+        F.when(F.col("ts_us") < t1, 0)
+        .when(F.col("ts_us") < t2, 1)
+        .otherwise(2)
+    )
+    for b in range(3):
+        stage = f"{base}/stage_{b}"
+        events.filter(bucket == b).coalesce(1).write.mode("overwrite").json(stage)
+        part = next(n for n in os.listdir(stage) if n.endswith(".json"))
+        dest = os.path.join(src, f"b{b}.json")
+        shutil.move(os.path.join(stage, part), dest)
+        t = os.path.getmtime(dest)
+        os.utime(dest, (t + 10 * b, t + 10 * b))
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts_us", T.LongType())]
+    )
+    stream = stream_json_source(spark, src, schema, max_files_per_trigger=1)
+    sessions = stream_session_metrics(
+        stream.withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    run_available_now(
+        sessions, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
+    )
+    return spark.read.parquet(out)

@@ -507,3 +507,53 @@ def test_kafka_source_plan_when_connector_present(spark):
     df = stream_kafka_source(spark, "localhost:9092", "events", schema)
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["k", "v"]
+
+
+def test_stream_sessions_merge_across_batches(spark, tmp_path):
+    """A session whose events span two micro-batches must emit as ONE
+    row (state-store merge), and sessions still extendable at stream
+    end must NOT emit (the probed append-mode emission rule)."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        run_available_now,
+        stream_json_source,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.sessions import (
+        stream_session_metrics,
+    )
+
+    src = tmp_path / "in"
+    # user 1: events at t=0s (batch 1) and t=600s (batch 2) — within the
+    # 30-min gap, so they MERGE across the batch boundary.
+    # user 2: event at t=10000s — the max event; its session end
+    # (10000 + 1800) exceeds the final watermark, so it must be held.
+    _write_jsonl(src / "f1.jsonl", [{"user_id": 1, "ts_us": 0}])
+    _write_jsonl(
+        src / "f2.jsonl",
+        [{"user_id": 1, "ts_us": 600_000_000}, {"user_id": 2, "ts_us": 10_000_000_000}],
+    )
+    t0 = _time.time()
+    os.utime(src / "f1.jsonl", (t0, t0))
+    os.utime(src / "f2.jsonl", (t0 + 10, t0 + 10))
+
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts_us", T.LongType())]
+    )
+    stream = stream_json_source(spark, str(src), schema, max_files_per_trigger=1)
+    sessions = stream_session_metrics(
+        stream.withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    out = str(tmp_path / "out")
+    run_available_now(
+        sessions,
+        str(tmp_path / "ckpt"),
+        lambda df, _bid: df.write.mode("append").parquet(out),
+    )
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1  # user 2's open session held in state
+    r = rows[0]
+    assert r.user_id == 1 and r.n_events == 2
+    assert (r.session_end_gap - r.session_start).total_seconds() == 600 + 1800
