@@ -1,0 +1,71 @@
+"""Interval (range) join without an equi-key, made shuffle-joinable by
+time binning.
+
+Spark has no native interval join: ``points JOIN intervals ON start <=
+ts AND ts < end`` with no equality conjunct plans as a nested-loop
+join (BroadcastNestedLoopJoin when one side is small, else a cartesian
+product) — a scale-killer the moment both sides are large. The
+standard fix (used by every stream processor's interval join and by
+Spark's own range-join hints in closed-source forks) is to
+discretize time into fixed bins, explode each interval into the bins
+it covers, tag each point with its single containing bin, and
+equi-join on the bin id — a plain hash/sort-merge join that
+hash-partitions both sides, followed by the exact range predicate as
+a cheap post-join filter.
+
+Correctness: bins partition the timeline, a point lives in exactly one
+bin, and an interval is replicated into every bin it overlaps — so
+every true (point, interval) pair meets in the point's bin exactly
+once. No dedup step is needed.
+
+Scale shape: replication factor per interval is
+``ceil(len/bin) + 1`` — pick ``bin_seconds`` near the typical interval
+length so the factor stays ~2. The join shuffles (bin_id) on both
+sides; skewed bins (a hot hour) are ordinary join skew handled by AQE
+skew-join splitting, because the bin id is the join key, not a
+payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= point_ts < end``, via an equi-join on time bins.
+
+    Column name collisions between the two inputs are the caller's
+    responsibility (select/alias before calling).
+    """
+    if bin_seconds <= 0:
+        raise ValueError("bin_seconds must be positive")
+    b = F.lit(bin_seconds).cast("long")
+
+    pts = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(point_ts)) / b).cast("long")
+    )
+    ivs = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                # end is exclusive: an interval ending exactly on a bin
+                # boundary does not reach into that bin
+                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / b).cast("long"),
+            )
+        ),
+    )
+    joined = pts.join(ivs, "_bin", how).where(
+        (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_bin")

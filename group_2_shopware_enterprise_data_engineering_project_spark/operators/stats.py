@@ -1,0 +1,192 @@
+"""Distribution statistics operators: key-skew profiling, group-wise
+OLS regression, and winsorized summaries.
+
+All three follow the repo's exact-arithmetic discipline (PERF.md,
+`analytics.sales_kpi`): aggregate in order-independent integer sums
+(BIGINT), do floating-point work only in deterministic single
+IEEE-754 expressions over those exact sums — +, -, *, / are
+exactly-rounded per IEEE, so a Spark plan and a DuckDB oracle that
+evaluate the SAME expression tree over the SAME integers produce
+bit-identical doubles. Sums of doubles (partition-order-dependent)
+and transcendental functions (ln/exp differ in the last ulp across
+libm implementations) never appear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Heavy-hitter profile for a prospective join/partition key.
+
+    Returns the top-N keys by row count with each key's share of the
+    table and its ratio to the mean per-key count — the two numbers
+    that decide whether a key needs salting / AQE skew handling before
+    it becomes a shuffle key at scale.
+
+    Scale shape: one map-side-combined groupBy(key) — the only shuffle
+    carries (key, count) pairs, never rows — then a rank-N cut
+    (TakeOrderedAndProject for small N) and a broadcast of the two
+    scalar totals. This is the profile you run BEFORE choosing a
+    partitioning, so it must itself be skew-proof: it is, because
+    counts combine map-side and the hot key contributes one row per
+    input partition to the shuffle.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key_value")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n_keys"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key_value").asc())
+    top = (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .join(F.broadcast(totals))
+    )
+    return top.select(
+        "rank",
+        "key_value",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("_total").cast("double")).alias("share"),
+        (
+            F.col("cnt").cast("double")
+            * F.col("_n_keys").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("ratio_to_avg"),
+    )
+
+
+def group_ols(
+    df: DataFrame,
+    group_col: str,
+    x_int: Column,
+    y_int: Column,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit (slope / intercept / r²)
+    from exact integer sufficient statistics.
+
+    ``x_int`` / ``y_int`` must be integer-valued expressions (cast or
+    scale to integer units first — e.g. money in cents). The five
+    sufficient sums n, Σx, Σy, Σxy, Σxx, Σyy are BIGINT — exact and
+    order-independent — and the closed forms
+
+        slope = (nΣxy − ΣxΣy) / (nΣxx − Σx²)
+        intercept = (Σy − slope·Σx) / n
+        r² = (nΣxy − ΣxΣy)² / ((nΣxx − Σx²)(nΣyy − Σy²))
+
+    are evaluated in doubles OVER the exact sums (products like nΣxy
+    can exceed int64, so each sum is cast to double first; a sum like
+    Σy² may exceed 2⁵³, in which case the cast is no longer exact —
+    but exactly-rounded casts of identical integers are still
+    bit-identical across engines, which is the property that matters). This is why
+    the built-in ``regr_slope``-family aggregates are NOT used: they
+    accumulate doubles in partition order, which is not reproducible
+    across engines or even across runs.
+
+    One map-side-combined shuffle on the group key; nothing else.
+    """
+    x = x_int.cast("long")
+    y = y_int.cast("long")
+    sums = df.groupBy(F.col(group_col).alias("group_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    cov_n = nd * sxyd - sxd * syd
+    var_x = nd * sxxd - sxd * sxd
+    var_y = nd * syyd - syd * syd
+    slope = cov_n / var_x
+    return sums.select(
+        "group_key",
+        "n",
+        slope.alias("slope"),
+        ((syd - slope * sxd) / nd).alias("intercept"),
+        (cov_n * cov_n / (var_x * var_y)).alias("r2"),
+    )
+
+
+def winsorized_summary(
+    df: DataFrame,
+    group_col: str,
+    value_int: Column,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized sum: clamp each value to the group's
+    [q_lo, q_hi] *discrete* quantiles (the k-th smallest actual value,
+    k = ceil(q·n)), then aggregate.
+
+    Discrete (type-1) quantiles instead of interpolated ones on
+    purpose: the threshold is an actual data value, so both engines
+    agree on it EXACTLY — interpolated quantiles (`percentile`,
+    `quantile_cont`) compute ``a + (b−a)·f`` vs ``(1−f)·a + f·b``
+    in different engines, and the ulp difference can flip a clamp
+    comparison. ``value_int`` must be an integer-valued expression
+    (scale money to cents first); the clamped sum is then a BIGINT —
+    exact and order-independent.
+
+    Scale shape: one shuffle on the group key feeds BOTH the two
+    rank-window passes and the final aggregation (same partitioning,
+    Catalyst reuses the exchange). Per-task memory is a sort of one
+    group's rows — the same bound as any per-group window; groups too
+    hot for that need pre-aggregation by (group, value) first, which
+    this operator does: ranks are computed over (group, value, count)
+    run-length pairs, not raw rows.
+    """
+    v = value_int.cast("long")
+    g = F.col(group_col).alias("group_key")
+
+    # run-length compress per (group, value) so the window sorts
+    # distinct values, not raw rows (bounds per-task memory on groups
+    # with many repeated values)
+    rl = df.groupBy(g, v.alias("val")).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("group_key").orderBy("val")
+    ranked = rl.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("group_key"))
+    )
+    # k-th smallest (k = ceil(q*n)) = first value whose cumulative
+    # count reaches k; "cum - c < k <= cum" selects exactly one row
+    k_lo = F.ceil(F.lit(q_lo) * F.col("n").cast("double")).cast("long")
+    k_hi = F.ceil(F.lit(q_hi) * F.col("n").cast("double")).cast("long")
+    thresholds = ranked.groupBy("group_key").agg(
+        F.min(
+            F.when((F.col("cum") - F.col("c") < k_lo) & (k_lo <= F.col("cum")), F.col("val"))
+        ).alias("lo"),
+        F.min(
+            F.when((F.col("cum") - F.col("c") < k_hi) & (k_hi <= F.col("cum")), F.col("val"))
+        ).alias("hi"),
+    )
+    clamped = rl.join(thresholds, "group_key").select(
+        "group_key",
+        "c",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("val"))).alias("cv"),
+        (F.col("val") < F.col("lo")).alias("is_lo"),
+        (F.col("val") > F.col("hi")).alias("is_hi"),
+        "lo",
+        "hi",
+    )
+    return clamped.groupBy("group_key").agg(
+        F.sum("c").alias("n"),
+        F.min("lo").alias("lo_value"),
+        F.min("hi").alias("hi_value"),
+        F.sum(F.col("cv") * F.col("c")).alias("winsorized_sum"),
+        F.sum(F.when(F.col("is_lo"), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_clamped_lo"
+        ),
+        F.sum(F.when(F.col("is_hi"), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_clamped_hi"
+        ),
+    )

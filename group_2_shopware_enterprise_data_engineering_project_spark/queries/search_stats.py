@@ -1,0 +1,351 @@
+"""Search, distribution-statistics, range-join, and rollup-cascade
+queries with DuckDB oracles.
+
+Float discipline (see `operators/stats.py` module docstring): every
+oracle evaluates the SAME IEEE-754 expression tree over the SAME
+exact integer sums as the Spark plan, and float literals that are
+*computed* in Python (e.g. k1+1) are interpolated into the SQL via
+``repr`` so both engines parse the identical double — ``1.2 + 1.0``
+in binary is NOT the double that the literal ``2.2`` parses to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    rangejoin,
+    rollup,
+    search,
+    stats,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+
+# --- J4: interval join without an equi-key (binned) ---------------------
+
+J4_ORACLE = """
+SELECT o_orderkey,
+       o_orderdate AS window_start,
+       CAST(count(*) AS BIGINT) AS n_shipped,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM orders JOIN lineitem
+  ON o_orderdate <= l_shipdate AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1, 2
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "j4_range_join",
+    J4_ORACLE,
+    doc="interval join with NO equi-key (urgent-order 7-day windows x "
+    "lineitem ship events) via time-bin explode + hash join — the "
+    "nested-loop-free plan; bin = window length so replication <= 2x",
+)
+def j4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    intervals = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("window_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("window_end"),
+        )
+    )
+    joined = rangejoin.interval_join_binned(
+        lineitem,
+        intervals,
+        point_ts="l_shipdate",
+        start_col="window_start",
+        end_col="window_end",
+        bin_seconds=7 * 86400,
+    )
+    return joined.groupBy("o_orderkey", "window_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipped"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+    )
+
+
+# --- A15: key-skew / heavy-hitter profile -------------------------------
+
+A15_ORACLE = """
+WITH counts AS (
+  SELECT user_id AS key_value, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys
+  FROM counts
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key_value) AS BIGINT) AS rank,
+       key_value, cnt,
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE)
+           AS ratio_to_avg
+FROM counts, tot
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
+@register(
+    "a15_key_skew_profile",
+    A15_ORACLE,
+    doc="heavy-hitter/skew profile of a prospective shuffle key "
+    "(events.user_id): top-20 keys with table share and ratio to the "
+    "per-key mean; the only shuffle carries (key,count) pairs",
+)
+def a15_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.key_skew_profile(table(spark, sf_dir, "events"), "user_id", top_n=20)
+
+
+# --- A16: per-group OLS trend (exact integer sufficient statistics) -----
+
+_CENTS = "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+_QTY = "CAST(l_quantity AS BIGINT)"
+
+A16_ORACLE = f"""
+WITH s AS (
+  SELECT p_brand AS group_key,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({_QTY}) AS BIGINT) AS sx,
+         CAST(sum({_CENTS}) AS BIGINT) AS sy,
+         CAST(sum({_QTY} * {_CENTS}) AS BIGINT) AS sxy,
+         CAST(sum({_QTY} * {_QTY}) AS BIGINT) AS sxx,
+         CAST(sum({_CENTS} * {_CENTS}) AS BIGINT) AS syy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+), d AS (
+  SELECT group_key, n,
+         CAST(n AS DOUBLE) AS n_d, CAST(sx AS DOUBLE) AS sx_d,
+         CAST(sy AS DOUBLE) AS sy_d,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y
+  FROM s
+)
+SELECT group_key, n,
+       cov_n / var_x AS slope,
+       (sy_d - (cov_n / var_x) * sx_d) / n_d AS intercept,
+       (cov_n * cov_n) / (var_x * var_y) AS r2
+FROM d
+ORDER BY group_key
+"""
+
+
+@register(
+    "a16_regression_trends",
+    A16_ORACLE,
+    doc="per-brand OLS price-vs-quantity fit from exact BIGINT "
+    "sufficient sums (n, Σx, Σy, Σxy, Σxx, Σyy) — NOT the builtin "
+    "regr_* aggregates, whose double accumulation is partition-order-"
+    "dependent and irreproducible across engines",
+)
+def a16_regression_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    joined = lineitem.join(
+        F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"]
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    return stats.group_ols(
+        joined, "p_brand", x_int=F.col("l_quantity"), y_int=cents
+    )
+
+
+# --- A17: winsorized per-group summary ----------------------------------
+
+A17_ORACLE = f"""
+WITH rl AS (
+  SELECT l_returnflag AS group_key, {_CENTS} AS val,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), r2 AS (
+  SELECT *,
+         sum(c) OVER (PARTITION BY group_key ORDER BY val) AS cum,
+         sum(c) OVER (PARTITION BY group_key) AS n
+  FROM rl
+), r3 AS (
+  SELECT *,
+         CAST(ceil(0.05 * CAST(n AS DOUBLE)) AS BIGINT) AS k_lo,
+         CAST(ceil(0.95 * CAST(n AS DOUBLE)) AS BIGINT) AS k_hi
+  FROM r2
+), th AS (
+  SELECT group_key,
+         min(CASE WHEN cum - c < k_lo AND k_lo <= cum THEN val END) AS lo,
+         min(CASE WHEN cum - c < k_hi AND k_hi <= cum THEN val END) AS hi
+  FROM r3 GROUP BY 1
+)
+SELECT rl.group_key,
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(min(lo) AS BIGINT) AS lo_value,
+       CAST(min(hi) AS BIGINT) AS hi_value,
+       CAST(sum(greatest(lo, least(hi, val)) * c) AS BIGINT) AS winsorized_sum,
+       CAST(sum(CASE WHEN val < lo THEN c ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+       CAST(sum(CASE WHEN val > hi THEN c ELSE 0 END) AS BIGINT) AS n_clamped_hi
+FROM rl JOIN th USING (group_key)
+GROUP BY 1
+ORDER BY group_key
+"""
+
+
+@register(
+    "a17_winsorize",
+    A17_ORACLE,
+    doc="per-returnflag winsorized revenue sum clamped at discrete "
+    "p05/p95 (k-th-smallest actual value, not interpolated — "
+    "interpolation formulas differ across engines in the last ulp); "
+    "ranks run over run-length (group,value,count) pairs, values in "
+    "exact cents",
+)
+def a17_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    return stats.winsorized_summary(
+        lineitem, "l_returnflag", value_int=cents, q_lo=0.05, q_hi=0.95
+    )
+
+
+# --- K14: multi-resolution rollup cascade -------------------------------
+
+def _k14_level(res: int) -> str:
+    return f"""
+SELECT CAST({res} AS BIGINT) AS resolution_sec,
+       make_timestamp(CAST(floor(epoch(ts) / {res}) AS BIGINT) * {res} * 1000000)
+           AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+FROM events GROUP BY 2"""
+
+
+K14_ORACLE = (
+    _k14_level(60)
+    + "\nUNION ALL"
+    + _k14_level(3600)
+    + "\nUNION ALL"
+    + _k14_level(86400)
+    + "\nORDER BY resolution_sec, bucket_start"
+)
+
+
+@register(
+    "k14_rollup_cascade",
+    K14_ORACLE,
+    doc="hypertable-style cascading rollup minute->hour->day: raw "
+    "events scanned ONCE, each coarser level re-aggregated from the "
+    "previous level; the oracle recomputes every level directly from "
+    "raw events, so a hash match proves cascade == direct bit-for-bit "
+    "(exact-cents measures are associative)",
+)
+def k14_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup.rollup_cascade(table(spark, sf_dir, "events"))
+
+
+# --- T11: BM25 top-k keyword scoring ------------------------------------
+
+_BM25_TERMS = ("customer", "hash", "batch")
+_K1 = 1.2
+_B = 0.75
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+T11_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), ad AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN {_BM25_TERMS!r} GROUP BY 1, 2
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(
+           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * {_K1 + 1.0!r})
+              / (CAST(tf AS DOUBLE)
+                 + {_K1!r} * ({1.0 - _B!r}
+                              + {_B!r} * CAST(dl AS DOUBLE) / avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS micro
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), nd, ad
+), ds AS (
+  SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_terms_matched
+  FROM scored GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+           AS rank,
+       doc_id,
+       CAST(score_micro AS DOUBLE) / 1000000.0 AS score,
+       n_terms_matched
+FROM ds
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+
+@register(
+    "t11_bm25_topk",
+    T11_ORACLE,
+    doc="BM25 top-10 docs for a 3-term query; rational IDF "
+    "(N-df+0.5)/(df+0.5) instead of ln (cross-engine ulp — see "
+    "tfidf_top_terms), per-doc total summed in BIGINT micro-units so "
+    "it is term-order-independent; computed float literals "
+    "interpolated via repr so both engines parse identical doubles",
+)
+def t11_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search.bm25_topk(
+        table(spark, sf_dir, "documents"),
+        query_terms=_BM25_TERMS,
+        k=10,
+        k1=_K1,
+        b=_B,
+    )
+
+
+# --- T12: bounded inverted index ----------------------------------------
+
+T12_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), pd AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_total,
+       array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
+           AS postings
+FROM pd
+GROUP BY term
+ORDER BY term
+"""
+
+
+@register(
+    "t12_inverted_index",
+    T12_ORACLE,
+    doc="term -> (df, total tf, first-20 posting list) inverted index; "
+    "postings capped BEFORE collect_list via a rank window so per-term "
+    "state is O(cap) even for every-doc stopwords",
+)
+def t12_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return search.inverted_index(table(spark, sf_dir, "documents"), posting_cap=20)

@@ -154,6 +154,7 @@ def _load_all() -> None:
         embeddings_sim,
         ml_prep,
         multimodal_q,
+        search_stats,
         streaming_pipelines,
         text_pipeline,
         validation_merge,

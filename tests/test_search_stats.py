@@ -1,0 +1,233 @@
+"""Unit tests for the search / stats / range-join / rollup operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    rangejoin,
+    rollup,
+    search,
+    stats,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# --- interval_join_binned -----------------------------------------------
+
+
+def test_interval_join_boundary_semantics(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # == start: included
+            (2, _ts("2024-01-01 01:00:00")),  # inside
+            (3, _ts("2024-01-01 02:00:00")),  # == end: excluded
+            (4, _ts("2024-01-05 00:00:00")),  # in no interval
+        ],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00"))],
+        "iid long, start timestamp, end timestamp",
+    )
+    out = rangejoin.interval_join_binned(
+        points, intervals, "ts", "start", "end", bin_seconds=3600
+    )
+    got = {(r.pid, r.iid) for r in out.collect()}
+    assert got == {(1, 10), (2, 10)}
+
+
+def test_interval_spanning_many_bins_matches_once(spark):
+    # interval covers 10 bins; each contained point matches exactly once
+    points = spark.createDataFrame(
+        [(i, _ts("2024-01-01 00:00:00") + dt.timedelta(minutes=30 * i)) for i in range(6)],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 03:00:00"))],
+        "iid long, start timestamp, end timestamp",
+    )
+    out = rangejoin.interval_join_binned(
+        points, intervals, "ts", "start", "end", bin_seconds=600
+    )
+    rows = out.collect()
+    assert len(rows) == len({r.pid for r in rows}) == 6
+
+
+def test_interval_join_rejects_bad_bin(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        rangejoin.interval_join_binned(df, df, "a", "b", "c", bin_seconds=0)
+
+
+# --- key_skew_profile ---------------------------------------------------
+
+
+def test_key_skew_profile_counts_and_ratios(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    out = {r.key_value: r for r in stats.key_skew_profile(df, "k", top_n=2).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"].rank == 1 and out["a"].cnt == 6
+    assert out["a"].share == 0.6
+    # mean per key = 10/3; a's ratio = 6/(10/3) = 1.8
+    assert out["a"].ratio_to_avg == pytest.approx(1.8)
+
+
+# --- group_ols ----------------------------------------------------------
+
+
+def test_group_ols_exact_line(spark):
+    # y = 3x + 7, exactly: slope/intercept recovered, r2 == 1
+    rows = [("g", x, 3 * x + 7) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = stats.group_ols(df, "grp", F.col("x"), F.col("y")).collect()[0]
+    assert out.n == 10
+    assert out.slope == pytest.approx(3.0)
+    assert out.intercept == pytest.approx(7.0)
+    assert out.r2 == pytest.approx(1.0)
+
+
+def test_group_ols_two_groups_independent(spark):
+    rows = [("up", x, 2 * x) for x in range(1, 6)] + [
+        ("down", x, 100 - 5 * x) for x in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = {r.group_key: r for r in stats.group_ols(df, "grp", F.col("x"), F.col("y")).collect()}
+    assert out["up"].slope == pytest.approx(2.0)
+    assert out["down"].slope == pytest.approx(-5.0)
+
+
+# --- winsorized_summary -------------------------------------------------
+
+
+def test_winsorize_clamps_tails(spark):
+    # values 1..100 in one group; p05 -> k=ceil(.05*100)=5 -> lo=5;
+    # p95 -> k=95 -> hi=95. Clamped sum = 4*5 + sum(5..95) + 5*95
+    vals = [("g", v) for v in range(1, 101)]
+    df = spark.createDataFrame(vals, "grp string, v long")
+    out = stats.winsorized_summary(df, "grp", F.col("v"), 0.05, 0.95).collect()[0]
+    assert (out.lo_value, out.hi_value) == (5, 95)
+    assert out.n_clamped_lo == 4 and out.n_clamped_hi == 5
+    expected = 4 * 5 + sum(range(5, 96)) + 5 * 95
+    assert out.winsorized_sum == expected
+
+
+def test_winsorize_repeated_values_run_length(spark):
+    # heavy ties: ranks must be computed over run-length pairs
+    vals = [("g", 1)] * 50 + [("g", 2)] * 50 + [("g", 1000)] * 2
+    df = spark.createDataFrame(vals, "grp string, v long")
+    out = stats.winsorized_summary(df, "grp", F.col("v"), 0.05, 0.95).collect()[0]
+    assert out.lo_value == 1
+    assert out.hi_value == 2  # k_hi = ceil(.95*102) = 97 -> value 2
+    assert out.n_clamped_hi == 2
+    assert out.winsorized_sum == 50 * 1 + 50 * 2 + 2 * 2
+
+
+# --- rollup_cascade -----------------------------------------------------
+
+
+def test_rollup_cascade_equals_direct(spark):
+    import random
+
+    rng = random.Random(7)
+    base = _ts("2024-03-01 00:00:00")
+    rows = [
+        (base + dt.timedelta(seconds=rng.randrange(3 * 86400)), rng.randrange(1000) / 100.0)
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = rollup.rollup_cascade(df)
+    # day level from the cascade == direct day aggregation of raw rows
+    day = {
+        r.bucket_start: (r.n_events, r.total_value)
+        for r in out.filter(F.col("resolution_sec") == 86400).collect()
+    }
+    direct = {
+        r.bucket_start: (r.n_events, r.total_value)
+        for r in df.groupBy(
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+            ).alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert day == direct
+    # conservation: every level carries the same total event count
+    counts = (
+        out.groupBy("resolution_sec").agg(F.sum("n_events").alias("n")).collect()
+    )
+    assert {r.n for r in counts} == {500}
+
+
+def test_rollup_cascade_rejects_non_multiple(spark):
+    df = spark.range(1).select(
+        F.current_timestamp().alias("ts"), F.lit(1.0).alias("value")
+    )
+    with pytest.raises(ValueError):
+        rollup.rollup_cascade(df, resolutions=(60, 90))
+
+
+# --- bm25_topk ----------------------------------------------------------
+
+
+def test_bm25_ranks_higher_tf_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple pie"),
+            (2, "apple pie crust butter"),
+            (3, "banana bread loaf sugar"),
+        ],
+        "doc_id long, text string",
+    )
+    out = search.bm25_topk(docs, ["apple"], k=5)
+    rows = out.collect()
+    assert [r.doc_id for r in rows] == [1, 2]  # doc 3 has no match
+    assert rows[0].score > rows[1].score
+    assert rows[0].rank == 1
+
+
+def test_bm25_rarer_term_weighs_more(spark):
+    # "rare" appears in 1 doc, "common" in all 3; same tf, same dl
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common filler pad"),
+            (2, "common filler pad word"),
+            (3, "common filler pad word"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in search.bm25_topk(docs, ["rare", "common"], k=5).collect()}
+    assert out[1].n_terms_matched == 2
+    assert out[1].score > out[2].score
+    assert out[1].rank == 1
+
+
+# --- inverted_index -----------------------------------------------------
+
+
+def test_inverted_index_caps_postings_keeps_full_df(spark):
+    docs = spark.createDataFrame(
+        [(i, "stop word" if i % 2 == 0 else "stop") for i in range(1, 11)],
+        "doc_id long, text string",
+    )
+    out = {r.term: r for r in search.inverted_index(docs, posting_cap=3).collect()}
+    assert out["stop"].df == 10  # df from the FULL aggregate
+    assert out["stop"].postings == "1,2,3"  # capped, ascending
+    assert out["word"].df == 5
+    assert out["word"].postings == "2,4,6"
+    assert out["stop"].tf_total == 10
