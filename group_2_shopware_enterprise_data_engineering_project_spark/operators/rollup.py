@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _bucket(ts_col: str, seconds: int):
@@ -56,6 +57,14 @@ def rollup_cascade(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(cents).alias("value_cents"),
     )
+    # materialize each level before it branches (into the output union
+    # AND the next coarser aggregation) — without this, Catalyst
+    # re-derives every union branch from the raw scan, turning the
+    # "scan raw once" cascade into k full scans + k-1 redundant
+    # re-aggregations. A persisted minute level is orders of magnitude
+    # smaller than raw; production continuous aggregates write it to a
+    # table, which is the same trade expressed durably.
+    level = level.persist(StorageLevel.MEMORY_AND_DISK)
 
     out = level.withColumn("resolution_sec", F.lit(finest).cast("long"))
     for res in resolutions[1:]:
@@ -68,7 +77,7 @@ def rollup_cascade(
         ).agg(
             F.sum("n_events").alias("n_events"),
             F.sum("value_cents").alias("value_cents"),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         out = out.unionByName(
             level.withColumn("resolution_sec", F.lit(res).cast("long"))
         )

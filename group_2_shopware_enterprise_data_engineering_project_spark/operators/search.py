@@ -91,10 +91,16 @@ def bm25_topk(
         F.sum(per_term_micro).alias("score_micro"),
         F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
     )
+    # global top-k via orderBy+limit = TakeOrderedAndProject (partial
+    # per-task top-k, driver merge) — a row_number window here would
+    # funnel EVERY matching doc through one partition. Rank is then
+    # assigned over only the k survivors.
+    cut = doc_scores.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
     return (
-        doc_scores.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        cut.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(
             "rank",
             "doc_id",

@@ -41,11 +41,14 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
         F.sum("cnt").cast("long").alias("_total"),
         F.count(F.lit(1)).cast("long").alias("_n_keys"),
     )
+    # global top-N via orderBy+limit = TakeOrderedAndProject (each task
+    # keeps N rows, the driver merges) — NOT a row_number window, which
+    # would drag every key's count through one partition. The rank
+    # window then runs over only the N survivors.
+    cut = counts.orderBy(F.col("cnt").desc(), F.col("key_value").asc()).limit(top_n)
     w = Window.orderBy(F.col("cnt").desc(), F.col("key_value").asc())
-    top = (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
-        .join(F.broadcast(totals))
+    top = cut.withColumn("rank", F.row_number().over(w).cast("long")).join(
+        F.broadcast(totals)
     )
     return top.select(
         "rank",

@@ -101,3 +101,29 @@ def test_anti_join_pushes_date_filter(plans):
 
 def test_doc_frequency_uses_top_n_not_global_sort(plans):
     assert "TakeOrderedAndProject" in plans("m5_doc_frequency")
+
+
+def test_skew_profile_and_bm25_use_partial_topk(plans):
+    # global top-N must be TakeOrderedAndProject (per-task partial
+    # top-k), never a row_number window funneling all keys/docs
+    # through one partition
+    for q in ("a15_key_skew_profile", "t11_bm25_topk"):
+        plan = plans(q)
+        assert "TakeOrderedAndProject" in plan, q
+
+
+def test_range_join_is_hash_join_not_nested_loop(plans):
+    plan = plans("j4_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_cascade_levels_are_cached(plans):
+    # the cascade must scan raw events once at runtime: every level is
+    # persisted before it branches into (output union, next level), so
+    # all reuse goes through InMemoryTableScan. The plan STRING still
+    # re-prints the cached child under each InMemoryTableScan, so
+    # counting "events.parquet" substrings would be a false negative —
+    # the cache nodes are the real evidence.
+    plan = plans("k14_rollup_cascade")
+    assert plan.count("InMemoryTableScan") >= 2
