@@ -601,3 +601,107 @@ def group_quantile_filter(
         "q_threshold",
         (F.col(value_col).cast("double") >= F.col("q_threshold")).alias("keep"),
     )
+
+
+# --- next-event training examples ------------------------------------------
+
+
+def sequence_examples(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    label_col: str = "event_type",
+    context_len: int = 3,
+) -> DataFrame:
+    """Build (context, next-event) supervised examples from per-key
+    event streams: for each event with at least ``context_len``
+    predecessors, emit the previous ``context_len`` labels (oldest
+    first, comma-joined) as the context and the current label as the
+    target — the classic next-action dataset builder.
+
+    Ordering is (ts, tiebreak) with a unique tiebreak column, so the
+    examples are deterministic even under timestamp ties.
+
+    Scale shape: one shuffle on the key, then pure window lags — per-
+    task memory is one key's sorted run, the same bound as
+    sessionization (hot keys: see asof_join_bucketed's bucketing
+    pattern).
+    """
+    if context_len < 1:
+        raise ValueError("context_len must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    lags = [
+        F.lag(label_col, i).over(w) for i in range(context_len, 0, -1)
+    ]  # oldest first
+    return (
+        events.select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.concat_ws(",", *lags).alias("context"),
+            F.col(label_col).alias("label"),
+            lags[0].isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .drop("_full")
+    )
+
+
+# --- deterministic negative sampling ---------------------------------------
+
+
+def negative_sample(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    pool_size: int = 100,
+    k: int = 5,
+    salt: str = "neg",
+) -> DataFrame:
+    """Per-user hard-negative candidates for recommendation training:
+    from the ``pool_size`` most-popular items, pick the ``k`` items
+    this user has NOT interacted with, ranked by a salted md5 — fully
+    deterministic (same user+item → same rank across runs and
+    engines), unlike rand()-based sampling.
+
+    Scale shape: the candidate pool is a TakeOrderedAndProject top-N
+    (bounded, broadcastable); users cross the POOL, never the item
+    catalog, so the expansion is |users|·pool_size; interactions are
+    removed with a shuffle anti-join on (user, item); the final
+    per-user top-k window sorts at most pool_size rows per user.
+    Popularity-pool negatives are also the *useful* negatives — a
+    uniform sample over the full catalog is dominated by items the
+    model already scores low.
+    """
+    u = F.col(user_col)
+    it = F.col(item_col)
+    pool = (
+        interactions.groupBy(it.alias("item"))
+        .agg(F.count(F.lit(1)).alias("pop"))
+        .orderBy(F.col("pop").desc(), F.col("item").asc())
+        .limit(pool_size)
+        .select("item")
+    )
+    users = interactions.select(u.alias("user")).distinct()
+    cands = users.join(F.broadcast(pool))
+    seen = interactions.select(u.alias("user"), it.alias("item")).distinct()
+    unseen = cands.join(seen, ["user", "item"], "left_anti")
+    rk = F.md5(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.col("user").cast("string"),
+            F.lit(":"),
+            F.col("item").cast("string"),
+        )
+    )
+    w = Window.partitionBy("user").orderBy(rk)
+    return (
+        unseen.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("user").alias(user_col),
+            F.col("item").alias(item_col),
+            "rnk",
+        )
+    )

@@ -152,6 +152,7 @@ def _load_all() -> None:
         batch_analytics,
         coverage_q,
         embeddings_sim,
+        graph_er,
         ml_prep,
         multimodal_q,
         search_stats,
