@@ -557,3 +557,122 @@ def test_stream_sessions_merge_across_batches(spark, tmp_path):
     r = rows[0]
     assert r.user_id == 1 and r.n_events == 2
     assert (r.session_end_gap - r.session_start).total_seconds() == 600 + 1800
+
+
+def test_stream_stream_interval_join_matches_within_window(spark, tmp_path):
+    """Clicks joined to purchases arriving within 10 min; outside-
+    window and wrong-key purchases never match (ST10)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks_dir.mkdir(), buys_dir.mkdir()
+    (clicks_dir / "c.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"uid": 1, "click_ts": "2024-01-01T10:00:00"},
+                {"uid": 2, "click_ts": "2024-01-01T10:00:00"},
+            ]
+        )
+    )
+    (buys_dir / "b.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"uid": 1, "buy_ts": "2024-01-01T10:05:00"},  # in window
+                {"uid": 1, "buy_ts": "2024-01-01T10:20:00"},  # outside
+                {"uid": 3, "buy_ts": "2024-01-01T10:01:00"},  # no such click
+            ]
+        )
+    )
+    cs = T.StructType(
+        [T.StructField("uid", T.LongType()), T.StructField("click_ts", T.TimestampType())]
+    )
+    bs = T.StructType(
+        [T.StructField("uid", T.LongType()), T.StructField("buy_ts", T.TimestampType())]
+    )
+    clicks = spark.readStream.schema(cs).json(str(clicks_dir))
+    buys = spark.readStream.schema(bs).json(str(buys_dir))
+    joined = stream_stream_interval_join(
+        clicks, buys, on=["uid"], left_ts="click_ts", right_ts="buy_ts",
+        watermark_delay="30 minutes", within_seconds=600,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT uid, buy_ts FROM ss_join_test").collect()
+    assert [(r.uid, r.buy_ts.minute) for r in rows] == [(1, 5)]
+
+
+def test_stream_stream_join_requires_keys_and_bound(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    df = spark.range(1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_stream_interval_join(df, df, [], "a", "b", "10 minutes", 60)
+    with _pytest.raises(ValueError):
+        stream_stream_interval_join(df, df, ["k"], "a", "b", "10 minutes", 0)
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Duplicate keys inside the watermark horizon are suppressed;
+    the helper wires watermark + dropDuplicatesWithinWatermark so
+    dedup state is evictable (vs dropDuplicates' forever-growing
+    keys)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.joins import (
+        dedup_within_watermark,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"k": "x", "ts": "2024-01-01T10:00:00", "v": 1},
+                {"k": "x", "ts": "2024-01-01T10:00:30", "v": 2},  # dup, in horizon
+                {"k": "y", "ts": "2024-01-01T10:01:00", "v": 3},
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = dedup_within_watermark(stream, ["k"], "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.k: r.v for r in spark.sql("SELECT k, v FROM wm_dedup_test").collect()}
+    assert set(rows) == {"x", "y"}
+    assert rows["x"] == 1  # first arrival won
