@@ -127,3 +127,16 @@ def test_rollup_cascade_levels_are_cached(plans):
     # the cache nodes are the real evidence.
     plan = plans("k14_rollup_cascade")
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_er_pairs_join_within_blocks_only(plans):
+    # candidate generation must be an equi-join on the blocking key —
+    # an all-pairs similarity join would be a cartesian product
+    plan = plans("d5_er_blocked_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_examples_single_shuffle(plans):
+    # one exchange on the user key; lags are window work on top of it
+    assert plans("m22_sequence_examples").count("Exchange") == 1
