@@ -349,3 +349,117 @@ ORDER BY term
 )
 def t12_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.inverted_index(table(spark, sf_dir, "documents"), posting_cap=20)
+
+
+# --- A18: per-group z-score anomaly detection ---------------------------
+
+A18_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxx
+  FROM events GROUP BY 1
+), d AS (
+  SELECT event_type,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+         sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_cents
+  FROM s
+)
+SELECT e.event_id, e.event_type, e.value,
+       (CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) - d.mean_cents)
+           / d.std_cents AS z
+FROM events e JOIN d USING (event_type)
+WHERE abs((CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) - d.mean_cents)
+          / d.std_cents) > 2.5
+ORDER BY e.event_id
+"""
+
+
+@register(
+    "a18_anomaly_zscore",
+    A18_ORACLE,
+    doc="per-event-type z-score outliers (|z| > 2.5): moments from "
+    "exact BIGINT cent sums, std via sqrt (exactly rounded per "
+    "IEEE-754, so cross-engine deterministic — unlike ln/exp); the "
+    "5-row moment table broadcasts back, the event stream never "
+    "reshuffles",
+)
+def a18_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    s = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents * cents).alias("sxx"),
+    )
+    nd, sxd, sxxd = (F.col(c).cast("double") for c in ("n", "sx", "sxx"))
+    d = s.select(
+        "event_type",
+        (sxd / nd).alias("mean_cents"),
+        F.sqrt((nd * sxxd - sxd * sxd) / (nd * nd)).alias("std_cents"),
+    )
+    z = (cents - F.col("mean_cents")) / F.col("std_cents")
+    return (
+        events.join(F.broadcast(d), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > F.lit(2.5))
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+# --- A19: TPC-H Q5-shape multi-way star join ----------------------------
+
+A19_ORACLE = """
+SELECT n_name,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_nationkey = c_nationkey
+GROUP BY 1, 2
+ORDER BY n_name, order_year
+"""
+
+
+@register(
+    "a19_regional_revenue",
+    A19_ORACLE,
+    doc="TPC-H Q5-shape 6-table join (local-supplier revenue by nation "
+    "and year, region-filtered): big-big joins shuffle on their keys, "
+    "nation/region dims broadcast with the region filter applied "
+    "BEFORE the broadcast so pruning cascades through the join; "
+    "revenue in exact cents",
+)
+def a19_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"])
+        .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg((F.sum(rev_cents).cast("double") / F.lit(100.0)).alias("revenue"))
+    )

@@ -140,3 +140,19 @@ def test_er_pairs_join_within_blocks_only(plans):
 def test_sequence_examples_single_shuffle(plans):
     # one exchange on the user key; lags are window work on top of it
     assert plans("m22_sequence_examples").count("Exchange") == 1
+
+
+def test_regional_revenue_broadcasts_dims(plans):
+    # Q5 shape: nation/region/supplier broadcast; the big-big joins
+    # shuffle on their keys; never a cartesian product
+    plan = plans("a19_regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_zscore_broadcasts_moments(plans):
+    # the 5-row per-type moment table must broadcast back; the event
+    # stream itself never reshuffles for the join
+    plan = plans("a18_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
