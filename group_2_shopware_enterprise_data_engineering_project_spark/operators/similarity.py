@@ -843,3 +843,218 @@ def quantized_topk(
         )
     )
     return _topk_per_query(sims, k, sim_col="q_cos_sim")
+
+
+# --- product quantization (PQ) ANN -----------------------------------------
+#
+# The memory-compression path beyond int8 scalar quantization (e8):
+# split each D-dim vector into PQ_M contiguous subvectors, quantize
+# each against a per-subspace codebook of PQ_CODES centroids, and
+# store only the code ids — D*4 bytes -> PQ_M bytes per vector (64x at
+# the defaults). Search uses Asymmetric Distance Computation: the
+# query stays full-precision, per-(subspace, code) distances form a
+# tiny table, and a corpus vector's approximate distance is the sum of
+# PQ_M table lookups — no decompression, no per-dim math at scan time.
+#
+# Codebook discipline mirrors the IVF pair e5/e9: `pq_seed_codebook`
+# is the training-free deterministic quantizer (subvectors of the
+# first PQ_CODES vectors by id) that the e12 oracle reproduces in SQL;
+# real corpora should train per-subspace k-means instead (same
+# sampled-Lloyd machinery as `kmeans_centroids`, one run per
+# subspace). Float discipline: every distance is a sequential
+# left-fold over ascending dims (matches list_sum), and the PQ_M
+# partial distances are added in explicit subspace order — bit-
+# identical to the oracle's CASE-pivoted d0+d1+d2+d3.
+
+PQ_M = 4
+PQ_CODES = 16
+PQ_SUB_DIM = DIM // PQ_M
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared L2 distance (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_seed_codebook(
+    emb: DataFrame, m: int = PQ_M, k_codes: int = PQ_CODES
+) -> DataFrame:
+    """Training-free PQ codebook: subspace s's codes are dims
+    [s*sub_dim, (s+1)*sub_dim) of the first ``k_codes`` vectors by id.
+    Returns (sub, code, cv) — a model-sized table (m * k_codes rows).
+    """
+    sub_dim = DIM // m
+    base = emb.filter(F.col("vec_id") < k_codes).select(
+        F.col("vec_id").alias("code"), _as_double(F.col("embedding")).alias("v")
+    )
+    subs = base.sparkSession.range(m).select(F.col("id").cast("long").alias("sub"))
+    return base.crossJoin(F.broadcast(subs)).select(
+        "sub",
+        "code",
+        F.slice(F.col("v"), F.col("sub") * sub_dim + 1, sub_dim).alias("cv"),
+    )
+
+
+def _packed_codebook(codebook: DataFrame):
+    """Materialize the codebook (a model: m*k rows) and pack it as ONE
+    nested-array row [sub][code] -> centroid, for broadcast into
+    shuffle-free per-row folds."""
+    rows = codebook.collect()
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    packed = [[None] * k for _ in range(m)]
+    for r in rows:
+        packed[r["sub"]][r["code"]] = list(r["cv"])
+    spark = codebook.sparkSession
+    return spark.createDataFrame(
+        [(packed,)], "cb: array<array<array<double>>>"
+    ), m, k
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, codes): per subspace, the id of the nearest codebook
+    centroid by squared L2 (strictly-smaller wins, so ties keep the
+    LOWEST code — same semantics as ranking dist ASC, code ASC).
+    Pure codegen fold over the broadcast packed codebook; the corpus
+    never shuffles."""
+    packed, m, k = _packed_codebook(codebook)
+    sub_dim = DIM // m
+
+    def best_code(sub: Column) -> Column:
+        sv = F.slice(F.col("v"), sub * sub_dim + 1, sub_dim)
+        codes_arr = F.element_at(F.col("cb"), (sub + 1).cast("int"))
+        init = F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).cast("long").alias("c")
+        )
+
+        def step(acc, pair):
+            d = sq_dist(sv, pair["cv"])
+            take = d < acc["d"]
+            return F.when(
+                take, F.struct(d.alias("d"), (pair["i"] - 1).cast("long").alias("c"))
+            ).otherwise(acc)
+
+        with_idx = F.transform(
+            codes_arr, lambda cv, i: F.struct((i + 1).alias("i"), cv.alias("cv"))
+        )
+        return F.aggregate(with_idx, init, step)["c"]
+
+    base = spread(emb).select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)), lambda s: best_code(s.cast("long"))
+    )
+    return base.crossJoin(F.broadcast(packed)).select(
+        "vec_id", codes.alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    codebook: DataFrame | None = None,
+    query_pred: Column | None = None,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """PQ-ANN top-k via Asymmetric Distance Computation: full-precision
+    broadcast queries against PQ codes. approx_dist sums the per-
+    subspace (query, code) distances in explicit subspace order —
+    deterministic and oracle-matchable. Ranking: approx_dist ASC,
+    neighbor_id ASC (self excluded), via the partial top-k fold
+    (`_topk_per_query` on the negated distance) — never a global
+    window."""
+    if codebook is None:
+        codebook = pq_seed_codebook(emb)
+    if query_pred is None:
+        query_pred = F.col("vec_id").isin(query_ids or [])
+    packed, m, _k_codes = _packed_codebook(codebook)
+    sub_dim = DIM // m
+
+    queries = F.broadcast(
+        emb.filter(query_pred).select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    codes = pq_encode(emb, codebook).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+
+    def sub_d(s: int) -> Column:
+        qs = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+        cv = F.element_at(
+            F.element_at(F.col("cb"), s + 1),
+            (F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        )
+        return sq_dist(qs, cv)
+
+    approx = sub_d(0)
+    for s in range(1, m):
+        approx = approx + sub_d(s)  # explicit subspace order, left-to-right
+
+    sims = (
+        queries.crossJoin(codes)
+        .crossJoin(F.broadcast(packed))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            approx.alias("approx_dist"),
+        )
+        .withColumn("neg_dist", F.lit(0.0) - F.col("approx_dist"))
+    )
+    out = _topk_per_query(sims.select("query_id", "neighbor_id", F.col("neg_dist").alias("cos_sim")), k)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(0.0) - F.col("cos_sim")).alias("approx_dist"),
+        "rank",
+    )
+
+
+def pq_codebook_kmeans(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    iters: int = KMEANS_ITERS,
+    sample: int = KMEANS_SAMPLE,
+) -> DataFrame:
+    """Trained PQ codebook: per-subspace sampled Lloyd iterations with
+    integer-snapped means (the `kmeans_centroids` discipline), seeded
+    from the md5-ordered sample. One small training job per subspace —
+    the codebook is a model, so the loop's cost is bounded by
+    m * sample, not the corpus."""
+    sub_dim = DIM // m
+    base = spread(emb).select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    samp = base.orderBy(_sample_key(), "vec_id").limit(sample).persist()
+    spark = emb.sparkSession
+    try:
+        all_rows = []
+        for s in range(m):
+            sub = samp.select(
+                "vec_id", F.slice(F.col("v"), s * sub_dim + 1, sub_dim).alias("v")
+            )
+            seed = (
+                sub.orderBy(_sample_key(), "vec_id")
+                .limit(k_codes)
+                .select(
+                    (
+                        F.row_number().over(Window.orderBy(_sample_key(), "vec_id"))
+                        - 1
+                    ).cast("long").alias("centroid_id"),
+                    F.col("v").alias("cv"),
+                )
+            )
+            cents = seed
+            for _ in range(iters):
+                cents = _int_mean_centroids(_assign_nearest(sub, cents))
+            for r in cents.collect():
+                all_rows.append((s, r["centroid_id"], list(r["cv"])))
+        return spark.createDataFrame(
+            all_rows, "sub: long, code: long, cv: array<double>"
+        )
+    finally:
+        samp.unpersist()

@@ -561,3 +561,77 @@ def e11_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     out = similarity.semdedup(emb)
     return out.select("vec_id", "centroid_id", "max_lower_sim", "keep")
+
+
+# --- e12: product-quantization ANN (ADC) --------------------------------
+
+_PQ_SUBD = similarity.PQ_SUB_DIM
+
+
+def _pq_subdist_sql(vec: str, cv: str) -> str:
+    """Squared L2 over subspace `sub`'s dims via index arithmetic —
+    ascending-dim order matches the Spark zip_with left-fold."""
+    a = f"CAST({vec}[sub * {_PQ_SUBD} + i] AS DOUBLE)"
+    b = f"CAST({cv}[sub * {_PQ_SUBD} + i] AS DOUBLE)"
+    return (
+        f"list_sum(list_transform(generate_series(1, {_PQ_SUBD}), "
+        f"i -> ({a} - {b}) * ({a} - {b})))"
+    )
+
+
+def _e12_oracle() -> str:
+    adc = " + ".join(
+        f"max(CASE WHEN dt.sub = {s} THEN dt.d END)" for s in range(similarity.PQ_M)
+    )
+    return f"""
+WITH cb AS (
+  SELECT s.sub, e.vec_id AS code, e.embedding AS cv
+  FROM embeddings e,
+       (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS sub) s
+  WHERE e.vec_id < {similarity.PQ_CODES}
+), enc_d AS (
+  SELECT v.vec_id, cb.sub, cb.code,
+         {_pq_subdist_sql('v.embedding', 'cb.cv')} AS d
+  FROM embeddings v, cb
+), codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), dt AS (
+  SELECT q.query_id, cb.sub, cb.code,
+         {_pq_subdist_sql('q.qv', 'cb.cv')} AS d
+  FROM q, cb
+), adc AS (
+  SELECT dt.query_id, c.vec_id AS neighbor_id, {adc} AS approx_dist
+  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_dist,
+       CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY approx_dist ASC, neighbor_id ASC) AS BIGINT) AS rank
+FROM adc WHERE neighbor_id <> query_id
+QUALIFY rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "e12_ann_pq",
+    _e12_oracle(),
+    doc="product-quantization ANN: 4 subspaces x 16 codes (64x vector "
+    "compression), asymmetric distance computation — full-precision "
+    "query, per-(subspace,code) distance table, corpus scored by 4 "
+    "table lookups summed in explicit subspace order; seed codebook "
+    "(first-16 subvectors) so the oracle reproduces encode+ADC "
+    "exactly; pq_codebook_kmeans is the trained path (recall test)",
+)
+def e12_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.pq_topk(emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K)
+    return out.select("query_id", "neighbor_id", "approx_dist", "rank")

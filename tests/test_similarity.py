@@ -413,3 +413,42 @@ def test_derive_semdedup_centroids_linear_policy():
     assert (
         similarity.derive_semdedup_centroids(10**12) == similarity.MAX_CENTROIDS
     )
+
+
+def test_pq_encode_shape_and_range(emb):
+    df, _ = emb
+    codes = similarity.pq_encode(df, similarity.pq_seed_codebook(df)).collect()
+    assert all(len(r.codes) == similarity.PQ_M for r in codes)
+    flat = [c for r in codes for c in r.codes]
+    assert min(flat) >= 0 and max(flat) < similarity.PQ_CODES
+
+
+def test_pq_trained_codebook_beats_poisoned_seed(clustered_emb):
+    """Seed codebook comes from ids 0..15 — all cluster 0 by
+    construction — so its subspace codes can't separate the other 7
+    clusters; per-subspace k-means on the md5 sample can."""
+    df, vecs = clustered_emb
+    qp = F.col("vec_id").isin([20, 60, 100, 140])  # spread across clusters
+    labels = {r.vec_id: r.label for r in df.select("vec_id", "label").collect()}
+
+    def same_cluster_frac(rows):
+        ok = sum(1 for r in rows if labels[r.neighbor_id] == labels[r.query_id])
+        return ok / len(rows)
+
+    seed_rows = similarity.pq_topk(df, query_pred=qp, k=5).collect()
+    trained = similarity.pq_codebook_kmeans(df)
+    tr_rows = similarity.pq_topk(df, codebook=trained, query_pred=qp, k=5).collect()
+    # PQ's job at this granularity is getting the NEIGHBORHOOD right:
+    # within-cluster ordering is below its resolution (16 codes shared
+    # by 8 clusters), so assert cluster membership of the returned
+    # neighbors, not exact L2 rank overlap.
+    assert same_cluster_frac(tr_rows) >= 0.8
+    assert same_cluster_frac(tr_rows) >= same_cluster_frac(seed_rows)
+
+
+def test_pq_codebook_kmeans_deterministic(clustered_emb):
+    df, _ = clustered_emb
+    c1 = {(r.sub, r.code): r.cv for r in similarity.pq_codebook_kmeans(df).collect()}
+    c2 = {(r.sub, r.code): r.cv for r in similarity.pq_codebook_kmeans(df).collect()}
+    assert c1 == c2
+    assert all(len(cv) == similarity.PQ_SUB_DIM for cv in c1.values())
