@@ -262,3 +262,39 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+# --- bucketed tables (pre-shuffled layouts for repeated joins) -------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a catalog table hash-bucketed (and optionally
+    sorted) on ``bucket_cols`` — Spark's pre-shuffled layout.
+
+    Two tables bucketed on the same keys with the same bucket count
+    join WITHOUT any Exchange: each task zips bucket i with bucket i,
+    so the shuffle that a SortMergeJoin would need at every read is
+    paid ONCE at write time. At 100 TB this is the difference between
+    re-shuffling the fact table on every analytical join versus
+    scanning co-located buckets — the layout to choose for the 2-3
+    join keys that dominate the workload. Bucket pruning also kicks
+    in for equality predicates on the bucket key (only 1/n_buckets of
+    files scanned).
+
+    Requires a catalog (`spark.sql.warehouse.dir`); bucketed layouts
+    are a table property, not a bare-path property, which is why this
+    writes via ``saveAsTable``.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

@@ -187,3 +187,64 @@ def test_compaction_crash_recovery(spark, tmp_path):
     assert back.count() == 4_000  # p=0 rows restored, none duplicated
     assert stats.leaves_touched == 2  # both leaves then compacted
     assert spark.read.parquet(path).groupBy("p").count().count() == 2
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must join with ZERO Exchange — the write-once pre-shuffle that
+    replaces a per-query shuffle of the fact table. The same join on
+    plain parquet paths is the control: it MUST contain an Exchange."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4, ["o_orderkey"])
+    write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], 4, ["l_orderkey"])
+    try:
+        bo, bl = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+        j = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"]).where(
+            ~bo["o_orderkey"].isNull()
+        )
+        # broadcast would hide the property being tested; force SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:2000]
+            assert "SortMergeJoin" in plan
+
+            control = orders.join(
+                lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+            )
+            cplan = control._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in cplan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # correctness: bucketed join == plain join
+        assert j.count() == lineitem.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucket_pruning_on_equality_predicate(spark, sf_dir):
+    """An equality predicate on the bucket key scans only the matching
+    bucket's files (SelectedBucketsCount in the scan)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(orders, "t_orders_prune", ["o_orderkey"], 8)
+    # autoBucketedScan drops the bucketed layout for scan-only queries
+    # (no join/agg to exploit it) — which also drops bucket PRUNING;
+    # disable it so the filter-only scan keeps the bucket metadata
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        q = spark.table("t_orders_prune").where(F.col("o_orderkey") == 7)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS t_orders_prune")
