@@ -12,7 +12,7 @@ Reference parity notes are cited per function (file:line into
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -462,3 +462,48 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def item_cooccurrence(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    top_n: int = 20,
+    max_basket: int = 50,
+) -> DataFrame:
+    """Market-basket pair mining: the ``top_n`` item pairs most often
+    bought in the same order.
+
+    Scale shape: distinct (order, item) first (shrinks multi-line
+    orders), baskets larger than ``max_basket`` are EXCLUDED before
+    pairing — the self-join within an order is O(basket²), and one
+    degenerate 10⁵-item basket would otherwise emit 10¹⁰ pairs; the
+    cap makes that cost bound explicit and deterministic (mirrored by
+    the oracle). The pair join is an equi-join on the order key, the
+    pair count is one map-side-combined shuffle, and the final cut is
+    TakeOrderedAndProject.
+    """
+    oi = lineitem.select(
+        F.col(order_col).alias("okey"), F.col(item_col).alias("item")
+    ).distinct()
+    sizes = oi.groupBy("okey").agg(F.count(F.lit(1)).alias("bsize"))
+    bounded = oi.join(
+        sizes.filter(F.col("bsize") <= max_basket).select("okey"),
+        "okey",
+        "left_semi",
+    )
+    a = bounded.select("okey", F.col("item").alias("item_a"))
+    b = bounded.select("okey", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    cut = pairs.orderBy(
+        F.col("n_orders").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(top_n)
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    )
+    return cut.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -149,3 +149,79 @@ def quarantine_split(
             "violations", F.to_json(F.col("violations"))
         ).write.mode("overwrite").parquet(rejected_path)
     return valid, invalid
+
+
+# --- Deequ-style expectation suite (one scan, many constraints) ------------
+
+
+def expectation_report(
+    df: DataFrame,
+    completeness_cols: list[str] | None = None,
+    unique_cols: list[str] | None = None,
+    bounds: dict[str, tuple[float, float]] | None = None,
+    allowed: dict[str, list[str]] | None = None,
+    min_completeness: float = 1.0,
+) -> DataFrame:
+    """Declarative data-quality constraints evaluated in ONE aggregate
+    scan (the Deequ pattern): every metric is an aggregate expression
+    in a single groupBy().agg(), so checking 20 constraints on 100 TB
+    costs one pass, not 20. Returns one row per constraint:
+    (constraint_name, metric, passed).
+
+    Metrics are exact ratios of BIGINT counts (deterministic IEEE
+    division) — no sampled approximations, so `passed` is
+    reproducible. uniqueness uses count(distinct): for extreme-
+    cardinality columns swap in approx_count_distinct and a tolerance,
+    the documented trade.
+    """
+    completeness_cols = completeness_cols or []
+    unique_cols = unique_cols or []
+    bounds = bounds or {}
+    allowed = allowed or {}
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in completeness_cols:
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"_nn_{c}"))
+    for c in unique_cols:
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"_d_{c}"))
+    for c in bounds:
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"_max_{c}"))
+    for c, vals in allowed.items():
+        aggs.append(
+            F.sum(
+                F.when(F.col(c).isin(vals) | F.col(c).isNull(), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias(f"_bad_{c}")
+        )
+    row = df.agg(*aggs)
+
+    n = F.col("_n").cast("double")
+    entries = []
+    for c in completeness_cols:
+        m = F.col(f"_nn_{c}").cast("double") / n
+        entries.append((f"completeness:{c}", m, m >= F.lit(min_completeness)))
+    for c in unique_cols:
+        m = F.col(f"_d_{c}").cast("double") / n
+        entries.append((f"uniqueness:{c}", m, F.col(f"_d_{c}") == F.col("_n")))
+    for c, (lo, hi) in bounds.items():
+        ok = (F.col(f"_min_{c}") >= F.lit(float(lo))) & (
+            F.col(f"_max_{c}") <= F.lit(float(hi))
+        )
+        entries.append((f"bounds:{c}", F.col(f"_max_{c}"), ok))
+    for c in allowed:
+        m = F.col(f"_bad_{c}").cast("double")
+        entries.append((f"allowed_values:{c}", m, F.col(f"_bad_{c}") == F.lit(0)))
+
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint_name"),
+                metric.alias("metric"),
+                passed.alias("passed"),
+            )
+            for name, metric, passed in entries
+        ]
+    )
+    return row.select(F.explode(packed).alias("_e")).select("_e.*")

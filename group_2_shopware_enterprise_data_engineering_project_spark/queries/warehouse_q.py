@@ -1,0 +1,138 @@
+"""Warehouse-pattern queries: SCD Type-2 history, Deequ-style
+expectation suites, market-basket co-occurrence."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    analytics,
+    scd,
+    validate,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+
+# --- K16: SCD Type-2 dimension history ----------------------------------
+
+K16_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+         lag(o_orderstatus) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+), ch AS (
+  SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey, o_orderstatus,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, valid_from
+"""
+
+
+@register(
+    "k16_scd2_history",
+    K16_ORACLE,
+    doc="SCD Type-2 history build from a change log: collapse no-op "
+    "changes (null-safe struct equality), close each interval with "
+    "the next change's valid_from (half-open, the as-of-join "
+    "convention); both window passes share one (key, ts, tiebreak) "
+    "shuffle",
+)
+def k16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd.scd2_build(
+        table(spark, sf_dir, "orders"),
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+        attr_cols=["o_orderstatus"],
+    )
+
+
+# --- A20: expectation suite (one-scan data-quality report) --------------
+
+A20_ORACLE = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_custkey) AS BIGINT) AS nn,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d,
+         CAST(min(o_totalprice) AS DOUBLE) AS mn,
+         CAST(max(o_totalprice) AS DOUBLE) AS mx,
+         CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                         OR o_orderstatus IS NULL THEN 0 ELSE 1 END)
+              AS BIGINT) AS bad
+  FROM orders
+)
+SELECT 'completeness:o_custkey' AS constraint_name,
+       CAST(nn AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
+       CAST(nn AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 AS passed
+FROM s
+UNION ALL
+SELECT 'uniqueness:o_orderkey',
+       CAST(d AS DOUBLE) / CAST(n AS DOUBLE), d = n FROM s
+UNION ALL
+SELECT 'bounds:o_totalprice', mx, mn >= 0.0 AND mx <= 10000000.0 FROM s
+UNION ALL
+SELECT 'allowed_values:o_orderstatus', CAST(bad AS DOUBLE), bad = 0 FROM s
+ORDER BY constraint_name
+"""
+
+
+@register(
+    "a20_expectations",
+    A20_ORACLE,
+    doc="Deequ-style declarative data-quality suite: completeness, "
+    "uniqueness, bounds, allowed-values — ALL constraints evaluated "
+    "in one aggregate scan (20 checks on 100 TB = one pass); exact "
+    "BIGINT-ratio metrics, reproducible pass/fail",
+)
+def a20_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validate.expectation_report(
+        table(spark, sf_dir, "orders"),
+        completeness_cols=["o_custkey"],
+        unique_cols=["o_orderkey"],
+        bounds={"o_totalprice": (0.0, 10_000_000.0)},
+        allowed={"o_orderstatus": ["F", "O", "P"]},
+    )
+
+
+# --- A21: market-basket co-occurrence -----------------------------------
+
+A21_ORACLE = """
+WITH oi AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+), ok AS (
+  SELECT okey FROM oi GROUP BY okey HAVING count(*) <= 50
+), b AS (
+  SELECT oi.* FROM oi JOIN ok USING (okey)
+), pairs AS (
+  SELECT a.item AS item_a, c.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM b a JOIN b c ON a.okey = c.okey AND a.item < c.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_orders,
+       CAST(row_number() OVER (
+           ORDER BY n_orders DESC, item_a, item_b) AS BIGINT) AS rank
+FROM pairs
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
+@register(
+    "a21_item_cooccurrence",
+    A21_ORACLE,
+    doc="market-basket pair mining: top-20 same-order item pairs; "
+    "baskets over the cap are excluded BEFORE the O(basket^2) "
+    "self-join (explicit deterministic bound, mirrored by the "
+    "oracle), final cut is TakeOrderedAndProject",
+)
+def a21_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.item_cooccurrence(table(spark, sf_dir, "lineitem"))

@@ -159,6 +159,7 @@ def _load_all() -> None:
         streaming_pipelines,
         text_pipeline,
         validation_merge,
+        warehouse_q,
     )
 
     _LOADED = True

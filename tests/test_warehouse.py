@@ -1,0 +1,138 @@
+"""Unit tests for SCD2 history, expectation suites, and market-basket
+co-occurrence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    analytics,
+    scd,
+    validate,
+)
+
+
+def _d(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# --- scd2_build ---------------------------------------------------------
+
+
+def test_scd2_intervals_and_current_flag(spark):
+    rows = [
+        (1, _d("2024-01-01"), 101, "bronze"),
+        (1, _d("2024-02-01"), 102, "silver"),
+        (1, _d("2024-03-01"), 103, "gold"),
+        (2, _d("2024-01-15"), 104, "bronze"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, tb long, tier string")
+    out = scd.scd2_build(df, "k", "ts", "tb", ["tier"]).orderBy("k", "valid_from")
+    got = [(r.k, r.tier, r.valid_to is None, r.is_current) for r in out.collect()]
+    assert got == [
+        (1, "bronze", False, False),
+        (1, "silver", False, False),
+        (1, "gold", True, True),
+        (2, "bronze", True, True),
+    ]
+    # half-open chaining: each valid_to == next valid_from
+    k1 = [r for r in out.collect() if r.k == 1]
+    assert k1[0].valid_to == k1[1].valid_from
+    assert k1[1].valid_to == k1[2].valid_from
+
+
+def test_scd2_collapses_noop_changes(spark):
+    rows = [
+        (1, _d("2024-01-01"), 1, "a"),
+        (1, _d("2024-02-01"), 2, "a"),  # no-op: must NOT split interval
+        (1, _d("2024-03-01"), 3, "b"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, tb long, v string")
+    out = scd.scd2_build(df, "k", "ts", "tb", ["v"]).collect()
+    assert len(out) == 2
+    first = next(r for r in out if r.v == "a")
+    assert first.valid_from == _d("2024-01-01")
+    assert first.valid_to == _d("2024-03-01")  # interval spans the no-op
+
+
+def test_scd2_null_attrs_are_stable(spark):
+    rows = [
+        (1, _d("2024-01-01"), 1, None),
+        (1, _d("2024-02-01"), 2, None),  # null == null: no-op
+        (1, _d("2024-03-01"), 3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, tb long, v string")
+    assert scd.scd2_build(df, "k", "ts", "tb", ["v"]).count() == 2
+
+
+def test_scd2_requires_attrs(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        scd.scd2_build(df, "id", "id", "id", [])
+
+
+# --- expectation_report -------------------------------------------------
+
+
+def test_expectation_report_detects_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "ok", 5.0), (2, "ok", 50.0), (None, "BAD", -1.0), (2, "ok", 3.0)],
+        "k long, status string, v double",
+    )
+    rep = {
+        r.constraint_name: r
+        for r in validate.expectation_report(
+            df,
+            completeness_cols=["k"],
+            unique_cols=["k"],
+            bounds={"v": (0.0, 10.0)},
+            allowed={"status": ["ok"]},
+        ).collect()
+    }
+    assert rep["completeness:k"].passed is False
+    assert rep["completeness:k"].metric == 0.75
+    assert rep["uniqueness:k"].passed is False  # k=2 twice
+    assert rep["bounds:v"].passed is False  # -1 below, 50 above
+    assert rep["allowed_values:status"].metric == 1.0  # one bad row
+    assert rep["allowed_values:status"].passed is False
+
+
+def test_expectation_report_all_green_and_single_scan(spark):
+    df = spark.createDataFrame([(1, "ok", 1.0), (2, "ok", 2.0)], "k long, s string, v double")
+    rep = validate.expectation_report(
+        df,
+        completeness_cols=["k"],
+        unique_cols=["k"],
+        bounds={"v": (0.0, 10.0)},
+        allowed={"s": ["ok"]},
+    )
+    assert all(r.passed for r in rep.collect())
+    # one aggregate scan: no join, no second read
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+# --- item_cooccurrence --------------------------------------------------
+
+
+def test_cooccurrence_counts_pairs_once_per_order(spark):
+    rows = [
+        (1, 10), (1, 20), (1, 20),  # dup line: pair (10,20) counted once
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r.item_a, r.item_b): r.n_orders for r in analytics.item_cooccurrence(df).collect()}
+    assert out[(10, 20)] == 2
+    assert out[(10, 30)] == 1
+    assert (20, 10) not in out  # unordered pair emitted once
+
+
+def test_cooccurrence_excludes_oversized_baskets(spark):
+    rows = [(1, i) for i in range(10)] + [(2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = analytics.item_cooccurrence(df, max_basket=5).collect()
+    assert {(r.item_a, r.item_b) for r in out} == {(1, 2)}
