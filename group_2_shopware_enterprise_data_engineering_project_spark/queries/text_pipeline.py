@@ -541,3 +541,75 @@ FROM (
 )
 def t10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(table(spark, sf_dir, "documents"), k=3)
+
+
+# --- t13: Bernoulli Naive Bayes lang classifier (train + predict) -------
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (  # noqa: E402
+    nbayes,
+)
+
+_NB_VOCAB = sorted(
+    {t for marks in text.LANG_MARKERS.values() for t in marks}
+)
+_NB_VOCAB_SQL = "[" + ", ".join(f"'{t}'" for t in _NB_VOCAB) + "]"
+
+T13_ORACLE = f"""
+WITH v AS (
+  SELECT unnest({_NB_VOCAB_SQL}) AS term
+), toks AS (
+  SELECT doc_id, lang, {_TOKS} AS t FROM documents
+), nc AS (
+  SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_c
+  FROM documents GROUP BY 1
+), nt AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), dfct AS (
+  SELECT d.lang AS label, v.term,
+         CAST(sum(CASE WHEN list_contains(d.t, v.term) THEN 1 ELSE 0 END)
+              AS BIGINT) AS df_ct
+  FROM toks d, v GROUP BY 1, 2
+), model AS (
+  SELECT label, term,
+         (CAST(df_ct AS DOUBLE) + 1.0) / (CAST(n_c AS DOUBLE) + 2.0) AS p,
+         CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE) AS prior
+  FROM dfct JOIN nc USING (label), nt
+), scored AS (
+  SELECT d.doc_id, d.lang, m.label,
+         max(m.prior) * list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(
+               term := m.term,
+               p := CASE WHEN list_contains(d.t, m.term)
+                         THEN m.p ELSE 1.0 - m.p END))),
+             s -> s.p),
+           (a, b) -> a * b) AS score
+  FROM toks d, model m
+  GROUP BY d.doc_id, d.lang, m.label
+), pred AS (
+  SELECT doc_id, lang, label AS predicted, score,
+         row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, lang, predicted, score, predicted = lang AS correct
+FROM pred WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register(
+    "t13_nb_classifier",
+    T13_ORACLE,
+    doc="Bernoulli Naive Bayes lang classifier, trained AND scored in "
+    "DataFrame ops: exact-count Laplace likelihoods over the 12 "
+    "language-marker stopwords, scores as raw probability PRODUCTS "
+    "folded in term-sorted order (no ln — 16 bounded factors cannot "
+    "underflow, and IEEE multiplication is exactly rounded, so the "
+    "oracle's list_reduce reproduces the fold bit-for-bit); inference "
+    "is a zero-shuffle broadcast-model map",
+)
+def t13_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    model = nbayes.nb_train(docs, _NB_VOCAB)
+    return nbayes.nb_predict(docs, model)

@@ -136,3 +136,51 @@ def test_cooccurrence_excludes_oversized_baskets(spark):
     df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
     out = analytics.item_cooccurrence(df, max_basket=5).collect()
     assert {(r.item_a, r.item_b) for r in out} == {(1, 2)}
+
+
+# --- naive bayes --------------------------------------------------------
+
+
+def test_nb_learns_separable_langs(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        nbayes,
+    )
+
+    rows = [(i, "en", "the cat and the dog") for i in range(10)] + [
+        (i + 10, "fr", "le chat et les chiens") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = nbayes.nb_train(docs, ["the", "and", "le", "et", "les"])
+    out = nbayes.nb_predict(docs, model).collect()
+    assert all(r.correct for r in out)
+    # smoothing: every (class, term) likelihood strictly inside (0, 1)
+    ps = [r.p for r in model.collect()]
+    assert all(0.0 < p < 1.0 for p in ps)
+
+
+def test_nb_prediction_is_deterministic_on_uninformative_doc(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        nbayes,
+    )
+
+    rows = [(0, "aa", "x x"), (1, "bb", "y y")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = nbayes.nb_train(docs, ["x", "y"])
+    # a doc containing neither marker scores identically under both
+    # classes (same priors, symmetric likelihoods) -> tie must go to
+    # the lexicographically first class, every run
+    probe = spark.createDataFrame([(9, "zz", "q")], "doc_id long, lang string, text string")
+    preds = {nbayes.nb_predict(probe, model).collect()[0].predicted for _ in range(3)}
+    assert preds == {"aa"}
+
+
+def test_nb_train_requires_vocab(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        nbayes,
+    )
+
+    docs = spark.createDataFrame([(0, "en", "x")], "doc_id long, lang string, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        nbayes.nb_train(docs, [])
