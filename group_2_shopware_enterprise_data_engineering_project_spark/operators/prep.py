@@ -705,3 +705,59 @@ def negative_sample(
             "rnk",
         )
     )
+
+
+# --- dense global id assignment --------------------------------------------
+
+
+def dense_ids(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    id_col: str = "dense_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign contiguous ids 0..n-1 by a total order over
+    ``order_cols`` — the surrogate-key / training-example-id pattern —
+    WITHOUT a single-partition global window.
+
+    The scalable global row-numbering shape: range-partition on the
+    order key, rank locally within each sorted partition (parallel
+    windows), and add each partition's exclusive prefix offset. The
+    offsets come from one O(num_partitions) count collect — driver
+    work proportional to the cluster, not the data. ``order_cols``
+    must be a unique key, otherwise tie order (and therefore ids)
+    is undefined.
+
+    The partitioned frame is persisted because it feeds two jobs (the
+    offset count and the final projection); Spark's range sampler uses
+    deterministic per-partition seeds, but recomputing the input scan
+    twice would still double the I/O.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    from pyspark.storagelevel import StorageLevel
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with_pid = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda row: row["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_c"]
+    omap = F.create_map(
+        *[F.lit(x) for pid_off in sorted(offsets.items()) for x in pid_off]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.withColumn("_off", omap[F.col("_pid")])
+        .withColumn(
+            id_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_pid", "_off")
+    )

@@ -1022,3 +1022,27 @@ FROM documents d JOIN th USING (source)
 def m21_source_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return prep.group_quantile_filter(docs, "n_chars", "source", q=0.25)
+
+
+# --- m24: scalable dense id assignment ------------------------------------
+
+M24_ORACLE = """
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+           AS dense_id
+FROM documents
+ORDER BY dense_id
+"""
+
+
+@register(
+    "m24_dense_ids",
+    M24_ORACLE,
+    doc="contiguous example-id assignment by total order (source, "
+    "doc_id) — range-partition + per-partition rank + exclusive "
+    "prefix offsets from an O(partitions) count collect; the scalable "
+    "replacement for a single-partition row_number() OVER () window",
+)
+def m24_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return prep.dense_ids(docs, ["source", "doc_id"])

@@ -560,3 +560,39 @@ def st9_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
     )
     return spark.read.parquet(out)
+
+
+# --- S8: ORC reader/writer roundtrip --------------------------------------
+
+S8_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_price,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "s8_orc_roundtrip",
+    S8_ORACLE,
+    doc="ORC columnar format interop (Spark-native, zero extra "
+    "packages): orders -> ORC write -> ORC scan -> per-priority agg; "
+    "the oracle runs on the ORIGINAL parquet, so a hash match proves "
+    "the roundtrip is lossless incl. timestamps and doubles. ORC "
+    "scans get the same pushdown/pruning treatment as parquet "
+    "(PushedFilters on the OrcScan)",
+)
+def s8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmp("s8")
+    table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

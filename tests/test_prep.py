@@ -561,3 +561,34 @@ def test_group_quantile_filter_broadcasts_thresholds(spark):
     )
     plan = _plan(prep.group_quantile_filter(df, "v", "grp"))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_dense_ids_contiguous_and_order_deterministic(spark):
+    rows = [(i, f"s{i % 3}") for i in range(97)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    out = prep.dense_ids(df, ["src", "k"], num_partitions=7).collect()
+    ids = sorted(r.dense_id for r in out)
+    assert ids == list(range(97))  # contiguous, zero-based, no gaps
+    by_order = sorted(out, key=lambda r: (r.src, r.k))
+    assert [r.dense_id for r in by_order] == list(range(97))
+
+
+def test_dense_ids_no_single_partition_window(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    plan = (
+        prep.dense_ids(df, ["k"], num_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the window must be partitioned by _pid — a global orderBy window
+    # would print windowspecdefinition(<order> ...) with no partition
+    # column before the sort spec
+    assert "windowspecdefinition(_pid" in plan
+
+
+def test_dense_ids_requires_order(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prep.dense_ids(spark.range(1), [])
