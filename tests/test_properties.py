@@ -233,3 +233,137 @@ def test_topk_per_query_matches_window_reference(spark, rows, k):
         .collect()
     }
     assert got == want
+
+
+# --- round-4 operators ------------------------------------------------------
+
+_TS0 = 1_700_000_000  # epoch base for generated timestamps
+
+
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=5000), min_size=0, max_size=25),
+    ivals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),
+            st.integers(min_value=1, max_value=900),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    bin_s=st.sampled_from([60, 300, 1000]),
+)
+@_settings
+def test_interval_join_binned_equals_naive(spark, points, ivals, bin_s):
+    """Binned interval join == the naive O(n·m) definition, for any bin
+    size — binning must never change semantics, only the plan."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.rangejoin import (
+        interval_join_binned,
+    )
+
+    to_ts = lambda s: dt.datetime.utcfromtimestamp(_TS0 + s)  # noqa: E731
+    pts = spark.createDataFrame(
+        [(i, to_ts(p)) for i, p in enumerate(points)] or [(0, to_ts(0))],
+        "pid long, ts timestamp",
+    ).limit(len(points))
+    ivs = spark.createDataFrame(
+        [(i, to_ts(s), to_ts(s + d)) for i, (s, d) in enumerate(ivals)]
+        or [(0, to_ts(0), to_ts(1))],
+        "iid long, start timestamp, end timestamp",
+    ).limit(len(ivals))
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join_binned(pts, ivs, "ts", "start", "end", bin_s).collect()
+    }
+    expect = {
+        (pi, ii)
+        for pi, p in enumerate(points)
+        for ii, (s, d) in enumerate(ivals)
+        if s <= p < s + d
+    }
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # key
+            st.integers(min_value=0, max_value=50),  # ts offset
+            st.sampled_from(["a", "b", "c"]),  # attr
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_settings
+def test_scd2_intervals_partition_each_keys_timeline(spark, rows):
+    """Per key: intervals are non-overlapping, chained (valid_to ==
+    next valid_from), exactly one is_current, and consecutive
+    intervals never carry the same attrs (else they'd have
+    collapsed)."""
+    import datetime as dt
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.scd import (
+        scd2_build,
+    )
+
+    to_ts = lambda s: dt.datetime.utcfromtimestamp(_TS0 + s * 3600)  # noqa: E731
+    df = spark.createDataFrame(
+        [(k, to_ts(t), i, v) for i, (k, t, v) in enumerate(rows)],
+        "k long, ts timestamp, tb long, v string",
+    )
+    hist = scd2_build(df, "k", "ts", "tb", ["v"]).collect()
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from  # chained, no gaps/overlaps
+            assert a.v != b.v  # no-op changes collapsed
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=60)
+)
+@_settings
+def test_winsorize_bounds_and_counts(spark, vals):
+    """Thresholds are actual data values, lo <= hi, clamp counts match
+    the raw tails, and the winsorized sum equals the direct clamped
+    sum."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.stats import (
+        winsorized_summary,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v long")
+    out = winsorized_summary(df, "grp", F.col("v"), 0.1, 0.9).collect()[0]
+    assert out.lo_value in vals and out.hi_value in vals
+    assert out.lo_value <= out.hi_value
+    assert out.n == len(vals)
+    assert out.n_clamped_lo == sum(1 for v in vals if v < out.lo_value)
+    assert out.n_clamped_hi == sum(1 for v in vals if v > out.hi_value)
+    expect = sum(max(out.lo_value, min(out.hi_value, v)) for v in vals)
+    assert out.winsorized_sum == expect
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=40, unique=True),
+    nparts=st.sampled_from([1, 3, 8]),
+)
+@_settings
+def test_dense_ids_is_rank_permutation(spark, keys, nparts):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.prep import (
+        dense_ids,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = {r.k: r.dense_id for r in dense_ids(df, ["k"], num_partitions=nparts).collect()}
+    expect = {k: i for i, k in enumerate(sorted(keys))}
+    assert out == expect
