@@ -136,3 +136,47 @@ ORDER BY rank
 )
 def a21_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.item_cooccurrence(table(spark, sf_dir, "lineitem"))
+
+
+# --- A22: GROUPING SETS multi-grain aggregate ---------------------------
+
+A22_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+"""
+
+
+@register(
+    "a22_grouping_sets",
+    A22_ORACLE,
+    doc="GROUPING SETS ((status), (priority), ()) — three grains in "
+    "ONE scan via Expand + a single combined shuffle (the alternative "
+    "is three scans + a union); NULL grain markers coalesced to 'ALL' "
+    "so the driver's column compare stays scalar-stable",
+)
+def a22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    out = (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_price"),
+        )
+    )
+    return out.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "total_price",
+    )

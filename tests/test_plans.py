@@ -156,3 +156,11 @@ def test_anomaly_zscore_broadcasts_moments(plans):
     plan = plans("a18_anomaly_zscore")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_grouping_sets_single_scan_expand(plans):
+    # three grains must come from ONE scan via Expand, not three
+    # unioned scans
+    plan = plans("a22_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1

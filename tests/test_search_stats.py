@@ -231,3 +231,35 @@ def test_inverted_index_caps_postings_keeps_full_df(spark):
     assert out["word"].df == 5
     assert out["word"].postings == "2,4,6"
     assert out["stop"].tf_total == 10
+
+
+# --- empty-input behavior (operators must degrade to empty, not throw) --
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        analytics as an,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        er as er_op,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        pagerank as pr,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert search.bm25_topk(empty_docs, ["x"]).count() == 0
+    assert search.inverted_index(empty_docs).count() == 0
+    assert pr.pagerank(spark.createDataFrame([], "src long, dst long"), 2).count() == 0
+    assert (
+        an.item_cooccurrence(
+            spark.createDataFrame([], "l_orderkey long, l_partkey long")
+        ).count()
+        == 0
+    )
+    assert (
+        er_op.blocked_pairs(
+            spark.createDataFrame([], "id long, name string"), "id", "name"
+        ).count()
+        == 0
+    )
