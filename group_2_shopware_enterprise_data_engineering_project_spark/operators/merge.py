@@ -22,6 +22,7 @@ import json
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -254,6 +255,7 @@ def merge_additive(
 
 
 _MANIFEST = "_MANIFEST.json"
+_COMMIT_STAMP = "_COMMITTED_AT.json"
 _SNAPSHOT_RE = re.compile(r"^v(\d{6})$")
 
 
@@ -280,10 +282,19 @@ class ParquetUpsertTable:
     only at the final rename step.
     """
 
-    def __init__(self, spark, path: str, partition_by: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        spark,
+        path: str,
+        partition_by: tuple[str, ...] = (),
+        clock=None,
+    ):
         self.spark = spark
         self.path = path
         self.partition_by = tuple(partition_by)
+        # injectable commit clock (epoch seconds) so timestamp time
+        # travel is testable with a pinned clock
+        self._clock = clock or time.time
 
     # -- snapshot bookkeeping (driver-side O(1) metadata ops) ------------
 
@@ -308,11 +319,27 @@ class ParquetUpsertTable:
     def _commit(self, version: int, dir_name: str) -> None:
         """Atomically point the manifest at a fully-written snapshot.
         os.replace is atomic on POSIX — readers see either the old or
-        the new manifest, never a partial one."""
+        the new manifest, never a partial one. A per-snapshot commit
+        stamp is written first (inside the snapshot dir) so
+        `read_as_of` can map timestamps to versions for every retained
+        snapshot, not only the active one."""
+        stamp = os.path.join(self.path, dir_name, _COMMIT_STAMP)
+        with open(stamp, "w") as f:
+            json.dump({"committed_at": float(self._clock())}, f)
         tmp = self._manifest_file() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": version, "dir": dir_name}, f)
         os.replace(tmp, self._manifest_file())
+
+    def _committed_at(self, version: int) -> float:
+        """Commit time of a retained snapshot; falls back to the dir
+        mtime for snapshots written before commit stamps existed."""
+        d = os.path.join(self.path, f"v{version:06d}")
+        try:
+            with open(os.path.join(d, _COMMIT_STAMP)) as f:
+                return float(json.load(f)["committed_at"])
+        except (OSError, ValueError, KeyError):
+            return os.path.getmtime(d)
 
     def _prune(self, keep: int = 2) -> None:
         """Drop snapshot dirs older than the last `keep` (the active one
@@ -381,6 +408,23 @@ class ParquetUpsertTable:
             if m and int(m.group(1)) <= act[0]:
                 found.append(int(m.group(1)))
         return sorted(found)
+
+    def read_as_of(self, as_of: float) -> DataFrame:
+        """Timestamp time travel (the Delta `timestampAsOf` analog):
+        read the newest retained snapshot committed at or before
+        ``as_of`` (epoch seconds). Raises if every retained snapshot
+        is newer — exactly like Delta when the requested time predates
+        the earliest available version."""
+        eligible = [
+            v for v in self.versions() if self._committed_at(v) <= as_of
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no retained snapshot committed at or before {as_of}; "
+                f"earliest retained: "
+                f"{[(v, self._committed_at(v)) for v in self.versions()]}"
+            )
+        return self.read_version(max(eligible))
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel: read a retained snapshot (the active version

@@ -367,3 +367,25 @@ def test_vacuum_retention_and_time_travel(spark, tmp_path):
     if removed:
         with _pytest.raises(ValueError):
             t.read_version(removed[-1])
+
+
+def test_read_as_of_timestamp_time_travel(spark, tmp_path):
+    """Timestamp-based time travel with a pinned commit clock: a read
+    as-of a time between two commits sees the FIRST snapshot; before
+    the first commit raises; at/after the second sees the second."""
+    ticks = iter([1000.0, 2000.0])
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "asof_tbl"), clock=lambda: next(ticks)
+    )
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    df2 = spark.createDataFrame([(1, "b")], "k long, v string")
+    t.create_or_overwrite(df1)
+    t.upsert_replace(df2, ("k",))
+
+    assert [r.v for r in t.read_as_of(1500.0).collect()] == ["a"]
+    assert [r.v for r in t.read_as_of(2000.0).collect()] == ["b"]
+    assert [r.v for r in t.read_as_of(9e9).collect()] == ["b"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_as_of(999.0)
