@@ -676,3 +676,49 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     rows = {r.k: r.v for r in spark.sql("SELECT k, v FROM wm_dedup_test").collect()}
     assert set(rows) == {"x", "y"}
     assert rows["x"] == 1  # first arrival won
+
+
+def test_progress_capture_records_batch_metrics(spark, tmp_path):
+    """The listener sees every micro-batch: total captured input rows
+    == rows fed, and batch ids are distinct; detach always happens."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.metrics import (
+        capture_progress,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "f1.jsonl").write_text(
+        "\n".join(_json.dumps({"k": i}) for i in range(7))
+    )
+    (src / "f2.jsonl").write_text(
+        "\n".join(_json.dumps({"k": i}) for i in range(5))
+    )
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    with capture_progress(spark) as cap:
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener bus is async — give it a moment to drain
+        deadline = _time.time() + 20
+        while cap.total_input_rows() < 12 and _time.time() < deadline:
+            _time.sleep(0.2)
+    assert cap.total_input_rows() == 12
+    data_batches = [b for b in cap.batches if b.num_input_rows > 0]
+    assert len({b.batch_id for b in data_batches}) == len(data_batches) >= 2
+    # detached: later queries must not be recorded
+    n_before = len(cap.batches)
+    df = spark.createDataFrame([(1,)], "k long")
+    df.count()
+    assert len(cap.batches) == n_before
