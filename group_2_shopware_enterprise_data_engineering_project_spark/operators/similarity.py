@@ -1058,3 +1058,177 @@ def pq_codebook_kmeans(
         )
     finally:
         samp.unpersist()
+
+
+# --- IVF-PQ composite (coarse quantizer + residual PQ + ADC) ---------------
+#
+# The production ANN stack (FAISS IVFPQ): a coarse quantizer routes
+# each vector to one of C inverted lists, the RESIDUAL (vector minus
+# its coarse centroid) is PQ-encoded, and a query scans only its
+# n_probe nearest lists, scoring residual codes by ADC against the
+# query's own residual per probed list. Memory per vector is PQ_M
+# bytes + a list id; search cost is (n_probe / C) of the corpus.
+#
+# Geometry note: coarse assignment here is L2 (not the cosine used by
+# the standalone IVF family) because residual encoding is a Euclidean
+# construction — subtracting a cosine-nearest centroid would leave
+# residual norms unbounded. Seed quantizers (first-N vectors, first-N
+# residuals) keep the whole operator SQL-expressible for the oracle;
+# kmeans_centroids / pq_codebook_kmeans are the trained drop-ins.
+
+
+def sub_vec(a: Column, b: Column) -> Column:
+    """Element-wise a - b (deterministic per-element IEEE subtract)."""
+    return F.zip_with(a, b, lambda x, y: x - y)
+
+
+def _assign_nearest_l2(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-side nearest-centroid assignment by squared L2: packed
+    broadcast fold, strictly-smaller distance wins so ties keep the
+    lowest centroid id (oracle mirror: ORDER BY dist, id). Same
+    zero-shuffle shape as the cosine `_assign_nearest`."""
+    packed = centroids.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("centroid_id", "cv"))).alias("_cents")
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).cast("long").alias("id")
+    )
+
+    def step(acc, c):
+        d = sq_dist(F.col("v"), c["cv"])
+        return F.when(
+            d < acc["d"],
+            F.struct(d.alias("d"), c["centroid_id"].cast("long").alias("id")),
+        ).otherwise(acc)
+
+    best = F.aggregate(F.col("_cents"), init, step)
+    return vectors.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "v", best["id"].alias("centroid_id")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_pred: Column | None = None,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_probe: int = 2,
+    n_coarse: int = N_CENTROIDS,
+) -> DataFrame:
+    """IVF-PQ search: probe the ``n_probe`` L2-nearest coarse lists per
+    query and rank their residual-PQ codes by ADC. Output
+    (query_id, neighbor_id, approx_dist, rank); self excluded.
+
+    Plan shape: coarse assignment and PQ encoding are zero-shuffle
+    broadcast folds over the corpus; the probe table is |Q|·n_probe
+    rows (broadcast); candidate scoring joins codes on the list id —
+    an equi-join that touches only probed lists — and the final cut is
+    the two-stage partial top-k. Nothing ever shuffles raw vectors.
+    """
+    if query_pred is None:
+        query_pred = F.col("vec_id").isin(query_ids or [])
+
+    base = spread(emb).select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    coarse = F.broadcast(
+        base.filter(F.col("vec_id") < n_coarse).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+    )
+    assigned = _assign_nearest_l2(base, coarse)
+    residuals = assigned.join(
+        coarse.select(F.col("centroid_id"), F.col("cv").alias("_cv")),
+        "centroid_id",
+    ).select(
+        "vec_id", "centroid_id", sub_vec(F.col("v"), F.col("_cv")).alias("v")
+    )
+
+    # residual codebook: residuals of the first PQ_CODES vectors
+    seed_res = residuals.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("code"), "v"
+    )
+    sub_dim = PQ_SUB_DIM
+    subs = emb.sparkSession.range(PQ_M).select(F.col("id").cast("long").alias("sub"))
+    codebook = seed_res.crossJoin(F.broadcast(subs)).select(
+        "sub",
+        "code",
+        F.slice(F.col("v"), F.col("sub") * sub_dim + 1, sub_dim).alias("cv"),
+    )
+    packed_cb, m, _k = _packed_codebook(codebook)
+
+    # encode every residual (same argmin fold as pq_encode, on residuals)
+    def best_code(sub: Column) -> Column:
+        sv = F.slice(F.col("v"), sub * sub_dim + 1, sub_dim)
+        codes_arr = F.element_at(F.col("cb"), (sub + 1).cast("int"))
+        init = F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).cast("long").alias("c")
+        )
+
+        def step(acc, pair):
+            d = sq_dist(sv, pair["cv"])
+            return F.when(
+                d < acc["d"],
+                F.struct(d.alias("d"), (pair["i"] - 1).cast("long").alias("c")),
+            ).otherwise(acc)
+
+        with_idx = F.transform(
+            codes_arr, lambda cv, i: F.struct((i + 1).alias("i"), cv.alias("cv"))
+        )
+        return F.aggregate(with_idx, init, step)["c"]
+
+    codes_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)), lambda s: best_code(s.cast("long"))
+    )
+    codes = residuals.crossJoin(F.broadcast(packed_cb)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("centroid_id"),
+        codes_expr.alias("codes"),
+    )
+
+    # probe selection: |Q| x C scored rows (tiny — C is the coarse
+    # count), rank n_probe per query by (dist, centroid_id)
+    queries = base.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored_lists = queries.crossJoin(coarse).select(
+        "query_id",
+        "centroid_id",
+        "qv",
+        sq_dist(F.col("qv"), F.col("cv")).alias("cd"),
+        sub_vec(F.col("qv"), F.col("cv")).alias("qres"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("cd", "centroid_id")
+    probes = F.broadcast(
+        scored_lists.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "centroid_id", "qres")
+    )
+
+    def sub_d(s: int) -> Column:
+        qs = F.slice(F.col("qres"), s * sub_dim + 1, sub_dim)
+        cv = F.element_at(
+            F.element_at(F.col("cb"), s + 1),
+            (F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        )
+        return sq_dist(qs, cv)
+
+    approx = sub_d(0)
+    for s in range(1, m):
+        approx = approx + sub_d(s)
+
+    sims = (
+        probes.join(codes, "centroid_id")
+        .crossJoin(F.broadcast(packed_cb))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(0.0) - approx).alias("cos_sim"),
+        )
+    )
+    out = _topk_per_query(sims, k)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(0.0) - F.col("cos_sim")).alias("approx_dist"),
+        "rank",
+    )

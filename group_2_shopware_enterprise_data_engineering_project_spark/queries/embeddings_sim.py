@@ -635,3 +635,109 @@ def e12_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     out = similarity.pq_topk(emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K)
     return out.select("query_id", "neighbor_id", "approx_dist", "rank")
+
+
+# --- e13: IVF-PQ composite (coarse + residual PQ + ADC) -----------------
+
+
+def _l2_sql(a: str, b: str, n: int = similarity.DIM) -> str:
+    """Full-vector squared L2, ascending-dim fold (matches sq_dist)."""
+    x = f"CAST({a}[i] AS DOUBLE)"
+    y = f"CAST({b}[i] AS DOUBLE)"
+    return (
+        f"list_sum(list_transform(generate_series(1, {n}), "
+        f"i -> ({x} - {y}) * ({x} - {y})))"
+    )
+
+
+def _res_subdist_sql(v: str, vc: str, s: str, sc: str) -> str:
+    """Sub-space squared L2 between two RESIDUALS via index arithmetic:
+    ((v-vc) - (s-sc))², grouped exactly like Spark's
+    sq_dist(sub_vec(v, vc), sub_vec(s, sc)) fold."""
+    d = _PQ_SUBD
+    rv = f"(CAST({v}[sub * {d} + i] AS DOUBLE) - CAST({vc}[sub * {d} + i] AS DOUBLE))"
+    rs = f"(CAST({s}[sub * {d} + i] AS DOUBLE) - CAST({sc}[sub * {d} + i] AS DOUBLE))"
+    return (
+        f"list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> ({rv} - {rs}) * ({rv} - {rs})))"
+    )
+
+
+def _e13_oracle() -> str:
+    n_probe = 2
+    adc = " + ".join(
+        f"max(CASE WHEN dt.sub = {s} THEN dt.d END)" for s in range(similarity.PQ_M)
+    )
+    return f"""
+WITH co AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {similarity.N_CENTROIDS}
+), ad AS (
+  SELECT vec_id, cid, embedding FROM (
+    SELECT b.vec_id, co.cid, b.embedding,
+           row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY {_l2_sql('b.embedding', 'co.cv')} ASC, co.cid ASC) AS rn
+    FROM embeddings b, co
+  ) WHERE rn = 1
+), seeds AS (
+  SELECT a.vec_id AS code, a.embedding AS sv, c.cv AS scv
+  FROM ad a JOIN co c ON a.cid = c.cid
+  WHERE a.vec_id < {similarity.PQ_CODES}
+), subsp AS (
+  SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS sub
+), enc_d AS (
+  SELECT a.vec_id, a.cid, s.sub, se.code,
+         {_res_subdist_sql('a.embedding', 'c.cv', 'se.sv', 'se.scv')} AS d
+  FROM ad a JOIN co c ON a.cid = c.cid, subsp s, seeds se
+), codes AS (
+  SELECT vec_id, cid, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        ORDER BY d ASC, code ASC) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT query_id, cid, qv, cv FROM (
+    SELECT q.query_id, co.cid, q.qv, co.cv,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_l2_sql('q.qv', 'co.cv')} ASC, co.cid ASC) AS pr
+    FROM q, co
+  ) WHERE pr <= {n_probe}
+), dt AS (
+  SELECT p.query_id, p.cid, s.sub, se.code,
+         {_res_subdist_sql('p.qv', 'p.cv', 'se.sv', 'se.scv')} AS d
+  FROM probes p, subsp s, seeds se
+), adc AS (
+  SELECT dt.query_id, c.vec_id AS neighbor_id, {adc} AS approx_dist
+  FROM codes c
+  JOIN dt ON c.cid = dt.cid AND c.sub = dt.sub AND c.code = dt.code
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY approx_dist ASC, neighbor_id ASC) AS BIGINT) AS rank
+FROM adc WHERE neighbor_id <> query_id
+QUALIFY rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "e13_ann_ivfpq",
+    _e13_oracle(),
+    doc="IVF-PQ composite (the FAISS production stack): L2 coarse "
+    "quantizer routes vectors to 16 inverted lists, RESIDUALS are "
+    "PQ-encoded (4x16 codes), queries probe their 2 nearest lists and "
+    "rank residual codes by ADC against the query's own residual — "
+    "candidate scoring touches only probed lists; seed quantizers "
+    "keep every step SQL-expressible, trained k-means variants are "
+    "the drop-ins",
+)
+def e13_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.ivfpq_topk(
+        emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K, n_probe=2
+    )
+    return out.select("query_id", "neighbor_id", "approx_dist", "rank")

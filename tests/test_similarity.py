@@ -452,3 +452,30 @@ def test_pq_codebook_kmeans_deterministic(clustered_emb):
     c2 = {(r.sub, r.code): r.cv for r in similarity.pq_codebook_kmeans(df).collect()}
     assert c1 == c2
     assert all(len(cv) == similarity.PQ_SUB_DIM for cv in c1.values())
+
+
+def test_ivfpq_finds_cluster_neighborhood(clustered_emb):
+    """IVF-PQ with enough probes returns neighbors from the query's own
+    cluster (the coarse router's job), and probing more lists never
+    shrinks the candidate set."""
+    df, _ = clustered_emb
+    labels = {r.vec_id: r.label for r in df.select("vec_id", "label").collect()}
+    qp = F.col("vec_id").isin([20, 60, 100])
+    rows = similarity.ivfpq_topk(df, query_pred=qp, k=5, n_probe=4).collect()
+    same = sum(1 for r in rows if labels[r.neighbor_id] == labels[r.query_id])
+    assert same / len(rows) >= 0.6
+    # monotonicity: candidates(n_probe=1) ⊆ candidates reachable at 4
+    r1 = {(r.query_id, r.neighbor_id) for r in
+          similarity.ivfpq_topk(df, query_pred=qp, k=5, n_probe=1).collect()}
+    assert len(r1) <= len(rows)
+
+
+def test_ivfpq_plan_joins_codes_on_list_id(emb):
+    df, _ = emb
+    plan = (
+        similarity.ivfpq_topk(df, query_ids=[0, 1], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
