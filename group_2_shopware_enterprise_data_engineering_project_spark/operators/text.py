@@ -406,3 +406,43 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "weight", "rank")
     )
+
+
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap
+    redundancy signal for corpus filtering (highly repetitive /
+    boilerplate text compresses far below prose; binary-ish noise
+    barely compresses). Returns (doc_id, n_bytes, n_compressed,
+    ratio = compressed/raw).
+
+    This is one of the few legitimately-Python operators: there is no
+    native Spark expression for DEFLATE, so it runs as an
+    Arrow-batched mapInPandas (one Python roundtrip per batch, zlib in
+    C inside). Ratio is deterministic: zlib level 6 output is a pure
+    function of the bytes.
+    """
+    import pandas as pd  # noqa: F401 — runtime import on executors
+
+    schema = "doc_id long, n_bytes long, n_compressed long, ratio double"
+
+    def _batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n = raw.str.len().astype("int64")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": n,
+                    "n_compressed": comp.astype("int64"),
+                    "ratio": comp / n.where(n > 0, 1),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, schema)

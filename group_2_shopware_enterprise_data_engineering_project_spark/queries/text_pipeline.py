@@ -613,3 +613,18 @@ def t13_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     model = nbayes.nb_train(docs, _NB_VOCAB)
     return nbayes.nb_predict(docs, model)
+
+
+# --- t14: compression-ratio redundancy signal (rows-only check) ---------
+
+
+@register(
+    "t14_compression_ratio",
+    None,  # zlib has no SQL equivalent -> driver rows-only check
+    doc="zlib-ratio redundancy signal (Gopher/FineWeb-style cheap "
+    "quality filter): repetitive boilerplate compresses far below "
+    "prose; Arrow-batched mapInPandas because DEFLATE has no native "
+    "expression — one of the three sanctioned Python surfaces",
+)
+def t14_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.compression_ratio(table(spark, sf_dir, "documents"))

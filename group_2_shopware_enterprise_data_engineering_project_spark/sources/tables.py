@@ -96,3 +96,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLE_NAMES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every testdata table as a temp view so Athena-style SQL
+    runs against the engine verbatim: the reference's analysts query
+    tables by name (quicksight script.sql), and `spark.sql` over these
+    views is the drop-in surface. Views are lazy scans — registering
+    costs nothing until a query touches one."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLE_NAMES)

@@ -223,3 +223,27 @@ def test_tfidf_top_terms_ranks_rare_terms_higher(spark):
     assert by_doc[3][1].term == "zzz"
     assert by_doc[3][1].weight == 2 * 4.0 / 2.0
     assert all(max(d) <= 2 for d in by_doc.values())  # k enforced
+
+
+def test_compression_ratio_separates_repetitive_from_prose(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        text as text_ops,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 500),  # highly repetitive
+            (2, "The quarterly results show a moderate improvement in "
+                "customer retention across most regions, though supply "
+                "chain costs continue to vary widely by category."),
+            (3, ""),  # empty must not divide by zero
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.compression_ratio(docs).collect()}
+    assert out[1].ratio < 0.1          # boilerplate crushes
+    assert out[2].ratio > 0.5          # prose doesn't
+    assert out[3].n_bytes == 0         # empty handled
+    # deterministic across runs
+    again = {r.doc_id: r.ratio for r in text_ops.compression_ratio(docs).collect()}
+    assert again == {k: v.ratio for k, v in out.items()}

@@ -37,3 +37,25 @@ def test_events_ts_is_microsecond_timestamp(spark, sf_dir):
 def test_register_views(spark, sf_dir):
     tables.register_views(spark, sf_dir)
     assert spark.sql("SELECT count(*) c FROM region").collect()[0].c > 0
+
+
+def test_register_views_enables_athena_style_sql(spark, sf_dir):
+    """Reference analysts query tables by name in SQL (quicksight
+    script.sql); register_views makes that surface work verbatim."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.sources.tables import (
+        register_views,
+    )
+
+    names = register_views(spark, sf_dir)
+    assert "events" in names and "lineitem" in names
+    out = spark.sql(
+        """
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY session_start DESC LIMIT 5
+        """
+    ).collect()
+    assert len(out) == 5 and all(r.n_events > 0 for r in out)
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0].n
+    assert joined > 0
