@@ -628,3 +628,30 @@ def t13_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t14_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.compression_ratio(table(spark, sf_dir, "documents"))
+
+
+# --- t15: distributed BPE tokenizer training (rows-only check) ----------
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (  # noqa: E402
+    bpe,
+)
+
+
+@register(
+    "t15_bpe_train",
+    None,  # iterative merge selection -> driver rows-only check;
+    # correctness is pinned by the independent reference-algorithm
+    # equivalence test in tests/test_dedup.py
+    doc="distributed BPE tokenizer training: corpus read ONCE into the "
+    "word-frequency table, then each merge iteration runs on |vocab| rows "
+    "— native pair counting (zip/explode, map-side combined), one-row "
+    "TakeOrdered merge selection (the merge table is a model), "
+    "Arrow-batched vocab rewrite",
+)
+def t15_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=8)
+    rows = [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, pair_count long"
+    )

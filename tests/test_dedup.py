@@ -247,3 +247,73 @@ def test_compression_ratio_separates_repetitive_from_prose(spark):
     # deterministic across runs
     again = {r.doc_id: r.ratio for r in text_ops.compression_ratio(docs).collect()}
     assert again == {k: v.ratio for k, v in out.items()}
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """Distributed BPE == the classic single-machine algorithm
+    (Sennrich et al.), implemented independently here as the oracle."""
+    import collections
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        bpe,
+    )
+
+    corpus = ["low low low lower lower newest newest newest newest widest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+
+    # reference implementation (pure python)
+    def ref_bpe(text, k):
+        words = collections.Counter(text.split())
+        vocab = {w: list(w) + [bpe.END] for w in words}
+        merges = []
+        for _ in range(k):
+            pairs = collections.Counter()
+            for w, c in words.items():
+                syms = vocab[w]
+                for x, y in zip(syms, syms[1:]):
+                    pairs[(x, y)] += c
+            if not pairs:
+                break
+            # max count, ties lexicographic
+            (a, b), n = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if n < 2:
+                break
+            merges.append((a, b, n))
+            for w in vocab:
+                syms, out, i = vocab[w], [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    expect = ref_bpe(corpus[0], 6)
+    got = bpe.bpe_train(docs, n_merges=6)
+    assert got == expect
+    assert len(got) == 6
+
+
+def test_bpe_encode_compresses_with_more_merges(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banana banana bandana")], "doc_id long, text string"
+    )
+    merges = bpe.bpe_train(docs, n_merges=5)
+    n0 = bpe.bpe_encode(docs, []).collect()[0].n_tokens
+    n5 = bpe.bpe_encode(docs, merges).collect()[0].n_tokens
+    assert n5 < n0  # merges shorten the token stream
+    out = bpe.bpe_encode(docs, merges).collect()[0]
+    # round-trip sanity: concatenated tokens minus markers == the text
+    flat = out.tokens.replace(",", "").replace(bpe.END, " ").strip()
+    assert flat == "banana banana bandana"
