@@ -107,3 +107,80 @@ def linear_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# --- zone maps: file-level min/max index + manual data skipping ------------
+
+
+def collect_file_stats(path: str, cols: list[str]):
+    """Build a zone map: per parquet file, (path, n_rows, min, max)
+    for each indexed column — the Delta/Iceberg file-statistics idea
+    over a plain parquet directory. Footer reads are metadata-only
+    (no data pages); here they run driver-side over the file list,
+    which is O(files) — on a cluster, distribute the same loop with
+    `spark.read.format("binaryFile")` + mapInPandas over paths.
+
+    Returns {file_path: {col: (min, max), "_rows": n}}.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for f in sorted(_glob.glob(_os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        entry: dict = {"_rows": md.num_rows}
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in cols:
+            ci = names[c]
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = None, None
+                    break
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            entry[c] = (lo, hi)
+        out[f] = entry
+    return out
+
+
+def prune_files(stats: dict, bounds: dict) -> list[str]:
+    """Select the files whose zone-map ranges intersect every
+    ``bounds[col] = (lo, hi)`` predicate. A file with missing stats
+    for a bounded column is KEPT (pruning must never drop rows —
+    missing metadata means "can't prove it's absent")."""
+    keep = []
+    for f, entry in stats.items():
+        ok = True
+        for c, (lo, hi) in bounds.items():
+            fmin, fmax = entry.get(c, (None, None))
+            if fmin is None or fmax is None:
+                continue  # unknown -> keep
+            if fmax < lo or fmin > hi:
+                ok = False
+                break
+        if ok:
+            keep.append(f)
+    return keep
+
+
+def read_pruned(spark, path: str, cols: list[str], bounds: dict):
+    """Zone-map-pruned scan: consult the file index, hand Spark ONLY
+    the intersecting files, and re-apply the predicate exactly (the
+    zone map is a superset filter). With a Z-ordered layout both
+    dimensions prune; with a linear sort only the leading one does —
+    `tests/test_layout.py` measures exactly that difference.
+
+    Returns (DataFrame, n_files_selected, n_files_total)."""
+    stats = collect_file_stats(path, cols)
+    files = prune_files(stats, bounds)
+    if not files:
+        # empty selection: preserve schema via a zero-row slice
+        return spark.read.parquet(path).limit(0), 0, len(stats)
+    df = spark.read.parquet(*files)
+    for c, (lo, hi) in bounds.items():
+        df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+    return df, len(files), len(stats)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import glob
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from group_2_shopware_enterprise_data_engineering_project_spark.functions.layout import (
     linear_write,
@@ -125,3 +126,88 @@ def test_zorder_prunes_on_either_dimension(spark, tmp_path):
     a = spark.read.parquet(zpath).count()
     b = spark.read.parquet(lpath).count()
     assert a == b == orders.count()
+
+
+def test_zone_map_pruning_reads_fewer_files_same_answer(spark, tmp_path):
+    """Zone-map skipping over a Z-ordered layout: the pruned scan
+    selects a strict subset of files on a 2-D box predicate and
+    returns exactly the rows a full scan returns."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.layout import (
+        read_pruned,
+        zorder_write,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "z")
+    zorder_write(orders, path, "o_custkey", "o_orderkey", n_files=16)
+
+    bounds = {"o_custkey": (10, 40), "o_orderkey": (100, 900)}
+    pruned, n_sel, n_total = read_pruned(
+        spark, path, ["o_custkey", "o_orderkey"], bounds
+    )
+    assert n_total >= 8 and 0 < n_sel < n_total  # skipping actually skipped
+
+    full = spark.read.parquet(path).where(
+        (F.col("o_custkey").between(10, 40))
+        & (F.col("o_orderkey").between(100, 900))
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_zone_map_keeps_files_with_missing_stats(tmp_path):
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.layout import (
+        prune_files,
+    )
+
+    stats = {
+        "a.parquet": {"_rows": 5, "k": (0, 10)},
+        "b.parquet": {"_rows": 5, "k": (100, 200)},
+        "c.parquet": {"_rows": 5, "k": (None, None)},  # no stats -> keep
+    }
+    assert prune_files(stats, {"k": (5, 8)}) == ["a.parquet", "c.parquet"]
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE's skew-join handling is the engine-level backstop PERF.md
+    leans on — prove it engages: a heavily skewed join under low skew
+    thresholds shows skew=true partitions in the final adaptive plan."""
+    import pyspark.sql.functions as SF
+
+    # left heavily skewed on one key; right has ONE row per key so the
+    # join output stays left-sized (the skew is in partition volume,
+    # not in match multiplicity)
+    skewed = spark.range(0, 200_000).select(
+        SF.when(SF.col("id") % 100 < 99, SF.lit(7)).otherwise(SF.col("id")).alias("k"),
+        SF.col("id").alias("payload"),
+    )
+    other = spark.range(0, 200_000).select(SF.col("id").alias("k"), SF.col("id").alias("p2"))
+    conf_keys = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf_keys}
+    for k, v in conf_keys.items():
+        spark.conf.set(k, v)
+    try:
+        # keep payload columns in the join output: a count-only
+        # projection lets Spark drop the wide columns and the skewed
+        # partition can fall under the byte threshold
+        j = skewed.join(other, "k")
+        jdf = j._jdf
+        # materialize THIS DataFrame's own query execution (count()
+        # would build a separate one and leave jdf's plan unfinalized)
+        jdf.collect()
+        plan = jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
