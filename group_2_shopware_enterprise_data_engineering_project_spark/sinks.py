@@ -264,37 +264,60 @@ def write_bucketed_table(
     w.saveAsTable(table_name)
 
 
-# --- bucketed tables (pre-shuffled layouts for repeated joins) -------------
+# --- training shard writer (dataloader-facing output contract) -------------
 
 
-def write_bucketed(
+def write_training_shards(
     df: DataFrame,
-    table_name: str,
-    bucket_cols: list[str],
-    n_buckets: int,
-    sort_cols: list[str] | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Persist ``df`` as a catalog table hash-bucketed (and optionally
-    sorted) on ``bucket_cols`` — Spark's pre-shuffled layout.
+    path: str,
+    shard_col: str = "shard",
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Write a corpus as numbered training shards + a JSON manifest —
+    the contract a distributed dataloader consumes (shard list with
+    row counts, so workers can split work without listing storage).
 
-    Two tables bucketed on the same keys with the same bucket count
-    join WITHOUT any Exchange: each task zips bucket i with bucket i,
-    so the shuffle that a SortMergeJoin would need at every read is
-    paid ONCE at write time. At 100 TB this is the difference between
-    re-shuffling the fact table on every analytical join versus
-    scanning co-located buckets — the layout to choose for the 2-3
-    join keys that dominate the workload. Bucket pruning also kicks
-    in for equality predicates on the bucket key (only 1/n_buckets of
-    files scanned).
+    One shuffle on the shard id (each shard lands as one task's
+    write, so shard files are contiguous and shard-local);
+    ``max_records_per_file`` caps file size for streaming loaders.
+    The manifest is written LAST, so a partial job leaves no manifest
+    and a consumer never sees an incomplete shard set (the same
+    commit-marker discipline as the snapshot store).
 
-    Requires a catalog (`spark.sql.warehouse.dir`); bucketed layouts
-    are a table property, not a bare-path property, which is why this
-    writes via ``saveAsTable``.
+    Returns the manifest dict: {"shards": [{shard, n_rows, files}...],
+    "total_rows": N}.
     """
-    if n_buckets <= 0:
-        raise ValueError("n_buckets must be positive")
-    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
-    if sort_cols:
-        w = w.sortBy(*sort_cols)
-    w.saveAsTable(table_name)
+    import json
+
+    w = (
+        df.repartition(F.col(shard_col))
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+    spark = df.sparkSession
+    back = spark.read.parquet(path)
+    counts = {
+        r["shard"]: r["n"]
+        for r in back.groupBy(F.col(shard_col).alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    shards = []
+    for shard in sorted(counts):
+        files = sorted(
+            os.path.basename(f)
+            for f in glob.glob(os.path.join(path, f"{shard_col}={shard}", "*.parquet"))
+        )
+        shards.append(
+            {"shard": int(shard), "n_rows": int(counts[shard]), "files": files}
+        )
+    manifest = {"shards": shards, "total_rows": int(sum(counts.values()))}
+    tmp = os.path.join(path, "_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
+    return manifest

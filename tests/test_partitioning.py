@@ -195,13 +195,13 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     replaces a per-query shuffle of the fact table. The same join on
     plain parquet paths is the control: it MUST contain an Exchange."""
     from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
-        write_bucketed,
+        write_bucketed_table,
     )
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 4, ["o_orderkey"])
-    write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], 4, ["l_orderkey"])
+    write_bucketed_table(orders, "t_orders_b", ("o_orderkey",), 4, ("o_orderkey",))
+    write_bucketed_table(lineitem, "t_lineitem_b", ("l_orderkey",), 4, ("l_orderkey",))
     try:
         bo, bl = spark.table("t_orders_b"), spark.table("t_lineitem_b")
         j = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"]).where(
@@ -232,11 +232,11 @@ def test_bucket_pruning_on_equality_predicate(spark, sf_dir):
     """An equality predicate on the bucket key scans only the matching
     bucket's files (SelectedBucketsCount in the scan)."""
     from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
-        write_bucketed,
+        write_bucketed_table,
     )
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    write_bucketed(orders, "t_orders_prune", ["o_orderkey"], 8)
+    write_bucketed_table(orders, "t_orders_prune", ("o_orderkey",), 8)
     # autoBucketedScan drops the bucketed layout for scan-only queries
     # (no join/agg to exploit it) — which also drops bucket PRUNING;
     # disable it so the filter-only scan keeps the bucket metadata
@@ -248,3 +248,31 @@ def test_bucket_pruning_on_equality_predicate(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP TABLE IF EXISTS t_orders_prune")
+
+
+def test_training_shard_writer_manifest_and_balance(spark, tmp_path):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.prep import (
+        shard_assign,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    sharded = shard_assign(docs, "doc_id", n_shards=8)
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(sharded, out, max_records_per_file=20)
+    assert manifest["total_rows"] == 200
+    assert len(manifest["shards"]) == 8
+    for s in manifest["shards"]:
+        assert s["n_rows"] > 0 and s["files"]
+    # the manifest is the consumer contract: counts must match a read
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    # maxRecordsPerFile respected
+    import pyarrow.parquet as pq
+    import glob as _glob
+    for f in _glob.glob(f"{out}/shard=*/*.parquet"):
+        assert pq.ParquetFile(f).metadata.num_rows <= 20
