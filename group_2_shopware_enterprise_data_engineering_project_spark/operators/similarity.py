@@ -1232,3 +1232,72 @@ def ivfpq_topk(
         (F.lit(0.0) - F.col("cos_sim")).alias("approx_dist"),
         "rank",
     )
+
+
+# --- GEMM-based brute-force scoring (Arrow/numpy matmul path) --------------
+
+
+def brute_force_topk_gemm(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    query_pred: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k like `brute_force_topk`, but scoring runs as
+    ONE numpy matrix multiply per Arrow batch (corpus-batch × queryᵀ)
+    instead of a per-row codegen fold — the throughput path when the
+    query set is large enough that |Q| fused fold expressions stop
+    fitting codegen budgets (hundreds+ of queries).
+
+    Per partition: normalize the corpus batch rows, GEMM against the
+    broadcast normalized query matrix, keep each batch's local top-k
+    per query (bounded memory), then reduce with the global partial
+    top-k. Scores differ from the fold path only in summation order
+    (numpy uses SIMD/pairwise summation), i.e. last-ulp — which is why
+    this variant has no SQL oracle; the fold path is the bit-exact
+    reference and `tests/test_similarity.py` pins set-agreement
+    between the two.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if query_pred is None:
+        query_pred = F.col("vec_id").isin(query_ids or [])
+    q_rows = (
+        emb.filter(query_pred)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qn))
+
+    schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def _batches(it):
+        ids_b, qn_b = bq.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            nm = np.stack(pdf["embedding"].map(np.asarray).values).astype(np.float64)
+            norms = np.linalg.norm(nm, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = (nm / norms) @ qn_b.T  # |batch| x |Q|
+            nids = pdf["vec_id"].values.astype(np.int64)
+            top = min(k + 1, sims.shape[0])  # +1 allows dropping self
+            for qi, qid in enumerate(ids_b):
+                col = sims[:, qi]
+                idx = np.argpartition(-col, top - 1)[:top]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": nids[idx],
+                        "cos_sim": col[idx],
+                    }
+                )
+
+    sims = spread(emb).select("vec_id", "embedding").mapInPandas(_batches, schema)
+    sims = sims.filter(F.col("neighbor_id") != F.col("query_id"))
+    return _topk_per_query(sims, k).orderBy("query_id", "rank")

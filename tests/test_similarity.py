@@ -479,3 +479,24 @@ def test_ivfpq_plan_joins_codes_on_list_id(emb):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_gemm_bruteforce_agrees_with_fold_path(emb):
+    """The GEMM scorer must return the same neighbor sets as the
+    bit-exact fold path; scores may differ in the last ulp (summation
+    order), so compare ids and score values with a tolerance."""
+    df, _ = emb
+    qp = [0, 3, 7]
+    fold = similarity.brute_force_topk(df, query_ids=qp, k=5).collect()
+    gemm = similarity.brute_force_topk_gemm(df, query_ids=qp, k=5).collect()
+    f_by_q: dict[int, dict[int, float]] = {}
+    for r in fold:
+        f_by_q.setdefault(r.query_id, {})[r.neighbor_id] = r.cos_sim
+    g_by_q: dict[int, dict[int, float]] = {}
+    for r in gemm:
+        g_by_q.setdefault(r.query_id, {})[r.neighbor_id] = r.cos_sim
+    assert set(f_by_q) == set(g_by_q)
+    for q in f_by_q:
+        assert set(f_by_q[q]) == set(g_by_q[q]), q
+        for n, s in f_by_q[q].items():
+            assert abs(s - g_by_q[q][n]) < 1e-9
