@@ -1046,3 +1046,123 @@ ORDER BY dense_id
 def m24_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     return prep.dense_ids(docs, ["source", "doc_id"])
+
+
+# --- m25: event transition matrix (Markov chain estimation) ---------------
+
+M25_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n,
+       CAST(p.n AS DOUBLE) / CAST(t.row_total AS BIGINT) AS prob
+FROM pairs p JOIN tot t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+@register(
+    "m25_transition_matrix",
+    M25_ORACLE,
+    doc="first-order Markov transition estimates over per-user event "
+    "sequences ((ts,event_id)-ordered): one shuffle for the lead "
+    "window, transition counts map-side combined, probabilities as "
+    "exact-count IEEE divisions",
+)
+def m25_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("prob"),
+    )
+
+
+# --- m26: time-series resampling with forward fill ------------------------
+
+M26_ORACLE = """
+WITH bounds AS (
+  SELECT user_id,
+         date_trunc('day', min(ts)) AS d0,
+         date_trunc('day', max(ts)) AS d1
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS bucket
+  FROM bounds
+), daily AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), joined AS (
+  SELECT s.user_id, s.bucket, d.n_events
+  FROM spine s LEFT JOIN daily d
+    ON s.user_id = d.user_id AND s.bucket = d.bucket
+)
+SELECT user_id, bucket,
+       coalesce(n_events, CAST(0 AS BIGINT)) AS n_events,
+       CAST(n_events IS NULL AS BOOLEAN) AS gap_filled,
+       last_value(n_events IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+FROM joined
+ORDER BY user_id, bucket
+"""
+
+
+@register(
+    "m26_resample_ffill",
+    M26_ORACLE,
+    doc="per-key time-series resampling: generate each user's daily "
+    "spine (sequence+explode — no cross join against a global "
+    "calendar), left-join observed buckets, forward-fill with "
+    "last_value(IGNORE NULLS) — the gap-filling primitive Spark has "
+    "no native resample for; one window shuffle on the key",
+)
+def m26_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    bounds = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("bucket"),
+    )
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    joined = spine.join(daily, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+        F.col("n_events").isNull().alias("gap_filled"),
+        F.last("n_events", ignorenulls=True).over(w).alias("carried"),
+    )
