@@ -54,6 +54,10 @@ def interval_join_binned(
     pts = points.withColumn(
         "_bin", F.floor(F.unix_timestamp(F.col(point_ts)) / b).cast("long")
     )
+    # empty/inverted intervals ([end <= start]) contain no points by the
+    # half-open definition — drop them BEFORE the bin explode, where
+    # F.sequence(start_bin > end_bin) would error out the whole job
+    intervals = intervals.where(F.col(start_col) < F.col(end_col))
     ivs = intervals.withColumn(
         "_bin",
         F.explode(

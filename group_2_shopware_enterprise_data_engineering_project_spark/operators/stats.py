@@ -149,6 +149,8 @@ def winsorized_summary(
     this operator does: ranks are computed over (group, value, count)
     run-length pairs, not raw rows.
     """
+    if not (0.0 < q_lo <= q_hi <= 1.0):
+        raise ValueError(f"need 0 < q_lo <= q_hi <= 1, got ({q_lo}, {q_hi})")
     v = value_int.cast("long")
     g = F.col(group_col).alias("group_key")
 

@@ -263,3 +263,28 @@ def test_new_operators_handle_empty_inputs(spark):
         ).count()
         == 0
     )
+
+
+def test_interval_join_drops_empty_and_inverted_intervals(spark):
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01 01:00:00"))], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:00:00")),  # empty
+            (2, _ts("2024-01-01 02:00:00"), _ts("2024-01-01 00:00:00")),  # inverted
+            (3, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00")),  # valid
+        ],
+        "iid long, start timestamp, end timestamp",
+    )
+    out = rangejoin.interval_join_binned(
+        points, intervals, "ts", "start", "end", bin_seconds=3600
+    )
+    assert [(r.pid, r.iid) for r in out.collect()] == [(1, 3)]
+
+
+def test_winsorize_validates_quantiles(spark):
+    df = spark.createDataFrame([("g", 1)], "grp string, v long")
+    for lo, hi in [(0.0, 0.9), (0.9, 0.1), (0.1, 1.5)]:
+        with pytest.raises(ValueError):
+            stats.winsorized_summary(df, "grp", F.col("v"), lo, hi)
