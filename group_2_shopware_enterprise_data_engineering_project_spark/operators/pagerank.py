@@ -112,6 +112,10 @@ def pagerank(
         ranks.unpersist()
         ranks = new_ranks
 
+    # ranks is materialized, so the node cache is no longer needed;
+    # the final (persisted) rank table is the only cache left alive —
+    # one table of one row per node, the result itself
+    nodes.unpersist()
     return ranks.select(
         F.col("node").alias("node_id"),
         F.col("r").alias("rank_units"),
