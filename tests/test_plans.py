@@ -164,3 +164,27 @@ def test_grouping_sets_single_scan_expand(plans):
     plan = plans("a22_grouping_sets")
     assert "Expand" in plan
     assert plan.count("FileScan") == 1
+
+
+def test_plan_lint_heuristics():
+    """Unit-level checks of the dragnet linter's plan-string
+    heuristics (the full-registry run is tools/plan_lint.py — too
+    heavy for the default suite; PLAN_AUDIT.md is its committed
+    output)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from plan_lint import lint_info, lint_plan
+
+    assert lint_plan("... CartesianProduct ...")["cartesian"]
+    assert lint_info("... BroadcastNestedLoopJoin BuildRight ...")["nested_loop"]
+    # unpartitioned window: spec starts with a sort order
+    assert lint_plan(
+        "Window [row_number() windowspecdefinition(cnt#5L DESC NULLS LAST, "
+        "specifiedwindowframe(...)) AS rank#9]"
+    )["global_window"]
+    # partitioned window: spec starts with partition attributes
+    assert not lint_plan(
+        "Window [row_number() windowspecdefinition(_pid#1, k#0L ASC NULLS "
+        "FIRST, specifiedwindowframe(...)) AS _we0#71]"
+    )["global_window"]

@@ -1,0 +1,131 @@
+"""Physical-plan linter: scan EVERY registered query's executed plan
+for scale anti-patterns and fail on any un-whitelisted hit.
+
+tests/test_plans.py pins specific shapes for specific queries; this
+tool is the dragnet — a new query (or a refactor of an old one) that
+introduces a cartesian product, an unbounded nested-loop join, or a
+single-partition global window fails CI without anyone having to
+remember to write its plan test.
+
+Failing checks (plan string heuristics):
+  cartesian      CartesianProduct anywhere
+  global_window  windowspecdefinition whose spec begins with a sort
+                 spec (no partition column): every row through ONE
+                 partition — unless whitelisted as a bounded-row
+                 window (rank over TakeOrdered survivors, model-sized
+                 tables)
+
+Informational (reported, never failing):
+  nested_loop    BroadcastNestedLoopJoin — Spark only builds this
+                 with a broadcast side under the autoBroadcast
+                 threshold, and every occurrence here is a deliberate
+                 scalar/model/pool broadcast (query sets, centroids,
+                 bloom bitmaps, NB models, totals rows); the
+                 unbounded variant surfaces as CartesianProduct,
+                 which DOES fail
+
+Usage:
+  python tools/plan_lint.py              # lint all, exit 1 on flags
+  python tools/plan_lint.py --report     # also print the full table
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from group_2_shopware_enterprise_data_engineering_project_spark import registry
+from group_2_shopware_enterprise_data_engineering_project_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF", "/root/testdata/sf0.001")
+
+#: query -> {check: reason} — every entry is a DOCUMENTED design
+#: decision, not an exemption of convenience.
+WHITELIST: dict[str, dict[str, str]] = {
+    # global top-k cuts rank <= k TakeOrdered survivors; band/summary
+    # windows run over model-sized tables — the single partition holds
+    # a bounded row count in every case
+    "a15_key_skew_profile": {
+        "global_window": "rank over the k=20 TakeOrdered survivors"
+    },
+    "t11_bm25_topk": {
+        "global_window": "rank over the k=10 TakeOrdered survivors"
+    },
+    "a21_item_cooccurrence": {
+        "global_window": "rank over the top-20 TakeOrdered survivors"
+    },
+    "t8_corpus_dup_ngrams": {
+        "global_window": "rank over TakeOrdered survivors"
+    },
+    "m5_doc_frequency": {"global_window": "rank over TakeOrdered survivors"},
+    "o1_topk_orders": {"global_window": "rank over the LIMIT k survivors"},
+    "m17_token_budget_select": {
+        "global_window": "cumulative sum over the ~5-row band-totals "
+        "table (prep.token_budget_select docstring)"
+    },
+}
+
+# windowspecdefinition(<first arg> ...: a partitioned spec starts with
+# attribute refs (name#id), an UNpartitioned spec starts with a sort
+# order ("name#id ASC/DESC ...")
+_GLOBAL_WINDOW = re.compile(
+    r"windowspecdefinition\([^,)]*#\d+L? (ASC|DESC)"
+)
+
+
+def lint_plan(plan: str) -> dict[str, bool]:
+    return {
+        "cartesian": "CartesianProduct" in plan,
+        "global_window": bool(_GLOBAL_WINDOW.search(plan)),
+    }
+
+
+def lint_info(plan: str) -> dict[str, bool]:
+    return {"nested_loop": "BroadcastNestedLoopJoin" in plan}
+
+
+def main() -> int:
+    report = "--report" in sys.argv[1:]
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    spark = get_spark("plan-lint")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+    failures: list[str] = []
+    rows = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            plan = (
+                fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as e:  # noqa: BLE001 — lint must report, not die
+            failures.append(f"{name}: plan construction failed: {e}")
+            continue
+        flags = lint_plan(plan)
+        hit = [k for k, v in flags.items() if v]
+        info = [k for k, v in lint_info(plan).items() if v]
+        allowed = WHITELIST.get(name, {})
+        bad = [k for k in hit if k not in allowed]
+        rows.append((name, plan.count("Exchange"), hit + info, bad))
+        for k in bad:
+            failures.append(f"{name}: {k}")
+    if report:
+        for name, nex, hit, bad in sorted(rows):
+            mark = "FLAG" if bad else ("ok* " if hit else "ok  ")
+            print(f"{mark} {name:32s} exchanges={nex:2d} {','.join(hit)}")
+    if failures:
+        print("\nPLAN LINT FAILURES (not whitelisted):")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print(f"plan lint: {len(rows)} queries clean "
+          f"({sum(1 for *_, h, b in [(r[0], r[1], r[2], r[3]) for r in rows] if h and not b)} whitelisted hits)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
