@@ -194,3 +194,37 @@ def accumulating_kpi_sink(
         guard.mark(batch_id)
 
     return run_available_now(stream_df, checkpoint, _batch)
+
+
+def replacing_dim_sink(
+    stream_df: DataFrame,
+    table: ParquetUpsertTable,
+    key_cols: tuple[str, ...],
+    order_col: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming REPLACE-merge (the inventory-dimension pattern as a
+    stream, complementing `accumulating_kpi_sink`'s additive K5): per
+    micro-batch, keep the latest row per key WITHIN the batch (ordered
+    by ``order_col``), then replace-MERGE into the dimension table.
+    Replace-merge is idempotent per batch content, and the batch-id
+    guard additionally skips replayed batches so a restart does not
+    even pay the merge cost."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    guard = BatchGuard(os.path.join(table.path + "_meta", "last_batch.json"))
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        if batch_id <= guard.last_applied():
+            return
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        latest = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        table.upsert_replace(latest, key_cols)
+        guard.mark(batch_id)
+
+    return run_available_now(stream_df, checkpoint, _batch)

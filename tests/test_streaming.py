@@ -722,3 +722,67 @@ def test_progress_capture_records_batch_metrics(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "k long")
     df.count()
     assert len(cap.batches) == n_before
+
+
+def test_streaming_replace_merge_latest_wins_and_replay_safe(spark, tmp_path):
+    """ST: replace-merge dimension maintenance from a stream — later
+    batches overwrite matched keys, within-batch the newest row wins,
+    and a checkpoint-restart replay is a no-op (batch guard)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        replacing_dim_sink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    f1, f2 = src / "b1.jsonl", src / "b2.jsonl"
+    f1.write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"sku": 1, "qty": 10, "v": 1},
+                {"sku": 1, "qty": 99, "v": 2},  # newer within batch -> wins
+                {"sku": 2, "qty": 5, "v": 1},
+            ]
+        )
+    )
+    f2.write_text(_json.dumps({"sku": 1, "qty": 42, "v": 3}))
+    t0 = _time.time()
+    _os.utime(f1, (t0, t0))
+    _os.utime(f2, (t0 + 10, t0 + 10))
+
+    schema = T.StructType(
+        [
+            T.StructField("sku", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    table = ParquetUpsertTable(spark, str(tmp_path / "dim"))
+    replacing_dim_sink(stream, table, ("sku",), "v", str(tmp_path / "ck"))
+    out = {r.sku: r.qty for r in table.read().collect()}
+    assert out == {1: 42, 2: 5}  # batch2 replaced sku 1; in-batch latest won
+
+    # replay with the same checkpoint: availableNow re-drain sees no new
+    # files; simulate an at-least-once redelivery by re-running the sink
+    # with a FRESH checkpoint but the same guard state — batches replay
+    # with the same ids and must be skipped
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(src))
+    )
+    replacing_dim_sink(stream2, table, ("sku",), "v", str(tmp_path / "ck2"))
+    out2 = {r.sku: r.qty for r in table.read().collect()}
+    assert out2 == out
+    versions_after = table.versions()
+    assert len(versions_after) <= 2  # no extra snapshots from replays
