@@ -213,3 +213,61 @@ def m23_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.negative_sample(
         inter, user_col="o_custkey", item_col="l_partkey", pool_size=100, k=5
     )
+
+
+# --- G2: triangle counting over the co-purchase graph -------------------
+
+G2_ORACLE = """
+WITH oi AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+), e AS (
+  SELECT a.item AS a, c.item AS b
+  FROM oi a JOIN oi c ON a.okey = c.okey AND a.item < c.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+)
+SELECT node, n_triangles,
+       CAST(row_number() OVER (
+           ORDER BY n_triangles DESC, node ASC) AS BIGINT) AS rank
+FROM pn
+QUALIFY rank <= 20
+ORDER BY rank
+"""
+
+
+@register(
+    "g2_triangle_counts",
+    G2_ORACLE,
+    doc="per-node triangle participation over the support>=2 "
+    "co-purchase graph: canonical-order e(a,b)⋈e(b,c)⋈e(a,c) finds "
+    "each triangle once (no dedup); degree-ordered orientation is the "
+    "documented power-law hardening",
+)
+def g2_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    oi = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = oi.select("okey", F.col("item").alias("ia"))
+    b = oi.select("okey", F.col("item").alias("ib"))
+    edges = (
+        a.join(b, "okey")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return pagerank.triangle_counts(edges, top_n=20)

@@ -141,3 +141,17 @@ def test_negative_sample_excludes_seen_and_is_deterministic(spark):
     assert [(r.i, r.rnk) for r in u1] == [(5, 1)]
     # user 2 saw everything in the pool -> no negatives
     assert [r for r in out1 if r.u == 2] == []
+
+
+def test_triangle_counts_known_graph(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        pagerank as pr,
+    )
+
+    # K4 on {1,2,3,4}: every node sits in C(3,2)=3 triangles; node 5
+    # hangs off an edge and is in none
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.n_triangles for r in pr.triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert 5 not in out  # zero-triangle nodes don't appear
