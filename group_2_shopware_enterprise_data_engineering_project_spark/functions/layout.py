@@ -184,3 +184,82 @@ def read_pruned(spark, path: str, cols: list[str], bounds: dict):
     for c, (lo, hi) in bounds.items():
         df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
     return df, len(files), len(stats)
+
+
+# --- per-file Bloom index: point-lookup data skipping ----------------------
+#
+# Zone maps skip files by VALUE RANGE — useless for an equality probe
+# on a high-cardinality key whose range spans every file (ids, hashes).
+# The per-file Bloom filter is the standard complement (Parquet column
+# bloom filters / Delta bloom indexes): k md5-derived bit positions
+# per distinct (file, value); a file can be skipped when any probe
+# position is absent. No false negatives by construction — a file
+# containing the value always has all its positions set.
+
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 5
+
+
+def _bloom_pos_cols(value_col, m_bits: int, k: int):
+    """Kirsch-Mitzenmacher double hashing on md5 hex (mirrored exactly
+    by `_bloom_positions_py` — md5 is the one hash both Spark and the
+    Python prober share bit-for-bit)."""
+
+    def h(salt: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), value_col.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    h1, h2 = h("b1:"), h("b2:")
+    return F.array(
+        *[F.pmod(h1 + F.lit(j) * h2, F.lit(m_bits)) for j in range(1, k + 1)]
+    )
+
+
+def _bloom_positions_py(value: str, m_bits: int, k: int) -> list[int]:
+    import hashlib
+
+    h1 = int(hashlib.md5(f"b1:{value}".encode()).hexdigest()[:15], 16) % m_bits
+    h2 = int(hashlib.md5(f"b2:{value}".encode()).hexdigest()[:15], 16) % m_bits
+    return [(h1 + j * h2) % m_bits for j in range(1, k + 1)]
+
+
+def build_bloom_index(
+    spark, path: str, col: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+):
+    """{file -> set(bit positions)} for every distinct value per file.
+    One distinct + explode over the scan; per-file state is bounded by
+    m_bits regardless of cardinality. At warehouse scale the position
+    sets persist as a parquet bitmap index next to the data — the
+    in-memory dict is the local-mode materialization of the same
+    thing."""
+    df = (
+        spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("f"),
+            F.col(col).cast("string").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .distinct()
+    )
+    pos = df.select(
+        "f", F.explode(_bloom_pos_cols(F.col("v"), m_bits, k)).alias("p")
+    ).distinct()
+    rows = pos.groupBy("f").agg(F.collect_set("p").alias("ps")).collect()
+    return {r["f"]: frozenset(int(p) for p in r["ps"]) for r in rows}
+
+
+def prune_files_bloom(
+    index: dict, value, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> list[str]:
+    """Files that MAY contain `value` (equality probe). Never excludes
+    a file that does contain it."""
+    probe = _bloom_positions_py(str(value), m_bits, k)
+    return [f for f, ps in sorted(index.items()) if all(p in ps for p in probe)]

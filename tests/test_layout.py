@@ -211,3 +211,41 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_index_point_lookup_skips_files_no_false_negatives(spark, tmp_path):
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.layout import (
+        build_bloom_index,
+        prune_files_bloom,
+    )
+
+    path = str(tmp_path / "bl")
+    # 8 disjoint key ranges -> 8 files via range partitioning
+    spark.range(0, 8000).selectExpr("id AS k", "id * 2 AS v").repartitionByRange(
+        8, "k"
+    ).write.parquet(path)
+    index = build_bloom_index(spark, path, "k")
+    assert len(index) == 8
+
+    # no false negatives: every present key's true file survives pruning
+    sample_keys = [0, 1234, 4567, 7999]
+    truth = {
+        key: {
+            r.f
+            for r in spark.read.parquet(path)
+            .selectExpr("k", "input_file_name() AS f")
+            .where(F.col("k").isin(sample_keys))
+            .collect()
+            if r.k == key
+        }
+        for key in sample_keys
+    }
+    for key in sample_keys:
+        kept = set(prune_files_bloom(index, key))
+        assert truth[key] <= kept, key
+        # and pruning actually prunes: a key living in one file must not
+        # keep all 8 (fp rate at these sizes is far below 7/7)
+        assert len(kept) < 8, key
+
+    # an absent value prunes everything (with high probability)
+    assert len(prune_files_bloom(index, 10_000_000)) <= 1
