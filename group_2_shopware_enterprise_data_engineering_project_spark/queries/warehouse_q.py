@@ -180,3 +180,50 @@ def a22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "total_price",
     )
+
+
+# --- K17: Z-order + zone-map pruned scan --------------------------------
+
+K17_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 400
+  AND o_orderkey BETWEEN 1000 AND 9000
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "k17_zone_map_scan",
+    K17_ORACLE,
+    doc="Z-order layout + zone-map file skipping, content-proven: "
+    "orders rewritten along the Morton curve of (custkey, orderkey), "
+    "scanned through the footer-stats index with a 2-D box predicate; "
+    "the query RAISES unless pruning selected a strict subset of "
+    "files (physical assert in-query, like k12), and the oracle "
+    "proves the pruned scan returns exactly the full-scan rows",
+)
+def k17_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.layout import (
+        read_pruned,
+        zorder_write,
+    )
+
+    out = tempfile.mkdtemp(prefix="shopware_spark_k17_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zorder_write(orders, out, "o_custkey", "o_orderkey", n_files=16)
+    pruned, n_sel, n_total = read_pruned(
+        spark,
+        out,
+        ["o_custkey", "o_orderkey"],
+        {"o_custkey": (100, 400), "o_orderkey": (1000, 9000)},
+    )
+    if not (0 < n_sel < n_total):
+        raise AssertionError(
+            f"zone-map pruning ineffective: {n_sel}/{n_total} files"
+        )
+    return pruned.select("o_orderkey", "o_custkey", "o_totalprice")
