@@ -227,3 +227,65 @@ def k17_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"zone-map pruning ineffective: {n_sel}/{n_total} files"
         )
     return pruned.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# --- K18: co-bucketed join, exchange-free (driver-visible) --------------
+
+K18_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "k18_bucketed_join",
+    K18_ORACLE,
+    doc="write-once pre-shuffle, content-proven: orders and lineitem "
+    "persisted as co-bucketed catalog tables (same key, same bucket "
+    "count), then joined — the query RAISES if the join plan contains "
+    "ANY Exchange (the shuffle was paid at write time), and the "
+    "oracle proves the bucketed join returns exactly the plain join's "
+    "aggregate",
+)
+def k18_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        write_bucketed_table,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS k18_orders_b")
+    spark.sql("DROP TABLE IF EXISTS k18_lineitem_b")
+    write_bucketed_table(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "k18_orders_b",
+        ("o_orderkey",),
+        8,
+        sort_cols=("o_orderkey",),
+    )
+    write_bucketed_table(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "k18_lineitem_b",
+        ("l_orderkey",),
+        8,
+        sort_cols=("l_orderkey",),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        bo, bl = spark.table("k18_orders_b"), spark.table("k18_lineitem_b")
+        joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError("bucketed join still shuffles:\n" + plan[:800])
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        )
+        # materialize under the forced-SMJ conf before restoring it
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
