@@ -596,3 +596,100 @@ def s8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# --- ST10: stream-stream interval join (driver-visible) -------------------
+
+ST10_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS buy_id,
+       c.ts AS click_ts,
+       p.ts AS buy_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+ORDER BY c.user_id, click_id, buy_id
+"""
+
+
+@register(
+    "st10_stream_stream_join",
+    ST10_ORACLE,
+    doc="stream-stream interval join run AS STREAMS (clicks x "
+    "purchases within 30 min per user, watermarked both sides, "
+    "availableNow drain): inner joins emit eagerly on match, state "
+    "evicts past watermark+bound; the oracle is the equivalent batch "
+    "SQL join over the same events — identical pairs proves the "
+    "streaming execution loses and invents nothing",
+)
+def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        run_available_now,
+    )
+
+    base = _tmp("st10")
+    cdir, pdir, ckpt, out = (
+        f"{base}/clicks",
+        f"{base}/buys",
+        f"{base}/ckpt",
+        f"{base}/out",
+    )
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("c_us")
+    ).coalesce(1).write.mode("overwrite").json(cdir)
+    events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts_us").alias("b_us")
+    ).coalesce(1).write.mode("overwrite").json(pdir)
+
+    cs = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("click_id", T.LongType()),
+            T.StructField("c_us", T.LongType()),
+        ]
+    )
+    bs = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("buy_id", T.LongType()),
+            T.StructField("b_us", T.LongType()),
+        ]
+    )
+    clicks = (
+        spark.readStream.schema(cs)
+        .json(cdir)
+        .withColumn("click_ts", F.timestamp_micros("c_us"))
+        .drop("c_us")
+    )
+    buys = (
+        spark.readStream.schema(bs)
+        .json(pdir)
+        .withColumn("buy_ts", F.timestamp_micros("b_us"))
+        .drop("b_us")
+    )
+    joined = stream_stream_interval_join(
+        clicks,
+        buys,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="buy_ts",
+        watermark_delay="2 hours",
+        within_seconds=1800,
+    )
+    os.makedirs(out, exist_ok=True)
+    run_available_now(
+        joined, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
+    )
+    return spark.read.parquet(out).select(
+        "user_id", "click_id", "buy_id", "click_ts", "buy_ts"
+    )

@@ -289,3 +289,57 @@ def k18_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --- K19: Bloom-index point lookup (driver-visible) ---------------------
+
+K19_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey IN (7, 4321, 9876)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "k19_bloom_point_lookup",
+    K19_ORACLE,
+    doc="per-file Bloom-index point lookups, content-proven: orders "
+    "range-partitioned into 8 files, md5 double-hashed bloom built in "
+    "one distinct+explode pass, three key probes each RAISE unless "
+    "pruning kept a strict file subset; the oracle proves the pruned "
+    "union returns exactly the full-scan rows (no false negatives)",
+)
+def k19_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.layout import (
+        build_bloom_index,
+        prune_files_bloom,
+    )
+
+    out = tempfile.mkdtemp(prefix="shopware_spark_k19_")
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    index = build_bloom_index(spark, out, "o_orderkey")
+    keys = [7, 4321, 9876]
+    parts = []
+    for key in keys:
+        files = prune_files_bloom(index, key)
+        if not (0 < len(files) < len(index)):
+            raise AssertionError(
+                f"bloom pruning ineffective for {key}: "
+                f"{len(files)}/{len(index)} files"
+            )
+        parts.append(
+            spark.read.parquet(*files).where(F.col("o_orderkey") == key)
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res.select("o_orderkey", "o_custkey", "o_totalprice")
