@@ -693,3 +693,63 @@ def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "user_id", "click_id", "buy_id", "click_ts", "buy_ts"
     )
+
+
+# --- ST11: streaming dedup within watermark (driver-visible) --------------
+
+ST11_ORACLE = """
+SELECT DISTINCT event_id, user_id, ts, event_type
+FROM events
+ORDER BY event_id
+"""
+
+
+@register(
+    "st11_dedup_within_watermark",
+    ST11_ORACLE,
+    doc="streaming duplicate suppression with EVICTABLE state: the "
+    "event stream doubled (an at-least-once redelivery), then "
+    "dropDuplicatesWithinWatermark(event_id) over a watermarked "
+    "stream, availableNow drain — dedup state expires with the "
+    "watermark instead of growing forever; duplicates are full-row "
+    "copies, so which copy survives is content-identical and the "
+    "DISTINCT oracle is exact",
+)
+def st11_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.joins import (
+        dedup_within_watermark,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        run_available_now,
+    )
+
+    base = _tmp("st11")
+    src, ckpt, out = f"{base}/in", f"{base}/ckpt", f"{base}/out"
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type"
+    )
+    doubled = events.unionByName(events)
+    doubled.coalesce(1).write.mode("overwrite").json(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .drop("ts_us")
+    )
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
+    os.makedirs(out, exist_ok=True)
+    run_available_now(
+        deduped, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
+    )
+    return spark.read.parquet(out).select("event_id", "user_id", "ts", "event_type")

@@ -343,3 +343,47 @@ def k19_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         res = res.unionByName(p)
     return res.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# --- K20: training-shard writer manifest proof --------------------------
+
+_K20_N = 8
+
+K20_ORACLE = f"""
+SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % {_K20_N} AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+@register(
+    "k20_shard_manifest",
+    K20_ORACLE,
+    doc="training-shard writer end-to-end: md5 shard assignment -> "
+    "partitioned parquet shards + JSON manifest (written LAST — no "
+    "manifest means no complete shard set); the returned rows ARE the "
+    "manifest counts, and the oracle recomputes each shard's expected "
+    "population from the md5 formula, so a hash match proves the "
+    "writer dropped and duplicated nothing",
+)
+def k20_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.prep import (
+        shard_assign,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        write_training_shards,
+    )
+
+    out = tempfile.mkdtemp(prefix="shopware_spark_k20_")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sharded = shard_assign(docs, "doc_id", n_shards=_K20_N).select(
+        "doc_id", "text", "shard"
+    )
+    manifest = write_training_shards(sharded, out, max_records_per_file=200)
+    rows = [(s["shard"], s["n_rows"]) for s in manifest["shards"]]
+    return spark.createDataFrame(rows, "shard long, n_rows long")
