@@ -252,22 +252,27 @@ ORDER BY o_orderpriority
     "aggregate",
 )
 def k18_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
     from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
         write_bucketed_table,
     )
 
-    spark.sql("DROP TABLE IF EXISTS k18_orders_b")
-    spark.sql("DROP TABLE IF EXISTS k18_lineitem_b")
+    # per-run table names: concurrent harnesses (sweep + pytest) share
+    # one spark-warehouse dir, and saveAsTable refuses a location that
+    # another process just created
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_l = f"k18_orders_{tag}", f"k18_lineitem_{tag}"
     write_bucketed_table(
         table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
-        "k18_orders_b",
+        t_o,
         ("o_orderkey",),
         8,
         sort_cols=("o_orderkey",),
     )
     write_bucketed_table(
         table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
-        "k18_lineitem_b",
+        t_l,
         ("l_orderkey",),
         8,
         sort_cols=("l_orderkey",),
@@ -275,7 +280,7 @@ def k18_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
     try:
-        bo, bl = spark.table("k18_orders_b"), spark.table("k18_lineitem_b")
+        bo, bl = spark.table(t_o), spark.table(t_l)
         joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
         plan = joined._jdf.queryExecution().executedPlan().toString()
         if "Exchange" in plan:
@@ -289,6 +294,8 @@ def k18_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_l}")
 
 
 # --- K19: Bloom-index point lookup (driver-visible) ---------------------
@@ -331,13 +338,22 @@ def k19_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for key in keys:
         files = prune_files_bloom(index, key)
-        if not (0 < len(files) < len(index)):
+        # strict subset required; ZERO files is the correct outcome for
+        # a key absent at this scale factor (the probe proves absence)
+        if len(files) >= len(index):
             raise AssertionError(
                 f"bloom pruning ineffective for {key}: "
                 f"{len(files)}/{len(index)} files"
             )
-        parts.append(
-            spark.read.parquet(*files).where(F.col("o_orderkey") == key)
+        if files:
+            parts.append(
+                spark.read.parquet(*files).where(F.col("o_orderkey") == key)
+            )
+    if not parts:
+        return (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .limit(0)
         )
     res = parts[0]
     for p in parts[1:]:
