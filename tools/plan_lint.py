@@ -62,6 +62,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     },
     "m5_doc_frequency": {"global_window": "rank over TakeOrdered survivors"},
     "o1_topk_orders": {"global_window": "rank over the LIMIT k survivors"},
+    "g2_triangle_counts": {
+        "global_window": "rank over the top-20 TakeOrdered survivors"
+    },
     "m17_token_budget_select": {
         "global_window": "cumulative sum over the ~5-row band-totals "
         "table (prep.token_budget_select docstring)"
