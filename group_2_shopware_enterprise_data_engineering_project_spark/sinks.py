@@ -321,3 +321,57 @@ def write_training_shards(
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
     return manifest
+
+
+# --- contract-enforced writes ----------------------------------------------
+
+
+class DataContractViolation(RuntimeError):
+    """Raised when a checked write's expectation suite fails; carries
+    the failing (constraint_name, metric) pairs."""
+
+    def __init__(self, failures: list[tuple[str, float]]):
+        self.failures = failures
+        super().__init__(
+            "data contract violated: "
+            + ", ".join(f"{c} (metric={m})" for c, m in failures)
+        )
+
+
+def checked_write(
+    df: DataFrame,
+    path: str,
+    expectations: dict,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet ONLY if the expectation suite passes — the
+    write-side data contract (dbt tests / Delta constraints shape):
+    producers fail loudly instead of publishing junk for every
+    downstream consumer to discover independently.
+
+    ``expectations`` maps the keyword arguments of
+    `validate.expectation_report` (completeness_cols, unique_cols,
+    bounds, allowed). The check is ONE aggregate pass; the frame is
+    persisted across check + write so the input is computed once, and
+    nothing is written at all on violation (no partial output to
+    clean up).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.validate import (
+        expectation_report,
+    )
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        report = expectation_report(df, **expectations).collect()
+        failures = [
+            (r["constraint_name"], float(r["metric"]))
+            for r in report
+            if not r["passed"]
+        ]
+        if failures:
+            raise DataContractViolation(failures)
+        df.write.mode(mode).parquet(path)
+    finally:
+        df.unpersist()

@@ -75,3 +75,27 @@ def test_quarantine_split_writes_both_sides(spark, tmp_path):
     assert rej.count() == 3
     # violations serialized as JSON string for the quarantine zone
     assert dict(rej.dtypes)["violations"] == "string"
+
+
+def test_checked_write_blocks_contract_violations(spark, tmp_path):
+    import os
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        DataContractViolation,
+        checked_write,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, "ok", 5.0), (None, "ok", 2.0)], "k long, s string, v double"
+    )
+    out = str(tmp_path / "contract")
+    import pytest as _pytest
+
+    with _pytest.raises(DataContractViolation) as ei:
+        checked_write(bad, out, {"completeness_cols": ["k"]})
+    assert "completeness:k" in str(ei.value)
+    assert not os.path.exists(out)  # nothing published on violation
+
+    good = spark.createDataFrame([(1, "ok", 5.0)], "k long, s string, v double")
+    checked_write(good, out, {"completeness_cols": ["k"], "unique_cols": ["k"]})
+    assert spark.read.parquet(out).count() == 1
