@@ -81,3 +81,56 @@ def blocked_pairs(
         .where(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "bkey", "distance")
     )
+
+
+def qgram_pairs(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    q: int = 3,
+    min_shared: int = 4,
+    max_df: int = 500,
+) -> DataFrame:
+    """Fuzzy-match candidates by shared q-gram count (the PPJoin-family
+    count-filtering idea): two strings sharing >= ``min_shared``
+    distinct q-grams are candidates, found via an inverted index on
+    q-grams instead of any pairwise scan.
+
+    Complements `blocked_pairs`: blocking needs a hand-chosen key and
+    misses pairs that differ in it; q-gram counting is key-free and
+    catches edits anywhere in the string, at the cost of an index
+    shuffle. Ultra-frequent q-grams (df > ``max_df``) are dropped from
+    the index — they generate quadratic candidate volume and carry no
+    signal (the standard stop-gram cut, mirrored by the oracle).
+
+    Output: (id_a, id_b, shared) with id_a < id_b.
+    """
+    grams = records.select(
+        F.col(id_col).cast("long").alias("rid"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length(name_col) - q + 1, F.lit(1))
+                    ),
+                    lambda i: F.substring(F.col(name_col), i, q),
+                )
+            )
+        ).alias("g"),
+    )
+    df_ok = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("g")
+    )
+    indexed = grams.join(df_ok, "g", "left_semi")
+    a = indexed.select("g", F.col("rid").alias("id_a"))
+    b = indexed.select("g", F.col("rid").alias("id_b"))
+    return (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -271,3 +271,41 @@ def g2_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return pagerank.triangle_counts(edges, top_n=20)
+
+
+# --- D6: q-gram count-filtering similarity join -------------------------
+
+D6_ORACLE = """
+WITH grams AS (
+  SELECT p_partkey AS rid,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(p_name) - 2, 1)),
+           i -> substring(p_name, i, 3)))) AS g
+  FROM part
+), ok AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) <= 500
+), ix AS (
+  SELECT grams.* FROM grams JOIN ok USING (g)
+)
+SELECT a.rid AS id_a, b.rid AS id_b,
+       CAST(count(*) AS BIGINT) AS shared
+FROM ix a JOIN ix b ON a.g = b.g AND a.rid < b.rid
+GROUP BY 1, 2
+HAVING count(*) >= 4
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "d6_qgram_pairs",
+    D6_ORACLE,
+    doc="key-free fuzzy-match candidates by shared-3-gram count "
+    "(PPJoin-family count filtering): inverted q-gram index, "
+    "stop-grams over df=500 cut (quadratic volume, zero signal), "
+    "pairs sharing >= 4 distinct grams survive — catches edits "
+    "anywhere in the string, unlike fixed blocking keys",
+)
+def d6_qgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return er.qgram_pairs(
+        table(spark, sf_dir, "part"), "p_partkey", "p_name", q=3, min_shared=4
+    )

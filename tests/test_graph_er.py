@@ -155,3 +155,24 @@ def test_triangle_counts_known_graph(spark):
     out = {r.node: r.n_triangles for r in pr.triangle_counts(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
     assert 5 not in out  # zero-triangle nodes don't appear
+
+
+def test_qgram_pairs_counts_shared_grams(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdeX"), (3, "zzzzzz")],
+        "id long, name string",
+    )
+    # 1 vs 2 share grams abc,bcd,cde (3 of 4 each); 3 shares none
+    out = {(r.id_a, r.id_b): r.shared for r in
+           er.qgram_pairs(df, "id", "name", q=3, min_shared=3).collect()}
+    assert out == {(1, 2): 3}
+    assert er.qgram_pairs(df, "id", "name", q=3, min_shared=4).count() == 0
+
+
+def test_qgram_stop_grams_cut(spark):
+    # a gram present in every record is dropped from the index
+    rows = [(i, f"commonXX{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    # with max_df=5 the shared 'com','omm','mmo','mon' grams vanish ->
+    # no pair reaches min_shared
+    assert er.qgram_pairs(df, "id", "name", q=3, min_shared=2, max_df=5).count() == 0
