@@ -178,3 +178,74 @@ def resize_plan(
     return df.withColumn(
         "target_width", F.floor(w * scale).cast("int")
     ).withColumn("target_height", F.floor(h * scale).cast("int"))
+
+
+# --- perceptual-hash near-dup (banded Hamming join) ------------------------
+
+
+PHASH_BITS = 60  # 15 hex chars -> sign-safe BIGINT in every engine
+PHASH_BANDS = 4
+_BAND_BITS = PHASH_BITS // PHASH_BANDS
+
+
+def media_phash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """60-bit perceptual-hash column for near-dup banding. The hash
+    here is digest-derived — the deterministic stand-in of the mm
+    codec convention (a real pHash/aHash over decoded pixels drops in
+    behind the same column contract); digest bits make exact-payload
+    duplicates Hamming-0 pairs, which is what the banding machinery
+    needs to be exercised end-to-end."""
+    return df.withColumn(
+        "phash",
+        F.conv(F.substring(F.md5(F.col(payload_col)), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def media_near_dup(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate media pairs by banded Hamming join over the
+    60-bit phash: 4 x 15-bit bands — any pair within Hamming distance
+    4-1=3 shares at least one exact band (LSH guarantee), wider radii
+    are caught with the usual banding recall; candidates verified by
+    exact bit_count(xor). The shuffle carries (band_idx, band_value,
+    id) — never payloads; skewed bands are ordinary join skew under
+    AQE."""
+    hashed = media_phash(df).select(F.col(id_col).alias("mid"), "phash")
+    bands = hashed.select(
+        "mid",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (
+                            F.shiftrightunsigned(F.col("phash"), i * _BAND_BITS)
+                            % F.lit(1 << _BAND_BITS)
+                        ).alias("band_val"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("mid", "phash", "b.band_idx", "b.band_val")
+    a = bands.select(
+        "band_idx", "band_val", F.col("mid").alias("id_a"), F.col("phash").alias("ha")
+    )
+    b = bands.select(
+        "band_idx", "band_val", F.col("mid").alias("id_b"), F.col("phash").alias("hb")
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -142,3 +142,49 @@ FROM m
 def mm4_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = multimodal.resize_plan(_media(spark, sf_dir), max_px=512)
     return out.select("media_id", "target_width", "target_height")
+
+
+# --- mm5: perceptual-hash near-dup (banded Hamming join) ------------------
+
+MM5_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+), m AS (
+  SELECT doc_id AS mid,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash
+  FROM corpus
+), bands AS (
+  SELECT mid, phash, b.band_idx,
+         (phash // (1::BIGINT << (b.band_idx * 15))) % 32768 AS band_val
+  FROM m, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+), cands AS (
+  SELECT DISTINCT a.mid AS id_a, c.mid AS id_b, a.phash AS ha, c.phash AS hb
+  FROM bands a JOIN bands c
+    ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+   AND a.mid < c.mid
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cands
+WHERE bit_count(xor(ha, hb)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "mm5_media_near_dup",
+    MM5_ORACLE,
+    doc="perceptual-hash near-dup for media: 60-bit phash (digest-"
+    "derived stand-in, real pHash drops in behind the same column), "
+    "4x15-bit band join -> exact bit_count(xor) Hamming verify; the "
+    "shuffle carries band keys and ids, never payloads. The corpus is "
+    "salted with 50 re-uploaded payloads under new ids, so the oracle "
+    "proves the banding recovers exactly those duplicate pairs",
+)
+def mm5_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir)
+    dupes = media.filter(F.col("media_id") < 50).withColumn(
+        "media_id", F.col("media_id") + 100000
+    )
+    return multimodal.media_near_dup(media.unionByName(dupes), max_hamming=6)

@@ -77,3 +77,20 @@ def test_payloads_not_shuffled_in_fingerprint_agg(media):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
     assert agg_lines and all("payload" not in ln for ln in agg_lines)
+
+
+def test_media_near_dup_finds_exact_payload_pairs_only(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        multimodal as mm,
+    )
+    from pyspark.sql import functions as F
+
+    media = spark.createDataFrame(
+        [(1, b"same bytes"), (2, b"same bytes"), (3, b"different!")],
+        "media_id long, payload binary",
+    )
+    out = mm.media_near_dup(media, max_hamming=0).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
+    # phash is 60-bit sign-safe
+    h = mm.media_phash(media).agg(F.min("phash"), F.max("phash")).first()
+    assert h[0] >= 0 and h[1] < (1 << 60)
