@@ -463,3 +463,44 @@ def a19_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("order_year"))
         .agg((F.sum(rev_cents).cast("double") / F.lit(100.0)).alias("revenue"))
     )
+
+
+# --- A23: share-of-total (ratio-to-report) ------------------------------
+
+A23_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS total FROM g
+)
+SELECT o_orderpriority,
+       CAST(cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS revenue,
+       CAST(cents AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM g, t
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "a23_share_of_total",
+    A23_ORACLE,
+    doc="ratio-to-report: per-priority revenue share of the grand "
+    "total — one map-side-combined group agg, the 1-row total "
+    "broadcast back (NOT a global window over the detail rows); exact "
+    "cents, single IEEE division",
+)
+def a23_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    g = orders.groupBy("o_orderpriority").agg(F.sum(cents).alias("cents"))
+    t = g.agg(F.sum("cents").alias("total"))
+    return g.join(F.broadcast(t)).select(
+        "o_orderpriority",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.col("cents").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+    )
