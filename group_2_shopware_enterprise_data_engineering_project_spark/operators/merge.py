@@ -455,8 +455,16 @@ class ParquetUpsertTable:
         old = _align_to(old, new)  # evolved columns read as NULL pre-image
         return snapshot_diff(old, new, key_cols)
 
-    def _write(self, df: DataFrame, mode: str, dest: str | None = None) -> None:
+    def _write(
+        self,
+        df: DataFrame,
+        mode: str,
+        dest: str | None = None,
+        options: dict[str, str] | None = None,
+    ) -> None:
         w = df.write.mode(mode)
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(dest if dest is not None else self._data_dir())
@@ -478,14 +486,14 @@ class ParquetUpsertTable:
             self.read().join(F.broadcast(touched), list(self.partition_by), "semi")
         )
         merged = merged.localCheckpoint(eager=True)
-        spark = self.spark
-        conf_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(conf_key, "static")
-        spark.conf.set(conf_key, "dynamic")
-        try:
-            self._write(merged, "overwrite")
-        finally:
-            spark.conf.set(conf_key, prev)
+        # Dynamic partition overwrite as a PER-WRITE DataFrameWriter
+        # option (takes precedence over the session conf since Spark
+        # 2.4 / SPARK-25107) — the previous set-then-restore of the
+        # session-global conf raced under concurrent harnesses: another
+        # thread's overwrite landing inside the window would wipe
+        # untouched partitions (or this one would, if the restore ran
+        # first). No session state is mutated now.
+        self._write(merged, "overwrite", options={"partitionOverwriteMode": "dynamic"})
         return True
 
     def _partition_scoped_ok(self, key_cols: tuple[str, ...]) -> bool:

@@ -277,11 +277,15 @@ def k18_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         8,
         sort_cols=("l_orderkey",),
     )
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
     try:
+        # Force SMJ with a PER-PLAN join hint instead of toggling the
+        # session-global autoBroadcastJoinThreshold (which raced under
+        # concurrent harnesses: another query planned inside the
+        # set/restore window silently lost its broadcast). The MERGE
+        # hint only picks the strategy; bucketed co-location still
+        # removes the Exchange.
         bo, bl = spark.table(t_o), spark.table(t_l)
-        joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        joined = bo.hint("merge").join(bl, bo["o_orderkey"] == bl["l_orderkey"])
         plan = joined._jdf.queryExecution().executedPlan().toString()
         if "Exchange" in plan:
             raise AssertionError("bucketed join still shuffles:\n" + plan[:800])
@@ -289,11 +293,10 @@ def k18_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
             F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
         )
-        # materialize under the forced-SMJ conf before restoring it
+        # materialize before the temp catalog tables are dropped
         out = out.localCheckpoint(eager=True)
         return out
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_l}")
 

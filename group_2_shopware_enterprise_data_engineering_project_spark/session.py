@@ -80,4 +80,14 @@ def ensure_session_settings(spark: SparkSession) -> SparkSession:
     # file/row-group pruning on every timestamp predicate downstream —
     # a table-scan-vs-pruned-scan difference at 100 TB.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    # Always-on, set ONCE here rather than toggled per-read: Spark has
+    # no nanosecond timestamp type, so parquet TIMESTAMP(NANOS) columns
+    # (testdata events.ts) surface as BIGINT nanos and sources/tables.py
+    # converts them per-column from the footer schema. Flipping this
+    # conf per table() call was a session-global mutation that raced
+    # under a concurrent harness (two threads planning parquet scans
+    # while the conf changes mid-flight); with it pinned true at init,
+    # no read path ever mutates session state. Non-nanos tables are
+    # unaffected by the setting.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -67,23 +67,40 @@ def read_hour_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a K1 layout back; partition columns come back as columns
     and partition-key equality predicates prune directories (P14).
 
-    Partition-type inference is disabled for the read so `month=07`
-    stays the zero-padded STRING the reference's layout defines
-    (inference would parse it to int 7). Keeping the raw partition
-    column — rather than re-deriving a padded string with lpad — is
-    what keeps filters on it eligible for pruning: a predicate on a
-    derived expression never reaches the scan's PartitionFilters.
+    The partition keys are pinned to STRING via an explicit user
+    schema so `month=07` stays the zero-padded STRING the reference's
+    layout defines (type inference would parse it to int 7). Keeping
+    the raw partition column — rather than re-deriving a padded string
+    with lpad — is what keeps filters on it eligible for pruning: a
+    predicate on a derived expression never reaches the scan's
+    PartitionFilters. A user-specified schema also means NO session
+    conf is touched (the previous partitionColumnTypeInference
+    set-then-restore was a session-global mutation that could flip a
+    concurrent reader's partition-column types mid-plan).
     """
-    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(conf_key, "true")
-    spark.conf.set(conf_key, "false")
-    try:
-        # partition schema discovery happens eagerly here, so the conf
-        # can be restored immediately (other tables keep typed
-        # partition columns, e.g. DATE)
-        return spark.read.option("basePath", path).parquet(path)
-    finally:
-        spark.conf.set(conf_key, prev)
+    import os as _os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # One leaf data file read as a single-file scan (no partition dirs
+    # in its path => no partition columns, no inference) yields the
+    # data schema; footer-only work, cheap at any scale.
+    leaf = None
+    for root, _dirs, files in _os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                leaf = _os.path.join(root, f)
+                break
+        if leaf:
+            break
+    if leaf is None:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    data_schema = spark.read.parquet(leaf).schema
+    full = StructType(
+        [f for f in data_schema.fields if f.name not in HOUR_PARTITION_KEYS]
+        + [StructField(k, StringType(), True) for k in HOUR_PARTITION_KEYS]
+    )
+    return spark.read.schema(full).option("basePath", path).parquet(path)
 
 
 def write_partitioned(

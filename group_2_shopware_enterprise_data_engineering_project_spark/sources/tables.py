@@ -72,9 +72,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_session_settings(spark)
     path = f"{sf_dir}/{name}.parquet"
+    # nanosAsLong is pinned true ONCE by ensure_session_settings — no
+    # per-read session-global conf mutation happens here (a per-call
+    # toggle raced under concurrent harnesses). The footer probe only
+    # decides which columns need the long->timestamp conversion below.
     ns_cols = _nanos_timestamp_cols(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
@@ -90,12 +92,6 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
-
-
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view for spark.sql use."""
-    for name in TABLE_NAMES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
