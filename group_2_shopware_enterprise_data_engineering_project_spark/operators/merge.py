@@ -316,19 +316,72 @@ class ParquetUpsertTable:
         act = self._active()
         return act[1] if act else self.path
 
-    def _commit(self, version: int, dir_name: str) -> None:
+    def _read_manifest(self) -> dict | None:
+        try:
+            with open(self._manifest_file()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _commit(
+        self,
+        version: int,
+        dir_name: str,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """Atomically point the manifest at a fully-written snapshot.
         os.replace is atomic on POSIX — readers see either the old or
         the new manifest, never a partial one. A per-snapshot commit
         stamp is written first (inside the snapshot dir) so
         `read_as_of` can map timestamps to versions for every retained
-        snapshot, not only the active one."""
+        snapshot, not only the active one.
+
+        ``txn=(app_id, batch_id)`` stamps a streaming transaction in
+        the SAME manifest write (the Delta txn appId/version pattern):
+        data swap and batch-id record are one atomic os.replace, so a
+        crash can never commit data without its batch id — the
+        exactly-once property `accumulating_kpi_sink` relies on.
+        Existing txn stamps from other app_ids are carried forward."""
         stamp = os.path.join(self.path, dir_name, _COMMIT_STAMP)
         with open(stamp, "w") as f:
             json.dump({"committed_at": float(self._clock())}, f)
+        prev = self._read_manifest() or {}
+        txns = dict(prev.get("txns", {}))
+        if txn is not None:
+            txns[txn[0]] = int(txn[1])
         tmp = self._manifest_file() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "dir": dir_name}, f)
+            json.dump({"version": version, "dir": dir_name, "txns": txns}, f)
+        os.replace(tmp, self._manifest_file())
+
+    def last_txn(self, app_id: str) -> int:
+        """Last batch id committed for ``app_id`` (-1 if none) — read
+        from the manifest, where it was stamped atomically with the
+        data it belongs to."""
+        m = self._read_manifest() or {}
+        try:
+            return int(m.get("txns", {}).get(app_id, -1))
+        except (TypeError, ValueError):
+            return -1
+
+    def _stamp_txn(self, app_id: str, batch_id: int) -> None:
+        """Record a txn on the ACTIVE manifest without a snapshot bump
+        (the partition-scoped merge path, which rewrites touched
+        partitions in place). Atomic against readers, but NOT atomic
+        with the data job itself — see upsert_* docstrings for the
+        narrowed replay window this leaves."""
+        m = self._read_manifest()
+        if m is None:
+            raise ValueError(
+                "txn stamping requires a manifest-committed table "
+                f"(none at {self._manifest_file()})"
+            )
+        txns = dict(m.get("txns", {}))
+        txns[app_id] = int(batch_id)
+        m["txns"] = txns
+        tmp = self._manifest_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
         os.replace(tmp, self._manifest_file())
 
     def _committed_at(self, version: int) -> float:
@@ -353,7 +406,7 @@ class ParquetUpsertTable:
             if m and int(m.group(1)) <= act[0] - keep:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
-    def _snapshot_write(self, df: DataFrame) -> None:
+    def _snapshot_write(self, df: DataFrame, txn: tuple[str, int] | None = None) -> None:
         """Write df as the next snapshot, then commit + prune. The write
         streams from the old snapshot (lazy) — safe because it targets a
         different directory."""
@@ -361,7 +414,7 @@ class ParquetUpsertTable:
         version = (act[0] + 1) if act else 1
         dir_name = f"v{version:06d}"
         self._write(df, "overwrite", os.path.join(self.path, dir_name))
-        self._commit(version, dir_name)
+        self._commit(version, dir_name, txn=txn)
         self._prune()
 
     def exists(self) -> bool:
@@ -469,7 +522,9 @@ class ParquetUpsertTable:
             w = w.partitionBy(*self.partition_by)
         w.parquet(dest if dest is not None else self._data_dir())
 
-    def _scoped_merge(self, source: DataFrame, merge_fn) -> bool:
+    def _scoped_merge(
+        self, source: DataFrame, merge_fn, txn: tuple[str, int] | None = None
+    ) -> bool:
         """Partition-scoped MERGE: read, merge, and dynamically
         overwrite ONLY the partitions the source touches — the rewrite
         surface is per-batch data volume, not table volume (at 100 TB
@@ -494,6 +549,14 @@ class ParquetUpsertTable:
         # untouched partitions (or this one would, if the restore ran
         # first). No session state is mutated now.
         self._write(merged, "overwrite", options={"partitionOverwriteMode": "dynamic"})
+        if txn is not None:
+            # The scoped path rewrites partitions in place, so the txn
+            # stamp cannot share the data job's commit; it lands in the
+            # manifest immediately after. The replay window is the gap
+            # between the job's final file renames and this os.replace
+            # — narrowed from "any time before a separate guard file",
+            # not zero. Snapshot-path merges stamp atomically.
+            self._stamp_txn(*txn)
         return True
 
     def _partition_scoped_ok(self, key_cols: tuple[str, ...]) -> bool:
@@ -544,6 +607,7 @@ class ParquetUpsertTable:
         key_cols: tuple[str, ...],
         order_col: str | None = None,
         evolve_schema: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """K4 against stored state. Partition-scoped when the partition
         columns are part of the key; full read-merge-overwrite
@@ -554,41 +618,72 @@ class ParquetUpsertTable:
         table to the union of both schemas. A widening merge always
         takes the full-snapshot path: a scoped merge would leave
         untouched partitions under the old schema, forcing mergeSchema
-        reads on every consumer forever."""
+        reads on every consumer forever.
+
+        ``txn=(app_id, batch_id)``: idempotent-replay guard — the merge
+        is a NO-OP if ``batch_id <= last_txn(app_id)``, and the batch id
+        commits atomically with the data on the snapshot path (stamped
+        immediately after on the scoped path; replace-merge is
+        content-idempotent so a replay through that window is safe)."""
+        if txn is not None and txn[1] <= self.last_txn(txn[0]):
+            return
         if not self.exists():
-            self.create_or_overwrite(source)
+            self._snapshot_write(source, txn=txn)
             return
         target = self.read()
         if evolve_schema and set(target.columns) != set(source.columns):
             target, source = evolve_schemas(target, source)
-            self._snapshot_write(merge_replace(target, source, key_cols, order_col))
+            self._snapshot_write(
+                merge_replace(target, source, key_cols, order_col), txn=txn
+            )
             return
         if self._partition_scoped_ok(key_cols):
             self._scoped_merge(
-                source, lambda tgt: merge_replace(tgt, source, key_cols, order_col)
+                source,
+                lambda tgt: merge_replace(tgt, source, key_cols, order_col),
+                txn=txn,
             )
             return
         # New snapshot dir: streams lazily from the old snapshot and
         # commits via manifest swap — no read-overwrite hazard, no
         # defensive materialization.
-        self._snapshot_write(merge_replace(target, source, key_cols, order_col))
+        self._snapshot_write(merge_replace(target, source, key_cols, order_col), txn=txn)
 
     def upsert_additive(
-        self, source: DataFrame, key_cols: tuple[str, ...], sum_cols: tuple[str, ...]
+        self,
+        source: DataFrame,
+        key_cols: tuple[str, ...],
+        sum_cols: tuple[str, ...],
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """K5 against stored state. The KPI shape (partition col in the
         key, e.g. (product_id, date) partitioned by date) always takes
         the partition-scoped path: a daily batch rewrites one date, not
-        the table's history."""
+        the table's history.
+
+        ``txn=(app_id, batch_id)``: exactly-once guard for this
+        NON-idempotent merge — no-op if ``batch_id <= last_txn(app_id)``.
+        On the snapshot path the batch id is part of the same atomic
+        manifest swap as the data (Delta txn pattern), so a crash can
+        never commit the add without its id. The scoped path stamps the
+        manifest right after the partition job commits — a crash inside
+        that gap replays as a double-add; callers needing a zero-width
+        window on a scoped table should force the snapshot path."""
+        if txn is not None and txn[1] <= self.last_txn(txn[0]):
+            return
         if not self.exists():
-            self.create_or_overwrite(source)
+            self._snapshot_write(source, txn=txn)
             return
         if self._partition_scoped_ok(key_cols):
             self._scoped_merge(
-                source, lambda tgt: merge_additive(tgt, source, key_cols, sum_cols)
+                source,
+                lambda tgt: merge_additive(tgt, source, key_cols, sum_cols),
+                txn=txn,
             )
             return
-        self._snapshot_write(merge_additive(self.read(), source, key_cols, sum_cols))
+        self._snapshot_write(
+            merge_additive(self.read(), source, key_cols, sum_cols), txn=txn
+        )
 
 
 def delta_upsert_replace(spark, path: str, source: DataFrame, key_cols: tuple[str, ...]):

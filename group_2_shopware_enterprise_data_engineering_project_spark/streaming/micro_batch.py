@@ -149,10 +149,14 @@ def dlq_split_sink(
 
 
 class BatchGuard:
-    """Exactly-once gate for non-idempotent per-batch effects under
-    at-least-once delivery: records the last applied batch id durably
-    next to the sink (the same role as Delta's txn log appId/version).
-    """
+    """At-least-once replay NARROWER for per-batch side effects that
+    have no transactional store of their own (external API calls,
+    non-table files): records the last applied batch id durably next
+    to the sink. NOT exactly-once — the mark lands after the effect, so
+    a crash between the two replays the batch on restart. Table sinks
+    should NOT use this: `ParquetUpsertTable.upsert_*` accept a
+    ``txn=(app_id, batch_id)`` that commits the batch id atomically
+    with the data itself (the Delta txn appId/version pattern)."""
 
     def __init__(self, path: str):
         self.path = path
@@ -182,16 +186,20 @@ def accumulating_kpi_sink(
 ) -> StreamingQuery:
     """ST7 — the POS KPI pattern as a stream: per micro-batch, aggregate
     with `agg_fn(df) -> (key_cols + sum_cols) DataFrame`, then additive-
-    MERGE into the KPI table (reference transfom_pos.py:140-152), with a
-    batch-id guard so a replayed batch is a no-op instead of a
-    double-add."""
-    guard = BatchGuard(os.path.join(table.path + "_meta", "last_batch.json"))
+    MERGE into the KPI table (reference transfom_pos.py:140-152).
+
+    Exactly-once: the batch id rides in the table's OWN atomic manifest
+    commit (``txn=``) — data and batch id land in one os.replace, so a
+    crash can never add a batch without recording it, and a replayed
+    batch is a manifest-checked no-op. The app id derives from the
+    checkpoint dir, matching Structured Streaming's batch-id scope (a
+    new checkpoint restarts ids at 0 AND yields a fresh app id)."""
+    app_id = "stream:" + os.path.basename(os.path.normpath(checkpoint))
 
     def _batch(df: DataFrame, batch_id: int) -> None:
-        if batch_id <= guard.last_applied():
-            return
-        table.upsert_additive(agg_fn(df), key_cols, sum_cols)
-        guard.mark(batch_id)
+        table.upsert_additive(
+            agg_fn(df), key_cols, sum_cols, txn=(app_id, batch_id)
+        )
 
     return run_available_now(stream_df, checkpoint, _batch)
 
@@ -207,24 +215,22 @@ def replacing_dim_sink(
     stream, complementing `accumulating_kpi_sink`'s additive K5): per
     micro-batch, keep the latest row per key WITHIN the batch (ordered
     by ``order_col``), then replace-MERGE into the dimension table.
-    Replace-merge is idempotent per batch content, and the batch-id
-    guard additionally skips replayed batches so a restart does not
+    Replace-merge is idempotent per batch content; the manifest txn
+    (``txn=``, committed atomically with the data on the snapshot
+    path) additionally skips replayed batches so a restart does not
     even pay the merge cost."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    guard = BatchGuard(os.path.join(table.path + "_meta", "last_batch.json"))
+    app_id = "stream:" + os.path.basename(os.path.normpath(checkpoint))
 
     def _batch(df: DataFrame, batch_id: int) -> None:
-        if batch_id <= guard.last_applied():
-            return
         w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
         latest = (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        table.upsert_replace(latest, key_cols)
-        guard.mark(batch_id)
+        table.upsert_replace(latest, key_cols, txn=(app_id, batch_id))
 
     return run_available_now(stream_df, checkpoint, _batch)
