@@ -39,10 +39,15 @@ def interval_join_binned(
     start_col: str,
     end_col: str,
     bin_seconds: int,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join each point row to every interval row with
+    """INNER-join each point row to every interval row with
     ``start <= point_ts < end``, via an equi-join on time bins.
+
+    Inner only by design: the exact range predicate is applied as a
+    post-join filter, which would drop an outer join's null-extended
+    rows (and the replicated bin key would duplicate unmatched rows
+    per bin) — outer semantics need anti-join recombination, not a
+    ``how=`` passthrough.
 
     Column name collisions between the two inputs are the caller's
     responsibility (select/alias before calling).
@@ -69,7 +74,7 @@ def interval_join_binned(
             )
         ),
     )
-    joined = pts.join(ivs, "_bin", how).where(
+    joined = pts.join(ivs, "_bin", "inner").where(
         (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
     )
     return joined.drop("_bin")

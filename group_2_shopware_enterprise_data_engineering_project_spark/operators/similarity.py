@@ -513,7 +513,25 @@ def ivf_topk(
         # trained centroids arrive materialized (kmeans_centroids) —
         # broadcast-hint only, no persist to leak across the session
         centroids = F.broadcast(centroids)
+    # persist released in the finally below: the result (top-k per
+    # query) is materialized eagerly first, so the corpus-sized
+    # assignment cache never outlives this call (cache-release
+    # discipline per kmeans_centroids/pagerank).
     assigned = ivf_assign(emb, centroids=centroids).persist()
+    try:
+        return _ivf_topk_body(assigned, query_pred, query_ids, centroids, n_probe, k)
+    finally:
+        assigned.unpersist()
+
+
+def _ivf_topk_body(
+    assigned: DataFrame,
+    query_pred,
+    query_ids,
+    centroids: DataFrame,
+    n_probe: int,
+    k: int,
+) -> DataFrame:
     if query_pred is None:
         query_pred = F.col("vec_id").isin(query_ids or [])
     queries = assigned.filter(query_pred).select(
@@ -552,7 +570,10 @@ def ivf_topk(
             ).alias("cos_sim"),
         )
     )
-    return _topk_per_query(cands, k).orderBy("query_id", "rank")
+    out = _topk_per_query(cands, k).orderBy("query_id", "rank")
+    # |Q| x k rows — eager materialization is cheap and lets the caller
+    # (ivf_topk) release the corpus-sized assignment cache on return
+    return out.localCheckpoint(eager=True)
 
 
 def embedding_near_dup_pairs(
@@ -587,6 +608,13 @@ def embedding_near_dup_pairs(
         lsh_bucket(_as_double(F.col("embedding")), planes).alias("bucket"),
     )
     tasks = _salted_pair_tasks(bucketed, bucket_cap).persist()
+    try:
+        return _near_dup_pairs_body(tasks, threshold)
+    finally:
+        tasks.unpersist()
+
+
+def _near_dup_pairs_body(tasks: DataFrame, threshold: float) -> DataFrame:
     a, b = tasks.alias("a"), tasks.alias("b")
     pairs = (
         a.join(
@@ -612,8 +640,10 @@ def embedding_near_dup_pairs(
             ).alias("cos_sim"),
         )
     )
-    # No terminal global sort on the (potentially huge) pair list.
-    return pairs.filter(F.col("cos_sim") >= threshold)
+    # No terminal global sort on the (potentially huge) pair list;
+    # only threshold-surviving pairs (id, id, sim — no vectors)
+    # materialize, so the salted-task cache can be released on return.
+    return pairs.filter(F.col("cos_sim") >= threshold).localCheckpoint(eager=True)
 
 
 SEMDEDUP_THRESHOLD = 0.4
@@ -683,6 +713,15 @@ def semdedup(
             n_centroids = derive_semdedup_centroids(emb.count())
         centroids = kmeans_centroids(emb, n_centroids=n_centroids)
     assigned = ivf_assign(emb, centroids=centroids).persist()
+    try:
+        return _semdedup_body(assigned, threshold, bucket_cap)
+    finally:
+        assigned.unpersist()
+
+
+def _semdedup_body(
+    assigned: DataFrame, threshold: float, bucket_cap: int
+) -> DataFrame:
     bucketed = assigned.select(
         "vec_id", "v", F.col("centroid_id").alias("bucket")
     )
@@ -727,7 +766,9 @@ def semdedup(
             ).alias("keep"),
         )
     )
-    return out
+    # one narrow row per input vector (ids + sim + flag, no vectors) —
+    # eager so semdedup() can release the assignment cache on return
+    return out.localCheckpoint(eager=True)
 
 
 def _salted_pair_tasks(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
