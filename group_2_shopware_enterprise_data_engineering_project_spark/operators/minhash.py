@@ -22,7 +22,7 @@ j=0.8 — tune P/R per corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
@@ -35,6 +35,13 @@ from group_2_shopware_enterprise_data_engineering_project_spark.operators.text i
 
 NUM_PERM = 16
 BAND_ROWS = 2
+# Hard per-reducer cap for the band-bucket self-join (same policy as
+# similarity.BUCKET_CAP): a degenerate bucket — boilerplate bodies,
+# empty-shingle signatures — of b docs would otherwise emit O(b^2)
+# pairs in ONE reducer; AQE skew-join re-schedules partitions but
+# cannot bound output volume. Buckets above the cap are salt-split
+# losslessly (see candidate_pairs), bounding any task at ~cap^2 pairs.
+BUCKET_CAP = 1024
 
 
 def shingle_sets(
@@ -103,19 +110,51 @@ def band_buckets(
     )
 
 
-def candidate_pairs(buckets: DataFrame) -> DataFrame:
+def candidate_pairs(buckets: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any band bucket. The
-    self-join shuffles on (band_idx, band_hash) only."""
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    self-join shuffles on (band_idx, band_hash) only.
+
+    Oversized buckets are salt-split (the `similarity._salted_pair_tasks`
+    pattern): a bucket of n > cap rows hashes its docs into
+    s = ceil(n/cap) groups and the join enumerates the (i, j) group-pair
+    sub-tasks explicitly, so no reducer ever materializes more than
+    ~cap^2 candidates. LOSSLESS: every same-bucket pair meets in exactly
+    one (min(g_a, g_b), max(g_a, g_b)) task, so the pair SET is
+    identical to the unsalted join — skew changes the schedule, never
+    the answer. Buckets at or under the cap have s = 1 and degenerate to
+    the plain self-join row."""
+    w = Window.partitionBy("band_idx", "band_hash")
+    tasks = (
+        buckets.withColumn(
+            "_s", F.ceil(F.count(F.lit(1)).over(w) / F.lit(bucket_cap)).cast("int")
+        )
+        .withColumn("_g", F.pmod(F.xxhash64("doc_id"), F.col("_s")).cast("int"))
+        .withColumn("_t", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
+        .withColumn("_i", F.least("_g", "_t"))
+        .withColumn("_j", F.greatest("_g", "_t"))
+        .drop("_t", "_s")
+    )
+    a, b = tasks.alias("a"), tasks.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a._i") == F.col("b._i"))
+            & (F.col("a._j") == F.col("b._j"))
+            # a plays the i-group role, b the j-group role; same-group
+            # tasks (i == j) order by id to meet each pair once
+            & (F.col("a._g") == F.col("a._i"))
+            & (F.col("b._g") == F.col("b._j"))
+            & (
+                (F.col("a._i") != F.col("a._j"))
+                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -170,6 +209,7 @@ def minhash_lsh_dedup(
     num_perm: int = NUM_PERM,
     band_rows: int = BAND_ROWS,
     threshold: float = 0.4,
+    bucket_cap: int = BUCKET_CAP,
 ) -> DataFrame:
     """Full near-dup pipeline -> (doc_a, doc_b, jaccard) pairs with
     verified jaccard >= threshold, ordered for determinism.
@@ -184,7 +224,7 @@ def minhash_lsh_dedup(
     ss = shingle_sets(docs, text_col, id_col, k).persist()
     sigs = ss.select("doc_id", minhash_signature(F.col("shingles"), num_perm).alias("signature"))
     buckets = band_buckets(sigs, num_perm, band_rows).persist()
-    cands = candidate_pairs(buckets)
+    cands = candidate_pairs(buckets, bucket_cap)
     verified = exact_jaccard(ss, cands)
     # No terminal global sort: at scale the pair list is huge and the
     # driver compare / downstream joins are order-insensitive (oracle

@@ -317,3 +317,51 @@ def test_bpe_encode_compresses_with_more_merges(spark):
     # round-trip sanity: concatenated tokens minus markers == the text
     flat = out.tokens.replace(",", "").replace(bpe.END, " ").strip()
     assert flat == "banana banana bandana"
+
+
+def test_candidate_pairs_bucket_cap_lossless_and_bounded(spark):
+    """Adversarial boilerplate corpus: N identical docs collapse into
+    ONE band bucket. The salt-split cap must (a) return exactly the
+    same candidate-pair set as the uncapped join, and (b) bound the
+    per-task pair volume so no reducer sees the O(N^2) bucket."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n, cap = 60, 10
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate body repeated across the corpus shard")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    sigs = minhash.signatures(docs)
+    buckets = minhash.band_buckets(sigs)
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash.candidate_pairs(buckets, bucket_cap=cap).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash.candidate_pairs(buckets, bucket_cap=10**9).collect()
+    }
+    # lossless: every same-bucket pair survives, exactly once
+    assert capped == uncapped
+    assert len(capped) == n * (n - 1) // 2
+
+    # bounded: with s = ceil(n/cap) groups, no (band, i, j) task's two
+    # sides exceed a small multiple of the cap (hash-mod slop), so the
+    # worst task materializes ~cap^2 pairs, not n^2
+    tasks = (
+        buckets.withColumn(
+            "_s",
+            F.ceil(
+                F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+                / F.lit(cap)
+            ).cast("int"),
+        )
+        .withColumn("_g", F.pmod(F.xxhash64("doc_id"), F.col("_s")).cast("int"))
+        .groupBy("band_idx", "band_hash", "_g")
+        .count()
+    )
+    max_group = tasks.agg(F.max("count")).collect()[0][0]
+    assert max_group <= 3 * cap  # each join side per task is O(cap)
