@@ -753,3 +753,81 @@ def st11_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
     )
     return spark.read.parquet(out).select("event_id", "user_id", "ts", "event_type")
+
+
+# --- ST12: streaming replace-merge dimension sink (driver-visible) --------
+
+# Final dimension state after draining all batches = per-key row with
+# the MAX order column across the whole stream: each micro-batch keeps
+# its within-batch latest, and replace-merge lets source beat target,
+# so the batch holding a key's global max (batches are ordered
+# event_id ranges) lands last for that key. event_id is unique, so the
+# winner is deterministic with no timestamp tiebreak hazards.
+ST12_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, value
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "st12_stream_dim_replace",
+    ST12_ORACLE,
+    doc="streaming REPLACE-merge dimension sink (the inventory pattern "
+    "as a stream): events split into 3 event_id-range micro-batches "
+    "with ordered mtimes -> within-batch latest-per-user -> K4 "
+    "replace-MERGE into a snapshot-committed dim table, batch ids "
+    "riding in the table's atomic manifest txn; the oracle is the "
+    "batch latest-row-per-key over the same events",
+)
+def st12_stream_dim_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        replacing_dim_sink,
+    )
+
+    base = _tmp("st12")
+    src, ckpt = f"{base}/in", f"{base}/ckpt"
+    os.makedirs(src)
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    # 3 event_id-range buckets written with strictly increasing mtimes:
+    # maxFilesPerTrigger=1 + availableNow processes them in mtime order,
+    # so later batches (higher event_ids) replace earlier dim rows.
+    c1, c2 = events.select(
+        F.percentile("event_id", F.lit(1.0 / 3)).cast("long"),
+        F.percentile("event_id", F.lit(2.0 / 3)).cast("long"),
+    ).first()
+    bucket = (
+        F.when(F.col("event_id") < c1, 0)
+        .when(F.col("event_id") < c2, 1)
+        .otherwise(2)
+    )
+    for b in range(3):
+        stage = f"{base}/stage_{b}"
+        events.filter(bucket == b).coalesce(1).write.mode("overwrite").json(stage)
+        part = next(n for n in os.listdir(stage) if n.endswith(".json"))
+        dest = os.path.join(src, f"b{b}.json")
+        shutil.move(os.path.join(stage, part), dest)
+        t = os.path.getmtime(dest)
+        os.utime(dest, (t + 10 * b, t + 10 * b))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = stream_json_source(spark, src, schema, max_files_per_trigger=1)
+    dim = ParquetUpsertTable(spark, f"{base}/dim")
+    replacing_dim_sink(stream, dim, ("user_id",), "event_id", ckpt)
+    return dim.read().select("user_id", "event_id", "event_type", "value")

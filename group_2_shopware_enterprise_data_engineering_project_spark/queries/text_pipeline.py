@@ -624,33 +624,136 @@ def t13_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="zlib-ratio redundancy signal (Gopher/FineWeb-style cheap "
     "quality filter): repetitive boilerplate compresses far below "
     "prose; Arrow-batched mapInPandas because DEFLATE has no native "
-    "expression — one of the three sanctioned Python surfaces",
+    "expression — one of the three sanctioned Python surfaces. "
+    "In-query invariant asserts stand in for the missing oracle: "
+    "byte accounting (0 < n_compressed, n_bytes = utf-8 length, "
+    "ratio = n_compressed/n_bytes), ratio bounds, and a planted "
+    "monotonicity probe (text repeated 16x must compress strictly "
+    "below the same text once) RAISE on violation",
 )
 def t14_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.compression_ratio(table(spark, sf_dir, "documents"))
+    out = text.compression_ratio(table(spark, sf_dir, "documents"))
+    out = out.localCheckpoint(eager=True)
+    # invariants over the real corpus: every doc's accounting must be
+    # internally consistent, and ratios must sit in (0, 1.25] — zlib
+    # overhead can push tiny strings slightly above 1, never past the
+    # header+stored-block bound for real text sizes
+    bad = out.filter(
+        (F.col("n_compressed") <= 0)
+        | (F.col("n_bytes") < 0)
+        | (F.col("ratio") <= 0)
+        | (F.col("ratio") > 1.25)
+        | (
+            (F.col("n_bytes") > 0)
+            & (
+                F.abs(
+                    F.col("ratio")
+                    - F.col("n_compressed").cast("double") / F.col("n_bytes")
+                )
+                > 1e-12
+            )
+        )
+    ).count()
+    if bad:
+        raise AssertionError(f"t14 invariant violated on {bad} documents")
+    # planted probe THROUGH the same operator: repetition must compress
+    base = "the quick brown fox jumps over the lazy dog 0123456789 "
+    probe = spark.createDataFrame(
+        [(0, base), (1, base * 16)], "doc_id long, text string"
+    )
+    pr = {r.doc_id: r.ratio for r in text.compression_ratio(probe).collect()}
+    if not pr[1] < pr[0]:
+        raise AssertionError(f"t14 monotonicity probe failed: {pr}")
+    return out
 
 
-# --- t15: distributed BPE tokenizer training (rows-only check) ----------
+# --- t15: distributed BPE tokenizer training (full SQL oracle) ----------
 
 from group_2_shopware_enterprise_data_engineering_project_spark.operators import (  # noqa: E402
     bpe,
 )
 
+_T15_MERGES = 8
+
+
+def _bpe_oracle_sql(n_iters: int) -> str:
+    """BPE training unrolled as chained CTEs — a REAL DuckDB oracle for
+    the iterative merge loop. Each word is a chr(31)-wrapped symbol
+    string (``•a••b••c••</w>•``); per iteration: split → adjacent-pair
+    counts weighted by word frequency → best pair (max n, lexicographic
+    (a, b) tiebreak, exactly ``bpe.bpe_train``'s ordering) → apply the
+    merge via ``replace`` on the wrapped form. SQL ``replace`` scans
+    left-to-right non-overlapping, which IS the greedy BPE application
+    rule, and the per-symbol wrapping keeps boundaries unambiguous for
+    multi-char merged symbols. Max pair count is non-increasing across
+    BPE iterations, so the final ``pair_count >= 2`` filter reproduces
+    the operator's early stop exactly."""
+    s, ss = "chr(31)", "chr(31)||chr(31)"
+    parts = [
+        f"""
+W0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS word FROM documents)
+  GROUP BY word
+),
+R0 AS (
+  SELECT {s} || regexp_replace(word, '(.)', '\\1' || {ss}, 'g')
+             || '</w>' || {s} AS r, cnt
+  FROM W0
+)"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f""",
+S{i} AS (
+  SELECT cnt, string_split(substr(r, 2, length(r) - 2), {ss}) AS syms
+  FROM R{i - 1}
+),
+P{i} AS (
+  SELECT p['a'] AS a, p['b'] AS b, CAST(sum(cnt) AS BIGINT) AS n
+  FROM (
+    SELECT cnt,
+           unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])
+                  ::STRUCT(a VARCHAR, b VARCHAR)[]) AS p
+    FROM S{i}
+  )
+  GROUP BY 1, 2
+),
+B{i} AS (SELECT a, b, n FROM P{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+R{i} AS (
+  SELECT replace(r, {s} || B{i}.a || {ss} || B{i}.b || {s},
+                    {s} || B{i}.a || B{i}.b || {s}) AS r, cnt
+  FROM R{i - 1}, B{i}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS BIGINT) AS rank, a AS "left", b AS "right", '
+        f"n AS pair_count FROM B{i}"
+        for i in range(1, n_iters + 1)
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT * FROM (\n{union}\n) WHERE pair_count >= 2 ORDER BY rank"
+    )
+
 
 @register(
     "t15_bpe_train",
-    None,  # iterative merge selection -> driver rows-only check;
-    # correctness is pinned by the independent reference-algorithm
-    # equivalence test in tests/test_dedup.py
+    _bpe_oracle_sql(_T15_MERGES),
     doc="distributed BPE tokenizer training: corpus read ONCE into the "
     "word-frequency table, then each merge iteration runs on |vocab| rows "
     "— native pair counting (zip/explode, map-side combined), one-row "
     "TakeOrdered merge selection (the merge table is a model), "
-    "Arrow-batched vocab rewrite",
+    "Arrow-batched vocab rewrite. Oracle: the merge loop unrolled as "
+    "chained DuckDB CTEs over a separator-wrapped symbol encoding — a "
+    "full value check on the learned merge table, upgraded from the "
+    "r1-r4 rows-only status",
 )
 def t15_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    merges = bpe.bpe_train(docs, n_merges=8)
+    merges = bpe.bpe_train(docs, n_merges=_T15_MERGES)
     rows = [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank long, left string, right string, pair_count long"

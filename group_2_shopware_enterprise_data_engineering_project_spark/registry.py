@@ -47,7 +47,76 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: (A5 keeps its r3 green row, and st5's hour-aligned negative-event
 #: counts exercise the same alert-count semantics in-window).
 CORE_ORDER: tuple[str, ...] = (
-    # never driver-checked before r4
+    # r5 rotation: every query below EXCEPT m15 has never had a driver
+    # row (all are green in the committed local sweep). m15 stays in
+    # per the r4 verdict (its driver-only hash mismatch was traced to
+    # session-global conf mutation, fixed in r5 — this row is the
+    # proof); st12 is new this round. Two never-checked queries are
+    # deferred to r6 for space: t14_compression_ratio (rows-only by
+    # design, the weakest possible driver row) and s8_orc_roundtrip
+    # (mechanically identical to the driver-proven s2/s3 roundtrips).
+    "m15_sequence_pack",
+    "st12_stream_dim_replace",
+    # warehouse / storage layer
+    "k12_compaction",
+    "k13_incremental_agg",
+    "k14_rollup_cascade",
+    "k16_scd2_history",
+    "k17_zone_map_scan",
+    "k18_bucketed_join",
+    "k19_bloom_point_lookup",
+    "k20_shard_manifest",
+    # ANN / embedding family
+    "e10_ann_lsh_multiprobe",
+    "e11_semdedup",
+    "e12_ann_pq",
+    "e13_ann_ivfpq",
+    # graph
+    "g1_pagerank",
+    "g2_triangle_counts",
+    # entity resolution / dedup
+    "d5_er_blocked_pairs",
+    "d6_qgram_pairs",
+    "mm5_media_near_dup",
+    # text / search
+    "t8_corpus_dup_ngrams",
+    "t9_dedup_spans",
+    "t10_tfidf_top_terms",
+    "t11_bm25_topk",
+    "t12_inverted_index",
+    "t13_nb_classifier",
+    "t15_bpe_train",
+    # training-prep
+    "m18_length_buckets",
+    "m19_chunk_documents",
+    "m20_shard_assign",
+    "m21_source_quantile_filter",
+    "m22_sequence_examples",
+    "m23_negative_sample",
+    "m24_dense_ids",
+    "m25_transition_matrix",
+    "m26_resample_ffill",
+    # analytics
+    "a13_funnel",
+    "a14_cohort_retention",
+    "a15_key_skew_profile",
+    "a16_regression_trends",
+    "a17_winsorize",
+    "a18_anomaly_zscore",
+    "a19_regional_revenue",
+    "a20_expectations",
+    "a21_item_cooccurrence",
+    "a22_grouping_sets",
+    "a23_share_of_total",
+    # joins / streaming
+    "j4_range_join",
+    "st9_stream_sessions",
+    "st10_stream_stream_join",
+    "st11_dedup_within_watermark",
+    # --- driver window boundary (first 50 above) ---
+    "t14_compression_ratio",
+    "s8_orc_roundtrip",
+    # prior-round driver-proven core (keeps sweep order stable)
     "m9_session_window_native",
     "m10_percentiles",
     "m11_json_extract",
@@ -55,13 +124,11 @@ CORE_ORDER: tuple[str, ...] = (
     "m13_approx_stats",
     "m14_contamination",
     "m14b_contamination_bloom",
-    "m15_sequence_pack",
     "m16_mixture_weights",
     "m17_token_budget_select",
     "m7b_asof_join_bucketed",
     "k11_snapshot_diff",
     "pipe_llm_curation",
-    # green in r1 only, outside the r2/r3 window
     "k1_hour_partition_roundtrip",
     "k4_replace_merge",
     "k5_additive_merge",
@@ -81,7 +148,6 @@ CORE_ORDER: tuple[str, ...] = (
     "s3_jsonl_roundtrip",
     "st5_hourly_alert_counts",
     "st7_stream_kpi",
-    # one query per remaining §2 ID (+ the r3-regressed m2, re-proven)
     "m2_sessionize",
     "a1_sales_kpi",
     "a2_session_metrics",
