@@ -46,6 +46,7 @@ def pagerank(
     unit: int = UNIT,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Run ``iterations`` exact-integer PageRank steps over a directed
     edge list (distinct edges expected; duplicates would double-count
@@ -57,7 +58,13 @@ def pagerank(
 
     Each iteration's rank table is persisted: it is consumed twice
     (contribution join + dangling scan) and the loop would otherwise
-    stack k iterations of joins into one exponential lineage.
+    stack k iterations of joins into one exponential lineage. Every
+    ``checkpoint_every`` iterations the rank table is additionally
+    localCheckpoint'ed, TRUNCATING the logical plan — persist alone
+    keeps the full unrolled lineage alive (the r4 plan lint measured
+    2,798 exchanges in the 3-iteration linted plan), and at 100x the
+    iterations that plan itself becomes a driver-side cost and a
+    recovery hazard.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -79,7 +86,7 @@ def pagerank(
     ranks = nodes.withColumn("r", F.lit(unit).cast("long")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         with_deg = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
         incoming = (
             e.join(
@@ -106,9 +113,14 @@ def pagerank(
                     )
                 ).alias("r"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        new_ranks.count()  # materialize before unpersisting the parent
+        if (it + 1) % checkpoint_every == 0:
+            # truncate lineage: the checkpointed blocks ARE the
+            # materialization, no extra persist/count needed
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            new_ranks.count()  # materialize before unpersisting the parent
         ranks.unpersist()
         ranks = new_ranks
 
