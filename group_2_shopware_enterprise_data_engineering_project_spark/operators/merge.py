@@ -688,7 +688,11 @@ class ParquetUpsertTable:
 
 def delta_upsert_replace(spark, path: str, source: DataFrame, key_cols: tuple[str, ...]):
     """K4 via real Delta MERGE when delta-spark is importable (the
-    reference's own API, inventory_transform.py:265-275)."""
+    reference's own API, inventory_transform.py:265-275). Semantics
+    parity with ``ParquetUpsertTable.upsert_replace`` (no order_col:
+    source strictly wins) is asserted by the importorskip-gated
+    ``tests/test_delta_interop.py``; install with
+    ``pip install delta-spark`` to activate those tests."""
     if not HAVE_DELTA:  # pragma: no cover
         raise ImportError("delta-spark not available; use ParquetUpsertTable")
     tgt = DeltaTable.forPath(spark, path)
@@ -697,6 +701,33 @@ def delta_upsert_replace(spark, path: str, source: DataFrame, key_cols: tuple[st
         tgt.alias("t")
         .merge(source.alias("s"), cond)
         .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
+def delta_upsert_additive(
+    spark,
+    path: str,
+    source: DataFrame,
+    key_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+):
+    """K5 via real Delta MERGE: on key match accumulate ``sum_cols``
+    (t.c + s.c), else insert — the accumulating-KPI merge
+    (reference transfom_pos.py:140-152) on Delta's transaction log.
+    Parity with ``ParquetUpsertTable.upsert_additive`` is asserted by
+    the gated ``tests/test_delta_interop.py``. The source must carry
+    at most one row per key (pre-aggregate first), same contract as
+    the reference's per-batch KPI frame."""
+    if not HAVE_DELTA:  # pragma: no cover
+        raise ImportError("delta-spark not available; use ParquetUpsertTable")
+    tgt = DeltaTable.forPath(spark, path)
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    (
+        tgt.alias("t")
+        .merge(source.alias("s"), cond)
+        .whenMatchedUpdate(set={c: f"t.{c} + s.{c}" for c in sum_cols})
         .whenNotMatchedInsertAll()
         .execute()
     )

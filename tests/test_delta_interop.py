@@ -1,0 +1,105 @@
+"""Delta Lake interop parity tests — GATED on delta-spark.
+
+This sandbox has no delta-spark, so every test here skips cleanly via
+``pytest.importorskip``. To activate:
+
+    pip install delta-spark   # matching the installed pyspark major
+    python -m pytest tests/test_delta_interop.py
+
+Run the file STANDALONE: Delta needs its SQL extension + catalog set
+at SparkSession creation, so the module builds its own session (and
+skips, rather than fighting, a pre-existing non-Delta session from
+the shared conftest fixture).
+
+What is proven when active: ``delta_upsert_replace`` and
+``delta_upsert_additive`` (real Delta MERGE, the reference's own API —
+reference inventory_transform.py:265-275) produce exactly the same
+final table state as the pure-parquet ``ParquetUpsertTable``
+equivalents on the same batch sequence.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+delta = pytest.importorskip(
+    "delta", reason="delta-spark not installed; pip install delta-spark to enable"
+)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (  # noqa: E402
+    ParquetUpsertTable,
+    delta_upsert_additive,
+    delta_upsert_replace,
+)
+
+
+@pytest.fixture(scope="module")
+def dspark():
+    active = SparkSession.getActiveSession()
+    if active is not None and "io.delta.sql.DeltaSparkSessionExtension" not in (
+        active.conf.get("spark.sql.extensions", "")
+    ):
+        pytest.skip(
+            "an active non-Delta SparkSession exists; run this file "
+            "standalone so the Delta extension can be set at creation"
+        )
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .appName("delta-interop")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        )
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        .config("spark.ui.enabled", "false")
+    )
+    spark = delta.configure_spark_with_delta_pip(builder).getOrCreate()
+    yield spark
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delta_replace_matches_parquet_upsert(dspark, tmp_path):
+    b0 = dspark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, v string, x double"
+    )
+    b1 = dspark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c", 30.0)], "id long, v string, x double"
+    )
+
+    dpath = str(tmp_path / "delta_t")
+    b0.write.format("delta").save(dpath)
+    delta_upsert_replace(dspark, dpath, b1, ("id",))
+    got = _rows(dspark.read.format("delta").load(dpath))
+
+    t = ParquetUpsertTable(dspark, str(tmp_path / "pq_t"))
+    t.upsert_replace(b0, ("id",))
+    t.upsert_replace(b1, ("id",))
+    want = _rows(t.read())
+
+    assert got == want == [(1, "a", 10.0), (2, "b2", 21.0), (3, "c", 30.0)]
+
+
+def test_delta_additive_matches_parquet_upsert(dspark, tmp_path):
+    b0 = dspark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, total double")
+    b1 = dspark.createDataFrame([(1, 1.0), (3, 3.0)], "id long, total double")
+
+    dpath = str(tmp_path / "delta_k")
+    b0.write.format("delta").save(dpath)
+    delta_upsert_additive(dspark, dpath, b1, ("id",), ("total",))
+    got = _rows(dspark.read.format("delta").load(dpath))
+
+    t = ParquetUpsertTable(dspark, str(tmp_path / "pq_k"))
+    t.upsert_additive(b0, ("id",), ("total",))
+    t.upsert_additive(b1, ("id",), ("total",))
+    want = _rows(t.read())
+
+    assert got == want == [(1, 11.0), (2, 20.0), (3, 3.0)]
