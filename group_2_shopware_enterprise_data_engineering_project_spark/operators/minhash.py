@@ -222,14 +222,25 @@ def minhash_lsh_dedup(
     bodies), so this holds at cluster scale where recomputing the
     signature stage per branch would dominate the job."""
     ss = shingle_sets(docs, text_col, id_col, k).persist()
-    sigs = ss.select("doc_id", minhash_signature(F.col("shingles"), num_perm).alias("signature"))
-    buckets = band_buckets(sigs, num_perm, band_rows).persist()
-    cands = candidate_pairs(buckets, bucket_cap)
-    verified = exact_jaccard(ss, cands)
-    # No terminal global sort: at scale the pair list is huge and the
-    # driver compare / downstream joins are order-insensitive (oracle
-    # SQL keeps ORDER BY for display).
-    return verified.filter(F.col("jaccard") >= threshold)
+    buckets = None
+    try:
+        sigs = ss.select(
+            "doc_id", minhash_signature(F.col("shingles"), num_perm).alias("signature")
+        )
+        buckets = band_buckets(sigs, num_perm, band_rows).persist()
+        cands = candidate_pairs(buckets, bucket_cap)
+        verified = exact_jaccard(ss, cands)
+        # No terminal global sort: at scale the pair list is huge and
+        # the driver compare / downstream joins are order-insensitive
+        # (oracle SQL keeps ORDER BY for display). Threshold survivors
+        # only (ids + jaccard, no text) materialize eagerly so both
+        # corpus-sized caches release on return.
+        out = verified.filter(F.col("jaccard") >= threshold)
+        return out.localCheckpoint(eager=True)
+    finally:
+        ss.unpersist()
+        if buckets is not None:
+            buckets.unpersist()
 
 
 def allpairs_jaccard_dedup(
@@ -244,8 +255,16 @@ def allpairs_jaccard_dedup(
     path — same verify stage, different candidate generation).
 
     Persisted for the same reason as minhash_lsh_dedup: the shingle
-    subtree feeds 4 plan branches."""
+    subtree feeds 4 plan branches; released on return via eager
+    materialization of the (small) surviving-pair result."""
     ss = shingle_sets(docs, text_col, id_col, k).persist()
+    try:
+        return _allpairs_jaccard_body(ss, threshold).localCheckpoint(eager=True)
+    finally:
+        ss.unpersist()
+
+
+def _allpairs_jaccard_body(ss: DataFrame, threshold: float) -> DataFrame:
     exploded = ss.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = ss.select("doc_id", F.size("shingles").alias("sz"))
     inter = (

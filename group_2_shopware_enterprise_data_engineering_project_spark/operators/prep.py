@@ -739,6 +739,13 @@ def dense_ids(
 
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # This persist is CORRECTNESS, not caching, and deliberately lives
+    # as long as the returned plan: the collected per-partition offsets
+    # below are only valid for THIS materialized partitioning — a
+    # recompute could re-sample range boundaries and silently skew ids.
+    # The result is corpus-sized, so eager re-materialization just to
+    # release the cache would double the I/O for nothing;
+    # ContextCleaner reclaims the blocks when the plan is dropped.
     with_pid = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())

@@ -64,6 +64,12 @@ def rollup_cascade(
     # re-aggregations. A persisted minute level is orders of magnitude
     # smaller than raw; production continuous aggregates write it to a
     # table, which is the same trade expressed durably.
+    # Cache lifetime is DELIBERATELY the returned plan's lifetime (not
+    # released in-function): the result IS the union of the cached
+    # levels, eager materialization would hide the single-raw-scan
+    # plan shape tests/test_plans.py pins, and the levels are
+    # aggregate-sized. ContextCleaner reclaims them when the plan is
+    # dropped.
     level = level.persist(StorageLevel.MEMORY_AND_DISK)
 
     out = level.withColumn("resolution_sec", F.lit(finest).cast("long"))

@@ -122,5 +122,11 @@ def simhash_dedup(
 ) -> DataFrame:
     # Persist: the band self-join references the signature DF on both
     # sides, which would run the Pandas UDF twice over the corpus.
+    # Released on return — the result (id pairs + distance, no text)
+    # is eagerly materialized first, so the corpus-sized signature
+    # cache never outlives this call.
     sigs = simhash_signatures(docs, text_col, id_col).persist()
-    return simhash_near_pairs(sigs, max_hamming)
+    try:
+        return simhash_near_pairs(sigs, max_hamming).localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
