@@ -446,3 +446,44 @@ def compression_ratio(
             )
 
     return docs.select(id_col, text_col).mapInPandas(_batches, schema)
+
+
+# --- PII redaction (scrubbing stage of an LLM data pipeline) ---------------
+
+# (class, pattern, replacement) applied IN ORDER — email first so its
+# digit-bearing local parts can't later half-match the phone/IP
+# patterns; replacement tokens contain no digits or '@', so redactions
+# never cascade. Patterns are the RE2/Java-regex common subset
+# (char classes, bounded repeats, ASCII \b), so Spark and an ANSI-SQL
+# oracle (regexp_extract_all / regexp_replace ... 'g') agree exactly.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing — the redaction stage every LLM training-data
+    pipeline runs before text leaves quarantine. Per document: count
+    then replace each PII class sequentially (counts are taken on the
+    text as it stands when that class is scanned, exactly what the
+    redactor saw). Pure Column expressions — JVM regex, codegen'd, no
+    shuffle, linear in corpus size; returns (doc_id, n_email, n_phone,
+    n_ipv4, redacted).
+    """
+    docs = spread(docs)
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, rep)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *counts, cur.alias("redacted")
+    )

@@ -758,3 +758,69 @@ def t15_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank long, left string, right string, pair_count long"
     )
+
+
+# --- t16: PII redaction (scrubbing stage) --------------------------------
+
+# Deterministic PII is synthesized into every document (the testdata
+# corpus itself is PII-free), so the redactor has real work on every
+# row: a per-doc email, a phone, and a per-doc IPv4. Counts are taken
+# sequentially on the text as each class is scanned — the oracle
+# mirrors the same count-then-replace cascade with RE2's 'g' flag
+# (Spark's regexp_replace is always global).
+T16_ORACLE = """
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@example.com call 555-867-5309 ip 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR) AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+         regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t
+  FROM enriched
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))
+              AS BIGINT) AS n_phone,
+         regexp_replace(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id, n_email, n_phone,
+       CAST(len(regexp_extract_all(t,
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+           AS n_ipv4,
+       regexp_replace(t,
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+           AS redacted
+FROM s2
+"""
+
+
+@register(
+    "t16_pii_redact",
+    T16_ORACLE,
+    doc="PII scrubbing (email/phone/IPv4 count-then-redact cascade) "
+    "over documents with deterministic synthesized PII per row; pure "
+    "JVM regex Column expressions, zero shuffle, linear scan — the "
+    "redaction stage an LLM data pipeline runs before text leaves "
+    "quarantine",
+)
+def t16_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-867-5309 ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return text.pii_redact(enriched)

@@ -116,6 +116,7 @@ CORE_ORDER: tuple[str, ...] = (
     # --- driver window boundary (first 50 above) ---
     "t14_compression_ratio",
     "s8_orc_roundtrip",
+    "t16_pii_redact",  # new in r5; driver row in the r6 rotation
     # prior-round driver-proven core (keeps sweep order stable)
     "m9_session_window_native",
     "m10_percentiles",

@@ -365,3 +365,28 @@ def test_candidate_pairs_bucket_cap_lossless_and_bounded(spark):
     )
     max_group = tasks.agg(F.max("count")).collect()[0][0]
     assert max_group <= 3 * cap  # each join side per task is O(cap)
+
+
+def test_pii_redact_counts_and_cascade(spark):
+    """Count-then-replace cascade: emails consume their digits before
+    the phone/IP scans; replacement tokens never re-match."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@ex-ample.org and 555-123-4567 from 10.0.0.7 done"),
+            (1, "no pii here at all"),
+            (2, "two mails x@y.io z@w.co one ip 192.168.1.1"),
+            (3, "digits 123-456-7890@host.com are an email, not a phone"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.pii_redact(df).collect()}
+    assert (out[0].n_email, out[0].n_phone, out[0].n_ipv4) == (1, 1, 1)
+    assert out[0].redacted == "mail <EMAIL> and <PHONE> from <IP> done"
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (0, 0, 0)
+    assert out[1].redacted == "no pii here at all"
+    assert (out[2].n_email, out[2].n_ipv4) == (2, 1)
+    # the email regex consumes the phone-shaped local part first
+    assert out[3].n_email == 1 and out[3].n_phone == 0
+    assert "<EMAIL>" in out[3].redacted and "<PHONE>" not in out[3].redacted
