@@ -104,23 +104,37 @@ FROM events GROUP BY 1, 2, 3, 4
     "CATALOG (not the path), proving the partitions were registered",
 )
 def k9_partition_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
     base = _tmp("k9")
     events = table(spark, sf_dir, "events")
     write_hour_partitioned(events, "ts", f"{base}/tbl")
-    spark.sql("DROP TABLE IF EXISTS k9_events")
+    # per-run table name + drop-after-checkpoint: a FIXED catalog name
+    # here was the same concurrent-harness hazard the k18 fix (bf3abb4)
+    # removed — two runs would DROP/CREATE over each other and point
+    # the shared name at the other run's tmp LOCATION mid-query (and
+    # the old version leaked one catalog entry per run).
+    tname = f"k9_events_{uuid.uuid4().hex[:8]}"
     spark.sql(
-        "CREATE TABLE k9_events "
+        f"CREATE TABLE {tname} "
         "(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
         "value DOUBLE, props STRING) "
         "USING PARQUET "
         "PARTITIONED BY (year STRING, month STRING, day STRING, hour STRING) "
         f"LOCATION '{base}/tbl'"
     )
-    # freshly created external table knows NO partitions until MSCK
-    register_partitions(spark, "k9_events")
-    return spark.table("k9_events").groupBy("year", "month", "day", "hour").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
+    try:
+        # freshly created external table knows NO partitions until MSCK
+        register_partitions(spark, tname)
+        out = (
+            spark.table(tname)
+            .groupBy("year", "month", "day", "hour")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        # materialize before the catalog entry goes away
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
 
 
 # --- K10: archive lifecycle ------------------------------------------------

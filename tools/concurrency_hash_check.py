@@ -44,6 +44,8 @@ QUERIES = (
     "k4_replace_merge",
     "k5_additive_merge",
     "k18_bucketed_join",
+    "k9_partition_registration",  # per-run catalog name (fixed in r5)
+    "st12_stream_dim_replace",  # manifest-txn streaming replace-merge
 )
 POOL = int(os.environ.get("SPARK_GRAFT_CONCURRENCY", "4"))
 
