@@ -59,3 +59,58 @@ def test_register_views_enables_athena_style_sql(spark, sf_dir):
         "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
     ).collect()[0].n
     assert joined > 0
+
+
+def test_query_paths_never_mutate_session_conf(spark, sf_dir):
+    """Regression guard for the r4 m15 driver-only hash mismatch class:
+    no read/write/query path may flip session-global confs mid-flight
+    (nanosAsLong is pinned at init; partition overwrite and forced-SMJ
+    are per-write/per-plan options; partition-type inference is avoided
+    via explicit schemas). Snapshot the sensitive confs, push data
+    through the previously-offending paths, assert bit-identical."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
+        read_hour_partitioned,
+        write_hour_partitioned,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+    keys = (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.sources.partitionOverwriteMode",
+        "spark.sql.sources.partitionColumnTypeInference.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+        "spark.sql.session.timeZone",
+    )
+
+    def snap():
+        # no fallback arg: Spark type-validates the fallback string,
+        # and every key here has a built-in default to surface anyway
+        return {k: spark.conf.get(k) for k in keys}
+
+    # table() self-configures once; take the snapshot AFTER the first
+    # read so init-time settings are the baseline being guarded
+    events = table(spark, sf_dir, "events")
+    before = snap()
+
+    base = tempfile.mkdtemp(prefix="shopware_spark_confguard_")
+    # K1 write + partition-string read (old partitionColumnTypeInference toggle)
+    write_hour_partitioned(events.limit(200), "ts", f"{base}/k1")
+    read_hour_partitioned(spark, f"{base}/k1").count()
+    assert snap() == before
+    # nanos-capable read path (old nanosAsLong per-read toggle)
+    table(spark, sf_dir, "events").count()
+    assert snap() == before
+    # partition-scoped dynamic overwrite (old partitionOverwriteMode toggle)
+    t = ParquetUpsertTable(spark, f"{base}/kpi", partition_by=("d",))
+    b = spark.createDataFrame([(1, "a", 1.0)], "id long, d string, v double")
+    t.upsert_additive(b, ("id", "d"), ("v",))
+    t.upsert_additive(b, ("id", "d"), ("v",))
+    assert snap() == before
