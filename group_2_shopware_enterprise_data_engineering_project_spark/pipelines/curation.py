@@ -70,3 +70,37 @@ def curate_corpus(docs: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
     return prep.split_assign(passed, "doc_id").select(
         "doc_id", "n_tokens", "quality_score", "split"
     )
+
+
+def curate_and_pack(
+    docs: DataFrame,
+    cap: int = 1024,
+    shards: int = 8,
+    jaccard_threshold: float = 0.4,
+) -> DataFrame:
+    """Curation v2: the full `curate_corpus` pass (exact dedup ->
+    near-dup clusters -> quality + repetition gates -> split), then the
+    writer-facing LAYOUT stages over the surviving corpus — sequence
+    packing (concat-and-chunk pack ids per `prep.sequence_pack`) — so
+    the output is directly consumable by a tokenize-and-shard writer:
+    one row per surviving doc with (split, shard, pack_id, pack_offset,
+    spans_boundary) alongside the curation columns.
+
+    Scale: packing runs only on survivors (each curation stage shrinks
+    the set), sharded by doc_id %% shards so no global single-task
+    window exists; the join back to curation columns is a doc_id
+    equi-join between two survivor-sized frames.
+    """
+    curated = curate_corpus(docs, jaccard_threshold)
+    surv_docs = docs.join(curated.select("doc_id"), "doc_id", "semi")
+    packed = prep.sequence_pack(surv_docs, cap=cap, shards=shards)
+    return curated.join(packed.drop("n_tokens"), "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        "split",
+        "shard",
+        "pack_id",
+        "pack_offset",
+        "spans_boundary",
+    )

@@ -520,7 +520,9 @@ from group_2_shopware_enterprise_data_engineering_project_spark.pipelines.curati
     curate_corpus,
 )
 
-_CURATION_ORACLE = f"""
+# Split into CTE body + final SELECT so pipe_llm_prep can splice the
+# identical curation chain ahead of its pack/layout stages.
+_CURATION_CTES = f"""
 WITH RECURSIVE exact AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ), surv1 AS (
@@ -583,7 +585,9 @@ WITH RECURSIVE exact AS (
          1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) <= 0.18)
     AND CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
         / length(text) <= 0.1
-)
+)"""
+
+_CURATION_SELECT = f"""
 SELECT doc_id, n_tokens, quality_score,
        CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
                  < '{_T1}' THEN 'train'
@@ -592,6 +596,63 @@ SELECT doc_id, n_tokens, quality_score,
             ELSE 'test' END AS split
 FROM passed JOIN rkeep USING (doc_id)
 """
+
+_CURATION_ORACLE = _CURATION_CTES + _CURATION_SELECT
+
+
+_PREP_CAP, _PREP_SHARDS = 1024, 8
+
+# Curation chain spliced verbatim, then the m15-style pack recurrence
+# computed OVER THE SURVIVOR SET (shard = doc_id % shards, running sum
+# ordered by doc_id within shard) — all-integer, exactly
+# prep.sequence_pack's layout.
+_PREP_ORACLE = (
+    _CURATION_CTES
+    + ", curated AS ("
+    + _CURATION_SELECT
+    + f"""), surv3 AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN curated c USING (doc_id)
+), tk AS (
+  SELECT doc_id, doc_id % {_PREP_SHARDS} AS shard,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tok
+  FROM surv3
+), cum AS (
+  SELECT *,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+             AS cum_before
+  FROM tk
+)
+SELECT c.doc_id, c.n_tokens, c.quality_score, c.split, cum.shard,
+       cum.cum_before // {_PREP_CAP} AS pack_id,
+       cum.cum_before % {_PREP_CAP} AS pack_offset,
+       (cum.cum_before % {_PREP_CAP}) + cum.n_tok > {_PREP_CAP}
+           AS spans_boundary
+FROM curated c JOIN cum USING (doc_id)
+"""
+)
+
+
+@register(
+    "pipe_llm_prep",
+    _PREP_ORACLE,
+    doc="curation v2 end-to-end: the pipe_llm_curation chain (exact "
+    "dedup -> MinHash-LSH clusters -> quality + repetition gates -> "
+    "split) composed with writer-facing sequence-pack layout over the "
+    "survivors (shard, pack_id, pack_offset, boundary flag) — the "
+    "direct input of a tokenize-and-shard training-data writer; "
+    "composed oracle splices the curation CTEs ahead of the m15 pack "
+    "recurrence",
+)
+def pipe_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.pipelines.curation import (
+        curate_and_pack,
+    )
+
+    return curate_and_pack(
+        table(spark, sf_dir, "documents"), cap=_PREP_CAP, shards=_PREP_SHARDS
+    )
 
 
 @register(

@@ -117,6 +117,7 @@ CORE_ORDER: tuple[str, ...] = (
     "t14_compression_ratio",
     "s8_orc_roundtrip",
     "t16_pii_redact",  # new in r5; driver row in the r6 rotation
+    "pipe_llm_prep",  # new in r5 (curation v2 + pack layout); r6 rotation
     # prior-round driver-proven core (keeps sweep order stable)
     "m9_session_window_native",
     "m10_percentiles",
