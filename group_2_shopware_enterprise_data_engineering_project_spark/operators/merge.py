@@ -672,7 +672,17 @@ class ParquetUpsertTable:
         if txn is not None and txn[1] <= self.last_txn(txn[0]):
             return
         if not self.exists():
-            self._snapshot_write(source, txn=txn)
+            # bootstrap through the SAME normalization as every later
+            # merge (key+sum columns, one row per key): writing raw
+            # source would leave a first snapshot whose schema/grain
+            # silently differs from snapshot 2+ (merge_additive
+            # projects to key+sum and re-aggregates)
+            self._snapshot_write(
+                merge_additive(
+                    source.limit(0), source, key_cols, sum_cols
+                ),
+                txn=txn,
+            )
             return
         if self._partition_scoped_ok(key_cols):
             self._scoped_merge(

@@ -447,3 +447,20 @@ def test_upsert_txn_scoped_path_stamps_manifest(spark, tmp_path):
     # compare on its string form
     out = {(r.pid, str(r.date)): r.total for r in t.read().collect()}
     assert out == {(1, "2025-01-01"): 12.0}
+
+
+def test_upsert_additive_bootstrap_normalizes_grain_and_schema(spark, tmp_path):
+    """The first batch goes through the same key+sum normalization as
+    every later merge: duplicate keys aggregate, extra columns drop —
+    so snapshot 1 has the same schema and grain as snapshot N."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "boot"))
+    b0 = spark.createDataFrame(
+        [(1, 5.0, "x"), (1, 7.0, "y"), (2, 1.0, "z")],
+        "pid long, total double, extra string",
+    )
+    t.upsert_additive(b0, ("pid",), ("total",))
+    assert sorted(t.read().columns) == ["pid", "total"]
+    assert {r.pid: r.total for r in t.read().collect()} == {1: 12.0, 2: 1.0}
+    b1 = spark.createDataFrame([(1, 1.0)], "pid long, total double")
+    t.upsert_additive(b1, ("pid",), ("total",))
+    assert {r.pid: r.total for r in t.read().collect()} == {1: 13.0, 2: 1.0}
