@@ -1,0 +1,154 @@
+"""Width-scaling probe for the heavy LLM-pipeline operators.
+
+Replicates the sf corpus k-fold with CONTENT-DECORRELATED replicas
+(the shape a cluster absorbs by adding executors: more distinct data,
+same per-key density) and measures wall-clock at 1x vs kx:
+
+  - documents: replica i suffixes every token with ``_r<i>`` — the
+    shingle STRUCTURE of each doc (count, within-replica overlaps,
+    Jaccard between any two docs) is exactly the original's, but every
+    shingle string differs across replicas, so MinHash buckets scale
+    in COUNT, not size, and no cross-replica near-dup pairs exist.
+    (A first attempt that INSERTED an ``r<i>`` token between words
+    collapsed trigram shingles into effective bigrams — entropy loss
+    that manufactured a 2450-doc bucket and 6.7M genuinely-similar
+    pairs at 4x. The probe transform must preserve similarity
+    structure or it measures its own artifact.)
+  - embeddings: replica i multiplies each component by a deterministic
+    per-(replica, component) ±1 sign mask — WITHIN a replica every
+    pairwise cosine is exactly preserved (both vectors see the same
+    mask), while ACROSS replicas the random relative signs decorrelate
+    dot products toward 0, so SRP buckets gain width, not density.
+
+Probed operators (the r4/r5 scale-engineered set):
+  minhash   — minhash_lsh_dedup (banded LSH + capped buckets + verify)
+  near_dup  — embedding_near_dup_pairs (SRP buckets + salt-split cap)
+  pack      — sequence_pack (sharded running sum)
+  redact    — pii_redact (zero-shuffle regex cascade)
+
+A width-scaled operator should grow sub-linearly in wall-clock on a
+fixed local[32] (fixed parallelism absorbs width until cores
+saturate); anything super-linear indicates density-coupled work — the
+100 TB red flag this probe exists to catch.
+
+Usage: python tools/scale_probe.py [sf_dir] [factor]
+Prints one JSON line {"factor": k, "ops": {name: {"t1": s, "tk": s,
+"ratio": r, "rows1": n, "rowsk": n}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    minhash,
+    prep,
+    similarity,
+    text,
+)
+from group_2_shopware_enterprise_data_engineering_project_spark.session import get_spark
+from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
+
+
+def _docs_k(docs: DataFrame, k: int) -> DataFrame:
+    n = 10**9
+    parts = []
+    for i in range(k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1_r{i}").alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _emb_k(emb: DataFrame, k: int) -> DataFrame:
+    n = 10**9
+    parts = []
+    def _mask(i: int):
+        # factory keeps the lambda binary — F.transform inspects arity
+        def sign(x, j):
+            flip = (
+                F.pmod(
+                    F.xxhash64(F.concat_ws("_", F.lit(f"rep{i}"), j.cast("string"))),
+                    F.lit(2),
+                )
+                == 0
+            )
+            return F.when(flip, x).otherwise(-x)
+
+        return sign
+
+    for i in range(k):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                F.transform("embedding", _mask(i)).alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _run(make) -> tuple[float, int]:
+    # time CONSTRUCTION + count: several operators materialize eagerly
+    # inside construction (localCheckpoint cache-release pattern), so
+    # timing only .count() would miss the actual work
+    t0 = time.time()
+    n = make().count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    k = int(argv[1]) if len(argv) > 1 else 4
+
+    spark = get_spark("shopware-spark-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs1 = table(spark, sf_dir, "documents").localCheckpoint(eager=True)
+    emb1 = table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    docsk = _docs_k(docs1, k).localCheckpoint(eager=True)
+    embk = _emb_k(emb1, k).localCheckpoint(eager=True)
+
+    ops = {
+        "minhash": lambda d, e: minhash.minhash_lsh_dedup(d),
+        "near_dup": lambda d, e: similarity.embedding_near_dup_pairs(e),
+        "pack": lambda d, e: prep.sequence_pack(d),
+        "redact": lambda d, e: text.pii_redact(d),
+    }
+
+    results = {}
+    for name, fn in ops.items():
+        fn(docs1, emb1).count()  # warm codegen for this op shape
+        t1, rows1 = _run(lambda: fn(docs1, emb1))
+        tk, rowsk = _run(lambda: fn(docsk, embk))
+        results[name] = {
+            "t1": round(t1, 2),
+            "tk": round(tk, 2),
+            "ratio": round(tk / t1, 2) if t1 > 0 else None,
+            "rows1": rows1,
+            "rowsk": rowsk,
+        }
+
+    print(json.dumps({"factor": k, "sf_dir": sf_dir, "ops": results}))
+
+
+if __name__ == "__main__":
+    main()
