@@ -487,3 +487,36 @@ def pii_redact(
     return docs.select(
         F.col(id_col).alias("doc_id"), *counts, cur.alias("redacted")
     )
+
+
+# --- markup stripping (HTML -> visible text) -------------------------------
+
+# Java-regex / RE2 common-subset patterns; applied in order. Script and
+# style blocks go first (their CONTENT must vanish, not just the tags),
+# then remaining tags, then whitespace normalization.
+_SCRIPT_STYLE_PATTERN = r"(?s)<(script|style)\b[^>]*>.*?</(script|style)>"
+_TAG_PATTERN = r"<[^>]+>"
+
+
+def strip_markup(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML/markup stripping — the extract-visible-text stage of a web
+    corpus pipeline (the trafilatura/jusText role, reduced to its
+    deterministic regex core): drop <script>/<style> blocks with their
+    contents, drop remaining tags, collapse whitespace. Emits per doc
+    the removed-tag count and the cleaned text. Pure Column
+    expressions, zero shuffle, linear scan.
+    """
+    docs = spread(docs)
+    h = F.col(html_col)
+    n_tags = F.size(F.regexp_extract_all(h, F.lit(_TAG_PATTERN), 0)).cast("long")
+    no_blocks = F.regexp_replace(h, _SCRIPT_STYLE_PATTERN, " ")
+    no_tags = F.regexp_replace(no_blocks, _TAG_PATTERN, " ")
+    clean = F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tags.alias("n_tags"),
+        F.length(clean).cast("long").alias("clean_len"),
+        clean.alias("clean_text"),
+    )

@@ -824,3 +824,62 @@ def t16_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.pii_redact(enriched)
+
+
+# --- t17: HTML/markup stripping ------------------------------------------
+
+# The corpus is plain text, so each doc is deterministically wrapped in
+# markup first (title header, split paragraphs, a script block whose
+# CONTENT must vanish) — then stripped through the real operator. The
+# oracle mirrors the wrap + the three-stage strip with RE2's 'g' flag.
+T17_ORACLE = """
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</h1><p class="b">'
+           || replace(text, '. ', '.</p><p>')
+           || '</p><script>var secret_' || CAST(doc_id AS VARCHAR)
+           || ' = 1;</script></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(html,
+               '(?s)<(script|style)\\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS clean_text
+  FROM wrapped
+)
+SELECT doc_id, n_tags,
+       CAST(length(clean_text) AS BIGINT) AS clean_len,
+       clean_text
+FROM stripped
+"""
+
+
+@register(
+    "t17_strip_markup",
+    T17_ORACLE,
+    doc="HTML/markup stripping (web-corpus visible-text extraction): "
+    "script/style blocks removed WITH their contents, remaining tags "
+    "dropped, whitespace collapsed — over documents deterministically "
+    "wrapped in markup (header, sentence-split paragraphs, a script "
+    "block that must vanish); zero-shuffle regex cascade",
+)
+def t17_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit('</h1><p class="b">'),
+            F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")),
+            F.lit("</p><script>var secret_"),
+            F.col("doc_id").cast("string"),
+            F.lit(" = 1;</script></body></html>"),
+        ).alias("html"),
+    )
+    return text.strip_markup(wrapped)

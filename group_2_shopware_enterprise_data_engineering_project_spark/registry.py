@@ -32,20 +32,15 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 #: Driver-facing core set. The correctness harness checks the FIRST 50
-#: registered queries, so ordering is part of the verification contract:
-#: this list front-loads (a) every query that had never had a driver
-#: oracle row through r3 (m9-m17, m7b, m14b, k11, pipe_llm_curation),
-#: (b) the 19 queries whose last green row was r1, and (c) one query per
-#: remaining SURVEY §2 ID — exactly 50. Everything else follows and is
-#: covered by the committed FULL-registry local sweep
-#: (tools/verify_local.py --json -> CORRECTNESS_LOCAL_r*.json — the
-#: artifact, not this comment, is the query count of record). Rotation
-#: policy: queries outside the window rely on their newest green driver
-#: row plus the sweep; when a round frees slots (older entries
-#: accumulate multiple green rounds), rotate never-driver-checked
-#: queries in. r4: e9_ann_ivf_kmeans swapped in for a5_alert_count
-#: (A5 keeps its r3 green row, and st5's hour-aligned negative-event
-#: counts exercise the same alert-count semantics in-window).
+#: registered queries, so ordering is part of the verification
+#: contract. Everything past the window marker is covered by the
+#: committed FULL-registry local sweep (tools/verify_local.py --json ->
+#: CORRECTNESS_LOCAL_r*.json — the artifact, not this comment, is the
+#: query count of record). Rotation policy: queries outside the window
+#: rely on their newest green driver row plus the sweep; each round,
+#: entries with multiple green driver rounds rotate out and
+#: never-driver-checked queries rotate in (r4: e9 in for a5; r5: full
+#: rotation to the never-checked set, see the block comment below).
 CORE_ORDER: tuple[str, ...] = (
     # r5 rotation: every query below EXCEPT m15 has never had a driver
     # row (all are green in the committed local sweep). m15 stays in
@@ -118,6 +113,7 @@ CORE_ORDER: tuple[str, ...] = (
     "s8_orc_roundtrip",
     "t16_pii_redact",  # new in r5; driver row in the r6 rotation
     "pipe_llm_prep",  # new in r5 (curation v2 + pack layout); r6 rotation
+    "t17_strip_markup",  # new in r5 (HTML visible-text extraction); r6 rotation
     # prior-round driver-proven core (keeps sweep order stable)
     "m9_session_window_native",
     "m10_percentiles",

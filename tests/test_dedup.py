@@ -390,3 +390,24 @@ def test_pii_redact_counts_and_cascade(spark):
     # the email regex consumes the phone-shaped local part first
     assert out[3].n_email == 1 and out[3].n_phone == 0
     assert "<EMAIL>" in out[3].redacted and "<PHONE>" not in out[3].redacted
+
+
+def test_strip_markup_removes_script_content_and_tags(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (0, '<html><body><h1>T</h1><p>hello <b>bold</b> world</p>'
+                '<script type="x">var leak = "SECRET";</script></body></html>'),
+            (1, "plain text no markup"),
+            (2, "<style>.a{color:red}</style><p>kept</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r.doc_id: r for r in text.strip_markup(df).collect()}
+    assert out[0].clean_text == "T hello bold world"
+    assert "SECRET" not in out[0].clean_text  # script CONTENT gone
+    # html body h1 /h1 p b /b /p script /script /body /html = 12
+    assert out[0].n_tags == 12
+    assert out[1].clean_text == "plain text no markup" and out[1].n_tags == 0
+    assert out[2].clean_text == "kept"  # style content gone too
