@@ -82,17 +82,46 @@ def main():
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    plain = "--plain" in argv
+    if plain:
+        argv.remove("--plain")
+    window = "--window" in argv  # first-50 driver window only
+    if window:
+        argv.remove("--window")
     bad_flags = [a for a in argv if a.startswith("--")]
     if bad_flags:
         # an unknown flag silently matching zero queries would be a
         # vacuous ALL GREEN — refuse instead
         sys.exit(f"unknown flag(s): {bad_flags}; usage: "
-                 "verify_local.py [--json OUT.json] [sf_dir] [query ...]")
+                 "verify_local.py [--json OUT.json] [--plain] [--window] "
+                 "[sf_dir] [query ...]")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     report: dict[str, dict] = {}
 
-    spark = get_spark("verify-local")
+    if plain:
+        # TRUE driver simulation: a bare SparkSession with none of this
+        # repo's configs (no UTC, no AQE, default shuffle partitions) —
+        # table()/ensure_session_settings must self-configure, and any
+        # query relying on session state the engine didn't set itself
+        # fails HERE instead of in the driver's harness.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify-local-plain")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("verify-local")
+    if window and not only:
+        from group_2_shopware_enterprise_data_engineering_project_spark import (
+            registry as _reg,
+        )
+
+        only = set(list(_reg.all_queries())[:50])
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
