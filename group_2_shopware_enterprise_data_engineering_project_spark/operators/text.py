@@ -520,3 +520,59 @@ def strip_markup(
         F.length(clean).cast("long").alias("clean_len"),
         clean.alias("clean_text"),
     )
+
+
+# --- URL extraction + canonicalization (crawl-corpus bookkeeping) ----------
+
+# (?i) so mixed-case schemes/hosts ARE captured and then canonicalized
+# — a case-sensitive pattern would silently skip 'HTTPS://' URLs (and
+# skip them identically in the oracle, hiding the gap).
+URL_PATTERN = r"(?i)https?://[A-Za-z0-9.\-:_/?=&#%]+"
+
+
+def url_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL extraction + canonicalization + per-domain rollup — the
+    crawl-corpus bookkeeping stage (domain mix drives sampling and
+    blocklists). Canonicalization is deliberately backreference-free so
+    the exact pipeline mirrors into ANSI SQL (Spark's `$1` vs DuckDB's
+    `\\1` replacement syntax would otherwise diverge): lowercase the
+    URL, strip the #fragment, strip explicit default ports (every
+    synthesized URL carries a path, so ':443/' / ':80/' are literal).
+    Emits (domain, n_urls, n_docs) — counts after canonicalization.
+
+    Scale: extraction is a zero-shuffle projection; the only exchange
+    is the domain rollup (map-side combined), carrying (domain, count)
+    pairs.
+    """
+    docs = spread(docs)
+    urls = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    )
+    canon = (
+        F.replace(
+            F.replace(
+                F.regexp_replace(F.lower(F.col("url")), "#.*", ""),
+                F.lit(":443/"),
+                F.lit("/"),
+            ),
+            F.lit(":80/"),
+            F.lit("/"),
+        )
+    ).alias("canon_url")
+    with_domain = urls.select(
+        "doc_id",
+        canon,
+    ).select(
+        "doc_id",
+        "canon_url",
+        F.regexp_extract("canon_url", r"^https?://([^/:]+)", 1).alias("domain"),
+    )
+    return with_domain.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )

@@ -883,3 +883,76 @@ def t17_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return text.strip_markup(wrapped)
+
+
+# --- t18: URL extraction + canonicalization + domain rollup ---------------
+
+# Deterministic URLs are synthesized into every document (the corpus
+# has none): a mixed-case https URL with explicit :443 and a #fragment
+# (both must canonicalize away) and, on every 3rd doc, a second http
+# URL on another domain. The oracle mirrors extraction and the
+# backreference-free canonicalization cascade.
+T18_ORACLE = """
+WITH wrapped AS (
+  SELECT doc_id,
+         text || ' see HTTPS://Shop-' || CAST(doc_id % 20 AS VARCHAR)
+              || '.Example.COM:443/p/' || CAST(doc_id AS VARCHAR)
+              || '?q=1#frag'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' and http://blog.example.org:80/a/'
+                           || CAST(doc_id % 7 AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents
+), urls AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+             '(?i)https?://[A-Za-z0-9.\\-:_/?=&#%]+')) AS url
+  FROM wrapped
+), canon AS (
+  SELECT doc_id,
+         replace(replace(regexp_replace(lower(url), '#.*', ''),
+                         ':443/', '/'),
+                 ':80/', '/') AS canon_url
+  FROM urls
+), dom AS (
+  SELECT doc_id, canon_url,
+         regexp_extract(canon_url, '^https?://([^/:]+)', 1) AS domain
+  FROM canon
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM dom GROUP BY domain
+"""
+
+
+@register(
+    "t18_url_stats",
+    T18_ORACLE,
+    doc="URL extraction + canonicalization (lowercase, fragment strip, "
+    "explicit default-port strip — backreference-free so the cascade "
+    "mirrors into ANSI SQL) + per-domain rollup over documents with "
+    "deterministic synthesized URLs; zero-shuffle extraction, one "
+    "map-side-combined domain exchange",
+)
+def t18_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see HTTPS://Shop-"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".Example.COM:443/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?q=1#frag"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" and http://blog.example.org:80/a/"),
+                    (F.col("doc_id") % 7).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.url_stats(wrapped)

@@ -114,6 +114,7 @@ CORE_ORDER: tuple[str, ...] = (
     "t16_pii_redact",  # new in r5; driver row in the r6 rotation
     "pipe_llm_prep",  # new in r5 (curation v2 + pack layout); r6 rotation
     "t17_strip_markup",  # new in r5 (HTML visible-text extraction); r6 rotation
+    "t18_url_stats",  # new in r5 (URL canon + domain rollup); r6 rotation
     # prior-round driver-proven core (keeps sweep order stable)
     "m9_session_window_native",
     "m10_percentiles",

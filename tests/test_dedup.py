@@ -411,3 +411,20 @@ def test_strip_markup_removes_script_content_and_tags(spark):
     assert out[0].n_tags == 12
     assert out[1].clean_text == "plain text no markup" and out[1].n_tags == 0
     assert out[2].clean_text == "kept"  # style content gone too
+
+
+def test_url_stats_canonicalizes_case_port_fragment(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (0, "x HTTPS://A.Example.COM:443/p/1#frag y"),
+            (1, "x https://a.example.com/p/1 y"),  # same URL canonicalized
+            (2, "http://b.example.org:80/q and no more"),
+            (3, "no urls"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.domain: (r.n_urls, r.n_docs) for r in text.url_stats(df).collect()}
+    # case, default port, and fragment all canonicalize away
+    assert out == {"a.example.com": (2, 2), "b.example.org": (1, 1)}
