@@ -364,6 +364,21 @@ class ParquetUpsertTable:
         except (TypeError, ValueError):
             return -1
 
+    def _check_txn_stampable(self, txn: tuple[str, int] | None) -> None:
+        """Fail BEFORE any data moves if a txn was requested on a table
+        where it cannot be durably recorded: a legacy manifest-less
+        layout (data at the bare path) would otherwise complete the
+        merge and then fail the stamp — committed data with no batch id
+        is exactly the replay hazard txn= exists to prevent."""
+        if txn is None:
+            return
+        if self.exists() and self._read_manifest() is None:
+            raise ValueError(
+                "txn guard requires a manifest-committed table; this is a "
+                f"legacy bare-path layout at {self.path} — rewrite it once "
+                "via create_or_overwrite()/compact() to adopt the manifest"
+            )
+
     def _stamp_txn(self, app_id: str, batch_id: int) -> None:
         """Record a txn on the ACTIVE manifest without a snapshot bump
         (the partition-scoped merge path, which rewrites touched
@@ -627,6 +642,7 @@ class ParquetUpsertTable:
         content-idempotent so a replay through that window is safe)."""
         if txn is not None and txn[1] <= self.last_txn(txn[0]):
             return
+        self._check_txn_stampable(txn)
         if not self.exists():
             self._snapshot_write(source, txn=txn)
             return
@@ -671,6 +687,7 @@ class ParquetUpsertTable:
         window on a scoped table should force the snapshot path."""
         if txn is not None and txn[1] <= self.last_txn(txn[0]):
             return
+        self._check_txn_stampable(txn)
         if not self.exists():
             # bootstrap through the SAME normalization as every later
             # merge (key+sum columns, one row per key): writing raw

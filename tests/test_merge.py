@@ -464,3 +464,24 @@ def test_upsert_additive_bootstrap_normalizes_grain_and_schema(spark, tmp_path):
     b1 = spark.createDataFrame([(1, 1.0)], "pid long, total double")
     t.upsert_additive(b1, ("pid",), ("total",))
     assert {r.pid: r.total for r in t.read().collect()} == {1: 13.0, 2: 1.0}
+
+
+def test_txn_on_legacy_layout_fails_before_any_write(spark, tmp_path):
+    """A txn-guarded merge on a manifest-less (legacy bare-path) table
+    must refuse UP FRONT - completing the merge and then failing the
+    stamp would leave committed data with no batch id, the exact
+    replay hazard txn= exists to prevent."""
+    import pytest
+
+    path = str(tmp_path / "legacy")
+    spark.createDataFrame([(1, 10.0)], "pid long, total double").write.parquet(path)
+    t = ParquetUpsertTable(spark, path)
+    assert t.exists() and t._read_manifest() is None
+    b = spark.createDataFrame([(1, 1.0)], "pid long, total double")
+    with pytest.raises(ValueError, match="manifest-committed"):
+        t.upsert_additive(b, ("pid",), ("total",), txn=("s", 0))
+    # data untouched
+    assert {r.pid: r.total for r in t.read().collect()} == {1: 10.0}
+    # untagged merges on legacy layouts still work (and adopt the manifest)
+    t.upsert_additive(b, ("pid",), ("total",))
+    assert {r.pid: r.total for r in t.read().collect()} == {1: 11.0}
