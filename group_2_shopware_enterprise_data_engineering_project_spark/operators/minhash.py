@@ -114,43 +114,24 @@ def candidate_pairs(buckets: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFra
     """Distinct (doc_a < doc_b) pairs sharing any band bucket. The
     self-join shuffles on (band_idx, band_hash) only.
 
-    Oversized buckets are salt-split (the `similarity._salted_pair_tasks`
-    pattern): a bucket of n > cap rows hashes its docs into
-    s = ceil(n/cap) groups and the join enumerates the (i, j) group-pair
-    sub-tasks explicitly, so no reducer ever materializes more than
-    ~cap^2 candidates. LOSSLESS: every same-bucket pair meets in exactly
-    one (min(g_a, g_b), max(g_a, g_b)) task, so the pair SET is
-    identical to the unsalted join — skew changes the schedule, never
-    the answer. Buckets at or under the cap have s = 1 and degenerate to
-    the plain self-join row."""
-    w = Window.partitionBy("band_idx", "band_hash")
-    tasks = (
-        buckets.withColumn(
-            "_s", F.ceil(F.count(F.lit(1)).over(w) / F.lit(bucket_cap)).cast("int")
-        )
-        .withColumn("_g", F.pmod(F.xxhash64("doc_id"), F.col("_s")).cast("int"))
-        .withColumn("_t", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
-        .withColumn("_i", F.least("_g", "_t"))
-        .withColumn("_j", F.greatest("_g", "_t"))
-        .drop("_t", "_s")
+    Oversized buckets are salt-split via the SHARED lossless pattern
+    (`operators/saltjoin.py` — one implementation for the embedding,
+    semdedup, and MinHash families): a bucket of n > cap rows hashes
+    its docs into s = ceil(n/cap) groups and the join enumerates the
+    (i, j) group-pair sub-tasks explicitly, so no reducer ever
+    materializes more than ~cap^2 candidates while the pair SET stays
+    identical to the unsalted join. Buckets at or under the cap have
+    s = 1 and degenerate to the plain self-join row."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.saltjoin import (
+        salted_pair_join,
+        salted_pair_tasks,
     )
-    a, b = tasks.alias("a"), tasks.alias("b")
+
+    tasks = salted_pair_tasks(
+        buckets, bucket_cap, ("band_idx", "band_hash"), "doc_id"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a._i") == F.col("b._i"))
-            & (F.col("a._j") == F.col("b._j"))
-            # a plays the i-group role, b the j-group role; same-group
-            # tasks (i == j) order by id to meet each pair once
-            & (F.col("a._g") == F.col("a._i"))
-            & (F.col("b._g") == F.col("b._j"))
-            & (
-                (F.col("a._i") != F.col("a._j"))
-                | (F.col("a.doc_id") < F.col("b.doc_id"))
-            ),
-        )
+        salted_pair_join(tasks, ("band_idx", "band_hash"), "doc_id")
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),

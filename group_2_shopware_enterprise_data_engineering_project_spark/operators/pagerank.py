@@ -55,6 +55,7 @@ def pagerank(
     Returns (node_id, rank_units, rank) for every node, where rank =
     rank_units / unit. Sink nodes (no out-edges) redistribute their
     mass uniformly — the standard dangling-node treatment.
+    ``checkpoint_every=0`` disables lineage truncation (persist-only).
 
     Each iteration's rank table is persisted: it is consumed twice
     (contribution join + dangling scan) and the loop would otherwise
@@ -114,7 +115,7 @@ def pagerank(
                 ).alias("r"),
             )
         )
-        if (it + 1) % checkpoint_every == 0:
+        if checkpoint_every > 0 and (it + 1) % checkpoint_every == 0:
             # truncate lineage: the checkpointed blocks ARE the
             # materialization, no extra persist/count needed
             new_ranks = new_ranks.localCheckpoint(eager=True)

@@ -615,22 +615,12 @@ def embedding_near_dup_pairs(
 
 
 def _near_dup_pairs_body(tasks: DataFrame, threshold: float) -> DataFrame:
-    a, b = tasks.alias("a"), tasks.alias("b")
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.saltjoin import (
+        salted_pair_join,
+    )
+
     pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._i") == F.col("b._i"))
-            & (F.col("a._j") == F.col("b._j"))
-            # a plays the i-group role, b the j-group role; same-group
-            # tasks (i == j) order by id to emit each pair once
-            & (F.col("a._g") == F.col("a._i"))
-            & (F.col("b._g") == F.col("b._j"))
-            & (
-                (F.col("a._i") != F.col("a._j"))
-                | (F.col("a.vec_id") < F.col("b.vec_id"))
-            ),
-        )
+        salted_pair_join(tasks, ("bucket",), "vec_id")
         .select(
             F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
             F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
@@ -725,23 +715,15 @@ def _semdedup_body(
     bucketed = assigned.select(
         "vec_id", "v", F.col("centroid_id").alias("bucket")
     )
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.saltjoin import (
+        salted_pair_join,
+    )
+
     tasks = _salted_pair_tasks(bucketed, bucket_cap)
-    a, b = tasks.alias("a"), tasks.alias("b")
     # Same lossless sub-task enumeration as embedding_near_dup_pairs;
     # orientation matters here: the HIGHER id of each pair is the dup
     # candidate, so attribute the similarity to greatest(vec_id).
-    pair_sims = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a._i") == F.col("b._i"))
-        & (F.col("a._j") == F.col("b._j"))
-        & (F.col("a._g") == F.col("a._i"))
-        & (F.col("b._g") == F.col("b._j"))
-        & (
-            (F.col("a._i") != F.col("a._j"))
-            | (F.col("a.vec_id") < F.col("b.vec_id"))
-        ),
-    ).select(
+    pair_sims = salted_pair_join(tasks, ("bucket",), "vec_id").select(
         F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id"),
         (
             dot(F.col("a.v"), F.col("b.v"))
@@ -772,27 +754,14 @@ def _semdedup_body(
 
 
 def _salted_pair_tasks(bucketed: DataFrame, bucket_cap: int) -> DataFrame:
-    """Explode each bucket's rows into self-join sub-task assignments.
+    """Shared lossless salt-split (see operators/saltjoin.py — single
+    implementation of the bounded-reducer pattern, reused by the
+    MinHash band join as well)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.saltjoin import (
+        salted_pair_tasks,
+    )
 
-    s = ceil(bucket_size / cap); each row gets group g = hash(id) mod s
-    and one output row per sub-task it participates in: task
-    (min(g, t), max(g, t)) for t in 0..s-1. A pair with groups (ga, gb)
-    meets in exactly the (min, max) task. Buckets under the cap have
-    s = 1 and degenerate to the plain self-join row. The bucket-size
-    window is one shuffle on the bucket key — the same key the
-    downstream join shuffles on, so AQE coalesces them back-to-back.
-    """
-    w = Window.partitionBy("bucket")
-    sized = bucketed.withColumn(
-        "_s", F.ceil(F.count(F.lit(1)).over(w) / F.lit(bucket_cap)).cast("int")
-    )
-    return (
-        sized.withColumn("_g", F.pmod(F.xxhash64("vec_id"), F.col("_s")).cast("int"))
-        .withColumn("_t", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
-        .withColumn("_i", F.least("_g", "_t"))
-        .withColumn("_j", F.greatest("_g", "_t"))
-        .drop("_t", "_s")
-    )
+    return salted_pair_tasks(bucketed, bucket_cap, ("bucket",), "vec_id")
 
 
 def label_stats(emb: DataFrame) -> DataFrame:

@@ -475,7 +475,9 @@ def pii_redact(
     n_ipv4, redacted).
     """
     docs = spread(docs)
-    cur = F.col(text_col)
+    # NULL text -> zero counts + empty redaction, not size(NULL) == -1
+    # count poison and a NULL passthrough
+    cur = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
     for name, pat, rep in PII_PATTERNS:
         counts.append(
@@ -509,7 +511,8 @@ def strip_markup(
     expressions, zero shuffle, linear scan.
     """
     docs = spread(docs)
-    h = F.col(html_col)
+    # NULL html -> n_tags 0 / empty clean text (size(NULL) is -1)
+    h = F.coalesce(F.col(html_col), F.lit(""))
     n_tags = F.size(F.regexp_extract_all(h, F.lit(_TAG_PATTERN), 0)).cast("long")
     no_blocks = F.regexp_replace(h, _SCRIPT_STYLE_PATTERN, " ")
     no_tags = F.regexp_replace(no_blocks, _TAG_PATTERN, " ")
@@ -550,7 +553,11 @@ def url_stats(
     urls = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+            # NULL text -> no URL rows (explode of NULL array drops the
+            # row, same as the oracle's unnest of an empty list)
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(URL_PATTERN), 0
+            )
         ).alias("url"),
     )
     canon = (

@@ -91,7 +91,11 @@ def curate_and_pack(
     window exists; the join back to curation columns is a doc_id
     equi-join between two survivor-sized frames.
     """
-    curated = curate_corpus(docs, jaccard_threshold)
+    # the curated frame feeds TWO plan branches (survivor semi-join +
+    # final column join); materialize once or the whole curation chain
+    # (dedup, gates, split) re-executes per branch — at corpus scale
+    # that doubles the dominant cost. Survivor-sized (ids + scalars).
+    curated = curate_corpus(docs, jaccard_threshold).localCheckpoint(eager=True)
     surv_docs = docs.join(curated.select("doc_id"), "doc_id", "semi")
     packed = prep.sequence_pack(surv_docs, cap=cap, shards=shards)
     return curated.join(packed.drop("n_tokens"), "doc_id").select(

@@ -543,7 +543,11 @@ def st9_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(3):
         stage = f"{base}/stage_{b}"
         events.filter(bucket == b).coalesce(1).write.mode("overwrite").json(stage)
-        part = next(n for n in os.listdir(stage) if n.endswith(".json"))
+        # an empty time bucket writes only _SUCCESS — skip it rather
+        # than StopIteration
+        part = next((n for n in os.listdir(stage) if n.endswith(".json")), None)
+        if part is None:
+            continue
         dest = os.path.join(src, f"b{b}.json")
         shutil.move(os.path.join(stage, part), dest)
         t = os.path.getmtime(dest)
@@ -813,7 +817,11 @@ def st12_stream_dim_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(3):
         stage = f"{base}/stage_{b}"
         events.filter(bucket == b).coalesce(1).write.mode("overwrite").json(stage)
-        part = next(n for n in os.listdir(stage) if n.endswith(".json"))
+        # an empty percentile bucket (degenerate event_id distribution)
+        # writes only _SUCCESS — skip it rather than StopIteration
+        part = next((n for n in os.listdir(stage) if n.endswith(".json")), None)
+        if part is None:
+            continue
         dest = os.path.join(src, f"b{b}.json")
         shutil.move(os.path.join(stage, part), dest)
         t = os.path.getmtime(dest)

@@ -635,14 +635,17 @@ def t14_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text.compression_ratio(table(spark, sf_dir, "documents"))
     out = out.localCheckpoint(eager=True)
     # invariants over the real corpus: every doc's accounting must be
-    # internally consistent, and ratios must sit in (0, 1.25] — zlib
-    # overhead can push tiny strings slightly above 1, never past the
-    # header+stored-block bound for real text sizes
+    # internally consistent, and output size must respect DEFLATE's
+    # worst case (stored blocks: ~5 bytes per 16 KiB + 2-byte header +
+    # 4-byte adler — 64 bytes of slack covers any corpus). The ratio
+    # bound applies only to docs big enough that the fixed overhead
+    # can't dominate (a 10-byte doc legitimately has ratio ~1.8).
     bad = out.filter(
         (F.col("n_compressed") <= 0)
         | (F.col("n_bytes") < 0)
         | (F.col("ratio") <= 0)
-        | (F.col("ratio") > 1.25)
+        | (F.col("n_compressed") > F.col("n_bytes") + F.lit(64))
+        | ((F.col("n_bytes") >= 256) & (F.col("ratio") > 1.25))
         | (
             (F.col("n_bytes") > 0)
             & (
@@ -771,7 +774,7 @@ def t15_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 T16_ORACLE = """
 WITH enriched AS (
   SELECT doc_id,
-         text || ' reach user' || CAST(doc_id AS VARCHAR)
+         coalesce(text, '') || ' reach user' || CAST(doc_id AS VARCHAR)
               || '@example.com call 555-867-5309 ip 10.0.0.'
               || CAST(doc_id % 256 AS VARCHAR) AS t
   FROM documents
@@ -816,7 +819,7 @@ def t16_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = docs.select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" reach user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com call 555-867-5309 ip 10.0.0."),
@@ -837,7 +840,7 @@ WITH wrapped AS (
   SELECT doc_id,
          '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
            || '</h1><p class="b">'
-           || replace(text, '. ', '.</p><p>')
+           || replace(coalesce(text, ''), '. ', '.</p><p>')
            || '</p><script>var secret_' || CAST(doc_id AS VARCHAR)
            || ' = 1;</script></body></html>' AS html
   FROM documents
@@ -876,7 +879,11 @@ def t17_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<html><body><h1>Doc "),
             F.col("doc_id").cast("string"),
             F.lit('</h1><p class="b">'),
-            F.replace(F.col("text"), F.lit(". "), F.lit(".</p><p>")),
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(". "),
+                F.lit(".</p><p>"),
+            ),
             F.lit("</p><script>var secret_"),
             F.col("doc_id").cast("string"),
             F.lit(" = 1;</script></body></html>"),
@@ -895,7 +902,7 @@ def t17_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
 T18_ORACLE = """
 WITH wrapped AS (
   SELECT doc_id,
-         text || ' see HTTPS://Shop-' || CAST(doc_id % 20 AS VARCHAR)
+         coalesce(text, '') || ' see HTTPS://Shop-' || CAST(doc_id % 20 AS VARCHAR)
               || '.Example.COM:443/p/' || CAST(doc_id AS VARCHAR)
               || '?q=1#frag'
               || CASE WHEN doc_id % 3 = 0
@@ -940,7 +947,7 @@ def t18_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapped = docs.select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" see HTTPS://Shop-"),
             (F.col("doc_id") % 20).cast("string"),
             F.lit(".Example.COM:443/p/"),

@@ -86,9 +86,14 @@ def read_hour_partitioned(spark: SparkSession, path: str) -> DataFrame:
     # in its path => no partition columns, no inference) yields the
     # data schema; footer-only work, cheap at any scale.
     leaf = None
-    for root, _dirs, files in _os.walk(path):
+    for root, dirs, files in _os.walk(path):
+        # never descend into committer staging (_temporary) or metadata
+        # dirs — a half-written part file there has no footer and would
+        # fail the schema probe (the old conf-based path only ever read
+        # committed data)
+        dirs[:] = [d for d in sorted(dirs) if not d.startswith(("_", "."))]
         for f in sorted(files):
-            if f.endswith(".parquet"):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 leaf = _os.path.join(root, f)
                 break
         if leaf:

@@ -148,6 +148,18 @@ def dlq_split_sink(
     return run_available_now(stream_df, checkpoint, _batch)
 
 
+def _stream_app_id(checkpoint: str) -> str:
+    """Txn app id for a streaming sink: derived from the FULL absolute
+    checkpoint path, because Structured Streaming's batch ids are
+    scoped to the checkpoint — two different checkpoints that happen to
+    share a leaf name ('<run>/ckpt' is this repo's own convention) are
+    different streams and must never share a txn lane."""
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    return f"stream:{digest}"
+
+
 class BatchGuard:
     """At-least-once replay NARROWER for per-batch side effects that
     have no transactional store of their own (external API calls,
@@ -191,10 +203,12 @@ def accumulating_kpi_sink(
     Exactly-once: the batch id rides in the table's OWN atomic manifest
     commit (``txn=``) — data and batch id land in one os.replace, so a
     crash can never add a batch without recording it, and a replayed
-    batch is a manifest-checked no-op. The app id derives from the
-    checkpoint dir, matching Structured Streaming's batch-id scope (a
-    new checkpoint restarts ids at 0 AND yields a fresh app id)."""
-    app_id = "stream:" + os.path.basename(os.path.normpath(checkpoint))
+    batch is a manifest-checked no-op. The app id hashes the FULL
+    checkpoint path, matching Structured Streaming's batch-id scope: a
+    new checkpoint restarts ids at 0 AND yields a fresh app id (a
+    basename-only id would collide across '<run1>/ckpt' vs
+    '<run2>/ckpt' and silently no-op every reprocessed batch)."""
+    app_id = _stream_app_id(checkpoint)
 
     def _batch(df: DataFrame, batch_id: int) -> None:
         table.upsert_additive(
@@ -218,11 +232,12 @@ def replacing_dim_sink(
     Replace-merge is idempotent per batch content; the manifest txn
     (``txn=``, committed atomically with the data on the snapshot
     path) additionally skips replayed batches so a restart does not
-    even pay the merge cost."""
+    even pay the merge cost. App id = hash of the full checkpoint path
+    (see ``_stream_app_id``)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    app_id = "stream:" + os.path.basename(os.path.normpath(checkpoint))
+    app_id = _stream_app_id(checkpoint)
 
     def _batch(df: DataFrame, batch_id: int) -> None:
         w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())

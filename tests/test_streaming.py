@@ -786,3 +786,46 @@ def test_streaming_replace_merge_latest_wins_and_replay_safe(spark, tmp_path):
     assert out2 == out
     versions_after = table.versions()
     assert len(versions_after) <= 2  # no extra snapshots from replays
+
+
+def test_fresh_checkpoint_same_leaf_name_reprocesses(spark, tmp_path):
+    """Batch ids are scoped to the checkpoint, so a NEW checkpoint dir
+    (even with the same 'ckpt' leaf name) must get a fresh txn lane:
+    reprocessing the same input through run2/ckpt must apply again, not
+    silently no-op against run1/ckpt's recorded batch ids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+
+    src = tmp_path / "in"
+    _write_jsonl(src / "f1.jsonl", [{"customer_id": 1, "amount": 5.0}])
+    schema = T.StructType(
+        [
+            T.StructField("customer_id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    table = ParquetUpsertTable(spark, str(tmp_path / "kpi"))
+
+    def agg(df):
+        return df.groupBy("customer_id").agg(F.sum("amount").alias("n"))
+
+    def run(ckpt_base):
+        stream = spark.readStream.schema(schema).json(str(src))
+        accumulating_kpi_sink(
+            stream, table, ("customer_id",), ("n",), agg,
+            str(tmp_path / ckpt_base / "ckpt"),
+        )
+
+    run("run1")
+    assert {r.customer_id: r.n for r in table.read().collect()} == {1: 5.0}
+    # same leaf name 'ckpt', DIFFERENT checkpoint -> fresh stream,
+    # batch ids restart at 0, and the add must APPLY (total doubles)
+    run("run2")
+    assert {r.customer_id: r.n for r in table.read().collect()} == {1: 10.0}
+    # replay over run2's checkpoint stays a no-op
+    run("run2")
+    assert {r.customer_id: r.n for r in table.read().collect()} == {1: 10.0}
