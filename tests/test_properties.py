@@ -367,3 +367,56 @@ def test_dense_ids_is_rank_permutation(spark, keys, nparts):
     out = {r.k: r.dense_id for r in dense_ids(df, ["k"], num_partitions=nparts).collect()}
     expect = {k: i for i, k in enumerate(sorted(keys))}
     assert out == expect
+
+
+# --- salt-split self-join: lossless under any bucket layout ---------------
+
+SALT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),  # id
+        st.integers(min_value=0, max_value=3),  # bucket
+    ),
+    min_size=0,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+CAPS = st.integers(min_value=1, max_value=8)
+
+
+@given(rows=SALT_ROWS, cap=CAPS)
+@_settings
+def test_salted_pair_join_is_lossless(spark, rows, cap):
+    """For ANY bucket layout and ANY cap >= 1, the salted self-join
+    emits exactly the same-bucket unordered pairs, each exactly once —
+    the algebraic contract every dedup family rides on."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.saltjoin import (
+        salted_pair_join,
+        salted_pair_tasks,
+    )
+
+    df = spark.createDataFrame(rows or [(0, 0)], "vec_id long, bucket long").limit(
+        len(rows)
+    )
+    tasks = salted_pair_tasks(df, cap, ("bucket",), "vec_id")
+    got = [
+        (r.a, r.b)
+        for r in salted_pair_join(tasks, ("bucket",), "vec_id")
+        .select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("b"),
+        )
+        .collect()
+    ]
+    by_bucket: dict[int, list[int]] = {}
+    for vid, bkt in rows:
+        by_bucket.setdefault(bkt, []).append(vid)
+    want = sorted(
+        (min(x, y), max(x, y))
+        for ids in by_bucket.values()
+        for i, x in enumerate(ids)
+        for y in ids[i + 1 :]
+    )
+    # exactly once each: compare as sorted LISTS, not sets
+    assert sorted(got) == want
