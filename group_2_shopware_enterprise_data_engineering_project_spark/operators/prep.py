@@ -305,8 +305,20 @@ def sequence_pack(
         F.col(id_col),
         (F.col(id_col) % F.lit(shards)).alias("shard"),
         token_count(text_col).cast("long").alias("n_tokens"),
+        # Tie-break for the running-sum ordering: if id_col ever has
+        # duplicates, plain orderBy(id_col) + a ROWS frame is
+        # physical-order-nondeterministic (and Spark's DEFAULT frame is
+        # RANGE, which sums ALL peers — a silent engine divergence vs
+        # any oracle that pins ROWS). md5(text) makes the ordering
+        # total across engines; full-duplicate rows remain
+        # interchangeable, so the output multiset is still unique.
+        F.md5(F.col(text_col)).alias("_tie"),
     )
-    w = Window.partitionBy("shard").orderBy(id_col)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before")
     d = d.withColumn("cum_before", cum_before)
     return d.select(
@@ -315,9 +327,11 @@ def sequence_pack(
         "n_tokens",
         F.expr(f"cum_before div {cap}").alias("pack_id"),
         (F.col("cum_before") % F.lit(cap)).alias("pack_offset"),
-        ((F.col("cum_before") % F.lit(cap)) + F.col("n_tokens") > F.lit(cap)).alias(
-            "spans_boundary"
-        ),
+        # INT, not BOOLEAN: removes the only boolean canonicalization
+        # surface between Spark and oracle hashing.
+        ((F.col("cum_before") % F.lit(cap)) + F.col("n_tokens") > F.lit(cap))
+        .cast("int")
+        .alias("spans_boundary"),
     )
 
 

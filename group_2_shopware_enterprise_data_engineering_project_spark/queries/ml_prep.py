@@ -615,11 +615,12 @@ _PREP_ORACLE = (
 ), tk AS (
   SELECT doc_id, doc_id % {_PREP_SHARDS} AS shard,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-              AS BIGINT) AS n_tok
+              AS BIGINT) AS n_tok,
+         md5(text) AS _tie
   FROM surv3
 ), cum AS (
   SELECT *,
-         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, _tie
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
              AS cum_before
   FROM tk
@@ -627,7 +628,7 @@ _PREP_ORACLE = (
 SELECT c.doc_id, c.n_tokens, c.quality_score, c.split, cum.shard,
        cum.cum_before // {_PREP_CAP} AS pack_id,
        cum.cum_before % {_PREP_CAP} AS pack_offset,
-       (cum.cum_before % {_PREP_CAP}) + cum.n_tok > {_PREP_CAP}
+       CAST((cum.cum_before % {_PREP_CAP}) + cum.n_tok > {_PREP_CAP} AS INTEGER)
            AS spans_boundary
 FROM curated c JOIN cum USING (doc_id)
 """
@@ -798,11 +799,12 @@ M15_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, doc_id % {_M15_SHARDS} AS shard,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
-             AS n_tokens
+             AS n_tokens,
+         md5(text) AS _tie
   FROM documents
 ), c AS (
   SELECT *,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, _tie
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
              AS cum_before
   FROM t
@@ -810,7 +812,8 @@ WITH t AS (
 SELECT doc_id, shard, n_tokens,
        cum_before // {_M15_CAP} AS pack_id,
        cum_before % {_M15_CAP} AS pack_offset,
-       (cum_before % {_M15_CAP}) + n_tokens > {_M15_CAP} AS spans_boundary
+       CAST((cum_before % {_M15_CAP}) + n_tokens > {_M15_CAP} AS INTEGER)
+           AS spans_boundary
 FROM c
 """
 

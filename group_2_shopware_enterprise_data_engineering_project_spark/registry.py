@@ -42,23 +42,27 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: never-driver-checked queries rotate in (r4: e9 in for a5; r5: full
 #: rotation to the never-checked set, see the block comment below).
 CORE_ORDER: tuple[str, ...] = (
-    # r5 rotation: every query below EXCEPT m15 has never had a driver
-    # row (all are green in the committed local sweep). m15 stays in
-    # per the r4 verdict (its driver-only hash mismatch was traced to
-    # session-global conf mutation, fixed in r5 — this row is the
-    # proof); st12 is new this round. Two never-checked queries are
-    # deferred to r6 for space: t14_compression_ratio (rows-only by
-    # design, the weakest possible driver row) and s8_orc_roundtrip
-    # (mechanically identical to the driver-proven s2/s3 roundtrips).
+    # r6 rotation: m15 stays first per the r5 verdict (r4+r5 driver
+    # hash-red; r6 fix = ROWS frame + md5(text) tie-break + INT flag on
+    # BOTH engines, prep.py:sequence_pack / ml_prep.py:M15_ORACLE —
+    # this row is the proof). The six queries that have never had a
+    # driver row rotate in (t14/s8 deferred from r5, t16/t17/t18/
+    # pipe_llm_prep new in r5); rotated out to make space, each with a
+    # green r5 driver row and overlapping pytest coverage: k13, k18,
+    # a22, a23, j4, st11.
     "m15_sequence_pack",
+    "t14_compression_ratio",
+    "s8_orc_roundtrip",
+    "t16_pii_redact",
+    "pipe_llm_prep",
+    "t17_strip_markup",
+    "t18_url_stats",
     "st12_stream_dim_replace",
     # warehouse / storage layer
     "k12_compaction",
-    "k13_incremental_agg",
     "k14_rollup_cascade",
     "k16_scd2_history",
     "k17_zone_map_scan",
-    "k18_bucketed_join",
     "k19_bloom_point_lookup",
     "k20_shard_manifest",
     # ANN / embedding family
@@ -101,20 +105,17 @@ CORE_ORDER: tuple[str, ...] = (
     "a19_regional_revenue",
     "a20_expectations",
     "a21_item_cooccurrence",
-    "a22_grouping_sets",
-    "a23_share_of_total",
     # joins / streaming
-    "j4_range_join",
     "st9_stream_sessions",
     "st10_stream_stream_join",
-    "st11_dedup_within_watermark",
     # --- driver window boundary (first 50 above) ---
-    "t14_compression_ratio",
-    "s8_orc_roundtrip",
-    "t16_pii_redact",  # new in r5; driver row in the r6 rotation
-    "pipe_llm_prep",  # new in r5 (curation v2 + pack layout); r6 rotation
-    "t17_strip_markup",  # new in r5 (HTML visible-text extraction); r6 rotation
-    "t18_url_stats",  # new in r5 (URL canon + domain rollup); r6 rotation
+    # rotated out in r6 (each has a green r5 driver row):
+    "k13_incremental_agg",
+    "k18_bucketed_join",
+    "a22_grouping_sets",
+    "a23_share_of_total",
+    "j4_range_join",
+    "st11_dedup_within_watermark",
     # prior-round driver-proven core (keeps sweep order stable)
     "m9_session_window_native",
     "m10_percentiles",

@@ -319,10 +319,38 @@ def test_sequence_pack_semantics(spark):
     assert [out[i].pack_id for i in (0, 2, 4, 6)] == [0, 0, 0, 1]
     assert [out[i].pack_offset for i in (0, 2, 4, 6)] == [0, 4, 8, 2]
     # doc 4 starts at offset 8 of a cap-10 pack: spans the boundary
-    assert out[4].spans_boundary is True
-    assert out[0].spans_boundary is False
+    # (INT flag, not BOOLEAN — matches the oracle's canonical form)
+    assert out[4].spans_boundary == 1
+    assert out[0].spans_boundary == 0
     # pack stream is gapless: offsets+lengths tile the token stream
     assert out[6].pack_id * 10 + out[6].pack_offset == 12
+
+
+def test_sequence_pack_rows_frame_and_ties(spark):
+    # Regression for the r4/r5 driver hash mismatch: with duplicate
+    # doc_ids, Spark's DEFAULT window frame (RANGE) sums ALL ordering
+    # peers, diverging from the oracle's pinned ROWS frame. The fix
+    # pins ROWS + an md5(text) tie-break, so duplicate rows still
+    # tile the token stream one after another.
+    rows = [(0, "a b c"), (0, "a b c"), (0, "a b c")]  # 3 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        prep.sequence_pack(df, cap=4, shards=1).collect(),
+        key=lambda r: (r.pack_id, r.pack_offset),
+    )
+    # ROWS semantics: cum_before = 0, 3, 6 -> offsets 0,3,2 / packs 0,0,1.
+    # RANGE semantics would give all three cum_before=0 (identical rows).
+    assert [(r.pack_id, r.pack_offset) for r in out] == [(0, 0), (0, 3), (1, 2)]
+    # physical-order independence: repartitioned input, same layout
+    out2 = sorted(
+        prep.sequence_pack(df.repartition(7), cap=4, shards=1).collect(),
+        key=lambda r: (r.pack_id, r.pack_offset),
+    )
+    assert [(r.pack_id, r.pack_offset) for r in out2] == [(0, 0), (0, 3), (1, 2)]
+    # and the plan really carries a RowFrame, not the default RangeFrame
+    analyzed = prep.sequence_pack(df, cap=4, shards=1)._jdf.queryExecution().analyzed().toString()
+    assert "rowframe" in analyzed.lower()
+    assert "rangeframe" not in analyzed.lower()
 
 
 def test_sequence_pack_no_global_window(spark):
