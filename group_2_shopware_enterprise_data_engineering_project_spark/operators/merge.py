@@ -384,7 +384,16 @@ class ParquetUpsertTable:
         (the partition-scoped merge path, which rewrites touched
         partitions in place). Atomic against readers, but NOT atomic
         with the data job itself — see upsert_* docstrings for the
-        narrowed replay window this leaves."""
+        narrowed replay window this leaves.
+
+        Single-writer only (the class's documented design): this is a
+        read-modify-write of the whole manifest, so two CONCURRENT
+        writers with different app_ids can each read the same manifest
+        and clobber the other's txn stamp on replace — silently
+        re-enabling batch replay for the loser. The same carry-forward
+        hazard exists in ``_commit``. Multi-writer deployments need an
+        external advisory lock around merge+stamp (or a real
+        transactional store, e.g. the Delta path)."""
         m = self._read_manifest()
         if m is None:
             raise ValueError(

@@ -533,17 +533,45 @@ def strip_markup(
 URL_PATTERN = r"(?i)https?://[A-Za-z0-9.\-:_/?=&#%]+"
 
 
+def canonicalize_url(url) -> Column:
+    """Column expression: canonical form of a single URL string —
+    lowercase, #fragment stripped, scheme-default port dropped. Shared
+    by url_stats and unit-testable standalone; see url_stats for the
+    portability constraints that shape it."""
+    low = F.regexp_replace(F.lower(url), "#.*", "")
+    scheme = F.regexp_extract(low, r"^(https?)://", 1)
+    host = F.regexp_extract(low, r"^https?://([^/:]+)", 1)
+    # the whole ':<anything>' authority suffix, kept verbatim unless it
+    # is exactly the scheme's default port
+    portpart = F.regexp_extract(low, r"^https?://[^/:]+(:[^/]*)", 1)
+    rest = F.regexp_replace(low, r"^https?://[^/]+", "")
+    default_port = ((scheme == F.lit("https")) & (portpart == F.lit(":443"))) | (
+        (scheme == F.lit("http")) & (portpart == F.lit(":80"))
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(default_port, F.lit("")).otherwise(portpart),
+        rest,
+    )
+
+
 def url_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """URL extraction + canonicalization + per-domain rollup — the
     crawl-corpus bookkeeping stage (domain mix drives sampling and
-    blocklists). Canonicalization is deliberately backreference-free so
-    the exact pipeline mirrors into ANSI SQL (Spark's `$1` vs DuckDB's
-    `\\1` replacement syntax would otherwise diverge): lowercase the
-    URL, strip the #fragment, strip explicit default ports (every
-    synthesized URL carries a path, so ':443/' / ':80/' are literal).
-    Emits (domain, n_urls, n_docs) — counts after canonicalization.
+    blocklists). Canonicalization is deliberately backreference- and
+    lookahead-free so the exact pipeline mirrors into ANSI SQL (Spark's
+    `$1` vs DuckDB's `\\1` replacement syntax, and Java-regex lookahead
+    vs RE2, would otherwise diverge): lowercase the URL, strip the
+    #fragment, then decompose into scheme/host/port-part/rest and
+    rebuild, dropping the port ONLY when it is the scheme's default
+    (':443' for https, ':80' for http) — 'http://host:443/x' is a
+    DIFFERENT resource and keeps its port, and a default port with no
+    trailing path ('https://host:443') is stripped too. Emits
+    (domain, n_urls, n_docs) — counts after canonicalization.
 
     Scale: extraction is a zero-shuffle projection; the only exchange
     is the domain rollup (map-side combined), carrying (domain, count)
@@ -560,17 +588,7 @@ def url_stats(
             )
         ).alias("url"),
     )
-    canon = (
-        F.replace(
-            F.replace(
-                F.regexp_replace(F.lower(F.col("url")), "#.*", ""),
-                F.lit(":443/"),
-                F.lit("/"),
-            ),
-            F.lit(":80/"),
-            F.lit("/"),
-        )
-    ).alias("canon_url")
+    canon = canonicalize_url(F.col("url")).alias("canon_url")
     with_domain = urls.select(
         "doc_id",
         canon,

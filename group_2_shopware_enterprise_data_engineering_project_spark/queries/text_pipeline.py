@@ -915,12 +915,23 @@ WITH wrapped AS (
          unnest(regexp_extract_all(text,
              '(?i)https?://[A-Za-z0-9.\\-:_/?=&#%]+')) AS url
   FROM wrapped
+), low AS (
+  SELECT doc_id, regexp_replace(lower(url), '#.*', '') AS u
+  FROM urls
+), parts AS (
+  SELECT doc_id,
+         regexp_extract(u, '^(https?)://', 1) AS scheme,
+         regexp_extract(u, '^https?://([^/:]+)', 1) AS host,
+         regexp_extract(u, '^https?://[^/:]+(:[^/]*)', 1) AS portpart,
+         regexp_replace(u, '^https?://[^/]+', '') AS rest
+  FROM low
 ), canon AS (
   SELECT doc_id,
-         replace(replace(regexp_replace(lower(url), '#.*', ''),
-                         ':443/', '/'),
-                 ':80/', '/') AS canon_url
-  FROM urls
+         scheme || '://' || host ||
+         CASE WHEN (scheme = 'https' AND portpart = ':443')
+                OR (scheme = 'http' AND portpart = ':80')
+              THEN '' ELSE portpart END || rest AS canon_url
+  FROM parts
 ), dom AS (
   SELECT doc_id, canon_url,
          regexp_extract(canon_url, '^https?://([^/:]+)', 1) AS domain
@@ -937,8 +948,9 @@ FROM dom GROUP BY domain
     "t18_url_stats",
     T18_ORACLE,
     doc="URL extraction + canonicalization (lowercase, fragment strip, "
-    "explicit default-port strip — backreference-free so the cascade "
-    "mirrors into ANSI SQL) + per-domain rollup over documents with "
+    "scheme-aware default-port strip via decompose-and-rebuild — "
+    "backreference- and lookahead-free so the cascade mirrors into "
+    "RE2-based ANSI SQL) + per-domain rollup over documents with "
     "deterministic synthesized URLs; zero-shuffle extraction, one "
     "map-side-combined domain exchange",
 )

@@ -149,15 +149,34 @@ def dlq_split_sink(
 
 
 def _stream_app_id(checkpoint: str) -> str:
-    """Txn app id for a streaming sink: derived from the FULL absolute
-    checkpoint path, because Structured Streaming's batch ids are
-    scoped to the checkpoint — two different checkpoints that happen to
-    share a leaf name ('<run>/ckpt' is this repo's own convention) are
-    different streams and must never share a txn lane."""
+    """Txn app id for a streaming sink, stored durably INSIDE the
+    checkpoint directory (``stream_id`` file) on first use and reused
+    ever after. Minted from the full absolute checkpoint path — batch
+    ids are scoped to the checkpoint, so two different checkpoints that
+    happen to share a leaf name ('<run>/ckpt' is this repo's own
+    convention) must never share a txn lane — but PERSISTED so that
+    relocating the checkpoint dir (or reaching it via a different
+    mount/symlink) keeps the SAME lane: a path-derived id would mint a
+    fresh lane on relocation, and the last in-flight batch of a
+    non-idempotent additive sink could double-apply on resume."""
     import hashlib
 
+    marker = os.path.join(checkpoint, "stream_id")
+    try:
+        with open(marker) as f:
+            stored = f.read().strip()
+        if stored:
+            return stored
+    except OSError:
+        pass
     digest = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
-    return f"stream:{digest}"
+    app_id = f"stream:{digest}"
+    os.makedirs(checkpoint, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(app_id)
+    os.replace(tmp, marker)
+    return app_id
 
 
 class BatchGuard:
@@ -200,14 +219,21 @@ def accumulating_kpi_sink(
     with `agg_fn(df) -> (key_cols + sum_cols) DataFrame`, then additive-
     MERGE into the KPI table (reference transfom_pos.py:140-152).
 
-    Exactly-once: the batch id rides in the table's OWN atomic manifest
-    commit (``txn=``) — data and batch id land in one os.replace, so a
-    crash can never add a batch without recording it, and a replayed
-    batch is a manifest-checked no-op. The app id hashes the FULL
-    checkpoint path, matching Structured Streaming's batch-id scope: a
-    new checkpoint restarts ids at 0 AND yields a fresh app id (a
-    basename-only id would collide across '<run1>/ckpt' vs
-    '<run2>/ckpt' and silently no-op every reprocessed batch)."""
+    Exactly-once ON THE SNAPSHOT MERGE PATH: there the batch id rides
+    in the table's atomic manifest commit (``txn=``) — data and batch
+    id land in one os.replace, so a crash can never add a batch without
+    recording it, and a replayed batch is a manifest-checked no-op.
+    When the KPI key embeds the table's partition column (the common
+    shape, e.g. (product_id, date) partitioned by date),
+    ``upsert_additive`` takes the partition-SCOPED path instead, whose
+    txn stamp lands just after the partition rewrite commits — a crash
+    inside that narrow gap replays the batch as a double-add on
+    restart (see ``upsert_additive``'s docstring). Callers needing a
+    zero-width window on such a table should use an unpartitioned KPI
+    table (forcing the snapshot path). The per-stream app id comes
+    from ``_stream_app_id`` (stored in the checkpoint dir), matching
+    Structured Streaming's batch-id scope: a new checkpoint restarts
+    ids at 0 AND yields a fresh app id."""
     app_id = _stream_app_id(checkpoint)
 
     def _batch(df: DataFrame, batch_id: int) -> None:

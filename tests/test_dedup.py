@@ -428,3 +428,36 @@ def test_url_stats_canonicalizes_case_port_fragment(spark):
     out = {r.domain: (r.n_urls, r.n_docs) for r in text.url_stats(df).collect()}
     # case, default port, and fragment all canonicalize away
     assert out == {"a.example.com": (2, 2), "b.example.org": (1, 1)}
+
+
+def test_url_canonicalize_port_strip_is_scheme_aware(spark):
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            # :443 on http is NOT the default port — a different resource
+            (0, "http://H.Example.com:443/x"),
+            # default port with NO trailing path still strips
+            (1, "https://h.example.com:443"),
+            (2, "http://h.example.com:80"),
+            # non-default ports survive verbatim
+            (3, "https://h.example.com:8443/x"),
+            (4, "HTTPS://h.example.com:443/p/1#frag"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", text.canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got == {
+        0: "http://h.example.com:443/x",
+        1: "https://h.example.com",
+        2: "http://h.example.com",
+        3: "https://h.example.com:8443/x",
+        4: "https://h.example.com/p/1",
+    }

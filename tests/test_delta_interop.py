@@ -1,7 +1,14 @@
 """Delta Lake interop parity tests — GATED on delta-spark.
 
 This sandbox has no delta-spark, so every test here skips cleanly via
-``pytest.importorskip``. To activate:
+``pytest.importorskip``. Install attempts were re-checked 2026-08-14
+(r6): the environment's policy forbids package installs, and a probe
+``pip download delta-spark --no-deps`` produced no wheel (no package
+index reachable). Even with the Python package present, activating
+Delta needs the matching ``io.delta:delta-spark_2.13`` JVM jars
+resolved from Maven at session start — also unreachable here. The
+gate below is therefore the permanent state of THIS sandbox, not a
+missing step. To activate on a real deployment:
 
     pip install delta-spark   # matching the installed pyspark major
     python -m pytest tests/test_delta_interop.py

@@ -141,6 +141,26 @@ def test_batch_guard_roundtrip(tmp_path):
     assert g.last_applied() == 7
 
 
+def test_stream_app_id_survives_checkpoint_relocation(tmp_path):
+    import shutil
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        _stream_app_id,
+    )
+
+    a = str(tmp_path / "run1" / "ckpt")
+    id1 = _stream_app_id(a)
+    # stable on re-read
+    assert _stream_app_id(a) == id1
+    # relocated checkpoint keeps the SAME txn lane (id travels with it)
+    b = str(tmp_path / "moved" / "ckpt")
+    shutil.move(str(tmp_path / "run1"), str(tmp_path / "moved"))
+    assert _stream_app_id(b) == id1
+    # a genuinely different checkpoint (same leaf name) gets its own lane
+    c = str(tmp_path / "run2" / "ckpt")
+    assert _stream_app_id(c) != id1
+
+
 def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     """First occurrence per key is admitted; replays/duplicates in
     LATER micro-batches are dropped by state."""
