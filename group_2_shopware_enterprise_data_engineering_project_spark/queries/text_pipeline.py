@@ -627,9 +627,12 @@ def t13_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "expression — one of the three sanctioned Python surfaces. "
     "In-query invariant asserts stand in for the missing oracle: "
     "byte accounting (0 < n_compressed, n_bytes = utf-8 length, "
-    "ratio = n_compressed/n_bytes), ratio bounds, and a planted "
-    "monotonicity probe (text repeated 16x must compress strictly "
-    "below the same text once) RAISE on violation",
+    "ratio = n_compressed/n_bytes), ratio bounds, and planted "
+    "known-ratio probes with analytic bounds (constant repeat <0.02 "
+    "via LZ77; sha256-derived printable noise >0.78, below the "
+    "entropy floor no compressor can beat; 16x-repeated prose "
+    "strictly between, and below the same prose once) RAISE on "
+    "violation",
 )
 def t14_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text.compression_ratio(table(spark, sf_dir, "documents"))
@@ -659,14 +662,38 @@ def t14_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     if bad:
         raise AssertionError(f"t14 invariant violated on {bad} documents")
-    # planted probe THROUGH the same operator: repetition must compress
+    # planted probes THROUGH the same operator, with ANALYTICALLY
+    # bounded expected ratios (not just relative ordering):
+    #  - constant repeat: one LZ77 back-reference repeated; DEFLATE
+    #    takes 64 KiB of 'x' to a few hundred bytes (measured 0.0013).
+    #    Bound <0.02 holds for any conforming DEFLATE at level 6.
+    #  - pseudo-random printable text (sha256-derived, ~6.55 bits/char
+    #    true entropy over 94 symbols): NO compressor can go below
+    #    entropy, 6.55/8 = 0.819 of raw (measured 0.828). Bound >0.78
+    #    (margin for the mod-94 non-uniformity), <1.0 (it must still
+    #    shave the unused 1.45 bits/char).
+    #  - prose repeated 16x must fall strictly between (and below the
+    #    same prose once — the original monotonicity check).
+    import hashlib
+
     base = "the quick brown fox jumps over the lazy dog 0123456789 "
+    rnd_chars: list[str] = []
+    for i in range(256):
+        digest = hashlib.sha256(f"t14:{i}".encode()).digest()
+        rnd_chars.extend(chr(33 + (b % 94)) for b in digest)
     probe = spark.createDataFrame(
-        [(0, base), (1, base * 16)], "doc_id long, text string"
+        [(0, base), (1, base * 16), (2, "x" * 65536), (3, "".join(rnd_chars))],
+        "doc_id long, text string",
     )
     pr = {r.doc_id: r.ratio for r in text.compression_ratio(probe).collect()}
-    if not pr[1] < pr[0]:
-        raise AssertionError(f"t14 monotonicity probe failed: {pr}")
+    ok = (
+        pr[1] < pr[0]
+        and pr[2] < 0.02
+        and 0.78 < pr[3] < 1.0
+        and pr[2] < pr[1] < pr[3]
+    )
+    if not ok:
+        raise AssertionError(f"t14 known-ratio probe failed: {pr}")
     return out
 
 
