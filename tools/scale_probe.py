@@ -20,20 +20,32 @@ same per-key density) and measures wall-clock at 1x vs kx:
     mask), while ACROSS replicas the random relative signs decorrelate
     dot products toward 0, so SRP buckets gain width, not density.
 
+  - part (pair-emitting ER family): replica i suffixes every token of
+    ``p_name`` with ``_r<i>`` — blocking keys and q-gram sets are
+    replica-local by construction (suffix-derived grams shared ACROSS
+    replicas go super-frequent and fall to the stop-gram df cut, which
+    is the cut doing its designed job), so candidate-pair volume must
+    scale LINEARLY in k and any super-linear growth is a quadratic
+    blowup the caps failed to contain.
+
 Probed operators (the r4/r5 scale-engineered set):
   minhash   — minhash_lsh_dedup (banded LSH + capped buckets + verify)
   near_dup  — embedding_near_dup_pairs (SRP buckets + salt-split cap)
   pack      — sequence_pack (sharded running sum)
   redact    — pii_redact (zero-shuffle regex cascade)
+  qgram     — er.qgram_pairs (inverted q-gram index + stop-gram cut)
+  er_block  — er.blocked_pairs (blocking keys + Levenshtein verify)
 
 A width-scaled operator should grow sub-linearly in wall-clock on a
 fixed local[32] (fixed parallelism absorbs width until cores
 saturate); anything super-linear indicates density-coupled work — the
 100 TB red flag this probe exists to catch.
 
-Usage: python tools/scale_probe.py [sf_dir] [factor]
+Usage: python tools/scale_probe.py [--ops a,b,c] [sf_dir] [factor]
 Prints one JSON line {"factor": k, "ops": {name: {"t1": s, "tk": s,
-"ratio": r, "rows1": n, "rowsk": n}}}.
+"ratio": r, "rows1": n, "rowsk": n}}}. ``--ops`` restricts to a
+comma-separated subset (e.g. the pair family at 32x/64x, where the
+non-pair ops would just re-measure what the 8x probe already proved).
 """
 
 from __future__ import annotations
@@ -105,6 +117,22 @@ def _emb_k(emb: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def _part_k(part: DataFrame, k: int) -> DataFrame:
+    n = 10**9
+    parts = []
+    for i in range(k):
+        parts.append(
+            part.select(
+                (F.col("p_partkey") + F.lit(i * n)).alias("p_partkey"),
+                F.regexp_replace("p_name", r"(\S+)", f"$1_r{i}").alias("p_name"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _run(make) -> tuple[float, int]:
     # time CONSTRUCTION + count: several operators materialize eagerly
     # inside construction (localCheckpoint cache-release pattern), so
@@ -116,29 +144,49 @@ def _run(make) -> tuple[float, int]:
 
 def main() -> None:
     argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--ops" in argv:
+        i = argv.index("--ops")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     k = int(argv[1]) if len(argv) > 1 else 4
 
     spark = get_spark("shopware-spark-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs1 = table(spark, sf_dir, "documents").localCheckpoint(eager=True)
-    emb1 = table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
-    docsk = _docs_k(docs1, k).localCheckpoint(eager=True)
-    embk = _emb_k(emb1, k).localCheckpoint(eager=True)
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import er
 
     ops = {
-        "minhash": lambda d, e: minhash.minhash_lsh_dedup(d),
-        "near_dup": lambda d, e: similarity.embedding_near_dup_pairs(e),
-        "pack": lambda d, e: prep.sequence_pack(d),
-        "redact": lambda d, e: text.pii_redact(d),
+        "minhash": lambda d, e, p: minhash.minhash_lsh_dedup(d),
+        "near_dup": lambda d, e, p: similarity.embedding_near_dup_pairs(e),
+        "pack": lambda d, e, p: prep.sequence_pack(d),
+        "redact": lambda d, e, p: text.pii_redact(d),
+        "qgram": lambda d, e, p: er.qgram_pairs(
+            p, "p_partkey", "p_name", q=3, min_shared=4
+        ),
+        "er_block": lambda d, e, p: er.blocked_pairs(
+            p, id_col="p_partkey", name_col="p_name", max_distance=3, max_block=1000
+        ),
     }
+    if only:
+        unknown = only - set(ops)
+        if unknown:
+            sys.exit(f"unknown ops: {sorted(unknown)} (have {sorted(ops)})")
+        ops = {n: f for n, f in ops.items() if n in only}
+
+    docs1 = table(spark, sf_dir, "documents").localCheckpoint(eager=True)
+    emb1 = table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    part1 = table(spark, sf_dir, "part").localCheckpoint(eager=True)
+    docsk = _docs_k(docs1, k).localCheckpoint(eager=True)
+    embk = _emb_k(emb1, k).localCheckpoint(eager=True)
+    partk = _part_k(part1, k).localCheckpoint(eager=True)
 
     results = {}
     for name, fn in ops.items():
-        fn(docs1, emb1).count()  # warm codegen for this op shape
-        t1, rows1 = _run(lambda: fn(docs1, emb1))
-        tk, rowsk = _run(lambda: fn(docsk, embk))
+        fn(docs1, emb1, part1).count()  # warm codegen for this op shape
+        t1, rows1 = _run(lambda: fn(docs1, emb1, part1))
+        tk, rowsk = _run(lambda: fn(docsk, embk, partk))
         results[name] = {
             "t1": round(t1, 2),
             "tk": round(tk, 2),
