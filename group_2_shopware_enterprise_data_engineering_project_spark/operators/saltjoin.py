@@ -29,7 +29,7 @@ from __future__ import annotations
 import operator
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -40,13 +40,36 @@ def salted_pair_tasks(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Explode each bucket's rows into self-join sub-task assignments
-    (adds ``_g``, ``_i``, ``_j``). The bucket-size window is one
-    shuffle on the bucket key — the same key the downstream join
-    shuffles on, so AQE coalesces them back-to-back."""
-    w = Window.partitionBy(*bucket_cols)
-    sized = bucketed.withColumn(
-        "_s", F.ceil(F.count(F.lit(1)).over(w) / F.lit(bucket_cap)).cast("int")
+    (adds ``_g``, ``_i``, ``_j``).
+
+    Bucket sizes come from a map-side-combined groupBy restricted to
+    OVERSIZED buckets, broadcast back onto the rows — NOT from a
+    ``count() over (partition by bucket)`` window. The window version
+    full-row-shuffles and sorts every bucket row before the join (and
+    a self-join evaluates that subtree once per side unless the
+    exchange is reused); the agg shuffles only (bucket, count) pairs
+    after partial aggregation, and the oversized list is tiny by
+    construction (each entry represents > cap rows, so there are at
+    most n/cap of them — broadcastable at any scale). Well-behaved
+    buckets join against an empty broadcast and keep ``_s = 1``: the
+    salt costs one scan of a 0-row side.
+
+    NULL bucket keys: the broadcast join (like the downstream pair
+    self-join) never matches NULL keys, so NULL-bucket rows keep
+    ``_s = 1`` unsalted — harmless, because the pair join's equality
+    condition can never pair them either."""
+    oversized = (
+        bucketed.groupBy(*[F.col(c) for c in bucket_cols])
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > bucket_cap)
+        .select(
+            *bucket_cols,
+            F.ceil(F.col("_n") / F.lit(bucket_cap)).cast("int").alias("_s_over"),
+        )
     )
+    sized = bucketed.join(
+        F.broadcast(oversized), list(bucket_cols), "left"
+    ).withColumn("_s", F.coalesce(F.col("_s_over"), F.lit(1))).drop("_s_over")
     return (
         sized.withColumn("_g", F.pmod(F.xxhash64(id_col), F.col("_s")).cast("int"))
         .withColumn("_t", F.explode(F.sequence(F.lit(0), F.col("_s") - 1)))
