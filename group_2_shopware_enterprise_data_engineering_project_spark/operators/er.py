@@ -89,7 +89,8 @@ def qgram_pairs(
     name_col: str,
     q: int = 3,
     min_shared: int = 4,
-    max_df: int = 500,
+    max_df: int | None = None,
+    max_df_frac: float = 0.25,
 ) -> DataFrame:
     """Fuzzy-match candidates by shared q-gram count (the PPJoin-family
     count-filtering idea): two strings sharing >= ``min_shared``
@@ -99,9 +100,18 @@ def qgram_pairs(
     Complements `blocked_pairs`: blocking needs a hand-chosen key and
     misses pairs that differ in it; q-gram counting is key-free and
     catches edits anywhere in the string, at the cost of an index
-    shuffle. Ultra-frequent q-grams (df > ``max_df``) are dropped from
-    the index — they generate quadratic candidate volume and carry no
-    signal (the standard stop-gram cut, mirrored by the oracle).
+    shuffle. Ultra-frequent q-grams are dropped from the index — they
+    generate quadratic candidate volume and carry no signal (the
+    standard stop-gram cut, mirrored by the oracle).
+
+    The cut is a FRACTION of the corpus by default (df >
+    ``max_df_frac`` * n_records), computed in-plan via a one-row
+    broadcast — an absolute cut does not width-scale: the r6 32x probe
+    showed a fixed ``max_df`` pushing EVERY gram over the cut as the
+    corpus widens, silently degenerating the operator to zero pairs at
+    exactly the scale it exists for. Pass ``max_df`` to pin an
+    absolute cut (the oracle-paired query does, so its SQL constant
+    stays literal).
 
     Output: (id_a, id_b, shared) with id_a < id_b.
     """
@@ -118,12 +128,16 @@ def qgram_pairs(
             )
         ).alias("g"),
     )
-    df_ok = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("g")
-    )
+    dfs = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        cut = F.lit(max_df)
+    else:
+        total = records.select(F.count(F.lit(1)).alias("_n"))
+        dfs = dfs.join(F.broadcast(total))
+        # floor of 8 so tiny corpora (unit tests, samples) don't cut
+        # grams at df 1-2, where the fraction is degenerate anyway
+        cut = F.greatest(F.ceil(F.col("_n") * F.lit(max_df_frac)), F.lit(8))
+    df_ok = dfs.filter(F.col("df") <= cut).select("g")
     indexed = grams.join(df_ok, "g", "left_semi")
     a = indexed.select("g", F.col("rid").alias("id_a"))
     b = indexed.select("g", F.col("rid").alias("id_b"))

@@ -306,6 +306,9 @@ ORDER BY id_a, id_b
     "anywhere in the string, unlike fixed blocking keys",
 )
 def d6_qgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_df pinned absolute so the oracle's literal 500 stays exact;
+    # the operator's DEFAULT is the scale-free fraction cut
     return er.qgram_pairs(
-        table(spark, sf_dir, "part"), "p_partkey", "p_name", q=3, min_shared=4
+        table(spark, sf_dir, "part"), "p_partkey", "p_name",
+        q=3, min_shared=4, max_df=500,
     )

@@ -20,13 +20,19 @@ same per-key density) and measures wall-clock at 1x vs kx:
     mask), while ACROSS replicas the random relative signs decorrelate
     dot products toward 0, so SRP buckets gain width, not density.
 
-  - part (pair-emitting ER family): replica i suffixes every token of
-    ``p_name`` with ``_r<i>`` — blocking keys and q-gram sets are
-    replica-local by construction (suffix-derived grams shared ACROSS
-    replicas go super-frequent and fall to the stop-gram df cut, which
-    is the cut doing its designed job), so candidate-pair volume must
-    scale LINEARLY in k and any super-linear growth is a quadratic
-    blowup the caps failed to contain.
+  - part (pair-emitting ER family): replica i applies a per-replica
+    Caesar rotation to ``p_name``'s letters (``translate`` with a
+    rotated alphabet) — a character BIJECTION, so within a replica
+    every q-gram equality, blocking key, and Levenshtein distance is
+    exactly the original's, while across replicas gram CONTENT
+    differs (same-source grams map to different strings; residual
+    cross-replica gram collisions are pseudo-random and fall below
+    min_shared). Candidate-pair volume must therefore scale LINEARLY
+    in k; super-linear growth is a quadratic blowup the caps failed
+    to contain. (A first attempt that SUFFIXED tokens with ``_r<i>``
+    left every token-interior gram identical across replicas — pair
+    volume went ~k^2 and the probe measured its own artifact; the
+    transform must decorrelate gram content, not just append to it.)
 
 Probed operators (the r4/r5 scale-engineered set):
   minhash   — minhash_lsh_dedup (banded LSH + capped buckets + verify)
@@ -118,13 +124,25 @@ def _emb_k(emb: DataFrame, k: int) -> DataFrame:
 
 
 def _part_k(part: DataFrame, k: int) -> DataFrame:
+    import random
+
     n = 10**9
+    alpha = "abcdefghijklmnopqrstuvwxyz"
     parts = []
     for i in range(k):
+        if i == 0:
+            mapped = alpha  # replica 0 is the original corpus verbatim
+        else:
+            # seeded permutation: 26! bijections, so any k gets a
+            # distinct mapping (plain Caesar has only 25 and collides
+            # at k > 25, silently re-creating cross-replica duplicates)
+            chars = list(alpha)
+            random.Random(i).shuffle(chars)
+            mapped = "".join(chars)
         parts.append(
             part.select(
                 (F.col("p_partkey") + F.lit(i * n)).alias("p_partkey"),
-                F.regexp_replace("p_name", r"(\S+)", f"$1_r{i}").alias("p_name"),
+                F.translate("p_name", alpha, mapped).alias("p_name"),
             )
         )
     out = parts[0]
