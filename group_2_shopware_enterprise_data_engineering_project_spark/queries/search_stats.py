@@ -504,3 +504,37 @@ def a23_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+# --- J5: hybrid skew-aware fact-to-fact equi-join ------------------------
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (  # noqa: E402
+    skewjoin,
+)
+
+J5_ORACLE = """
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e JOIN orders o ON e.user_id = o.o_custkey
+"""
+
+
+@register(
+    "j5_skew_join",
+    J5_ORACLE,
+    doc="hybrid skew-aware equi-join (events x orders on user): hot "
+    "keys detected by a map-side-combined count and salted across "
+    "tasks with the right side replicated per salt, cold keys join "
+    "plain — per-task row bound is STRUCTURAL, unlike AQE skew-join "
+    "which only re-splits sort-merge partitions and cannot replicate "
+    "a hash-join build side; oracle is the PLAIN join (losslessness "
+    "is the contract). hot_threshold=50 so both paths are exercised "
+    "at sf0.01",
+)
+def j5_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events").select("event_id", "user_id")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey"
+    )
+    return skewjoin.skew_join(
+        events, orders, on="user_id", salt=4, hot_threshold=50
+    )

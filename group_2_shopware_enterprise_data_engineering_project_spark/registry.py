@@ -58,8 +58,9 @@ CORE_ORDER: tuple[str, ...] = (
     "t17_strip_markup",
     "t18_url_stats",
     "st12_stream_dim_replace",
+    # new in r6: hybrid skew-aware equi-join (k12 rotated out, green r5)
+    "j5_skew_join",
     # warehouse / storage layer
-    "k12_compaction",
     "k14_rollup_cascade",
     "k16_scd2_history",
     "k17_zone_map_scan",
@@ -110,6 +111,7 @@ CORE_ORDER: tuple[str, ...] = (
     "st10_stream_stream_join",
     # --- driver window boundary (first 50 above) ---
     # rotated out in r6 (each has a green r5 driver row):
+    "k12_compaction",
     "k13_incremental_agg",
     "k18_bucketed_join",
     "a22_grouping_sets",
