@@ -195,3 +195,76 @@ def winsorized_summary(
             "n_clamped_hi"
         ),
     )
+
+
+def count_min(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch with a FULLY verifiable estimate: per key,
+    (exact_n, cms_est) where cms_est = min over ``depth`` hash rows of
+    the (row, bucket) counter the key hashes into.
+
+    The sketch algebra is pure integer arithmetic over md5-derived
+    buckets, so it is DETERMINISTIC and partitioning-independent
+    (counter increments commute) — unlike most sketches, an external
+    engine can recompute the identical estimate, which is why the
+    paired query carries an exact value-hash oracle rather than the
+    bounds-audit pattern `m13` needs for approx_count_distinct. The
+    classical guarantees still hold and are asserted in tests:
+    cms_est >= exact_n always, and overshoot is bounded by colliding
+    keys' mass (<= total_n * e/width per row w.h.p.).
+
+    Scale: the counter table is depth x width rows TOTAL (fixed
+    memory, mergeable across partitions/streams — the actual 100 TB
+    artifact); building it is one map-side-combined groupBy after a
+    depth-way explode of (row, bucket) pairs. The per-key estimate
+    join broadcasts the counters. Exact counts (one groupBy on the
+    key) are emitted alongside for the verification contract; a pure
+    production sketch would skip that branch and keep only counters.
+    """
+    hashed = cms_increments(df, key_col, depth, width)
+
+    counters = hashed.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )  # <= depth*width rows — the sketch itself
+    exact = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    key_buckets = hashed.select(key_col, "i", "bucket").distinct()
+    est = (
+        key_buckets.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    return exact.join(est, key_col)
+
+
+def cms_increments(
+    df: DataFrame, key_col: str, depth: int, width: int
+) -> DataFrame:
+    """One (key, i, bucket) row per input row per hash row — the raw
+    increment stream both the batch sketch (`count_min`) and the
+    streaming counter-merge sink aggregate. md5-derived buckets are
+    the engine-portable hash (DuckDB mirrors them verbatim), which is
+    what makes the sketch exactly oracle-checkable."""
+    key = F.col(key_col).cast("string")
+
+    def bucket(i: int):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(str(i)), F.lit(":"), key)), 1, 6),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        )
+
+    return df.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket"))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("h"),
+    ).select(key_col, F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))

@@ -538,3 +538,50 @@ def j5_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skewjoin.skew_join(
         events, orders, on="user_id", salt=4, hot_threshold=50
     )
+
+
+# --- M27: count-min sketch with an EXACT oracle --------------------------
+
+_CMS_D, _CMS_W = 4, 256
+
+M27_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events
+), hashed AS (
+  SELECT user_id, i,
+         ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || k), 1, 6))::BIGINT
+             % {_CMS_W} AS bucket
+  FROM e CROSS JOIN (SELECT unnest(range({_CMS_D})) AS i)
+), counters AS (
+  SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM hashed GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n FROM e GROUP BY 1
+), key_buckets AS (
+  SELECT DISTINCT user_id, i, bucket FROM hashed
+), est AS (
+  SELECT user_id, CAST(min(c) AS BIGINT) AS cms_est
+  FROM key_buckets JOIN counters USING (i, bucket)
+  GROUP BY 1
+)
+SELECT user_id, exact_n, cms_est FROM exact JOIN est USING (user_id)
+"""
+
+
+@register(
+    "m27_count_min",
+    M27_ORACLE,
+    doc=f"count-min sketch (d={_CMS_D}, w={_CMS_W}) over event user "
+    "traffic with an EXACT value-hash oracle: the sketch algebra is "
+    "deterministic integer math over md5-derived buckets, so DuckDB "
+    "recomputes the identical estimate — no bounds-audit indirection. "
+    "The counter table (d x w rows, mergeable, fixed memory) is the "
+    "100 TB artifact; exact counts ride along for verification",
+)
+def m27_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.count_min(
+        table(spark, sf_dir, "events").select("user_id"),
+        "user_id",
+        depth=_CMS_D,
+        width=_CMS_W,
+    )

@@ -839,3 +839,95 @@ def st12_stream_dim_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = ParquetUpsertTable(spark, f"{base}/dim")
     replacing_dim_sink(stream, dim, ("user_id",), "event_id", ckpt)
     return dim.read().select("user_id", "event_id", "event_type", "value")
+
+
+# --- ST13: streaming count-min sketch maintenance --------------------------
+
+_ST13_D, _ST13_W = 4, 256
+
+# Counter increments commute, so the final streamed counter table is
+# byte-identical to the batch-built sketch — the oracle is EXACT (see
+# m27_count_min; same hashing, same estimate algebra).
+ST13_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events
+), hashed AS (
+  SELECT user_id, i,
+         ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || k), 1, 6))::BIGINT
+             % {_ST13_W} AS bucket
+  FROM e CROSS JOIN (SELECT unnest(range({_ST13_D})) AS i)
+), counters AS (
+  SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM hashed GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n FROM e GROUP BY 1
+), key_buckets AS (
+  SELECT DISTINCT user_id, i, bucket FROM hashed
+), est AS (
+  SELECT user_id, CAST(min(c) AS BIGINT) AS cms_est
+  FROM key_buckets JOIN counters USING (i, bucket)
+  GROUP BY 1
+)
+SELECT user_id, exact_n, cms_est FROM exact JOIN est USING (user_id)
+"""
+
+
+@register(
+    "st13_stream_count_min",
+    ST13_ORACLE,
+    doc=f"streaming count-min maintenance (d={_ST13_D}, w={_ST13_W}): "
+    "per micro-batch the batch's (row, bucket) increments additively "
+    "MERGE into a persistent counter table under the exactly-once "
+    "manifest txn — the production shape for frequency monitoring "
+    "over an unbounded stream in FIXED memory (d x w counters, no "
+    "per-key state). Because increments commute, the final streamed "
+    "sketch is byte-identical to the batch sketch, so the oracle is "
+    "exact. Estimates are read from the final counter table",
+)
+def st13_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        stats as _stats,
+    )
+
+    base = _tmp("st13")
+    src_dir, cms_path, ckpt = f"{base}/in", f"{base}/cms", f"{base}/ckpt"
+    events = table(spark, sf_dir, "events").select("event_id", "user_id")
+    events.withColumn("bucket", (F.col("event_id") % 3).cast("int")).repartition(
+        3, "bucket"
+    ).drop("bucket").write.mode("overwrite").json(src_dir)
+
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("user_id", T.LongType())]
+    )
+    counters = ParquetUpsertTable(spark, cms_path)
+
+    def _batch_counters(df):
+        return _stats.cms_increments(df, "user_id", _ST13_D, _ST13_W).groupBy(
+            "i", "bucket"
+        ).agg(F.count(F.lit(1)).alias("c"))
+
+    accumulating_kpi_sink(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        counters,
+        ("i", "bucket"),
+        ("c",),
+        _batch_counters,
+        ckpt,
+    )
+    # estimates from the final streamed counter table (exact counts
+    # ride along for the verification contract, as in m27)
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    key_buckets = _stats.cms_increments(
+        events, "user_id", _ST13_D, _ST13_W
+    ).select("user_id", "i", "bucket").distinct()
+    est = (
+        key_buckets.join(F.broadcast(counters.read()), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    return exact.join(est, "user_id")

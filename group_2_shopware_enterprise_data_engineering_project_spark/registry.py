@@ -110,6 +110,9 @@ CORE_ORDER: tuple[str, ...] = (
     "st9_stream_sessions",
     "st10_stream_stream_join",
     # --- driver window boundary (first 50 above) ---
+    # new in r6, below the window — sweep-verified; r7 rotation candidates
+    "m27_count_min",
+    "st13_stream_count_min",
     # rotated out in r6 (each has a green r5 driver row):
     "k12_compaction",
     "k13_incremental_agg",

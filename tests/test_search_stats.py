@@ -288,3 +288,58 @@ def test_winsorize_validates_quantiles(spark):
     for lo, hi in [(0.0, 0.9), (0.9, 0.1), (0.1, 1.5)]:
         with pytest.raises(ValueError):
             stats.winsorized_summary(df, "grp", F.col("v"), lo, hi)
+
+
+def test_count_min_overestimates_and_is_bounded(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    # adversarial: 1000 distinct rare keys forced through w=16 buckets
+    # (heavy collisions) + one hot key
+    rows = [(f"k{i}",) for i in range(1000)] + [("hot",)] * 200
+    df = spark.createDataFrame(rows, "k string")
+    out = stats.count_min(df, "k", depth=4, width=16).collect()
+    n_total = 1200
+    assert len(out) == 1001
+    by_key = {r.k: r for r in out}
+    for r in out:
+        # classical one-sided error: never underestimates
+        assert r.cms_est >= r.exact_n, r
+        # crude sanity ceiling: no estimate can exceed total mass
+        assert r.cms_est <= n_total
+    # the hot key's estimate is exact-ish: its min bucket can only be
+    # inflated by colliders, bounded by total rare mass
+    assert by_key["hot"].exact_n == 200
+    assert by_key["hot"].cms_est >= 200
+
+
+def test_count_min_counter_table_is_fixed_size(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(500)], "k string")
+    # rebuild the internal counter table through the same hashing to
+    # pin its size contract: depth * width is the whole sketch
+    key = F.col("k").cast("string")
+    def bucket(i):
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit(str(i)), F.lit(":"), key)), 1, 6), 16, 10).cast("long"),
+            F.lit(8),
+        )
+    hashed = df.select(
+        F.explode(F.array(*[F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket")) for i in range(3)])).alias("h")
+    ).select("h.i", "h.bucket")
+    counters = hashed.groupBy("i", "bucket").count()
+    assert counters.count() <= 3 * 8
+
+
+def test_count_min_partitioning_invariant(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    rows = [(f"k{i % 37}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string")
+    a = sorted(tuple(r) for r in stats.count_min(df, "k", 4, 32).collect())
+    b = sorted(
+        tuple(r)
+        for r in stats.count_min(df.repartition(13), "k", 4, 32).collect()
+    )
+    assert a == b  # counter increments commute — layout can't leak
