@@ -268,3 +268,77 @@ def cms_increments(
             )
         ).alias("h"),
     ).select(key_col, F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))
+
+
+#: HLL geometry: 64 registers (bucket = 6 bits of md5), rank from a
+#: disjoint 48-bit slice. alpha_64 per Flajolet et al.
+HLL_M = 64
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count sketch whose estimate an
+    external engine can recompute EXACTLY (the m27/count_min property,
+    applied to cardinality): buckets and ranks come from disjoint md5
+    slices, registers are max-merged (max commutes — partitioning-
+    invariant), and the harmonic sum is kept EXACT by summing the
+    integer 2^(49-rho) instead of the float 2^-rho (each term <= 2^48,
+    64 terms — BIGINT-safe), so the only float op is one final
+    division of two exactly-agreed numbers.
+
+    Emits per group: exact_distinct (rides along for the verification
+    contract), n_zero_registers, and hll_raw_est. The small-range
+    linear-counting correction (m * ln(m/zeros)) is deliberately left
+    to the caller: ln is transcendental and libm implementations
+    differ in the last ulp across engines — the same reason
+    mixture_weights leaves its normalization to the caller. All
+    correction INPUTS are emitted.
+
+    Scale: one groupBy (group, bucket) max-merge — the shuffle carries
+    at most m rows per group — then an m-row-per-group rollup. The
+    register table IS the mergeable artifact (union two corpora's
+    registers with max); exact_distinct is a verification-only branch
+    a production pipeline would drop.
+    """
+    val = F.col(value_col).cast("string")
+    h = F.md5(val)
+    bucket = F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(HLL_M))
+    v48 = F.conv(F.substring(h, 5, 12), 16, 10).cast("long")
+    # rho = leading zeros in the 48-bit slice + 1 = 49 - bit_length;
+    # bin(0) = '0' (length 1) maps v48=0 to rho=48 in BOTH engines —
+    # off the Flajolet convention by 1 with probability 2^-48, and
+    # identically so on each side, which is what the oracle needs
+    rho = F.lit(49) - F.length(F.bin(v48))
+
+    regs = (
+        df.select(F.col(group_col).alias("g"), bucket.alias("b"), rho.alias("rho"))
+        .groupBy("g", "b")
+        .agg(F.max("rho").alias("r"))
+    )
+    rolled = regs.groupBy("g").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(49 - r as int))"))
+        .cast("long")
+        .alias("s_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+    )
+    # CONST = alpha * m^2 * 2^49, computed once in Python so both
+    # engines parse the identical double literal (repr interpolation)
+    const = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 49)
+    # zero registers contribute 2^(49-0)=2^49 each to the harmonic sum
+    zeros = F.lit(HLL_M) - F.col("n_regs")
+    s_full = F.col("s_exact") + zeros.cast("long") * F.lit(1 << 49)
+    est = F.lit(const) / s_full.cast("double")
+    exact = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count_distinct(F.col(value_col)).cast("long").alias("exact_distinct")
+    )
+    return (
+        exact.join(rolled, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "exact_distinct",
+            zeros.cast("long").alias("n_zero_registers"),
+            est.alias("hll_raw_est"),
+        )
+    )

@@ -585,3 +585,55 @@ def m27_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth=_CMS_D,
         width=_CMS_W,
     )
+
+
+# --- M28: HyperLogLog distinct sketch with an EXACT oracle ---------------
+
+# CONST = alpha_64 * 64^2 * 2^49 interpolated via repr so both engines
+# parse the identical double (module float-literal discipline).
+M28_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS val FROM events
+), h AS (
+  SELECT event_type,
+         ('0x' || substring(md5(val), 1, 4))::BIGINT % 64 AS b,
+         49 - length(bin(('0x' || substring(md5(val), 5, 12))::BIGINT)) AS rho,
+         val
+  FROM v
+), regs AS (
+  SELECT event_type, b, max(rho) AS r FROM h GROUP BY 1, 2
+), rolled AS (
+  SELECT event_type,
+         CAST(sum((1::BIGINT << CAST(49 - r AS INT))) AS BIGINT) AS s_exact,
+         CAST(count(*) AS BIGINT) AS n_regs
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT event_type, CAST(count(DISTINCT val) AS BIGINT) AS exact_distinct
+  FROM v GROUP BY 1
+)
+SELECT e.event_type, e.exact_distinct,
+       CAST(64 - r.n_regs AS BIGINT) AS n_zero_registers,
+       1.6356288818656343e+18 / CAST(r.s_exact + (64 - r.n_regs) * (1::BIGINT << 49)
+                        AS DOUBLE) AS hll_raw_est
+FROM exact e JOIN rolled r USING (event_type)
+"""
+
+
+@register(
+    "m28_hll_distinct",
+    M28_ORACLE,
+    doc="per-group HyperLogLog distinct sketch (m=64 registers, "
+    "md5-sliced bucket/rank) with an EXACT value-hash oracle: "
+    "registers max-merge (commutative, partitioning-invariant) and "
+    "the harmonic sum is the exact integer sum of 2^(49-rho), so the "
+    "only float op is one division both engines round identically. "
+    "Register table is the mergeable fixed-memory artifact; linear-"
+    "counting correction left to the caller (ln is libm-divergent), "
+    "its inputs emitted",
+)
+def m28_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.hll_distinct(
+        table(spark, sf_dir, "events").select("event_type", "user_id"),
+        "event_type",
+        "user_id",
+    )

@@ -113,6 +113,7 @@ CORE_ORDER: tuple[str, ...] = (
     # new in r6, below the window — sweep-verified; r7 rotation candidates
     "m27_count_min",
     "st13_stream_count_min",
+    "m28_hll_distinct",
     # rotated out in r6 (each has a green r5 driver row):
     "k12_compaction",
     "k13_incremental_agg",

