@@ -620,3 +620,50 @@ def test_dense_ids_requires_order(spark):
 
     with _pytest.raises(ValueError):
         prep.dense_ids(spark.range(1), [])
+
+
+def test_sequence_pack_cross_engine_with_duplicate_ids(spark):
+    """The r4/r5 driver-mismatch scenario, reproduced cross-engine:
+    duplicate doc_ids (which /root/testdata never has — why local runs
+    stayed green while the driver's corpus disagreed) packed by Spark
+    and by DuckDB running the m15 oracle SQL must agree exactly."""
+    import duckdb
+    import pandas as pd
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.ml_prep import (
+        _M15_CAP,
+        _M15_SHARDS,
+        M15_ORACLE,
+    )
+
+    rows = (
+        [(0, "alpha beta gamma")] * 3          # exact-duplicate ties
+        + [(0, "alpha beta")]                   # same id, different text
+        + [(i, f"tok{i} " * (i % 7 + 1)) for i in range(1, 40)]
+        + [(8, "tok8 tok8")]                    # another id collision
+    )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    sdf = spark.createDataFrame(pdf)
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+    got = sorted(
+        (tuple(r) for r in prep.sequence_pack(
+            sdf, cap=_M15_CAP, shards=_M15_SHARDS
+        ).collect()),
+        key=repr,
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    res = con.execute(M15_ORACLE)
+    cols = [d[0] for d in res.description]
+    # align column order with the Spark frame before comparing
+    import itertools
+
+    spark_cols = prep.sequence_pack(sdf, cap=_M15_CAP, shards=_M15_SHARDS).columns
+    idx = [cols.index(c) for c in spark_cols]
+    want = sorted(
+        (tuple(row[i] for i in idx) for row in res.fetchall()), key=repr
+    )
+    assert got == want
