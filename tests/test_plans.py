@@ -166,6 +166,30 @@ def test_grouping_sets_single_scan_expand(plans):
     assert plan.count("FileScan") == 1
 
 
+def test_skew_join_broadcasts_hot_list_no_cartesian(plans):
+    # the hot-key list and oversized-bucket lists must arrive via
+    # broadcast (never a shuffled join), and salting must never
+    # degenerate to a cartesian
+    plan = plans("j5_skew_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_count_min_counters_broadcast(plans):
+    # the d x w counter table is bounded by construction — the
+    # estimate join must broadcast it, not shuffle the increments
+    plan = plans("m27_count_min")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_rollup_is_partial_agg(plans):
+    # register max-merge must combine map-side before the exchange
+    plan = plans("m28_hll_distinct")
+    assert "partial_max" in plan or "partial" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_plan_lint_heuristics():
     """Unit-level checks of the dragnet linter's plan-string
     heuristics (the full-registry run is tools/plan_lint.py — too
