@@ -57,14 +57,25 @@ def shingle_sets(
     )
 
 
+def _perm_hash(i: int):
+    """ONE-argument lambda factory for F.transform. The obvious
+    `lambda s, i=i: ...` late-binding idiom is a trap here: PySpark
+    decides the higher-order-function arity from the Python signature,
+    so a two-parameter lambda receives the ARRAY INDEX as its second
+    argument — shadowing the default and turning the permutation
+    prefix into the stringified index Column (a plan-dependent name),
+    i.e. an unstable hash family that silently diverges from the
+    documented md5('i:' || s). Caught by the d7 cross-corpus join in
+    r6; pinned by test_minhash_signature_matches_documented_family."""
+    return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+
 def minhash_signature(shingle_col: Column, num_perm: int = NUM_PERM) -> Column:
     """Array of `num_perm` minhashes (md5-hex strings; lexicographic
     MIN is the hash-space minimum)."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
+            F.array_min(F.transform(shingle_col, _perm_hash(i)))
             for i in range(num_perm)
         ]
     )
@@ -267,3 +278,99 @@ def _allpairs_jaccard_body(ss: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def bucket_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = NUM_PERM,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) for a corpus — the STORED artifact
+    of incremental ingestion dedup: built once per corpus, appended as
+    shards land, and probed by each new shard without re-shingling the
+    history. The index carries digests + ids only, never text."""
+    return band_buckets(signatures(docs, text_col, id_col, k, num_perm), num_perm, band_rows)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = NUM_PERM,
+    band_rows: int = BAND_ROWS,
+    threshold: float = 0.4,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Incremental-ingestion near-dup: verify a NEW shard against the
+    existing corpus AND against itself, without ever self-joining the
+    history. Emits verified pairs (doc_a < doc_b, jaccard >= threshold,
+    vs_existing = 1 when one side is historical) — the verdict layer
+    (keep-first / connected components) composes on top exactly as in
+    `minhash_lsh_dedup`. Ids must be disjoint across the two corpora.
+
+    Semantics equal `minhash_lsh_dedup` over the UNION minus the
+    existing-existing pairs (the oracle states it exactly that way);
+    the plan differs where scale demands it:
+
+      - the history contributes only its `bucket_index` (ids +
+        digests) to candidate generation — history text is touched
+        ONLY in the verify join, restricted to candidate ids;
+      - new-vs-existing candidates go through `skewjoin.skew_join` on
+        the bucket key, so a degenerate bucket on EITHER side is
+        salted/replicated instead of landing in one reducer (the
+        bipartite analogue of candidate_pairs' salt-split);
+      - new-vs-new candidates use the salt-split self-join as usual.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.skewjoin import (
+        skew_join,
+    )
+
+    new_ss = shingle_sets(new_docs, text_col, id_col, k).persist()
+    ex_ss = shingle_sets(existing_docs, text_col, id_col, k).persist()
+    new_buckets = None
+    try:
+        new_sigs = new_ss.select(
+            "doc_id", minhash_signature(F.col("shingles"), num_perm).alias("signature")
+        )
+        new_buckets = band_buckets(new_sigs, num_perm, band_rows).persist()
+        index = bucket_index(existing_docs, text_col, id_col, k, num_perm, band_rows)
+
+        # new x existing: bipartite bucket join, hot buckets salted
+        cross = (
+            skew_join(
+                new_buckets.withColumnRenamed("doc_id", "new_id"),
+                index.withColumnRenamed("doc_id", "ex_id"),
+                on=("band_idx", "band_hash"),
+                salt=16,
+                hot_threshold=bucket_cap,
+            )
+            .select(
+                F.least("new_id", "ex_id").alias("doc_a"),
+                F.greatest("new_id", "ex_id").alias("doc_b"),
+            )
+            .distinct()
+            .withColumn("vs_existing", F.lit(1))
+        )
+        # new x new: the standard capped self-join
+        within = candidate_pairs(new_buckets, bucket_cap).withColumn(
+            "vs_existing", F.lit(0)
+        )
+        cands = cross.unionByName(within)
+
+        verified = exact_jaccard(
+            new_ss.unionByName(ex_ss), cands.select("doc_a", "doc_b")
+        ).filter(F.col("jaccard") >= threshold)
+        out = verified.join(cands, ["doc_a", "doc_b"]).select(
+            "doc_a", "doc_b", "jaccard", "vs_existing"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        new_ss.unpersist()
+        ex_ss.unpersist()
+        if new_buckets is not None:
+            new_buckets.unpersist()

@@ -1002,3 +1002,38 @@ def t18_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.url_stats(wrapped)
+
+
+# --- D7: incremental-ingestion near-dup (new shard vs corpus index) ------
+
+# Semantics = the full-union minhash dedup MINUS existing-existing
+# pairs; the oracle states it exactly that way (the operator's plan
+# differs where scale demands: history contributes only its bucket
+# index, history text is read only for candidate ids, and the
+# bipartite bucket join is skew-salted).
+D7_ORACLE = f"""
+SELECT t.doc_a, t.doc_b, t.jaccard,
+       CAST((t.doc_a % 2 = 0) OR (t.doc_b % 2 = 0) AS INT) AS vs_existing
+FROM ({_minhash_oracle()}) t
+WHERE NOT ((t.doc_a % 2 = 0) AND (t.doc_b % 2 = 0))
+"""
+
+
+@register(
+    "d7_incremental_dedup",
+    D7_ORACLE,
+    doc="incremental-ingestion near-dup: the odd-id half of documents "
+    "arrives as a NEW shard and is verified against the even-id "
+    "history via its stored bucket index (ids + digests only — "
+    "history text is touched only for candidate ids) plus the usual "
+    "capped self-join within the shard; new-vs-existing bucket join "
+    "is skew-salted (bipartite analogue of the salt-split). Oracle = "
+    "full-union dedup minus existing-existing pairs",
+)
+def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return minhash.incremental_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.4,
+    )

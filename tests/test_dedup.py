@@ -461,3 +461,31 @@ def test_url_canonicalize_port_strip_is_scheme_aware(spark):
         3: "https://h.example.com:8443/x",
         4: "https://h.example.com/p/1",
     }
+
+
+def test_minhash_signature_matches_documented_family(spark):
+    """Regression for the F.transform arity trap: a two-parameter
+    lambda receives the ARRAY INDEX as its second argument, silently
+    replacing the permutation prefix with a plan-dependent column name
+    (an unstable hash family). The signature must be the module
+    docstring's md5('i:' || shingle) — the family every oracle
+    mirrors — and identical however the input frame was built."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import minhash
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    got = list(minhash.signatures(df).collect()[0].signature)
+    shingles = ["a b c", "b c d", "c d e"]
+    want = [
+        min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in shingles)
+        for i in range(minhash.NUM_PERM)
+    ]
+    assert got == want
+    # and stable across plan shapes (the bug made these differ)
+    again = list(
+        minhash.signatures(df.filter(F.col("doc_id") == 1)).collect()[0].signature
+    )
+    assert again == got
