@@ -442,6 +442,11 @@ class ParquetUpsertTable:
         self._prune()
 
     def exists(self) -> bool:
+        # Missing paths usually analyze as PATH_NOT_FOUND
+        # (AnalysisException), but inside a foreachBatch the streaming
+        # sink-metadata probe surfaces a raw java FileNotFoundException
+        # instead — treat both as "no table yet" and let anything else
+        # (permissions, corrupt footers) propagate.
         from pyspark.errors import AnalysisException
 
         if self._active() is not None:
@@ -451,6 +456,10 @@ class ParquetUpsertTable:
             return True
         except AnalysisException:
             return False
+        except Exception as e:  # noqa: BLE001
+            if "FileNotFoundException" in str(e.__class__) or "FileNotFoundException" in str(e):
+                return False
+            raise
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self._data_dir())

@@ -305,6 +305,7 @@ def incremental_dedup(
     band_rows: int = BAND_ROWS,
     threshold: float = 0.4,
     bucket_cap: int = BUCKET_CAP,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingestion near-dup: verify a NEW shard against the
     existing corpus AND against itself, without ever self-joining the
@@ -313,13 +314,22 @@ def incremental_dedup(
     (keep-first / connected components) composes on top exactly as in
     `minhash_lsh_dedup`. Ids must be disjoint across the two corpora.
 
+    ``index`` is the stored `bucket_index` of the history; pass it to
+    skip re-shingling the history for candidate generation (the
+    steady-state shape: the index is appended to as shards land — see
+    `streaming.dedup_index_sink`). When None it is derived from
+    ``existing_docs`` here.
+
     Semantics equal `minhash_lsh_dedup` over the UNION minus the
     existing-existing pairs (the oracle states it exactly that way);
     the plan differs where scale demands it:
 
-      - the history contributes only its `bucket_index` (ids +
-        digests) to candidate generation — history text is touched
-        ONLY in the verify join, restricted to candidate ids;
+      - the history contributes only its bucket index (ids + digests)
+        to candidate generation; history TEXT is shingled only for
+        docs that appear in a cross candidate (semi-join before the
+        shingle projection — at 100 TB that is the difference between
+        re-reading the corpus per shard and reading a few thousand
+        candidate docs);
       - new-vs-existing candidates go through `skewjoin.skew_join` on
         the bucket key, so a degenerate bucket on EITHER side is
         salted/replicated instead of landing in one reducer (the
@@ -331,16 +341,18 @@ def incremental_dedup(
     )
 
     new_ss = shingle_sets(new_docs, text_col, id_col, k).persist()
-    ex_ss = shingle_sets(existing_docs, text_col, id_col, k).persist()
-    new_buckets = None
+    new_buckets = cross = None
     try:
         new_sigs = new_ss.select(
             "doc_id", minhash_signature(F.col("shingles"), num_perm).alias("signature")
         )
         new_buckets = band_buckets(new_sigs, num_perm, band_rows).persist()
-        index = bucket_index(existing_docs, text_col, id_col, k, num_perm, band_rows)
+        if index is None:
+            index = bucket_index(existing_docs, text_col, id_col, k, num_perm, band_rows)
 
-        # new x existing: bipartite bucket join, hot buckets salted
+        # new x existing: bipartite bucket join, hot buckets salted.
+        # Persisted because it feeds BOTH the verify join and the
+        # history-restriction semi-join below.
         cross = (
             skew_join(
                 new_buckets.withColumnRenamed("doc_id", "new_id"),
@@ -349,18 +361,27 @@ def incremental_dedup(
                 salt=16,
                 hot_threshold=bucket_cap,
             )
-            .select(
-                F.least("new_id", "ex_id").alias("doc_a"),
-                F.greatest("new_id", "ex_id").alias("doc_b"),
-            )
+            .select("new_id", "ex_id")
             .distinct()
-            .withColumn("vs_existing", F.lit(1))
+            .persist()
         )
+        # history text -> shingles ONLY for candidate docs
+        ex_cand = existing_docs.join(
+            cross.select(F.col("ex_id").alias(id_col)).distinct(),
+            id_col,
+            "semi",
+        )
+        ex_ss = shingle_sets(ex_cand, text_col, id_col, k)
+
+        cross_pairs = cross.select(
+            F.least("new_id", "ex_id").alias("doc_a"),
+            F.greatest("new_id", "ex_id").alias("doc_b"),
+        ).withColumn("vs_existing", F.lit(1))
         # new x new: the standard capped self-join
         within = candidate_pairs(new_buckets, bucket_cap).withColumn(
             "vs_existing", F.lit(0)
         )
-        cands = cross.unionByName(within)
+        cands = cross_pairs.unionByName(within)
 
         verified = exact_jaccard(
             new_ss.unionByName(ex_ss), cands.select("doc_a", "doc_b")
@@ -371,6 +392,7 @@ def incremental_dedup(
         return out.localCheckpoint(eager=True)
     finally:
         new_ss.unpersist()
-        ex_ss.unpersist()
         if new_buckets is not None:
             new_buckets.unpersist()
+        if cross is not None:
+            cross.unpersist()

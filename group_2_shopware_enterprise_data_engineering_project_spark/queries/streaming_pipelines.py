@@ -931,3 +931,80 @@ def st13_stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("long").alias("cms_est"))
     )
     return exact.join(est, "user_id")
+
+
+# --- ST14: streaming incremental near-dup ingestion -----------------------
+
+_ST14_NB = 4
+
+
+def _st14_oracle() -> str:
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.text_pipeline import (
+        _minhash_oracle,
+    )
+
+    # The full-corpus batch dedup IS the oracle: the streamed union of
+    # per-batch pair sets equals it exactly (each pair found once, by
+    # the later doc's batch). vs_existing marks cross-batch pairs,
+    # i.e. differing doc_id % NB residues under the batch split below.
+    return f"""
+SELECT t.doc_a, t.doc_b, t.jaccard,
+       CAST(t.doc_a % {_ST14_NB} <> t.doc_b % {_ST14_NB} AS INT) AS vs_existing
+FROM ({_minhash_oracle()}) t
+"""
+
+
+@register(
+    "st14_stream_incremental_dedup",
+    _st14_oracle(),
+    doc="streaming near-dup ingestion: documents arrive in "
+    f"{_ST14_NB} micro-batches (doc_id % {_ST14_NB}); each batch "
+    "probes the persistent bucket-index table for cross-corpus "
+    "candidates (ids + digests only — history text read only for "
+    "candidate ids from the doc store), self-joins within the batch, "
+    "exact-verifies, then replace-merges pairs exactly-once under the "
+    "manifest txn and appends its buckets to the index. Oracle = the "
+    "full-corpus batch minhash dedup — the streamed pair-set union "
+    "must reproduce it bit-for-bit",
+)
+def st14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        incremental_dedup_sink,
+    )
+
+    import glob
+    import os
+    import shutil
+
+    base = _tmp("st14")
+    src_dir, ckpt = f"{base}/in", f"{base}/ckpt"
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # one file per residue class — hash-repartition on the bucket col
+    # would NOT give a 1:1 residue->file mapping (hash collisions merge
+    # batches), and the oracle's vs_existing flag depends on exact
+    # batch membership
+    os.makedirs(src_dir, exist_ok=True)
+    for b in range(_ST14_NB):
+        stage = f"{base}/stage{b}"
+        docs.filter(F.col("doc_id") % _ST14_NB == b).coalesce(1).write.mode(
+            "overwrite"
+        ).json(stage)
+        shutil.move(glob.glob(f"{stage}/part-*")[0], f"{src_dir}/batch{b}.json")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    index_table = ParquetUpsertTable(spark, f"{base}/index")
+    pairs_table = ParquetUpsertTable(spark, f"{base}/pairs")
+    incremental_dedup_sink(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        docs,
+        index_table,
+        pairs_table,
+        ckpt,
+        threshold=0.4,
+    )
+    return pairs_table.read().select("doc_a", "doc_b", "jaccard", "vs_existing")

@@ -115,6 +115,7 @@ CORE_ORDER: tuple[str, ...] = (
     "st13_stream_count_min",
     "m28_hll_distinct",
     "d7_incremental_dedup",
+    "st14_stream_incremental_dedup",
     # rotated out in r6 (each has a green r5 driver row):
     "k12_compaction",
     "k13_incremental_agg",

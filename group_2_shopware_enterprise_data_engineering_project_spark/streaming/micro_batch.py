@@ -275,3 +275,72 @@ def replacing_dim_sink(
         table.upsert_replace(latest, key_cols, txn=(app_id, batch_id))
 
     return run_available_now(stream_df, checkpoint, _batch)
+
+
+def incremental_dedup_sink(
+    stream_docs: DataFrame,
+    doc_store: DataFrame,
+    index_table: ParquetUpsertTable,
+    pairs_table: ParquetUpsertTable,
+    checkpoint: str,
+    threshold: float = 0.4,
+) -> StreamingQuery:
+    """Streaming near-dup ingestion — `minhash.incremental_dedup` as a
+    stream: documents arrive in micro-batches, each batch is verified
+    against the corpus-so-far via the persistent bucket INDEX table
+    (ids + band digests, never text) and against itself, verified
+    pairs land in the pairs table, and the batch's own buckets extend
+    the index. ``doc_store`` is the id->text lookup side for the
+    verify join (touched only for candidate ids).
+
+    The emitted pair SET over a full run equals batch
+    `minhash_lsh_dedup` over the whole corpus: a pair whose docs land
+    in different batches is found exactly once — by the later batch's
+    index probe — and a same-batch pair exactly once by that batch's
+    self-join (st14's oracle states this equivalence literally).
+
+    Per micro-batch, in this order:
+      1. replay guard: skip if the pairs table already recorded this
+         (app_id, batch_id) — the exactly-once gate;
+      2. history index = index table MINUS this batch's ids (anti-join;
+         makes a replayed or crashed-halfway batch safe — the index may
+         already contain this batch's buckets, and probing your own
+         entries would emit self-pairs);
+      3. `incremental_dedup(batch, doc_store, index=history)` — eager;
+      4. append the batch's buckets to the index (at-least-once;
+         duplicates are harmless because candidate generation distincts
+         on (new_id, ex_id));
+      5. replace-MERGE pairs keyed (doc_a, doc_b) under the manifest
+         txn — idempotent content + txn stamp = exactly-once.
+    A crash between 4 and 5 replays into step 2's anti-join (no
+    self-pairs) and step 4's duplicate-tolerant append."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import minhash
+
+    app_id = _stream_app_id(checkpoint)
+    empty_index = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band_idx", T.IntegerType()),
+            T.StructField("band_hash", T.StringType()),
+        ]
+    )
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        if pairs_table.last_txn(app_id) >= batch_id:
+            return
+        spark = df.sparkSession
+        if index_table.exists():
+            history = index_table.read().join(
+                df.select("doc_id"), "doc_id", "anti"
+            )
+        else:
+            history = spark.createDataFrame([], empty_index)
+        pairs = minhash.incremental_dedup(
+            df, doc_store, index=history, threshold=threshold
+        )
+        index_table.append(minhash.bucket_index(df))
+        pairs_table.upsert_replace(
+            pairs, ("doc_a", "doc_b"), txn=(app_id, batch_id)
+        )
+
+    return run_available_now(stream_docs, checkpoint, _batch)

@@ -8,6 +8,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
     ParquetUpsertTable,
@@ -849,3 +850,70 @@ def test_fresh_checkpoint_same_leaf_name_reprocesses(spark, tmp_path):
     # replay over run2's checkpoint stays a no-op
     run("run2")
     assert {r.customer_id: r.n for r in table.read().collect()} == {1: 10.0}
+
+
+def test_incremental_dedup_sink_replay_and_crash_safety(spark, tmp_path):
+    """ST14 semantics: (1) the streamed pair-set union equals the batch
+    `minhash_lsh_dedup` over the whole corpus; (2) re-running over the
+    same checkpoint is a no-op; (3) a crash AFTER the index append but
+    BEFORE the pairs merge (simulated by pre-appending a batch's
+    buckets) replays without self-pairs or duplicates — the anti-join
+    + duplicate-tolerant-append design."""
+    import json as _json
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import minhash
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        incremental_dedup_sink,
+    )
+
+    docs_rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely unrelated text about spark execution plans"),
+        (4, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    expected = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash.minhash_lsh_dedup(docs, threshold=0.4).collect()
+    }
+    assert expected, "fixture must contain near-dup pairs"
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # two batches: docs {1,3} then docs {2,4}
+    for name, ids in (("b0.json", (1, 3)), ("b1.json", (2, 4))):
+        with open(src / name, "w") as f:
+            for i, t in docs_rows:
+                if i in ids:
+                    f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    index_table = ParquetUpsertTable(spark, str(tmp_path / "index"))
+    pairs_table = ParquetUpsertTable(spark, str(tmp_path / "pairs"))
+    # simulate the crash window: batch b0's buckets already landed in
+    # the index, but its pairs never committed
+    index_table.append(minhash.bucket_index(docs.filter(F.col("doc_id").isin(1, 3))))
+
+    def run():
+        incremental_dedup_sink(
+            spark.readStream.schema(schema).json(str(src)),
+            docs,
+            index_table,
+            pairs_table,
+            str(tmp_path / "ckpt"),
+            threshold=0.4,
+        )
+
+    run()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs_table.read().collect()}
+    assert got == expected
+    # no self-pairs despite the pre-seeded index
+    assert all(a != b for a, b in got)
+    # replay over the same checkpoint: no-op
+    run()
+    assert {
+        (r.doc_a, r.doc_b): r.jaccard for r in pairs_table.read().collect()
+    } == expected
