@@ -188,9 +188,11 @@ def main() -> None:
         ),
     }
     if only:
-        unknown = only - set(ops)
+        unknown = only - set(ops) - {"incr"}
         if unknown:
-            sys.exit(f"unknown ops: {sorted(unknown)} (have {sorted(ops)})")
+            sys.exit(
+                f"unknown ops: {sorted(unknown)} (have {sorted(ops) + ['incr']})"
+            )
         ops = {n: f for n, f in ops.items() if n in only}
 
     docs1 = table(spark, sf_dir, "documents").localCheckpoint(eager=True)
@@ -201,6 +203,44 @@ def main() -> None:
     partk = _part_k(part1, k).localCheckpoint(eager=True)
 
     results = {}
+    if only and "incr" in only:
+        # incremental_dedup has a different scaling axis than the width
+        # ops: the SHARD stays fixed and the HISTORY grows k-fold (its
+        # stored bucket index is prebuilt, untimed — the steady-state
+        # ingestion shape). The 100 TB claim under test: shard-ingest
+        # wall time tracks the shard + its candidates, NOT the history
+        # size, because history text is shingled only for candidate ids
+        # and candidate volume is bounded by true near-dups (replicas
+        # are content-decorrelated, so candidates stay ~constant in k).
+        # the shard carries the replica-0 transform so its TRUE-pair
+        # volume against replica 0 (present in both histories) is
+        # identical at 1x and kx — otherwise the kx run would verify
+        # fewer candidates and flatter-than-real ratios would result
+        hist1 = _docs_k(docs1, 1).localCheckpoint(eager=True)
+        shard = (
+            _docs_k(docs1, 1)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(5 * 10**11))
+            .localCheckpoint(eager=True)
+        )
+        idx1 = minhash.bucket_index(hist1).localCheckpoint(eager=True)
+        idxk = minhash.bucket_index(docsk).localCheckpoint(eager=True)
+
+        def _incr(hist, idx):
+            return lambda: minhash.incremental_dedup(shard, hist, index=idx)
+
+        _incr(hist1, idx1)().count()  # warm codegen
+        t1, rows1 = _run(_incr(hist1, idx1))
+        tk, rowsk = _run(_incr(docsk, idxk))
+        results["incr"] = {
+            "t1": round(t1, 2),
+            "tk": round(tk, 2),
+            "ratio": round(tk / t1, 2) if t1 > 0 else None,
+            "rows1": rows1,
+            "rowsk": rowsk,
+        }
+        only.discard("incr")
+        ops = {n: f for n, f in ops.items() if n in only}
+
     for name, fn in ops.items():
         fn(docs1, emb1, part1).count()  # warm codegen for this op shape
         t1, rows1 = _run(lambda: fn(docs1, emb1, part1))
