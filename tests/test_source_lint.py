@@ -1,0 +1,82 @@
+"""Source-level AST lint for PySpark footguns that no runtime oracle
+reliably catches.
+
+The r6 minhash episode: ``F.transform(col, lambda s, i=i: ...)`` — the
+classic late-binding-capture idiom — is a trap in PySpark, because
+higher-order functions decide their SQL-lambda arity from the Python
+signature. A two-parameter lambda receives the ARRAY INDEX as its
+second argument, silently shadowing the closure default with a
+plan-dependent Column. The signature family drifted per plan shape and
+only a cross-plan join (d7) exposed it. This lint bans the idiom
+structurally: any lambda with a DEFAULTED parameter passed to a Spark
+higher-order function is a bug — defaults signal closure-capture
+intent, and the HOF will override them. Capture via a factory function
+instead (see minhash._perm_hash).
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+
+PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "group_2_shopware_enterprise_data_engineering_project_spark",
+)
+
+# pyspark.sql.functions HOFs that infer SQL-lambda arity from the
+# Python signature (1-arg or 2-arg element/index, or 2-arg key/value)
+_HOFS = {
+    "transform",
+    "filter",
+    "exists",
+    "forall",
+    "aggregate",
+    "reduce",
+    "zip_with",
+    "transform_keys",
+    "transform_values",
+    "map_filter",
+    "map_zip_with",
+}
+
+
+def _lambda_args_with_defaults(call: ast.Call) -> list[ast.Lambda]:
+    out = []
+    for arg in list(call.args) + [kw.value for kw in call.keywords]:
+        if isinstance(arg, ast.Lambda) and (
+            arg.args.defaults or arg.args.kw_defaults
+        ):
+            out.append(arg)
+    return out
+
+
+def test_no_defaulted_lambda_params_in_spark_hofs():
+    offenders = []
+    for root, _dirs, files in os.walk(PKG):
+        for name in files:
+            if not name.endswith(".py"):
+                continue
+            path = os.path.join(root, name)
+            with open(path) as f:
+                tree = ast.parse(f.read(), filename=path)
+            for node in ast.walk(tree):
+                if not isinstance(node, ast.Call):
+                    continue
+                fn = node.func
+                called = (
+                    fn.attr
+                    if isinstance(fn, ast.Attribute)
+                    else fn.id
+                    if isinstance(fn, ast.Name)
+                    else None
+                )
+                if called in _HOFS and _lambda_args_with_defaults(node):
+                    offenders.append(f"{os.path.relpath(path, PKG)}:{node.lineno}")
+    assert not offenders, (
+        "defaulted lambda parameter passed to a Spark higher-order "
+        "function — the HOF infers SQL-lambda arity from the Python "
+        "signature and will OVERRIDE the default with the element/index "
+        "Column (the r6 minhash signature bug). Capture closure state "
+        f"via a factory function instead. Offenders: {offenders}"
+    )
