@@ -718,6 +718,22 @@ def _bpe_oracle_sql(n_iters: int) -> str:
     multi-char merged symbols. Max pair count is non-increasing across
     BPE iterations, so the final ``pair_count >= 2`` filter reproduces
     the operator's early stop exactly."""
+    parts = _bpe_chain_parts(n_iters)
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS BIGINT) AS rank, a AS "left", b AS "right", '
+        f"n AS pair_count FROM B{i}"
+        for i in range(1, n_iters + 1)
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT * FROM (\n{union}\n) WHERE pair_count >= 2 ORDER BY rank"
+    )
+
+
+def _bpe_chain_parts(n_iters: int) -> list[str]:
+    """The unrolled training chain (W0/R0, then S/P/B/R per iteration)
+    shared by the t15 train oracle and the t19 encode oracle."""
     s, ss = "chr(31)", "chr(31)||chr(31)"
     parts = [
         f"""
@@ -757,16 +773,7 @@ R{i} AS (
   FROM R{i - 1}, B{i}
 )"""
         )
-    union = "\nUNION ALL\n".join(
-        f'SELECT CAST({i} AS BIGINT) AS rank, a AS "left", b AS "right", '
-        f"n AS pair_count FROM B{i}"
-        for i in range(1, n_iters + 1)
-    )
-    return (
-        "WITH "
-        + "".join(parts)
-        + f"\nSELECT * FROM (\n{union}\n) WHERE pair_count >= 2 ORDER BY rank"
-    )
+    return parts
 
 
 @register(
@@ -1037,3 +1044,81 @@ def d7_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         threshold=0.4,
     )
+
+
+# --- t19: BPE encode (apply the trained tokenizer to the corpus) --------
+
+
+def _bpe_encode_oracle_sql(n_iters: int) -> str:
+    """Tokenizer APPLICATION unrolled over the same trained chain: each
+    document becomes one chr(31)-wrapped symbol stream (per-word forms
+    concatenate cleanly — every word form starts and ends with a single
+    separator, so the juncture is exactly the ``••`` symbol gap), then
+    the learned merges replay in training order via the same
+    left-to-right non-overlapping ``replace``. A merge is applied only
+    when its pair_count >= 2 — the operator's early stop; pair counts
+    are non-increasing so the CASE guard reproduces it exactly. No
+    learned merge can fire across a word boundary: a pair whose left
+    symbol contains ``</w>`` is never adjacent WITHIN a word, so it can
+    never be selected by training."""
+    s, ss = "chr(31)", "chr(31)||chr(31)"
+    parts = _bpe_chain_parts(n_iters)
+    parts.append(
+        f""",
+DR0 AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             list_filter(string_split(coalesce(text, ''), ' '), x -> x <> ''),
+             w -> {s} || regexp_replace(w, '(.)', '\\1' || {ss}, 'g')
+                      || '</w>' || {s}
+           ), ''
+         ) AS dr
+  FROM documents
+)"""
+    )
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f""",
+DR{i} AS (
+  SELECT doc_id,
+         CASE WHEN B{i}.n >= 2
+              THEN replace(dr, {s} || B{i}.a || {ss} || B{i}.b || {s},
+                               {s} || B{i}.a || B{i}.b || {s})
+              ELSE dr END AS dr
+  FROM DR{i - 1}, B{i}
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+SELECT doc_id,
+       CAST(CASE WHEN dr = '' THEN 0
+            ELSE len(string_split(substr(dr, 2, length(dr) - 2), {ss}))
+            END AS BIGINT) AS n_tokens,
+       CASE WHEN dr = '' THEN ''
+            ELSE array_to_string(
+              string_split(substr(dr, 2, length(dr) - 2), {ss}), ',')
+            END AS tokens
+FROM DR{n_iters}
+ORDER BY doc_id
+"""
+    )
+
+
+@register(
+    "t19_bpe_encode",
+    _bpe_encode_oracle_sql(_T15_MERGES),
+    doc="BPE tokenizer APPLICATION: train the t15 merge table, then "
+    "encode the whole corpus in ONE Arrow-batched pass (the merge "
+    "list is a broadcast closure constant; per-word greedy rewrite is "
+    "inherently sequential, embarrassingly parallel across docs — the "
+    "shape real tokenizers run at 100 TB). Oracle: the trained chain "
+    "plus per-document merge replay via the same separator-wrapped "
+    "replace encoding — exact value check of every token sequence",
+)
+def t19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=_T15_MERGES)
+    return bpe.bpe_encode(docs, merges)

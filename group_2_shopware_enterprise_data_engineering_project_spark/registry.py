@@ -116,6 +116,7 @@ CORE_ORDER: tuple[str, ...] = (
     "m28_hll_distinct",
     "d7_incremental_dedup",
     "st14_stream_incremental_dedup",
+    "t19_bpe_encode",
     # rotated out in r6 (each has a green r5 driver row):
     "k12_compaction",
     "k13_incremental_agg",
