@@ -81,13 +81,17 @@ CORE_ORDER: tuple[str, ...] = (
     # text / search
     "t8_corpus_dup_ngrams",
     "t9_dedup_spans",
-    "t10_tfidf_top_terms",
-    "t11_bm25_topk",
-    "t12_inverted_index",
-    "t13_nb_classifier",
     "t15_bpe_train",
+    # late-r6 additions, swapped into the window so each gets its
+    # first driver row THIS round (rotated out to make space, each
+    # with a green r5 driver row + pytest coverage: t10-t13, m18, a19)
+    "t19_bpe_encode",
+    "d7_incremental_dedup",
+    "st14_stream_incremental_dedup",
+    "m27_count_min",
+    "st13_stream_count_min",
+    "m28_hll_distinct",
     # training-prep
-    "m18_length_buckets",
     "m19_chunk_documents",
     "m20_shard_assign",
     "m21_source_quantile_filter",
@@ -103,21 +107,19 @@ CORE_ORDER: tuple[str, ...] = (
     "a16_regression_trends",
     "a17_winsorize",
     "a18_anomaly_zscore",
-    "a19_regional_revenue",
     "a20_expectations",
     "a21_item_cooccurrence",
     # joins / streaming
     "st9_stream_sessions",
     "st10_stream_stream_join",
     # --- driver window boundary (first 50 above) ---
-    # new in r6, below the window — sweep-verified; r7 rotation candidates
-    "m27_count_min",
-    "st13_stream_count_min",
-    "m28_hll_distinct",
-    "d7_incremental_dedup",
-    "st14_stream_incremental_dedup",
-    "t19_bpe_encode",
     # rotated out in r6 (each has a green r5 driver row):
+    "t10_tfidf_top_terms",
+    "t11_bm25_topk",
+    "t12_inverted_index",
+    "t13_nb_classifier",
+    "m18_length_buckets",
+    "a19_regional_revenue",
     "k12_compaction",
     "k13_incremental_agg",
     "k18_bucketed_join",
