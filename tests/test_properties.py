@@ -420,3 +420,59 @@ def test_salted_pair_join_is_lossless(spark, rows, cap):
     )
     # exactly once each: compare as sorted LISTS, not sets
     assert sorted(got) == want
+
+
+# --- incremental dedup equivalence ---------------------------------------
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+DOC = st.lists(
+    st.sampled_from(WORDS), min_size=4, max_size=10
+)
+CORPUS = st.lists(DOC, min_size=2, max_size=7)
+MASK = st.lists(st.booleans(), min_size=7, max_size=7)
+
+_dedup_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(corpus=CORPUS, mask=MASK)
+@_dedup_settings
+def test_incremental_dedup_equals_union_dedup_minus_existing_pairs(
+    spark, corpus, mask
+):
+    """d7/st14 contract, as an algebraic law over random corpora and
+    random shard splits: incremental_dedup(new, existing) must emit
+    exactly the pairs of minhash_lsh_dedup(new UNION existing) whose
+    sides are not BOTH historical, with identical jaccard values and a
+    correct vs_existing flag — for any split, including empty new and
+    empty existing."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import minhash
+
+    rows = [(i, " ".join(doc)) for i, doc in enumerate(corpus)]
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+    new_ids = {i for i, _ in rows if mask[i]}
+    new_df = spark.createDataFrame(
+        [r for r in rows if r[0] in new_ids] or [], schema
+    )
+    ex_df = spark.createDataFrame(
+        [r for r in rows if r[0] not in new_ids] or [], schema
+    )
+
+    union_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash.minhash_lsh_dedup(docs, threshold=0.4).collect()
+    }
+    expect = {
+        pair: (j, int(not (pair[0] in new_ids and pair[1] in new_ids)))
+        for pair, j in union_pairs.items()
+        if pair[0] in new_ids or pair[1] in new_ids
+    }
+    got = {
+        (r.doc_a, r.doc_b): (r.jaccard, r.vs_existing)
+        for r in minhash.incremental_dedup(new_df, ex_df, threshold=0.4).collect()
+    }
+    assert got == expect
