@@ -1006,5 +1006,6 @@ def st14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         pairs_table,
         ckpt,
         threshold=0.4,
+        compact_every=2,
     )
     return pairs_table.read().select("doc_a", "doc_b", "jaccard", "vs_existing")

@@ -284,6 +284,7 @@ def incremental_dedup_sink(
     pairs_table: ParquetUpsertTable,
     checkpoint: str,
     threshold: float = 0.4,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Streaming near-dup ingestion — `minhash.incremental_dedup` as a
     stream: documents arrive in micro-batches, each batch is verified
@@ -313,7 +314,13 @@ def incremental_dedup_sink(
       5. replace-MERGE pairs keyed (doc_a, doc_b) under the manifest
          txn — idempotent content + txn stamp = exactly-once.
     A crash between 4 and 5 replays into step 2's anti-join (no
-    self-pairs) and step 4's duplicate-tolerant append."""
+    self-pairs) and step 4's duplicate-tolerant append.
+
+    ``compact_every=N`` rewrites the index as one coalesced snapshot
+    every N batches (after the append) — without it an unbounded
+    stream accretes one small file per batch forever. Compaction is
+    content-preserving and snapshot-atomic, so it is safe at any
+    point relative to crashes and replays."""
     from group_2_shopware_enterprise_data_engineering_project_spark.operators import minhash
 
     app_id = _stream_app_id(checkpoint)
@@ -339,6 +346,8 @@ def incremental_dedup_sink(
             df, doc_store, index=history, threshold=threshold
         )
         index_table.append(minhash.bucket_index(df))
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            index_table.compact()
         pairs_table.upsert_replace(
             pairs, ("doc_a", "doc_b"), txn=(app_id, batch_id)
         )
