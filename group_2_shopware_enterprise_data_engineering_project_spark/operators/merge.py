@@ -442,24 +442,25 @@ class ParquetUpsertTable:
         self._prune()
 
     def exists(self) -> bool:
-        # Missing paths usually analyze as PATH_NOT_FOUND
-        # (AnalysisException), but inside a foreachBatch the streaming
-        # sink-metadata probe surfaces a raw java FileNotFoundException
-        # instead — treat both as "no table yet" and let anything else
-        # (permissions, corrupt footers) propagate.
+        # A missing root is checked at the OS level FIRST: inside a
+        # foreachBatch the streaming sink-metadata probe surfaces a raw
+        # java FileNotFoundException (not AnalysisException) for a
+        # nonexistent path, and substring-matching exception text would
+        # also swallow unrelated failures (a transiently-missing data
+        # file of an EXISTING table) and let a merge silently bootstrap
+        # over it. The manifest layout is local-filesystem by design
+        # (os.replace commits), so os.path is authoritative here.
         from pyspark.errors import AnalysisException
 
         if self._active() is not None:
             return True
+        if not os.path.exists(self.path):
+            return False
         try:
             self.spark.read.parquet(self.path).limit(0).collect()
             return True
         except AnalysisException:
             return False
-        except Exception as e:  # noqa: BLE001
-            if "FileNotFoundException" in str(e.__class__) or "FileNotFoundException" in str(e):
-                return False
-            raise
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self._data_dir())

@@ -306,6 +306,7 @@ def incremental_dedup(
     threshold: float = 0.4,
     bucket_cap: int = BUCKET_CAP,
     index: DataFrame | None = None,
+    new_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingestion near-dup: verify a NEW shard against the
     existing corpus AND against itself, without ever self-joining the
@@ -317,8 +318,15 @@ def incremental_dedup(
     ``index`` is the stored `bucket_index` of the history; pass it to
     skip re-shingling the history for candidate generation (the
     steady-state shape: the index is appended to as shards land — see
-    `streaming.dedup_index_sink`). When None it is derived from
-    ``existing_docs`` here.
+    `streaming.micro_batch.incremental_dedup_sink`). When None it is
+    derived from ``existing_docs`` here. ``new_buckets`` is the
+    shard's own `bucket_index`; pass it when the caller has already
+    computed it (the streaming sink computes it once and both probes
+    with it and appends it) to skip the signature stage — the
+    compute-bound stage of the pipeline — a second time. The shard is
+    still re-shingled here (shingles feed the verify join; they are
+    one md5-free projection, cheap next to `num_perm` signature
+    hashes).
 
     Semantics equal `minhash_lsh_dedup` over the UNION minus the
     existing-existing pairs (the oracle states it exactly that way);
@@ -330,23 +338,29 @@ def incremental_dedup(
         shingle projection — at 100 TB that is the difference between
         re-reading the corpus per shard and reading a few thousand
         candidate docs);
-      - new-vs-existing candidates go through `skewjoin.skew_join` on
-        the bucket key, so a degenerate bucket on EITHER side is
-        salted/replicated instead of landing in one reducer (the
-        bipartite analogue of candidate_pairs' salt-split);
+      - new-vs-existing candidates go through the LOSSLESS bipartite
+        salt-split (`saltjoin.salted_bipartite_join`): a bucket
+        degenerate on EITHER side — a boilerplate band in a huge index
+        probed by a small shard, or a huge backfill shard against a
+        small index — is split into cap x cap sub-tasks, so no reducer
+        ever materializes more than ~cap^2 candidates and the pair set
+        is identical to the plain bucket join;
       - new-vs-new candidates use the salt-split self-join as usual.
     """
-    from group_2_shopware_enterprise_data_engineering_project_spark.operators.skewjoin import (
-        skew_join,
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.saltjoin import (
+        salted_bipartite_join,
     )
 
     new_ss = shingle_sets(new_docs, text_col, id_col, k).persist()
-    new_buckets = cross = None
+    own_buckets = new_buckets is None
+    cross = None
     try:
-        new_sigs = new_ss.select(
-            "doc_id", minhash_signature(F.col("shingles"), num_perm).alias("signature")
-        )
-        new_buckets = band_buckets(new_sigs, num_perm, band_rows).persist()
+        if own_buckets:
+            new_sigs = new_ss.select(
+                "doc_id",
+                minhash_signature(F.col("shingles"), num_perm).alias("signature"),
+            )
+            new_buckets = band_buckets(new_sigs, num_perm, band_rows).persist()
         if index is None:
             index = bucket_index(existing_docs, text_col, id_col, k, num_perm, band_rows)
 
@@ -354,14 +368,15 @@ def incremental_dedup(
         # Persisted because it feeds BOTH the verify join and the
         # history-restriction semi-join below.
         cross = (
-            skew_join(
+            salted_bipartite_join(
                 new_buckets.withColumnRenamed("doc_id", "new_id"),
                 index.withColumnRenamed("doc_id", "ex_id"),
-                on=("band_idx", "band_hash"),
-                salt=16,
-                hot_threshold=bucket_cap,
+                bucket_cap,
+                ("band_idx", "band_hash"),
+                "new_id",
+                "ex_id",
             )
-            .select("new_id", "ex_id")
+            .select(F.col("a.new_id").alias("new_id"), F.col("b.ex_id").alias("ex_id"))
             .distinct()
             .persist()
         )
@@ -392,7 +407,7 @@ def incremental_dedup(
         return out.localCheckpoint(eager=True)
     finally:
         new_ss.unpersist()
-        if new_buckets is not None:
+        if own_buckets and new_buckets is not None:
             new_buckets.unpersist()
         if cross is not None:
             cross.unpersist()

@@ -112,3 +112,90 @@ def salted_pair_join(
     callers select their pair columns via the ``a.``/``b.`` aliases."""
     a, b = tasks.alias("a"), tasks.alias("b")
     return a.join(b, salted_join_cond(bucket_cols, id_col))
+
+
+def salted_bipartite_tasks(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_cap: int,
+    bucket_cols: tuple[str, ...],
+    left_id: str,
+    right_id: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Bipartite analogue of `salted_pair_tasks`: bound the per-reducer
+    candidate volume of a LEFT x RIGHT bucket join when a bucket may be
+    degenerate on EITHER side (the incremental-dedup shape: a small new
+    shard probing a large stored index — skew lives on the index side;
+    a large backfill shard probing a small index — skew lives on the
+    shard side; both occur in production).
+
+    Per bucket with n_l / n_r rows: s_l = ceil(n_l/cap) left groups,
+    s_r = ceil(n_r/cap) right groups; subtask (i, j) for i < s_l,
+    j < s_r. A left row in group i is replicated into (i, j) for every
+    j (s_r task rows); a right row in group j into (i, j) for every i.
+    Each (l, r) pair meets in EXACTLY one task — (g_l, g_r) — so the
+    pair set equals the unsalted join, and no task joins more than
+    ~cap x cap rows. Replication is sized per bucket from a map-side-
+    combined count restricted to oversized buckets (broadcastable by
+    construction: each entry represents > cap rows); well-behaved
+    buckets keep s = 1 on both sides and degenerate to the plain join.
+    NULL bucket keys never match in either the sizing or the pair join."""
+    def _sizes(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.groupBy(*[F.col(c) for c in bucket_cols])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > bucket_cap)
+            .select(
+                *bucket_cols,
+                F.ceil(F.col("_n") / F.lit(bucket_cap)).cast("int").alias(alias),
+            )
+        )
+
+    sizing = (
+        _sizes(left, "_sl_over")
+        .join(_sizes(right, "_sr_over"), list(bucket_cols), "full")
+        .select(
+            *bucket_cols,
+            F.coalesce("_sl_over", F.lit(1)).alias("_sl"),
+            F.coalesce("_sr_over", F.lit(1)).alias("_sr"),
+        )
+    )
+
+    def _tag(df: DataFrame, id_col: str, own: str, other: str, s_own: str, s_other: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(sizing), list(bucket_cols), "left")
+            .withColumn("_sl", F.coalesce("_sl", F.lit(1)))
+            .withColumn("_sr", F.coalesce("_sr", F.lit(1)))
+            .withColumn(own, F.pmod(F.xxhash64(id_col), F.col(s_own)).cast("int"))
+            .withColumn(
+                other, F.explode(F.sequence(F.lit(0), F.col(s_other) - 1))
+            )
+            .drop("_sl", "_sr")
+        )
+
+    lt = _tag(left, left_id, "_li", "_rj", "_sl", "_sr")
+    rt = _tag(right, right_id, "_rj", "_li", "_sr", "_sl")
+    return lt, rt
+
+
+def salted_bipartite_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_cap: int,
+    bucket_cols: tuple[str, ...],
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """LEFT x RIGHT bucket join under the bipartite salt; callers select
+    their columns via the ``a.`` / ``b.`` aliases."""
+    lt, rt = salted_bipartite_tasks(
+        left, right, bucket_cap, bucket_cols, left_id, right_id
+    )
+    cond = reduce(
+        operator.and_,
+        (F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_cols),
+    )
+    cond = cond & (F.col("a._li") == F.col("b._li")) & (
+        F.col("a._rj") == F.col("b._rj")
+    )
+    return lt.alias("a").join(rt.alias("b"), cond)

@@ -989,7 +989,12 @@ def st14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         docs.filter(F.col("doc_id") % _ST14_NB == b).coalesce(1).write.mode(
             "overwrite"
         ).json(stage)
-        shutil.move(glob.glob(f"{stage}/part-*")[0], f"{src_dir}/batch{b}.json")
+        # an empty residue class writes only _SUCCESS — skip it rather
+        # than IndexError (fewer batches; membership semantics unchanged)
+        part = next(iter(glob.glob(f"{stage}/part-*")), None)
+        if part is None:
+            continue
+        shutil.move(part, f"{src_dir}/batch{b}.json")
 
     schema = T.StructType(
         [

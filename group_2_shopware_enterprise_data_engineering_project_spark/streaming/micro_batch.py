@@ -324,28 +324,29 @@ def incremental_dedup_sink(
     from group_2_shopware_enterprise_data_engineering_project_spark.operators import minhash
 
     app_id = _stream_app_id(checkpoint)
-    empty_index = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("band_idx", T.IntegerType()),
-            T.StructField("band_hash", T.StringType()),
-        ]
-    )
 
     def _batch(df: DataFrame, batch_id: int) -> None:
         if pairs_table.last_txn(app_id) >= batch_id:
             return
         spark = df.sparkSession
+        # one bucket_index pass per batch: the signature stage is the
+        # compute-bound stage of the pipeline, and the SAME frame both
+        # probes the history (via incremental_dedup) and lands in the
+        # index table below
+        buckets = minhash.bucket_index(df).localCheckpoint(eager=True)
         if index_table.exists():
             history = index_table.read().join(
                 df.select("doc_id"), "doc_id", "anti"
             )
         else:
-            history = spark.createDataFrame([], empty_index)
+            # empty frame with the REAL index schema (derived from the
+            # bucket_index plan, not a hand-copied StructType that
+            # could drift from band_buckets' output)
+            history = spark.createDataFrame([], buckets.schema)
         pairs = minhash.incremental_dedup(
-            df, doc_store, index=history, threshold=threshold
+            df, doc_store, index=history, threshold=threshold, new_buckets=buckets
         )
-        index_table.append(minhash.bucket_index(df))
+        index_table.append(buckets)
         if compact_every and (batch_id + 1) % compact_every == 0:
             index_table.compact()
         pairs_table.upsert_replace(

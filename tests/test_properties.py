@@ -476,3 +476,61 @@ def test_incremental_dedup_equals_union_dedup_minus_existing_pairs(
         for r in minhash.incremental_dedup(new_df, ex_df, threshold=0.4).collect()
     }
     assert got == expect
+
+
+# --- bipartite salt-split: lossless under any two-sided layout ------------
+
+BI_LEFT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),  # id
+        st.integers(min_value=0, max_value=3),  # bucket
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+BI_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=2 * 10**6, max_value=3 * 10**6),  # disjoint ids
+        st.integers(min_value=0, max_value=3),
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(left=BI_LEFT, right=BI_RIGHT, cap=CAPS)
+@_settings
+def test_salted_bipartite_join_is_lossless(spark, left, right, cap):
+    """For ANY two-sided bucket layout and ANY cap >= 1, the bipartite
+    salt emits exactly the cross-side same-bucket pairs, each exactly
+    once — including buckets oversized on only one side, on both, and
+    absent from one side entirely (the d7/st14 candidate contract)."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.saltjoin import (
+        salted_bipartite_join,
+    )
+
+    schema = "vec_id long, bucket long"
+    ldf = spark.createDataFrame(left or [(0, 0)], schema).limit(len(left))
+    rdf = spark.createDataFrame(right or [(0, 0)], schema).limit(len(right))
+    got = [
+        (r.l, r.r)
+        for r in salted_bipartite_join(
+            ldf, rdf, cap, ("bucket",), "vec_id", "vec_id"
+        )
+        .select(
+            F.col("a.vec_id").alias("l"), F.col("b.vec_id").alias("r")
+        )
+        .collect()
+    ]
+    want = sorted(
+        (lid, rid)
+        for lid, lb in left
+        for rid, rb in right
+        if lb == rb
+    )
+    # exactly once each: compare as sorted LISTS, not sets
+    assert sorted(got) == want

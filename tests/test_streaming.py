@@ -898,8 +898,12 @@ def test_incremental_dedup_sink_replay_and_crash_safety(spark, tmp_path):
     index_table.append(minhash.bucket_index(docs.filter(F.col("doc_id").isin(1, 3))))
 
     def run():
+        # one file per trigger — the cross-corpus index-probe path only
+        # exists when the two files land in SEPARATE micro-batches
         incremental_dedup_sink(
-            spark.readStream.schema(schema).json(str(src)),
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src)),
             docs,
             index_table,
             pairs_table,
@@ -908,10 +912,16 @@ def test_incremental_dedup_sink_replay_and_crash_safety(spark, tmp_path):
         )
 
     run()
-    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs_table.read().collect()}
+    rows = pairs_table.read().collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
     assert got == expected
     # no self-pairs despite the pre-seeded index
     assert all(a != b for a, b in got)
+    # the cross-corpus index-probe path actually ran: docs 1 (batch 0)
+    # and 4 (batch 1) are identical, so their pair must be flagged as
+    # found against the EXISTING index, not the within-batch self-join
+    flags = {(r.doc_a, r.doc_b): r.vs_existing for r in rows}
+    assert flags[(1, 4)] == 1
     # replay over the same checkpoint: no-op
     run()
     assert {
