@@ -782,3 +782,85 @@ def dense_ids(
         )
         .drop("_pid", "_off")
     )
+
+
+# --- temperature-mixture resampling ----------------------------------------
+
+
+def temperature_resample(
+    docs: DataFrame,
+    sample_div: int = 4,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """APPLY the temperature-scaled source mixture that
+    `mixture_weights` only prices: draw a deterministic sample of
+    N // ``sample_div`` docs whose per-source quotas follow
+    alpha=0.5 temperature weights (w_s = isqrt(n_s), the XLM-R
+    sqrt-rebalance), allocated by the largest-remainder method and
+    filled per source by md5 rank — the actual resampling step of a
+    multilingual/multi-source training mix.
+
+    Integer-exact by construction (the m15 lesson: remove EVERY
+    engine-divergence surface, don't hope): the alpha weight is
+    floor(sqrt(n_s)) — exact for n_s < 2^52 because IEEE sqrt is
+    correctly rounded — and quota arithmetic is BIGINT div/mod
+    (largest-remainder ranks tie-break on the source name), so Spark
+    and DuckDB agree bit-for-bit with no float sum anywhere. Sampling
+    without replacement: a quota is clamped to its source size;
+    clamped leftovers are NOT redistributed (single-pass contract,
+    documented — redistribution would need a driver loop).
+
+    Scale: one map-side-combining groupBy to the D-row per-source
+    frame; quota arithmetic runs in windows over THAT frame (D rows,
+    not the corpus — same legitimacy note as `mixture_weights`);
+    quotas broadcast back; the only corpus-sized work is one
+    per-source hash-ordered row_number, whose per-task memory is
+    bounded by the largest source (salt-split the rank via a
+    two-level hash prefix if one source dominates).
+    """
+    per = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = Window.partitionBy()
+    sized = (
+        per.select(
+            group_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.floor(F.sqrt(F.col("n_docs").cast("double")))
+            .cast("long")
+            .alias("wgt"),
+        )
+        .withColumn("wsum", F.sum("wgt").over(wall))
+        .withColumn("n_total", F.sum("n_docs").over(wall))
+        .withColumn("k", F.expr(f"n_total div {int(sample_div)}"))
+        .withColumn("base_q", F.expr("(k * wgt) div wsum"))
+        .withColumn("rem", F.expr("(k * wgt) % wsum"))
+    )
+    ranked = sized.withColumn(
+        "leftover", F.col("k") - F.sum("base_q").over(wall)
+    ).withColumn(
+        "rrank",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col(group_col).asc())
+        ),
+    )
+    quotas = ranked.select(
+        group_col,
+        F.least(
+            F.col("base_q")
+            + F.when(F.col("rrank") <= F.col("leftover"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+            F.col("n_docs"),
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    wr = Window.partitionBy(group_col).orderBy(h, id_col)
+    return (
+        docs.join(F.broadcast(quotas), group_col)
+        .withColumn("mix_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("mix_rank") <= F.col("quota"))
+        .select(group_col, id_col, "mix_rank", "quota")
+    )

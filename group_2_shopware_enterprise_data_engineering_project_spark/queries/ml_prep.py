@@ -1230,3 +1230,61 @@ def m26_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").isNull().alias("gap_filled"),
         F.last("n_events", ignorenulls=True).over(w).alias("carried"),
     )
+
+
+# --- m29: temperature-mixture resampling ------------------------------------
+
+M29_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), sized AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wgt
+  FROM per
+), tot AS (
+  SELECT source, n_docs, wgt,
+         CAST(sum(wgt) OVER () AS BIGINT) AS wsum,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS n_total
+  FROM sized
+), q AS (
+  SELECT source, n_docs, wgt, wsum,
+         n_total // 4 AS k,
+         ((n_total // 4) * wgt) // wsum AS base_q,
+         ((n_total // 4) * wgt) % wsum AS rem
+  FROM tot
+), q2 AS (
+  SELECT source, n_docs, base_q, rem,
+         k - CAST(sum(base_q) OVER () AS BIGINT) AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rrank
+  FROM q
+), quota AS (
+  SELECT source,
+         CAST(least(base_q + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END,
+                    n_docs) AS BIGINT) AS quota
+  FROM q2
+), ranked AS (
+  SELECT d.source, d.doc_id, q.quota,
+         CAST(row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS BIGINT) AS mix_rank
+  FROM documents d JOIN quota q ON d.source = q.source
+)
+SELECT source, doc_id, mix_rank, quota FROM ranked WHERE mix_rank <= quota
+"""
+
+
+@register(
+    "m29_temperature_resample",
+    M29_ORACLE,
+    doc="APPLIES the alpha=0.5 temperature mixture m16 only prices: "
+    "integer-exact largest-remainder quotas (isqrt weights, BIGINT "
+    "div/mod, source-name tie-break) filled per source by md5 rank — "
+    "no float sum anywhere, so the oracle is bit-for-bit; quota math "
+    "runs on the D-row per-source frame, quotas broadcast back",
+)
+def m29_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.temperature_resample(
+        table(spark, sf_dir, "documents"), sample_div=4
+    )

@@ -1014,3 +1014,118 @@ def st14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         compact_every=2,
     )
     return pairs_table.read().select("doc_a", "doc_b", "jaccard", "vs_existing")
+
+
+# --- ST15: stream-stream LEFT OUTER join (watermark-flushed nulls) --------
+
+ST15_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS buy_id,
+       c.ts AS click_ts,
+       p.ts AS buy_ts
+FROM events c LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click'
+ORDER BY c.user_id, click_id, buy_id
+"""
+
+
+@register(
+    "st15_stream_outer_join",
+    ST15_ORACLE,
+    doc="stream-stream LEFT OUTER interval join run AS STREAMS: inner "
+    "matches emit eagerly; unmatched clicks emit null-padded only "
+    "when the watermark proves no future purchase can match. The "
+    "drain uses the sentinel technique (a far-future row on BOTH "
+    "streams after the real data, filtered from the result) so the "
+    "final watermark passes every real click and ALL outer rows "
+    "flush — making the streaming result exactly the batch LEFT "
+    "JOIN, which is the oracle. Without the sentinel, clicks in the "
+    "last watermark-delay+bound of the stream would sit in state "
+    "forever — the operational gotcha this query documents.",
+)
+def st15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        run_available_now,
+    )
+
+    base = _tmp("st15")
+    cdir, pdir, ckpt, out = (
+        f"{base}/clicks",
+        f"{base}/buys",
+        f"{base}/ckpt",
+        f"{base}/out",
+    )
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("c_us")
+    ).coalesce(1).write.mode("overwrite").json(cdir)
+    events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts_us").alias("b_us")
+    ).coalesce(1).write.mode("overwrite").json(pdir)
+    max_us = events.agg(F.max("ts_us")).collect()[0][0]
+
+    cs = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("click_id", T.LongType()),
+            T.StructField("c_us", T.LongType()),
+        ]
+    )
+    bs = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("buy_id", T.LongType()),
+            T.StructField("b_us", T.LongType()),
+        ]
+    )
+    clicks = (
+        spark.readStream.schema(cs)
+        .json(cdir)
+        .withColumn("click_ts", F.timestamp_micros("c_us"))
+        .drop("c_us")
+    )
+    buys = (
+        spark.readStream.schema(bs)
+        .json(pdir)
+        .withColumn("buy_ts", F.timestamp_micros("b_us"))
+        .drop("b_us")
+    )
+    joined = stream_stream_interval_join(
+        clicks,
+        buys,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="buy_ts",
+        watermark_delay="2 hours",
+        within_seconds=1800,
+        how="leftOuter",
+    )
+    os.makedirs(out, exist_ok=True)
+    sink = lambda df, _bid: df.write.mode("append").parquet(out)  # noqa: E731
+    run_available_now(joined, ckpt, sink)
+    # Sentinel round: one far-future row on each stream (user_id=-1,
+    # +10 days) advances BOTH watermarks past every real click's
+    # no-match horizon; the flushed outer rows land in this run.
+    day_us = 86_400_000_000
+    with open(f"{cdir}/zz_sentinel.json", "w") as f:
+        f.write(json.dumps({"user_id": -1, "click_id": -1, "c_us": max_us + 10 * day_us}))
+    with open(f"{pdir}/zz_sentinel.json", "w") as f:
+        f.write(json.dumps({"user_id": -1, "buy_id": -1, "b_us": max_us + 10 * day_us}))
+    run_available_now(joined, ckpt, sink)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "click_id", "buy_id", "click_ts", "buy_ts")
+    )

@@ -95,7 +95,9 @@ CORE_ORDER: tuple[str, ...] = (
     "m19_chunk_documents",
     "m20_shard_assign",
     "m21_source_quantile_filter",
-    "m22_sequence_examples",
+    # new in r6: applies m16's temperature mixture (m22 rotated out,
+    # green r5 + sweep + test_prep coverage)
+    "m29_temperature_resample",
     "m23_negative_sample",
     "m24_dense_ids",
     "m25_transition_matrix",
@@ -109,11 +111,14 @@ CORE_ORDER: tuple[str, ...] = (
     "a18_anomaly_zscore",
     "a20_expectations",
     "a21_item_cooccurrence",
-    # joins / streaming
-    "st9_stream_sessions",
+    # joins / streaming — st15 new in r6 (left-outer watermark flush;
+    # st9 rotated out, green r5 + sweep coverage)
+    "st15_stream_outer_join",
     "st10_stream_stream_join",
     # --- driver window boundary (first 50 above) ---
     # rotated out in r6 (each has a green r5 driver row):
+    "m22_sequence_examples",
+    "st9_stream_sessions",
     "t10_tfidf_top_terms",
     "t11_bm25_topk",
     "t12_inverted_index",

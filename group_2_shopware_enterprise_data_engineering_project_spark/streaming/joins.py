@@ -50,8 +50,13 @@ def stream_stream_interval_join(
     lw = left.withWatermark(left_ts, watermark_delay)
     rw = right.withWatermark(right_ts, watermark_delay)
     lt, rt = F.col(left_ts), F.col(right_ts)
+    # The bound must be a LITERAL interval: for outer joins Spark's
+    # state-watermark analysis (StreamingJoinHelper) has to extract a
+    # numeric bound from the range condition to know when an unmatched
+    # row can be emitted, and it cannot fold make_dt_interval(...) —
+    # inner joins accept it, leftOuter rejects the whole join.
     cond = (lt <= rt) & (
-        rt < lt + F.make_dt_interval(secs=F.lit(float(within_seconds)))
+        rt < lt + F.expr(f"INTERVAL {int(within_seconds)} SECOND")
     )
     for k in on:
         cond = cond & (lw[k] == rw[k])

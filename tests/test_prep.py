@@ -667,3 +667,42 @@ def test_sequence_pack_cross_engine_with_duplicate_ids(spark):
         (tuple(row[i] for i in idx) for row in res.fetchall()), key=repr
     )
     assert got == want
+
+
+def test_temperature_resample_quota_allocation_and_determinism(spark):
+    # 3 sources with very different sizes: quotas follow isqrt weights,
+    # not raw counts (the whole point of temperature alpha=0.5)
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(i + 1000, "mid") for i in range(100)]
+        + [(i + 2000, "tiny") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = prep.temperature_resample(docs, sample_div=4).collect()
+    # K = 504 // 4 = 126; weights isqrt: 20 / 10 / 2 (W = 32)
+    # base = floor(126*w/32): big 78, mid 39, tiny 7 -> sum 124,
+    # leftover 2; rem = (126*w) % 32: big 24, mid 12, tiny 28 ->
+    # +1 to tiny and big; tiny clamps to its 4 docs (no replacement)
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src["big"]) == 79
+    assert len(by_src["mid"]) == 39
+    assert len(by_src["tiny"]) == 4  # clamped: quota 8 > 4 available
+    assert all(r.quota == 4 for r in by_src["tiny"])
+    # per-source ranks are 1..n with no gaps, and deterministic
+    assert sorted(r.mix_rank for r in by_src["mid"]) == list(range(1, 40))
+    again = prep.temperature_resample(docs, sample_div=4).collect()
+    assert sorted((r.source, r.doc_id) for r in again) == sorted(
+        (r.source, r.doc_id) for r in out
+    )
+
+
+def test_temperature_resample_broadcasts_quotas(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(200)], "doc_id long, source string"
+    )
+    plan = _plan(prep.temperature_resample(docs))
+    # the corpus-side join against the D-row quota frame must be a
+    # broadcast, and the corpus itself must never hit a global window
+    assert "BroadcastHashJoin" in plan

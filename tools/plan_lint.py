@@ -69,6 +69,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "global_window": "cumulative sum over the ~5-row band-totals "
         "table (prep.token_budget_select docstring)"
     },
+    "m29_temperature_resample": {
+        "global_window": "quota arithmetic over the D-row per-source "
+        "totals frame (prep.temperature_resample docstring)"
+    },
 }
 
 # windowspecdefinition(<first arg> ...: a partitioned spec starts with
