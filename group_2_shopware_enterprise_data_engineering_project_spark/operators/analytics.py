@@ -507,3 +507,68 @@ def item_cooccurrence(
         F.col("n_orders").desc(), F.col("item_a").asc(), F.col("item_b").asc()
     )
     return cut.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("click", "view"),
+    conversion_type: str = "purchase",
+    lookback_days: int = 1,
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion is credited to
+    the user's most recent touch event at or before the conversion;
+    touches older than ``lookback_days`` — or absent entirely — fall
+    to the 'direct' channel. Emits per-channel conversion counts and
+    exact-cents attributed revenue.
+
+    Built on `asof.asof_join` (union + one per-user window — no
+    inequality join blowup): the corpus-sized work is ONE shuffle on
+    user_id shared by the sort and the forward fill, plus one
+    conversion-key left join to re-admit unmatched conversions, plus
+    the map-side-combined channel rollup. Ties at the same touch
+    timestamp resolve to the greatest event_id on both engines, so
+    attribution is deterministic.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.asof import (
+        asof_join,
+    )
+
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("buy_id"),
+        "user_id",
+        F.col("ts").alias("buy_ts"),
+        "value",
+    )
+    touch = events.filter(F.col("event_type").isin(*touch_types)).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    matched = asof_join(
+        conv,
+        touch,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="buy_ts",
+        right_ts="ts",
+        payload_cols=("event_type", "ts"),
+        right_tiebreak="event_id",
+    ).select(
+        "buy_id",
+        F.col("event_type").alias("touch_channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    att = conv.join(matched, "buy_id", "left").select(
+        "buy_id",
+        "value",
+        F.when(
+            F.col("touch_ts")
+            >= F.col("buy_ts") - F.expr(f"INTERVAL {int(lookback_days)} DAY"),
+            F.col("touch_channel"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+    )
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return att.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("attributed_revenue"),
+    )

@@ -694,3 +694,49 @@ GROUP BY 1, 2
 )
 def a14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.cohort_retention(table(spark, sf_dir, "events"))
+
+
+# --- A24: last-touch attribution ----------------------------------------
+
+A24_ORACLE = """
+WITH conv AS (
+  SELECT event_id AS buy_id, user_id, ts AS buy_ts, value
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, ts, event_type, event_id
+  FROM events WHERE event_type IN ('click', 'view')
+), ranked AS (
+  SELECT c.buy_id, t.event_type AS touch_channel, t.ts AS touch_ts,
+         row_number() OVER (
+           PARTITION BY c.buy_id
+           ORDER BY t.ts DESC, t.event_id DESC) AS rn
+  FROM conv c JOIN t
+    ON c.user_id = t.user_id AND t.ts <= c.buy_ts
+), last AS (
+  SELECT buy_id, touch_channel, touch_ts FROM ranked WHERE rn = 1
+), att AS (
+  SELECT c.buy_id, c.value,
+         CASE WHEN l.touch_ts >= c.buy_ts - INTERVAL 1 DAY
+              THEN l.touch_channel ELSE 'direct' END AS channel
+  FROM conv c LEFT JOIN last l ON c.buy_id = l.buy_id
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS attributed_revenue
+FROM att GROUP BY channel
+"""
+
+
+@register(
+    "a24_attribution",
+    A24_ORACLE,
+    doc="last-touch conversion attribution with a 1-day lookback: "
+    "purchases credited to the user's most recent click/view via the "
+    "as-of join (union + ONE per-user window — the oracle's "
+    "inequality join + rank, which would blow up at scale, exists "
+    "only on the DuckDB side); stale or absent touches fall to "
+    "'direct'; exact-cents revenue rollup",
+)
+def a24_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.last_touch_attribution(table(spark, sf_dir, "events"))

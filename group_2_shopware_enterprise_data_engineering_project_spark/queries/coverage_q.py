@@ -339,3 +339,83 @@ def k12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(cents).alias("value_cents"),
     )
+
+
+# --- ST16: custom stateful running aggregate (distinct set in state) ------
+
+ST16_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "st16_stream_custom_state",
+    ST16_ORACLE,
+    doc="custom stateful streaming aggregate (applyInPandasWithState): "
+    "per-user running (count, exact-cents value sum, DISTINCT type "
+    "count) across 3 ordered micro-batches — streaming "
+    "count(distinct) is unsupported natively and "
+    "approx_count_distinct changes the answer, so the distinct set "
+    "rides in the state store (bounded by the TYPE domain, not the "
+    "stream). Update-mode emissions replace-merge into the final "
+    "table under the manifest txn; the oracle is the plain batch "
+    "groupBy — bit-equality proves the streamed accumulation loses "
+    "and invents nothing",
+)
+def st16_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        _stream_app_id,
+        run_available_now,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    base = _tmp("st16")
+    src, ckpt = f"{base}/in", f"{base}/ckpt"
+    os.makedirs(src)
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    # 3 files with strictly increasing mtimes -> 3 ordered micro-batches
+    for b in range(3):
+        stage = f"{base}/stage_{b}"
+        events.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).json(stage)
+        part = next(n for n in os.listdir(stage) if n.endswith(".json"))
+        dest = os.path.join(src, f"b{b}.json")
+        shutil.move(os.path.join(stage, part), dest)
+        t = os.path.getmtime(dest)
+        os.utime(dest, (t + 10 * b, t + 10 * b))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stats = running_user_stats(
+        stream_json_source(spark, src, schema, max_files_per_trigger=1)
+    )
+    table_out = ParquetUpsertTable(spark, f"{base}/user_stats")
+    app_id = _stream_app_id(ckpt)
+    run_available_now(
+        stats,
+        ckpt,
+        lambda df, bid: table_out.upsert_replace(
+            df, ("user_id",), txn=(app_id, bid)
+        ),
+        output_mode="update",
+    )
+    return table_out.read().select("user_id", "n_events", "n_types", "total_value")

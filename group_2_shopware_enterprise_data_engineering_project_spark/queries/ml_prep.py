@@ -1288,3 +1288,128 @@ def m29_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.temperature_resample(
         table(spark, sf_dir, "documents"), sample_div=4
     )
+
+
+# --- m30: time-series resampling with linear interpolation ------------------
+
+M30_ORACLE = """
+WITH bounds AS (
+  SELECT user_id,
+         date_trunc('day', min(ts)) AS d0,
+         date_trunc('day', max(ts)) AS d1
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT user_id, d0, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS bucket
+  FROM bounds
+), daily AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), joined AS (
+  SELECT s.user_id, s.bucket,
+         CAST(date_diff('day', s.d0, s.bucket) AS BIGINT) AS day_idx,
+         d.n_events
+  FROM spine s LEFT JOIN daily d
+    ON s.user_id = d.user_id AND s.bucket = d.bucket
+), ctx AS (
+  SELECT user_id, bucket, day_idx, n_events,
+         last_value(n_events IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_val,
+         last_value(CASE WHEN n_events IS NOT NULL THEN day_idx END
+                    IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_idx,
+         first_value(n_events IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_val,
+         first_value(CASE WHEN n_events IS NOT NULL THEN day_idx END
+                     IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_idx
+  FROM joined
+)
+SELECT user_id, bucket,
+       coalesce(n_events, CAST(0 AS BIGINT)) AS n_events,
+       CAST(n_events IS NULL AS BOOLEAN) AS gap_filled,
+       CASE
+         WHEN n_events IS NOT NULL THEN CAST(n_events AS DOUBLE)
+         WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+           CAST(prev_val AS DOUBLE)
+           + (CAST(next_val - prev_val AS DOUBLE)
+              * CAST(day_idx - prev_idx AS DOUBLE))
+             / CAST(next_idx - prev_idx AS DOUBLE)
+       END AS interpolated
+FROM ctx
+ORDER BY user_id, bucket
+"""
+
+
+@register(
+    "m30_resample_interpolate",
+    M30_ORACLE,
+    doc="per-key resampling with LINEAR interpolation (completing "
+    "m26's ffill): gaps take prev + (next-prev) * frac along the "
+    "daily spine, leading/trailing gaps stay NULL. Two window passes "
+    "(backward + forward IGNORE NULLS fill of value and day index) "
+    "over ONE user_id shuffle; the arithmetic is int-exact until a "
+    "single pinned a + (b*c)/d double expression, identical on both "
+    "engines",
+)
+def m30_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    bounds = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        "d0",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("bucket"),
+    )
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    joined = spine.join(daily, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.datediff(F.col("bucket"), F.col("d0")).cast("long").alias("day_idx"),
+        "n_events",
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("n_events").isNotNull(), F.col("day_idx"))
+    ctx = (
+        joined.withColumn("prev_val", F.last("n_events", ignorenulls=True).over(wb))
+        .withColumn("prev_idx", F.last(obs_idx, ignorenulls=True).over(wb))
+        .withColumn("next_val", F.first("n_events", ignorenulls=True).over(wf))
+        .withColumn("next_idx", F.first(obs_idx, ignorenulls=True).over(wf))
+    )
+    interp = F.col("prev_val").cast("double") + (
+        (F.col("next_val") - F.col("prev_val")).cast("double")
+        * (F.col("day_idx") - F.col("prev_idx")).cast("double")
+    ) / (F.col("next_idx") - F.col("prev_idx")).cast("double")
+    return ctx.select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+        F.col("n_events").isNull().alias("gap_filled"),
+        F.when(F.col("n_events").isNotNull(), F.col("n_events").cast("double"))
+        .otherwise(
+            F.when(
+                F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+                interp,
+            )
+        )
+        .alias("interpolated"),
+    )

@@ -406,3 +406,51 @@ def k20_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = write_training_shards(sharded, out, max_records_per_file=200)
     rows = [(s["shard"], s["n_rows"]) for s in manifest["shards"]]
     return spark.createDataFrame(rows, "shard long, n_rows long")
+
+
+# --- K21: schema-evolving MERGE (Delta autoMerge semantics) --------------
+
+K21_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END AS o_orderpriority
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "k21_schema_evolution",
+    K21_ORACLE,
+    doc="schema-evolving MERGE, content-proven end-to-end: a v1 table "
+    "(no priority column) replace-merged with a v2 batch that ADDS "
+    "o_orderpriority under evolve_schema=True (Delta autoMerge "
+    "semantics; reference inventory_transform.py:265-275 is the MERGE "
+    "being generalized). Historical v1-only rows read the new column "
+    "as NULL, v2 rows carry it — the oracle derives the same table "
+    "from orders directly, so a hash match proves the widening merge "
+    "rewrote values, keys, and NULL padding exactly. The widening "
+    "merge takes the full-snapshot path by design (a scoped merge "
+    "would strand old-schema partitions behind mergeSchema reads "
+    "forever — upsert_replace docstring).",
+)
+def k21_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+
+    out = tempfile.mkdtemp(prefix="shopware_spark_k21_")
+    orders = table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    t = ParquetUpsertTable(spark, f"{out}/orders_evolving")
+    t.create_or_overwrite(v1)
+    t.upsert_replace(v2, ("o_orderkey",), evolve_schema=True)
+    return t.read().select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )

@@ -60,8 +60,9 @@ CORE_ORDER: tuple[str, ...] = (
     "st12_stream_dim_replace",
     # new in r6: hybrid skew-aware equi-join (k12 rotated out, green r5)
     "j5_skew_join",
-    # warehouse / storage layer
-    "k14_rollup_cascade",
+    # warehouse / storage layer — k21 new in r6 (schema-evolving merge;
+    # k14 rotated out, green r5 + sweep coverage)
+    "k21_schema_evolution",
     "k16_scd2_history",
     "k17_zone_map_scan",
     "k19_bloom_point_lookup",
@@ -101,10 +102,15 @@ CORE_ORDER: tuple[str, ...] = (
     "m23_negative_sample",
     "m24_dense_ids",
     "m25_transition_matrix",
-    "m26_resample_ffill",
-    # analytics
-    "a13_funnel",
-    "a14_cohort_retention",
+    # new in r6: linear-interpolation resample (m26 ffill rotated out,
+    # green r5 + sweep coverage)
+    "m30_resample_interpolate",
+    # analytics — a24 new in r6 (last-touch attribution; a13 rotated
+    # out, green r5 + sweep coverage)
+    "a24_attribution",
+    # new in r6: custom stateful streaming aggregate (a14 rotated out,
+    # green r5 + sweep coverage)
+    "st16_stream_custom_state",
     "a15_key_skew_profile",
     "a16_regression_trends",
     "a17_winsorize",
@@ -117,6 +123,10 @@ CORE_ORDER: tuple[str, ...] = (
     "st10_stream_stream_join",
     # --- driver window boundary (first 50 above) ---
     # rotated out in r6 (each has a green r5 driver row):
+    "a13_funnel",
+    "a14_cohort_retention",
+    "m26_resample_ffill",
+    "k14_rollup_cascade",
     "m22_sequence_examples",
     "st9_stream_sessions",
     "t10_tfidf_top_terms",

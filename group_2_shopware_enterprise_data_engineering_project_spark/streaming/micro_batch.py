@@ -96,11 +96,19 @@ def run_available_now(
     stream_df: DataFrame,
     checkpoint: str,
     batch_fn,
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """Drain everything currently available through `batch_fn(df, batch_id)`
-    and stop — the finite-run harness for tests and backfills."""
+    and stop — the finite-run harness for tests and backfills.
+
+    ``output_mode``: Update-mode stateful operators (e.g.
+    `stateful.running_user_stats`) are rejected by the default Append
+    writer — pass "update" for those; with a foreachBatch sink the
+    mode only gates which plans Spark accepts, the sink sees the same
+    per-batch frames either way."""
     q = (
-        stream_df.writeStream.foreachBatch(batch_fn)
+        stream_df.writeStream.outputMode(output_mode)
+        .foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

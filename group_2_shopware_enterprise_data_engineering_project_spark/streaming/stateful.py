@@ -113,3 +113,78 @@ def running_counts(stream: DataFrame, key_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: (count, exact cents, sorted distinct types) — the running_user_stats
+#: state row. The distinct set rides as an array; its size is the
+#: domain's cardinality (event types: ~5), NOT the stream length.
+USER_STATS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("types", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def running_user_stats(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running (event count, exact-cents value sum, DISTINCT
+    type count) — the stateful aggregate native streaming aggregation
+    cannot express: streaming `count(distinct)` is unsupported in
+    Spark, and approx_count_distinct changes the answer. State per key
+    is (count, cents, the distinct-type set) — the set is bounded by
+    the TYPE domain (handfuls), not the stream, so state stays small
+    at any stream length.
+
+    Values accumulate as integer cents (floor(v*100+0.5) per row,
+    BIGINT sum) so the running total is exact and order-independent —
+    the same discipline as the batch A1 KPI, which makes the streamed
+    result bit-equal to the batch groupBy.
+
+    Emitted once per key per micro-batch it appears in (Update mode);
+    land it with a replace-merge sink for an exactly-once final table.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_types", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    def _stats(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, cents, types = state.get if state.exists else (0, 0, [])
+        seen = set(types)
+        for pdf in pdfs:
+            n += len(pdf)
+            # floor(v*100+0.5) per row in Python floats IS the engines'
+            # DOUBLE arithmetic (same IEEE ops, same rounding)
+            for v in pdf[value_col]:
+                if pd.notna(v):
+                    cents += int((v * 100.0 + 0.5) // 1)
+            seen.update(t for t in pdf[type_col] if t is not None)
+        state.update((n, cents, sorted(seen)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_types": [len(seen)],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _stats,
+        outputStructType=out_schema,
+        stateStructType=USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

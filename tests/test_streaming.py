@@ -927,3 +927,55 @@ def test_incremental_dedup_sink_replay_and_crash_safety(spark, tmp_path):
     assert {
         (r.doc_a, r.doc_b): r.jaccard for r in pairs_table.read().collect()
     } == expected
+
+
+def test_running_user_stats_distinct_across_batches(spark, tmp_path):
+    """The distinct-type set must accumulate ACROSS micro-batches (the
+    part native streaming aggregation can't express), and the cents
+    accumulator must be exact."""
+    import json
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        run_available_now,
+        stream_json_source,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [{"user_id": 1, "event_id": 1, "event_type": "click", "value": 0.1},
+         {"user_id": 1, "event_id": 2, "event_type": "click", "value": 0.2}],
+        # same type again (no growth) plus a NEW type, null value
+        [{"user_id": 1, "event_id": 3, "event_type": "click", "value": 0.3},
+         {"user_id": 1, "event_id": 4, "event_type": "view", "value": None}],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (p.stat().st_mtime + 10 * i,) * 2)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    emitted = []
+    run_available_now(
+        running_user_stats(
+            stream_json_source(spark, str(src), schema, max_files_per_trigger=1)
+        ),
+        str(tmp_path / "ckpt"),
+        lambda df, bid: emitted.append((bid, df.collect())),
+        output_mode="update",
+    )
+    rows_by_batch = {bid: rows for bid, rows in emitted if rows}
+    r0, r1 = rows_by_batch[0][0], rows_by_batch[1][0]
+    assert (r0.n_events, r0.n_types, r0.total_value) == (2, 1, 0.3)
+    # 0.1+0.2+0.3 as floats is NOT 0.6; exact cents make it exact
+    assert (r1.n_events, r1.n_types, r1.total_value) == (4, 2, 0.6)
