@@ -1129,3 +1129,50 @@ def st15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .select("user_id", "click_id", "buy_id", "click_ts", "buy_ts")
     )
+
+
+# --- S9: XML format interop (Spark 4 native) ------------------------------
+
+S9_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_price,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "s9_xml_roundtrip",
+    S9_ORACLE,
+    doc="XML interop via Spark 4's NATIVE xml source (the spark-xml "
+    "package folded into core — zero extra jars): orders -> row-tagged "
+    "XML -> schema-pinned XML scan -> per-priority agg; the oracle "
+    "runs on the ORIGINAL parquet, so a hash match proves the text "
+    "roundtrip is lossless incl. doubles (Java's shortest-roundtrip "
+    "Double.toString parses back bit-identical). The read pins an "
+    "explicit schema: XML carries no types, and letting inference "
+    "guess would make the plan data-dependent.",
+)
+def s9_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmp("s9")
+    cols = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.format("xml").option("rowTag", "order").mode("overwrite").save(out)
+    back = spark.read.format("xml").schema(cols).option("rowTag", "order").load(out)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -454,3 +454,63 @@ def k21_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
+
+
+# --- K22: time travel + change data feed over the stored version chain ----
+
+K22_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       o_totalprice * CAST(2.0 AS DOUBLE) AS o_totalprice,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'update' ELSE 'insert' END
+           AS _change_type
+FROM orders WHERE o_orderkey % 3 = 0
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "k22_time_travel_cdc",
+    K22_ORACLE,
+    doc="time travel + change data feed driven through the STORED "
+    "version chain (Delta CDF's role, cf. k11 which diffs derived "
+    "frames): v1 = even orderkeys, v2 = replace-merge of every third "
+    "key with doubled price (updates for keys in both, inserts "
+    "otherwise); the result is table_changes(1, 2) — CDC post-images "
+    "with insert/update classification — hash-proven against a "
+    "derivation straight from orders (x2.0 is an exponent bump, so "
+    "doubled DOUBLEs are exact on both engines). In-query asserts pin "
+    "read_version row counts for both snapshots; unchanged keys must "
+    "be ABSENT from the feed. Scale: versions are manifest pointers "
+    "(no copy); the diff is one full-outer key shuffle comparing "
+    "non-key columns as null-safe structs.",
+)
+def k22_time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+
+    out = tempfile.mkdtemp(prefix="shopware_spark_k22_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    v2 = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(2.0)
+    )
+    t = ParquetUpsertTable(spark, f"{out}/orders_versioned")
+    t.create_or_overwrite(v1)
+    t.upsert_replace(v2, ("o_orderkey",))
+
+    n1, n2 = t.read_version(1).count(), t.read_version(2).count()
+    exp1 = v1.count()
+    # v2 adds the odd multiples of 3 as new keys
+    exp2 = exp1 + v2.filter(F.col("o_orderkey") % 2 != 0).count()
+    if (n1, n2) != (exp1, exp2):
+        raise AssertionError(
+            f"time travel broken: versions {(n1, n2)} != {(exp1, exp2)}"
+        )
+    return t.table_changes(1, 2, ("o_orderkey",)).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "_change_type"
+    )

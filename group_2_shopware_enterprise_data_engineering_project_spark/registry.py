@@ -57,13 +57,17 @@ CORE_ORDER: tuple[str, ...] = (
     "pipe_llm_prep",
     "t17_strip_markup",
     "t18_url_stats",
-    "st12_stream_dim_replace",
+    # new in r6: native-XML interop (st12 rotated out, green r5 +
+    # sweep + pytest coverage)
+    "s9_xml_roundtrip",
     # new in r6: hybrid skew-aware equi-join (k12 rotated out, green r5)
     "j5_skew_join",
     # warehouse / storage layer — k21 new in r6 (schema-evolving merge;
     # k14 rotated out, green r5 + sweep coverage)
     "k21_schema_evolution",
-    "k16_scd2_history",
+    # new in r6: stored-version-chain time travel + CDC (k16 rotated
+    # out, green r5 + sweep coverage)
+    "k22_time_travel_cdc",
     "k17_zone_map_scan",
     "k19_bloom_point_lookup",
     "k20_shard_manifest",
@@ -125,6 +129,8 @@ CORE_ORDER: tuple[str, ...] = (
     # rotated out in r6 (each has a green r5 driver row):
     "a13_funnel",
     "a14_cohort_retention",
+    "k16_scd2_history",
+    "st12_stream_dim_replace",
     "m26_resample_ffill",
     "k14_rollup_cascade",
     "m22_sequence_examples",
