@@ -514,3 +514,66 @@ def k22_time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.table_changes(1, 2, ("o_orderkey",)).select(
         "o_orderkey", "o_custkey", "o_totalprice", "_change_type"
     )
+
+
+# --- J6: dynamic partition pruning (runtime subquery filter) --------------
+
+J6_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_price
+FROM orders
+WHERE CAST(strftime(o_orderdate, '%Y') AS BIGINT) = 1995
+GROUP BY 1
+"""
+
+
+@register(
+    "j6_dynamic_partition_pruning",
+    J6_ORACLE,
+    doc="dynamic partition pruning, plan-proven: orders written "
+    "month-partitioned (~80 partitions), joined to a month dim "
+    "filtered on a NON-join column (year = 1995) — the fact-side "
+    "partition filter cannot be static, so Catalyst must inject the "
+    "runtime dynamicpruning subquery that scans the dim first and "
+    "prunes fact partitions before the fact scan runs. The query "
+    "RAISES unless the physical plan carries the dynamicpruning "
+    "expression on the fact scan (the k12/k17-style physical assert); "
+    "the oracle proves the pruned join returns exactly the "
+    "full-table-filter rows. At 100 TB this is the difference between "
+    "scanning 12/96 months and scanning the table.",
+)
+def j6_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="shopware_spark_j6_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"),
+    )
+    orders.write.partitionBy("ship_month").mode("overwrite").parquet(out)
+
+    fact = spark.read.parquet(out)
+    months = (
+        orders.select(
+            "ship_month",
+            F.year("o_orderdate").cast("long").alias("ship_year"),
+        )
+        .distinct()
+    )
+    joined = fact.join(
+        F.broadcast(months.filter(F.col("ship_year") == 1995)), "ship_month"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan.lower():
+        raise AssertionError(
+            "dynamic partition pruning missing from the fact scan:\n" + plan[:2000]
+        )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return joined.groupBy("ship_month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_price"),
+    )

@@ -69,7 +69,9 @@ CORE_ORDER: tuple[str, ...] = (
     # out, green r5 + sweep coverage)
     "k22_time_travel_cdc",
     "k17_zone_map_scan",
-    "k19_bloom_point_lookup",
+    # new in r6: runtime dynamicpruning subquery, plan-proven (k19
+    # rotated out, green r5 + sweep coverage)
+    "j6_dynamic_partition_pruning",
     "k20_shard_manifest",
     # ANN / embedding family
     "e10_ann_lsh_multiprobe",
@@ -130,6 +132,7 @@ CORE_ORDER: tuple[str, ...] = (
     "a13_funnel",
     "a14_cohort_retention",
     "k16_scd2_history",
+    "k19_bloom_point_lookup",
     "st12_stream_dim_replace",
     "m26_resample_ffill",
     "k14_rollup_cascade",
