@@ -534,3 +534,52 @@ def test_salted_bipartite_join_is_lossless(spark, left, right, cap):
     )
     # exactly once each: compare as sorted LISTS, not sets
     assert sorted(got) == want
+
+
+# --- temperature resample: quota law under any source layout --------------
+
+SRC_LAYOUT = st.lists(
+    st.integers(min_value=1, max_value=60),  # docs per source
+    min_size=1,
+    max_size=6,
+)
+
+
+def _quota_reference(sizes: list[int], sample_div: int) -> dict[str, int]:
+    """Pure-Python largest-remainder reference for temperature_resample:
+    isqrt weights, BIGINT div/mod, remainder-desc + name-asc tie-break,
+    without-replacement clamp (no redistribution)."""
+    import math
+
+    names = [f"s{i}" for i in range(len(sizes))]
+    w = {n: math.isqrt(c) for n, c in zip(names, sizes)}
+    W = sum(w.values())
+    k = sum(sizes) // sample_div
+    base = {n: (k * w[n]) // W for n in names}
+    rem = {n: (k * w[n]) % W for n in names}
+    leftover = k - sum(base.values())
+    ranked = sorted(names, key=lambda n: (-rem[n], n))
+    return {
+        n: min(base[n] + (1 if i < leftover else 0), sizes[names.index(n)])
+        for i, n in enumerate(ranked)
+    }
+
+
+@given(sizes=SRC_LAYOUT, div=st.integers(min_value=2, max_value=8))
+@_settings
+def test_temperature_resample_matches_reference_quotas(spark, sizes, div):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+    rows, next_id = [], 0
+    for i, c in enumerate(sizes):
+        for _ in range(c):
+            rows.append((next_id, f"s{i}"))
+            next_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = prep.temperature_resample(docs, sample_div=div).collect()
+    got: dict[str, int] = {}
+    for r in out:
+        got[r.source] = got.get(r.source, 0) + 1
+        assert 1 <= r.mix_rank <= r.quota
+    expect = {n: q for n, q in _quota_reference(sizes, div).items() if q > 0}
+    assert got == expect

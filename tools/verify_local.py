@@ -189,8 +189,14 @@ def main():
                 exact_bad = [(a, b) for a, b in zip(sm, om) if a != b]
                 frag = all(close_enough(a, b) for a, b in exact_bad)
                 if frag:
+                    # COUNTED AS RED since r6: the driver's hash is
+                    # exact, so "within 1e-9" still fails there — the
+                    # r4/r5 m15 episode proved local leniency breeds
+                    # false confidence. The distinct FRAG label (vs
+                    # FAIL) is kept only to speed up diagnosis.
                     print(
-                        f"FRAG  {name}: exact mismatch but within 1e-9 "
+                        f"FRAG  {name}: exact mismatch within 1e-9 — "
+                        f"RED, the driver hash is exact "
                         f"({len(exact_bad)} rows) [{time.time()-t0:.1f}s]"
                     )
                     for a, b in exact_bad[:3]:
@@ -201,6 +207,7 @@ def main():
                         "oracle_rows": len(orows), "err": None,
                         "note": f"float-fragile: {len(exact_bad)} rows within 1e-9",
                     }
+                    failures += 1
                     continue
                 problems.append(f"values differ ({len(exact_bad)} rows)")
                 for a, b in exact_bad[:3]:
