@@ -539,9 +539,14 @@ def last_touch_attribution(
         F.col("ts").alias("buy_ts"),
         "value",
     )
-    touch = events.filter(F.col("event_type").isin(*touch_types)).select(
-        "user_id", "ts", "event_type", "event_id"
-    )
+    # NULL-user touches are excluded so a NULL-user conversion can
+    # never be attributed: the as-of union-window would otherwise group
+    # NULL keys into ONE window partition and forward-fill across them
+    # (SQL join equality never matches NULL — this filter makes the
+    # window formulation agree with that semantics by construction).
+    touch = events.filter(
+        F.col("event_type").isin(*touch_types) & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", "event_type", "event_id")
     matched = asof_join(
         conv,
         touch,

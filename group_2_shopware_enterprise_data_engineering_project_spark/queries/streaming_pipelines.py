@@ -1124,9 +1124,12 @@ def st15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(f"{pdir}/zz_sentinel.json", "w") as f:
         f.write(json.dumps({"user_id": -1, "buy_id": -1, "b_us": max_us + 10 * day_us}))
     run_available_now(joined, ckpt, sink)
+    # drop exactly the sentinel (null-safe: a NULL-user click is real
+    # data — it flushes null-padded here AND survives the oracle's
+    # LEFT JOIN, so it must be kept)
     return (
         spark.read.parquet(out)
-        .filter(F.col("user_id") >= 0)
+        .filter(~F.col("user_id").eqNullSafe(F.lit(-1)))
         .select("user_id", "click_id", "buy_id", "click_ts", "buy_ts")
     )
 
