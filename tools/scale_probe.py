@@ -38,6 +38,8 @@ Probed operators (the r4/r5 scale-engineered set):
   minhash   — minhash_lsh_dedup (banded LSH + capped buckets + verify)
   near_dup  — embedding_near_dup_pairs (SRP buckets + salt-split cap)
   pack      — sequence_pack (sharded running sum)
+  mix       — temperature_resample (per-source rank; sources grow
+              k-fold wide, quota frame stays D rows)
   redact    — pii_redact (zero-shuffle regex cascade)
   qgram     — er.qgram_pairs (inverted q-gram index + stop-gram cut)
   er_block  — er.blocked_pairs (blocking keys + Levenshtein verify)
@@ -84,6 +86,9 @@ def _docs_k(docs: DataFrame, k: int) -> DataFrame:
             docs.select(
                 (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
                 F.regexp_replace("text", r"(\S+)", f"$1_r{i}").alias("text"),
+                # unchanged per replica: each source grows k-fold wide,
+                # the per-source-rank scaling axis the mix op probes
+                "source",
             )
         )
     out = parts[0]
@@ -179,6 +184,7 @@ def main() -> None:
         "minhash": lambda d, e, p: minhash.minhash_lsh_dedup(d),
         "near_dup": lambda d, e, p: similarity.embedding_near_dup_pairs(e),
         "pack": lambda d, e, p: prep.sequence_pack(d),
+        "mix": lambda d, e, p: prep.temperature_resample(d),
         "redact": lambda d, e, p: text.pii_redact(d),
         "qgram": lambda d, e, p: er.qgram_pairs(
             p, "p_partkey", "p_name", q=3, min_shared=4
