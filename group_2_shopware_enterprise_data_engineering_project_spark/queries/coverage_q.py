@@ -419,3 +419,75 @@ def st16_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return table_out.read().select("user_id", "n_events", "n_types", "total_value")
+
+
+# --- ST17: stream-static enrichment join ----------------------------------
+
+ST17_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register(
+    "st17_stream_static_join",
+    ST17_ORACLE,
+    doc="stream-static enrichment join: an event stream (3 ordered "
+    "micro-batches) joined PER BATCH against the static customer dim "
+    "— Spark re-plans the join each micro-batch with the dim "
+    "broadcast, the standard enrich-on-ingest shape (no state, no "
+    "watermark: the static side is not a stream). Enriched rows land "
+    "append-only; the final per-segment exact-cents rollup must "
+    "equal the batch join — the oracle proves per-batch enrichment "
+    "loses and invents nothing.",
+)
+def st17_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        run_available_now,
+    )
+
+    base = _tmp("st17")
+    src, ckpt, out = f"{base}/in", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+    os.makedirs(out, exist_ok=True)
+    events = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    for b in range(3):
+        stage = f"{base}/stage_{b}"
+        events.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).json(stage)
+        part = next(n for n in os.listdir(stage) if n.endswith(".json"))
+        dest = os.path.join(src, f"b{b}.json")
+        shutil.move(os.path.join(stage, part), dest)
+        t = os.path.getmtime(dest)
+        os.utime(dest, (t + 10 * b, t + 10 * b))
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_json_source(
+        spark, src, schema, max_files_per_trigger=1
+    ).join(F.broadcast(dim), "user_id")
+    run_available_now(
+        enriched, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
+    )
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+    )
