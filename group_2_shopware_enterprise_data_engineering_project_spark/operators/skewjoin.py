@@ -13,11 +13,19 @@ operator bounds the per-task row count for chosen keys STRUCTURALLY:
      input, cut at ``hot_threshold`` rows. The hot list is at most
      n/threshold entries — broadcastable at any scale (same argument
      as saltjoin's oversized-bucket list).
-  2. Left hot rows get a deterministic salt in [0, salt) (hash of the
-     whole row's left-side id expression — xxhash64 of all left
-     columns — so replays are stable); right hot rows are REPLICATED
-     once per salt value. Join key becomes (key, salt): each hot key's
-     left rows spread over ``salt`` tasks instead of one.
+  2. Left hot rows get a DETERMINISTIC salt in [0, salt): xxhash64 of
+     ``left_id`` when the caller names a unique row id (the preferred
+     form — exact duplicate payloads still spread), else xxhash64 of
+     every left column (distinct rows spread; full-row duplicates
+     share a salt, so the per-task bound degrades to per-distinct-row
+     — name an id if hot keys can carry mass duplication). Salts must
+     be recompute-stable: a salt that varies across task attempts
+     (e.g. monotonically_increasing_id) is a shuffle-retry
+     correctness hazard — a re-run map task would route rows to
+     different reducers than the copies already fetched. Right hot
+     rows are REPLICATED once per salt value. Join key becomes
+     (key, salt): each hot key's left rows spread over ``salt`` tasks
+     instead of one.
   3. Cold rows take the plain equi-join path (salt 0 vs salt 0,
      zero replication), and the two paths are a single union-free join
      because cold rows simply carry salt 0 on both sides.
@@ -50,6 +58,7 @@ def skew_join(
     salt: int = 16,
     hot_threshold: int = 1_000_000,
     how: str = "inner",
+    left_id: str | None = None,
 ) -> DataFrame:
     """Equi-join ``left`` with ``right`` on ``on`` with hot-key
     salting. Output columns = plain ``left.join(right, on, how)``
@@ -64,7 +73,9 @@ def skew_join(
     if how not in ("inner", "left"):
         raise ValueError(f"skew_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    lsalted, rsalted = salted_sides(left, right, keys, salt, hot_threshold)
+    lsalted, rsalted = salted_sides(
+        left, right, keys, salt, hot_threshold, left_id=left_id
+    )
     joined = lsalted.join(rsalted, [*keys, "_salt"], how)
     return joined.drop("_salt")
 
@@ -75,6 +86,7 @@ def salted_sides(
     keys: list[str],
     salt: int,
     hot_threshold: int,
+    left_id: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The two `_salt`-carrying join inputs (exposed for tests and for
     callers composing extra predicates into the join)."""
@@ -87,25 +99,29 @@ def salted_sides(
         .withColumn("_hot", F.lit(True))
     )
 
-    # 2. left side: salt hot rows, cold rows salt 0. The salt mixes a
-    # row-content hash with monotonically_increasing_id so IDENTICAL
-    # duplicate rows still spread (a pure content hash would re-pile
-    # them); the OUTPUT multiset is invariant under any salt
-    # assignment (each left row meets all right rows of its key at
-    # exactly its salt), so the id's nondeterminism can never reach
-    # the result — only the task layout.
-    lcols = left.columns
+    # 2. left side: salt hot rows, cold rows salt 0. The salt is a
+    # DETERMINISTIC hash — of the caller's unique row id when given
+    # (exact duplicate payloads still spread), else of every left
+    # column (distinct rows spread; full-row duplicates share a salt,
+    # the documented degradation). It must be recompute-stable: a
+    # per-attempt value (monotonically_increasing_id, rand) in a
+    # shuffle key is a retry correctness hazard — after a fetch
+    # failure the re-run map's rows would route to different reducers
+    # than the copies already consumed, silently dropping or
+    # double-counting hot rows. No addition either: a lone
+    # pmod(xxhash64, n) cannot overflow under ANSI mode.
+    salt_src = (
+        [F.lit("skewsalt"), F.col(left_id)]
+        if left_id is not None
+        else [F.col(c) for c in left.columns]
+    )
     lsalted = (
         left.join(F.broadcast(hot), keys, "left")
         .withColumn(
             "_salt",
             F.when(
                 F.col("_hot").isNotNull(),
-                F.pmod(
-                    F.xxhash64(*[F.col(c) for c in lcols])
-                    + F.monotonically_increasing_id(),
-                    F.lit(salt),
-                ).cast("int"),
+                F.pmod(F.xxhash64(*salt_src), F.lit(salt)).cast("int"),
             ).otherwise(F.lit(0)),
         )
         .drop("_hot")

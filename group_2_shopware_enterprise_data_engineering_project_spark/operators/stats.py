@@ -276,6 +276,63 @@ HLL_M = 64
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 
 
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The mergeable HLL artifact: per (group, bucket) max rank —
+    (g, b, r) rows, at most HLL_M per group. Two corpora's register
+    tables merge with `hll_merge` (union + max — commutative,
+    associative, idempotent), and `hll_distinct` is exactly
+    `hll_registers` + the estimate rollup, so merged registers feed
+    the same estimator. Bucket and rank come from disjoint md5 slices
+    (see `hll_distinct` for the cross-engine rationale)."""
+    val = F.col(value_col).cast("string")
+    h = F.md5(val)
+    bucket = F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(HLL_M))
+    v48 = F.conv(F.substring(h, 5, 12), 16, 10).cast("long")
+    # rho = leading zeros in the 48-bit slice + 1 = 49 - bit_length;
+    # bin(0) = '0' (length 1) maps v48=0 to rho=48 in BOTH engines —
+    # off the Flajolet convention by 1 with probability 2^-48, and
+    # identically so on each side, which is what the oracle needs
+    rho = F.lit(49) - F.length(F.bin(v48))
+    return (
+        df.select(F.col(group_col).alias("g"), bucket.alias("b"), rho.alias("rho"))
+        .groupBy("g", "b")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Max-merge register tables built by `hll_registers` on disjoint
+    (or overlapping — max is idempotent) corpora: the distributed-
+    sketch property that lets 100 TB be sketched shard by shard and
+    combined in O(groups x m) rows."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("g", "b").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """The estimate rollup over a register table — (g,
+    n_zero_registers, hll_raw_est), same algebra as `hll_distinct`
+    minus the exact-count verification branch."""
+    rolled = regs.groupBy("g").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(49 - r as int))"))
+        .cast("long")
+        .alias("s_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+    )
+    const = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 49)
+    zeros = F.lit(HLL_M) - F.col("n_regs")
+    s_full = F.col("s_exact") + zeros.cast("long") * F.lit(1 << 49)
+    return rolled.select(
+        "g",
+        zeros.cast("long").alias("n_zero_registers"),
+        (F.lit(const) / s_full.cast("double")).alias("hll_raw_est"),
+    )
+
+
 def hll_distinct(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:
@@ -302,21 +359,7 @@ def hll_distinct(
     registers with max); exact_distinct is a verification-only branch
     a production pipeline would drop.
     """
-    val = F.col(value_col).cast("string")
-    h = F.md5(val)
-    bucket = F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(HLL_M))
-    v48 = F.conv(F.substring(h, 5, 12), 16, 10).cast("long")
-    # rho = leading zeros in the 48-bit slice + 1 = 49 - bit_length;
-    # bin(0) = '0' (length 1) maps v48=0 to rho=48 in BOTH engines —
-    # off the Flajolet convention by 1 with probability 2^-48, and
-    # identically so on each side, which is what the oracle needs
-    rho = F.lit(49) - F.length(F.bin(v48))
-
-    regs = (
-        df.select(F.col(group_col).alias("g"), bucket.alias("b"), rho.alias("rho"))
-        .groupBy("g", "b")
-        .agg(F.max("rho").alias("r"))
-    )
+    regs = hll_registers(df, group_col, value_col)
     rolled = regs.groupBy("g").agg(
         F.sum(F.expr("shiftleft(cast(1 as bigint), cast(49 - r as int))"))
         .cast("long")

@@ -540,11 +540,16 @@ def canonicalize_url(url) -> Column:
     portability constraints that shape it."""
     low = F.regexp_replace(F.lower(url), "#.*", "")
     scheme = F.regexp_extract(low, r"^(https?)://", 1)
-    host = F.regexp_extract(low, r"^https?://([^/:]+)", 1)
-    # the whole ':<anything>' authority suffix, kept verbatim unless it
-    # is exactly the scheme's default port
-    portpart = F.regexp_extract(low, r"^https?://[^/:]+(:[^/]*)", 1)
-    rest = F.regexp_replace(low, r"^https?://[^/]+", "")
+    # '?' terminates the authority (RFC 3986): without it in the
+    # classes, 'https://host:443?a=1' captured portpart ':443?a=1'
+    # (default port NOT stripped) and 'https://host?a=1' swallowed the
+    # query into host — a no-path-with-query URL canonicalized
+    # differently from its pathed twin
+    host = F.regexp_extract(low, r"^https?://([^/:?#]+)", 1)
+    # the ':<port>' authority suffix, kept verbatim unless it is
+    # exactly the scheme's default port
+    portpart = F.regexp_extract(low, r"^https?://[^/:?#]+(:[^/?#]*)", 1)
+    rest = F.regexp_replace(low, r"^https?://[^/?#]+", "")
     default_port = ((scheme == F.lit("https")) & (portpart == F.lit(":443"))) | (
         (scheme == F.lit("http")) & (portpart == F.lit(":80"))
     )
@@ -595,7 +600,7 @@ def url_stats(
     ).select(
         "doc_id",
         "canon_url",
-        F.regexp_extract("canon_url", r"^https?://([^/:]+)", 1).alias("domain"),
+        F.regexp_extract("canon_url", r"^https?://([^/:?#]+)", 1).alias("domain"),
     )
     return with_domain.groupBy("domain").agg(
         F.count(F.lit(1)).cast("long").alias("n_urls"),

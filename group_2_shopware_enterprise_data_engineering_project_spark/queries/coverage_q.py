@@ -37,6 +37,7 @@ from group_2_shopware_enterprise_data_engineering_project_spark.sources.readers 
 )
 from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
     run_available_now,
+    stage_ordered_batches,
     stream_json_source,
 )
 from group_2_shopware_enterprise_data_engineering_project_spark.streaming.stateful import (
@@ -225,14 +226,7 @@ def st2_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one file per batch, mtimes strictly increasing so the file source
     # processes them in batch order (FileStreamSource orders by mtime)
-    for b in range(3):
-        stage = f"{base}/stage_{b}"
-        events.filter(F.col("batch") == b).coalesce(1).write.mode("overwrite").json(stage)
-        part = next(n for n in os.listdir(stage) if n.endswith(".json"))
-        dest = os.path.join(src, f"b{b}.json")
-        shutil.move(os.path.join(stage, part), dest)
-        t = os.path.getmtime(dest)
-        os.utime(dest, (t + 10 * b, t + 10 * b))
+    stage_ordered_batches(events, src, 3, F.col("batch"))
 
     schema = T.StructType(
         [T.StructField("key", T.LongType()), T.StructField("batch", T.LongType())]
@@ -386,16 +380,7 @@ def st16_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type", "value"
     )
     # 3 files with strictly increasing mtimes -> 3 ordered micro-batches
-    for b in range(3):
-        stage = f"{base}/stage_{b}"
-        events.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
-            "overwrite"
-        ).json(stage)
-        part = next(n for n in os.listdir(stage) if n.endswith(".json"))
-        dest = os.path.join(src, f"b{b}.json")
-        shutil.move(os.path.join(stage, part), dest)
-        t = os.path.getmtime(dest)
-        os.utime(dest, (t + 10 * b, t + 10 * b))
+    stage_ordered_batches(events, src, 3, F.col("event_id") % 3)
 
     schema = T.StructType(
         [
@@ -455,16 +440,7 @@ def st17_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src)
     os.makedirs(out, exist_ok=True)
     events = table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    for b in range(3):
-        stage = f"{base}/stage_{b}"
-        events.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
-            "overwrite"
-        ).json(stage)
-        part = next(n for n in os.listdir(stage) if n.endswith(".json"))
-        dest = os.path.join(src, f"b{b}.json")
-        shutil.move(os.path.join(stage, part), dest)
-        t = os.path.getmtime(dest)
-        os.utime(dest, (t + 10 * b, t + 10 * b))
+    stage_ordered_batches(events, src, 3, F.col("event_id") % 3)
 
     schema = T.StructType(
         [

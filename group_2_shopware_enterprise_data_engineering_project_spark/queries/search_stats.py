@@ -536,7 +536,12 @@ def j5_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("user_id"), "o_orderkey"
     )
     return skewjoin.skew_join(
-        events, orders, on="user_id", salt=4, hot_threshold=50
+        events,
+        orders,
+        on="user_id",
+        salt=4,
+        hot_threshold=50,
+        left_id="event_id",
     )
 
 
@@ -544,14 +549,20 @@ def j5_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_D, _CMS_W = 4, 256
 
-M27_ORACLE = f"""
+
+def cms_oracle(d: int, w: int) -> str:
+    """The count-min estimate recurrence as DuckDB SQL — ONE builder
+    shared by m27 (batch) and st13 (streamed; increments commute so
+    the final counter table is byte-identical), so a fix to the sketch
+    algebra cannot silently apply to only one of them."""
+    return f"""
 WITH e AS (
   SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events
 ), hashed AS (
   SELECT user_id, i,
          ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || k), 1, 6))::BIGINT
-             % {_CMS_W} AS bucket
-  FROM e CROSS JOIN (SELECT unnest(range({_CMS_D})) AS i)
+             % {w} AS bucket
+  FROM e CROSS JOIN (SELECT unnest(range({d})) AS i)
 ), counters AS (
   SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
   FROM hashed GROUP BY 1, 2
@@ -566,6 +577,9 @@ WITH e AS (
 )
 SELECT user_id, exact_n, cms_est FROM exact JOIN est USING (user_id)
 """
+
+
+M27_ORACLE = cms_oracle(_CMS_D, _CMS_W)
 
 
 @register(

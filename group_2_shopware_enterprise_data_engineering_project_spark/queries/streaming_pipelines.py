@@ -843,33 +843,16 @@ def st12_stream_dim_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ST13: streaming count-min sketch maintenance --------------------------
 
-_ST13_D, _ST13_W = 4, 256
-
 # Counter increments commute, so the final streamed counter table is
-# byte-identical to the batch-built sketch — the oracle is EXACT (see
-# m27_count_min; same hashing, same estimate algebra).
-ST13_ORACLE = f"""
-WITH e AS (
-  SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events
-), hashed AS (
-  SELECT user_id, i,
-         ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || k), 1, 6))::BIGINT
-             % {_ST13_W} AS bucket
-  FROM e CROSS JOIN (SELECT unnest(range({_ST13_D})) AS i)
-), counters AS (
-  SELECT i, bucket, CAST(count(*) AS BIGINT) AS c
-  FROM hashed GROUP BY 1, 2
-), exact AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n FROM e GROUP BY 1
-), key_buckets AS (
-  SELECT DISTINCT user_id, i, bucket FROM hashed
-), est AS (
-  SELECT user_id, CAST(min(c) AS BIGINT) AS cms_est
-  FROM key_buckets JOIN counters USING (i, bucket)
-  GROUP BY 1
+# byte-identical to the batch-built sketch — the oracle is EXACT and
+# is the SAME builder as m27's (cms_oracle — one copy of the algebra).
+from group_2_shopware_enterprise_data_engineering_project_spark.queries.search_stats import (  # noqa: E402
+    _CMS_D as _ST13_D,
+    _CMS_W as _ST13_W,
+    cms_oracle,
 )
-SELECT user_id, exact_n, cms_est FROM exact JOIN est USING (user_id)
-"""
+
+ST13_ORACLE = cms_oracle(_ST13_D, _ST13_W)
 
 
 @register(
@@ -970,11 +953,8 @@ FROM ({_minhash_oracle()}) t
 def st14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
         incremental_dedup_sink,
+        stage_ordered_batches,
     )
-
-    import glob
-    import os
-    import shutil
 
     base = _tmp("st14")
     src_dir, ckpt = f"{base}/in", f"{base}/ckpt"
@@ -983,18 +963,7 @@ def st14_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     # would NOT give a 1:1 residue->file mapping (hash collisions merge
     # batches), and the oracle's vs_existing flag depends on exact
     # batch membership
-    os.makedirs(src_dir, exist_ok=True)
-    for b in range(_ST14_NB):
-        stage = f"{base}/stage{b}"
-        docs.filter(F.col("doc_id") % _ST14_NB == b).coalesce(1).write.mode(
-            "overwrite"
-        ).json(stage)
-        # an empty residue class writes only _SUCCESS — skip it rather
-        # than IndexError (fewer batches; membership semantics unchanged)
-        part = next(iter(glob.glob(f"{stage}/part-*")), None)
-        if part is None:
-            continue
-        shutil.move(part, f"{src_dir}/batch{b}.json")
+    stage_ordered_batches(docs, src_dir, _ST14_NB, F.col("doc_id") % _ST14_NB)
 
     schema = T.StructType(
         [

@@ -955,9 +955,9 @@ WITH wrapped AS (
 ), parts AS (
   SELECT doc_id,
          regexp_extract(u, '^(https?)://', 1) AS scheme,
-         regexp_extract(u, '^https?://([^/:]+)', 1) AS host,
-         regexp_extract(u, '^https?://[^/:]+(:[^/]*)', 1) AS portpart,
-         regexp_replace(u, '^https?://[^/]+', '') AS rest
+         regexp_extract(u, '^https?://([^/:?#]+)', 1) AS host,
+         regexp_extract(u, '^https?://[^/:?#]+(:[^/?#]*)', 1) AS portpart,
+         regexp_replace(u, '^https?://[^/?#]+', '') AS rest
   FROM low
 ), canon AS (
   SELECT doc_id,
@@ -968,7 +968,7 @@ WITH wrapped AS (
   FROM parts
 ), dom AS (
   SELECT doc_id, canon_url,
-         regexp_extract(canon_url, '^https?://([^/:]+)', 1) AS domain
+         regexp_extract(canon_url, '^https?://([^/:?#]+)', 1) AS domain
   FROM canon
 )
 SELECT domain,

@@ -51,6 +51,39 @@ def stream_json_source(
     return reader.json(path)
 
 
+def stage_ordered_batches(
+    df: DataFrame,
+    src_dir: str,
+    n_batches: int,
+    assign,
+) -> None:
+    """Test/backfill harness: write ``df`` into ``src_dir`` as
+    ``n_batches`` single-file JSON drops with strictly increasing
+    mtimes, so FileStreamSource (which orders by mtime) replays them
+    as ordered micro-batches under ``maxFilesPerTrigger=1``.
+    ``assign`` is a Column expression mapping each row to its batch in
+    [0, n_batches). An empty batch writes only _SUCCESS and is
+    skipped (fewer files; membership semantics unchanged). This is
+    THE staging idiom for the stN queries — one copy, so fixes (like
+    the empty-class skip st14 needed) propagate everywhere."""
+    import os
+    import shutil
+
+    os.makedirs(src_dir, exist_ok=True)
+    for b in range(n_batches):
+        stage = f"{src_dir}/_stage_{b}"
+        df.filter(assign == b).coalesce(1).write.mode("overwrite").json(stage)
+        part = next(
+            (f for f in os.listdir(stage) if f.endswith(".json")), None
+        )
+        if part is not None:
+            dest = os.path.join(src_dir, f"b{b}.json")
+            shutil.move(os.path.join(stage, part), dest)
+            t = os.path.getmtime(dest)
+            os.utime(dest, (t + 10 * b, t + 10 * b))
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def stream_kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -151,7 +151,7 @@ def running_user_stats(
     """
     out_schema = T.StructType(
         [
-            T.StructField("user_id", T.LongType()),
+            T.StructField(key_col, T.LongType()),
             T.StructField("n_events", T.LongType()),
             T.StructField("n_types", T.LongType()),
             T.StructField("total_value", T.DoubleType()),
@@ -174,7 +174,7 @@ def running_user_stats(
         state.update((n, cents, sorted(seen)))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                key_col: [key[0]],
                 "n_events": [n],
                 "n_types": [len(seen)],
                 "total_value": [cents / 100.0],

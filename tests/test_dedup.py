@@ -445,6 +445,12 @@ def test_url_canonicalize_port_strip_is_scheme_aware(spark):
             # non-default ports survive verbatim
             (3, "https://h.example.com:8443/x"),
             (4, "HTTPS://h.example.com:443/p/1#frag"),
+            # default port followed by a QUERY, no path: '?' must
+            # terminate the authority or the port capture swallows the
+            # query and the default port survives un-stripped
+            (5, "https://h.example.com:443?a=1"),
+            (6, "http://h.example.com:8080?a=1"),
+            (7, "https://h.example.com?a=1"),
         ],
         "doc_id long, url string",
     )
@@ -460,6 +466,9 @@ def test_url_canonicalize_port_strip_is_scheme_aware(spark):
         2: "http://h.example.com",
         3: "https://h.example.com:8443/x",
         4: "https://h.example.com/p/1",
+        5: "https://h.example.com?a=1",
+        6: "http://h.example.com:8080?a=1",
+        7: "https://h.example.com?a=1",
     }
 
 

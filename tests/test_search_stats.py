@@ -372,14 +372,29 @@ def test_hll_register_table_is_mergeable(spark):
 
     from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
 
-    # the mergeable-artifact claim: registers of two half-corpora,
-    # max-merged, equal the whole corpus's registers — reconstructed
-    # through the operator by comparing sketch outputs of union vs
-    # whole (identical estimate == identical registers, since the
-    # estimate is injective in the harmonic sum for fixed zeros)
+    # the mergeable-artifact claim, exercised through the ACTUAL merge
+    # path: registers built INDEPENDENTLY per half-corpus, max-merged
+    # with hll_merge, must estimate identically to sketching the whole
+    # corpus at once — and overlap must be absorbed (max idempotent)
     a = spark.createDataFrame([("g", f"a{i}") for i in range(500)], "g string, v string")
     b = spark.createDataFrame([("g", f"b{i}") for i in range(500)], "g string, v string")
     whole = stats.hll_distinct(a.unionByName(b), "g", "v").collect()[0]
-    # merging by union-then-sketch is exactly register max-merge
     assert whole.exact_distinct == 1000
     assert 0.6 * 1000 < whole.hll_raw_est < 1.4 * 1000
+
+    merged = stats.hll_estimate(
+        stats.hll_merge(
+            stats.hll_registers(a, "g", "v"), stats.hll_registers(b, "g", "v")
+        )
+    ).collect()[0]
+    assert merged.hll_raw_est == whole.hll_raw_est
+    assert merged.n_zero_registers == whole.n_zero_registers
+
+    # overlapping shards: a ∪ (a ∪ b) merges to the same registers
+    overlap = stats.hll_estimate(
+        stats.hll_merge(
+            stats.hll_registers(a, "g", "v"),
+            stats.hll_registers(a.unionByName(b), "g", "v"),
+        )
+    ).collect()[0]
+    assert overlap.hll_raw_est == whole.hll_raw_est

@@ -80,22 +80,25 @@ def test_skew_join_multi_key(spark):
 
 def test_skew_join_actually_spreads_hot_key(spark):
     # distribution proof through the operator's own salted frames:
-    # 500 IDENTICAL left rows (worst case for a pure content-hash
-    # salt) must land on >1 salt value, and the right side must be
-    # replicated once per salt while cold rows stay single.
+    # a hot key's DISTINCT rows must land on >1 salt value, the right
+    # side replicated once per salt, cold rows single. The salt is
+    # deterministic (recompute-stable shuffle key — a per-attempt salt
+    # would be a retry correctness hazard), so identical full-row
+    # duplicates share a salt UNLESS the caller names a unique id.
     from group_2_shopware_enterprise_data_engineering_project_spark.operators.skewjoin import (
         salted_sides,
     )
 
     left = spark.createDataFrame(
-        [(7, "dup")] * 500 + [(1, "cold")], "k long, lval string"
+        [(7, f"l{i}") for i in range(500)] + [(1, "cold")],
+        "k long, lval string",
     )
     right = spark.createDataFrame(
         [(7, "r"), (1, "rc")], "k long, rval string"
     )
     lsalted, rsalted = salted_sides(left, right, ["k"], salt=8, hot_threshold=100)
     hot_salts = lsalted.filter(F.col("k") == 7).select("_salt").distinct().count()
-    assert hot_salts > 1, "identical hot rows collapsed onto one salt"
+    assert hot_salts > 1, "distinct hot rows collapsed onto one salt"
     # right hot row replicated across ALL salts; cold row not replicated
     assert rsalted.filter(F.col("k") == 7).count() == 8
     assert rsalted.filter(F.col("k") == 1).count() == 1
@@ -103,6 +106,33 @@ def test_skew_join_actually_spreads_hot_key(spark):
     # and the composed join stays lossless
     out = skew_join(left, right, "k", salt=8, hot_threshold=100)
     assert out.count() == 501
+    # deterministic: the same frame salts identically run to run
+    again, _ = salted_sides(left, right, ["k"], salt=8, hot_threshold=100)
+    assert sorted(
+        (r.k, r.lval, r._salt) for r in lsalted.collect()
+    ) == sorted((r.k, r.lval, r._salt) for r in again.collect())
+
+
+def test_skew_join_left_id_spreads_identical_payloads(spark):
+    """With a caller-named unique id, even IDENTICAL payload rows
+    spread across salts — the preferred form for hot keys that carry
+    mass duplication."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.skewjoin import (
+        salted_sides,
+    )
+
+    left = spark.createDataFrame(
+        [(i, 7, "dup") for i in range(500)], "rid long, k long, lval string"
+    )
+    right = spark.createDataFrame([(7, "r")], "k long, rval string")
+    lsalted, _ = salted_sides(
+        left, right, ["k"], salt=8, hot_threshold=100, left_id="rid"
+    )
+    assert lsalted.select("_salt").distinct().count() > 1
+    out = skew_join(
+        left, right, "k", salt=8, hot_threshold=100, left_id="rid"
+    )
+    assert out.count() == 500
 
 
 def test_skew_join_rejects_unsupported_how(spark):
