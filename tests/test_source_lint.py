@@ -80,3 +80,38 @@ def test_no_defaulted_lambda_params_in_spark_hofs():
         "Column (the r6 minhash signature bug). Capture closure state "
         f"via a factory function instead. Offenders: {offenders}"
     )
+
+
+def test_no_nondeterministic_exprs_in_package_source():
+    """Nondeterministic Spark expressions (rand, randn,
+    monotonically_increasing_id, uuid) are banned from the package:
+    used anywhere near a shuffle key they are a task-retry correctness
+    hazard (the r6 skewjoin salt episode — a re-run map routes rows to
+    different reducers than the copies already fetched), and the
+    engine's determinism discipline (hash-based sampling/salting)
+    never needs them. spark_partition_id is allowed ONLY where the
+    frame is persisted first (dense_ids documents the contract)."""
+    banned = {"rand", "randn", "monotonically_increasing_id", "uuid"}
+    offenders = []
+    for root, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as fh:
+                tree = ast.parse(fh.read(), filename=path)
+            for node in ast.walk(tree):
+                if not isinstance(node, ast.Call):
+                    continue
+                f = node.func
+                name = (
+                    f.attr
+                    if isinstance(f, ast.Attribute)
+                    else f.id if isinstance(f, ast.Name) else None
+                )
+                if name in banned:
+                    offenders.append(f"{path}:{node.lineno} calls {name}()")
+    assert not offenders, (
+        "nondeterministic expression in package source (retry-unsafe "
+        "in shuffle keys; use a deterministic hash):\n" + "\n".join(offenders)
+    )
