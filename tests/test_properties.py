@@ -583,3 +583,60 @@ def test_temperature_resample_matches_reference_quotas(spark, sizes, div):
         assert 1 <= r.mix_rank <= r.quota
     expect = {n: q for n, q in _quota_reference(sizes, div).items() if q > 0}
     assert got == expect
+
+
+# --- skew_join: lossless under any layout, threshold, salt ----------------
+
+SKEW_LEFT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # key
+        st.integers(min_value=0, max_value=10**6),  # unique-ish id
+    ),
+    min_size=0,
+    max_size=30,
+)
+SKEW_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=10**6),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(
+    left=SKEW_LEFT,
+    right=SKEW_RIGHT,
+    salt=st.integers(min_value=1, max_value=6),
+    thr=st.integers(min_value=0, max_value=10),
+    how=st.sampled_from(["inner", "left"]),
+)
+@_settings
+def test_skew_join_lossless_for_any_layout(spark, left, right, salt, thr, how):
+    """For ANY input layout, hot threshold, salt count, and join type,
+    skew_join's output multiset equals the plain join's — including
+    duplicate ids, keys hot on one or both sides, and unmatched left
+    rows under 'left'."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.skewjoin import (
+        skew_join,
+    )
+
+    schema = "k long, v long"
+    ldf = spark.createDataFrame(left or [(0, 0)], schema).limit(len(left))
+    rdf = (
+        spark.createDataFrame(right or [(0, 0)], schema)
+        .limit(len(right))
+        .withColumnRenamed("v", "w")
+    )
+    plain = sorted(
+        (r.k, r.v, r.w)
+        for r in ldf.join(rdf, "k", how).select("k", "v", "w").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.w)
+        for r in skew_join(ldf, rdf, "k", salt=salt, hot_threshold=thr, how=how)
+        .select("k", "v", "w")
+        .collect()
+    )
+    assert salted == plain
