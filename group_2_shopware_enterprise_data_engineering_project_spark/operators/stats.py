@@ -385,3 +385,78 @@ def hll_distinct(
             est.alias("hll_raw_est"),
         )
     )
+
+
+# --- fixed-bin histogram sketch (mergeable quantiles) ----------------------
+
+
+def histogram_bins(
+    df: DataFrame,
+    group_col: str,
+    value_cents,
+    lo: int,
+    hi: int,
+    bins: int = 64,
+) -> DataFrame:
+    """The mergeable quantile artifact (completing the sketch triad:
+    m27 count-min for frequency, m28 HLL for cardinality, this for
+    distribution): per (group, bin) counts over ``bins`` EQUI-WIDTH
+    buckets of a FIXED [lo, hi) domain. Merging two corpora's
+    histograms is bin-count ADDITION (commutative/associative), and
+    everything is BIGINT arithmetic — an external engine recomputes
+    the sketch exactly, the property the t-digest/KLL family
+    fundamentally cannot offer (their centroids/compactions are
+    order-dependent). The trade: error is bounded by bin width over a
+    domain fixed in advance, not adaptive — the right trade when the
+    domain is known (prices, latencies with a cap, token counts).
+
+    Values below lo clamp to bin 0, at/above hi to bin bins-1 (the
+    outermost bins absorb outliers; their counts flag a mis-sized
+    domain). One map-side-combining groupBy to <= groups x bins rows.
+    """
+    pre = df.select(
+        F.col(group_col).alias("g"), value_cents.cast("long").alias("_v")
+    )
+    raw = F.expr(f"((_v - {int(lo)}L) * {int(bins)}L) div {int(hi - lo)}L")
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("long")
+    return (
+        pre.select("g", b.alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    lo: int,
+    hi: int,
+    bins: int = 64,
+    qs: tuple[int, ...] = (50, 95),
+) -> DataFrame:
+    """Quantile estimates from a `histogram_bins` table: for each q in
+    ``qs`` (integer percents), the UPPER boundary of the first bin
+    where 100 * cumulative >= q * n — pure BIGINT comparisons, so the
+    estimate is engine-exact and merge-invariant. Emits per group:
+    n and one q{q}_upper_cents column per q. Window runs over the
+    <= bins rows per group, not the data."""
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("g")
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    width = (hi - lo) // bins
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in qs:
+        hit = F.when(
+            F.col("cum") * 100 >= F.col("n") * int(q), F.col("b")
+        )
+        aggs.append(
+            (F.lit(lo) + (F.min(hit) + 1) * F.lit(width))
+            .cast("long")
+            .alias(f"q{q}_upper_cents")
+        )
+    return cum.groupBy("g").agg(*aggs)

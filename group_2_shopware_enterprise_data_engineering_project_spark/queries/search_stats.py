@@ -651,3 +651,62 @@ def m28_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "user_id",
     )
+
+
+# --- M31: mergeable histogram quantile sketch (EXACT oracle) --------------
+
+_H_LO, _H_HI, _H_BINS = 0, 16_000_000, 64
+_H_W = (_H_HI - _H_LO) // _H_BINS
+
+M31_ORACLE = f"""
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS val
+  FROM lineitem
+), binned AS (
+  SELECT g,
+         least({_H_BINS - 1},
+               greatest(0, ((val - {_H_LO}) * {_H_BINS}) // {_H_HI - _H_LO}))
+             AS b
+  FROM v
+), hist AS (
+  SELECT g, b, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2
+), cum AS (
+  SELECT g, b, c,
+         CAST(sum(c) OVER (PARTITION BY g ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum,
+         CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM hist
+)
+SELECT g AS l_returnflag,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST({_H_LO} + (min(CASE WHEN cum * 100 >= n * 50 THEN b END) + 1)
+            * {_H_W} AS BIGINT) AS q50_upper_cents,
+       CAST({_H_LO} + (min(CASE WHEN cum * 100 >= n * 95 THEN b END) + 1)
+            * {_H_W} AS BIGINT) AS q95_upper_cents
+FROM cum GROUP BY 1
+"""
+
+
+@register(
+    "m31_histogram_quantiles",
+    M31_ORACLE,
+    doc=f"mergeable histogram quantile sketch (completing the sketch "
+    f"triad: m27 frequency, m28 cardinality, this distribution): "
+    f"{_H_BINS} equi-width BIGINT bins over a fixed cents domain — "
+    "bin counts ADD across corpora (unlike t-digest/KLL, whose "
+    "compactions are order-dependent and engine-irreproducible) and "
+    "the q50/q95 upper-boundary estimates are pure integer "
+    "comparisons, so the oracle is EXACT. Quantile windows run over "
+    "<= bins rows per group, never the data",
+)
+def m31_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+    hist = stats.histogram_bins(
+        lineitem, "l_returnflag", cents, _H_LO, _H_HI, _H_BINS
+    )
+    return stats.histogram_quantiles(hist, _H_LO, _H_HI, _H_BINS).select(
+        F.col("g").alias("l_returnflag"), "n", "q50_upper_cents", "q95_upper_cents"
+    )

@@ -398,3 +398,42 @@ def test_hll_register_table_is_mergeable(spark):
         )
     ).collect()[0]
     assert overlap.hll_raw_est == whole.hll_raw_est
+
+
+def test_histogram_sketch_merges_by_addition(spark):
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    lo, hi, bins = 0, 1000, 10
+    a = spark.createDataFrame([("g", i) for i in range(0, 500)], "g string, v long")
+    b = spark.createDataFrame([("g", i) for i in range(500, 1000)], "g string, v long")
+    whole = stats.histogram_bins(
+        a.unionByName(b), "g", F.col("v"), lo, hi, bins
+    )
+    # merge = per-(g,b) count ADDITION of independently built sketches
+    merged = (
+        stats.histogram_bins(a, "g", F.col("v"), lo, hi, bins)
+        .unionByName(stats.histogram_bins(b, "g", F.col("v"), lo, hi, bins))
+        .groupBy("g", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # quantile estimates agree between whole and merged sketches, and
+    # sit within one bin width of the true quantiles
+    qw = stats.histogram_quantiles(whole, lo, hi, bins).collect()[0]
+    qm = stats.histogram_quantiles(merged, lo, hi, bins).collect()[0]
+    assert (qw.n, qw.q50_upper_cents, qw.q95_upper_cents) == (
+        qm.n, qm.q50_upper_cents, qm.q95_upper_cents,
+    )
+    assert qw.n == 1000
+    width = (hi - lo) // bins
+    assert abs(qw.q50_upper_cents - 500) <= width
+    assert abs(qw.q95_upper_cents - 950) <= width
+    # out-of-domain values clamp into the edge bins, flagging a
+    # mis-sized domain instead of crashing or vanishing
+    odd = spark.createDataFrame([("g", -5), ("g", 99999)], "g string, v long")
+    eb = {r.b: r.c for r in stats.histogram_bins(odd, "g", F.col("v"), lo, hi, bins).collect()}
+    assert eb == {0: 1, bins - 1: 1}
