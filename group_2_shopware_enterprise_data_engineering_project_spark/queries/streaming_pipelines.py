@@ -1148,3 +1148,113 @@ def s9_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# --- ST18: hopping-window streaming aggregate (Append + watermark) ---------
+
+ST18_ORACLE = """
+WITH starts AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM starts
+GROUP BY 1, 2, 3
+ORDER BY 1, 3
+"""
+
+
+@register(
+    "st18_hopping_window",
+    ST18_ORACLE,
+    doc="hopping-window (size 2h, slide 1h) event counts run AS A "
+    "STREAM in Append mode: each event lands in exactly size/slide=2 "
+    "overlapping windows (window() expands natively — no self-union), "
+    "and a window row is emitted ONCE, only when the 1h watermark "
+    "proves it complete — the production shape for overlapping-window "
+    "dashboards where downstream must never see a partial window "
+    "revised. State is bounded by watermark horizon x live windows, "
+    "not stream length. Input files are time-range bucketed in mtime "
+    "order so the advancing watermark never drops a real event, and "
+    "the trailing windows flush via the far-future-sentinel technique "
+    "(st15); the oracle is the batch expansion (each ts contributes "
+    "its two window starts) — exact because counts are BIGINT.",
+)
+def st18_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        run_available_now,
+    )
+
+    base = _tmp("st18")
+    src, ckpt, out = f"{base}/in", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+    events = table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    # 3 time-range buckets written with strictly increasing mtimes:
+    # maxFilesPerTrigger=1 + availableNow consumes them oldest-first,
+    # so the watermark (1h behind each batch's max ts) always trails
+    # the NEXT batch's minimum and no real event is late-dropped.
+    c1, c2 = events.select(
+        F.percentile("ts_us", F.lit(1.0 / 3)).cast("long"),
+        F.percentile("ts_us", F.lit(2.0 / 3)).cast("long"),
+    ).first()
+    bucket = (
+        F.when(F.col("ts_us") < c1, 0).when(F.col("ts_us") < c2, 1).otherwise(2)
+    )
+    for b in range(3):
+        stage = f"{base}/stage_{b}"
+        events.filter(bucket == b).coalesce(1).write.mode("overwrite").json(stage)
+        part = next((n for n in os.listdir(stage) if n.endswith(".json")), None)
+        if part is None:
+            continue
+        dest = os.path.join(src, f"b{b}.json")
+        shutil.move(os.path.join(stage, part), dest)
+        t = os.path.getmtime(dest)
+        os.utime(dest, (t + 10 * b, t + 10 * b))
+    max_us = events.agg(F.max("ts_us")).collect()[0][0]
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    stream = (
+        stream_json_source(spark, src, schema)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    os.makedirs(out, exist_ok=True)
+    sink = lambda df, _bid: df.write.mode("append").parquet(out)  # noqa: E731
+    run_available_now(stream, ckpt, sink)
+    # Sentinel: one far-future event advances the watermark past every
+    # real window's end so Append mode flushes the trailing windows;
+    # its own (still-open) windows are dropped by event_type below.
+    day_us = 86_400_000_000
+    with open(f"{src}/zz_sentinel.json", "w") as f:
+        f.write(
+            json.dumps({"event_type": "__sentinel__", "ts_us": max_us + 10 * day_us})
+        )
+    run_available_now(stream, ckpt, sink)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != F.lit("__sentinel__"))
+        .select("window_start", "window_end", "event_type", "n_events")
+    )

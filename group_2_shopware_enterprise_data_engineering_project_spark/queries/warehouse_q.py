@@ -577,3 +577,43 @@ def j6_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_price"),
     )
+
+
+# --- A25: unpivot/melt — wide metric columns to long (metric, value) ------
+
+A25_ORACLE = """
+WITH wide AS (
+  SELECT o_orderstatus AS status,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents_sum,
+         CAST(max(o_orderkey) AS BIGINT) AS max_key
+  FROM orders GROUP BY 1
+)
+UNPIVOT wide ON n_orders, cents_sum, max_key
+INTO NAME metric VALUE value
+"""
+
+
+@register(
+    "a25_unpivot_metrics",
+    A25_ORACLE,
+    doc="unpivot/melt (a10_pivot's inverse): a wide per-status metric "
+    "table reshaped to long (status, metric, value) rows via Spark's "
+    "native unpivot — an Expand node, zero shuffles beyond the "
+    "feeding agg, vs the naive per-metric select+union that rescans "
+    "the input once per column. The long form is what metric stores "
+    "and plotting layers ingest; all three metrics are BIGINT so the "
+    "melted value column is exact across engines.",
+)
+def a25_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    wide = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).cast("long").alias("cents_sum"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+    return wide.unpivot(
+        ["status"], ["n_orders", "cents_sum", "max_key"], "metric", "value"
+    )
