@@ -460,3 +460,69 @@ def histogram_quantiles(
             .alias(f"q{q}_upper_cents")
         )
     return cum.groupBy("g").agg(*aggs)
+
+
+# --- equi-depth bucketizer (feature discretization) ------------------------
+
+
+def equidepth_bucketize(
+    df: DataFrame,
+    group_col: str,
+    value_int,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Per-group equi-depth (quantile) discretizer — the ML-prep
+    companion to `histogram_bins`' fixed-domain equi-width bins:
+    bucket boundaries are the group's own type-1 discrete quantiles
+    (k-th smallest actual value, k = ceil(j*n/B) — ALL-integer
+    arithmetic, so both engines agree exactly; see `winsorized_sum`
+    for why interpolated quantiles can't be hashed), and each value's
+    bucket is the count of boundaries strictly below it (boundary
+    ties collapse into the lower bucket, deterministically).
+
+    Returns per (group, bucket): n_rows, lo/hi value — approximately
+    equal row depths, data-adaptive ranges. Scale shape: ranks are
+    computed over run-length (group, value, count) pairs, not raw
+    rows; the boundary table is one row of B-1 values per group and
+    broadcasts into the bucket-assignment join.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"need n_buckets >= 2, got {n_buckets}")
+    v = value_int.cast("long")
+    g = F.col(group_col).alias("g")
+    rl = df.groupBy(g, v.alias("val")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rl.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("g"))
+    )
+    bounds = ranked.groupBy("g").agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("cum") - F.col("c") < F.expr(f"({j} * n + {n_buckets - 1}) div {n_buckets}"))
+                    & (F.expr(f"({j} * n + {n_buckets - 1}) div {n_buckets}") <= F.col("cum")),
+                    F.col("val"),
+                )
+            ).alias(f"b{j}")
+            for j in range(1, n_buckets)
+        ]
+    )
+    bucket = sum(
+        (F.col("val") > F.col(f"b{j}")).cast("long") for j in range(1, n_buckets)
+    )
+    return (
+        rl.join(F.broadcast(bounds), "g")
+        .select("g", "val", "c", bucket.alias("bucket"))
+        .groupBy("g", "bucket")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+        )
+    )

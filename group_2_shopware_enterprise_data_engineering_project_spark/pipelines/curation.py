@@ -108,3 +108,71 @@ def curate_and_pack(
         "pack_offset",
         "spans_boundary",
     )
+
+
+def curation_audit(docs: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
+    """Drop-attribution audit of the `curate_corpus` cascade: EVERY
+    input document labeled with the FIRST stage that dropped it
+    ('exact_dup' | 'near_dup' | 'quality' | 'repetition') or 'kept'.
+    curate_corpus answers "what survived"; this answers the question a
+    curation review actually asks — "where did the other 40% go" —
+    without re-reading the corpus per stage (each gate's id set is
+    computed once, on the already-shrunk survivor set, exactly as in
+    curate_corpus; the final attribution is doc_id-sized left joins).
+
+    Each gate's id set feeds BOTH the next stage and a final left-join
+    branch, so (as in curate_and_pack) every set is eagerly
+    materialized — without that, each attribution branch re-executes
+    the entire upstream chain in the plan. All four sets are
+    doc_id-sized.
+    """
+    exact = (
+        text.exact_dedup(docs)
+        .select(F.col("keep_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    surv1 = docs.join(exact, "doc_id", "semi")
+
+    pairs = minhash.minhash_lsh_dedup(surv1, threshold=jaccard_threshold)
+    verdicts = dedup_verdicts(surv1, pairs.select("doc_a", "doc_b"))
+    keep2 = (
+        verdicts.filter(F.col("is_keep"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    surv2 = surv1.join(keep2, "doc_id", "semi")
+
+    scored = text.quality_score(text.text_stats(surv2))
+    passed = (
+        scored.filter(F.col("is_quality"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    q_docs = surv2.join(passed, "doc_id", "semi")
+
+    rep_keep = (
+        text.repetition_signals(q_docs)
+        .filter(F.col("repetition_keep"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def _mark(ids: DataFrame, flag: str) -> DataFrame:
+        return ids.withColumn(flag, F.lit(1))
+
+    return (
+        docs.select("doc_id")
+        .join(_mark(exact, "_e"), "doc_id", "left")
+        .join(_mark(keep2, "_v"), "doc_id", "left")
+        .join(_mark(passed, "_q"), "doc_id", "left")
+        .join(_mark(rep_keep, "_r"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e").isNull(), F.lit("exact_dup"))
+            .when(F.col("_v").isNull(), F.lit("near_dup"))
+            .when(F.col("_q").isNull(), F.lit("quality"))
+            .when(F.col("_r").isNull(), F.lit("repetition"))
+            .otherwise(F.lit("kept"))
+            .alias("drop_stage"),
+        )
+    )

@@ -741,3 +741,98 @@ def e13_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K, n_probe=2
     )
     return out.select("query_id", "neighbor_id", "approx_dist", "rank")
+
+
+# --- E14: ANN index-quality evaluation (recall vs brute force) -------------
+
+E14_ORACLE = f"""
+WITH q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), c0 AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings
+), sims AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qv', b='nv')}
+         / ({_NORM.format(v='qv')} * {_NORM.format(v='nv')}) AS cos_sim
+  FROM q0, c0 WHERE neighbor_id <> query_id
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM sims
+  ) WHERE rank <= {TOP_K}
+), b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+  FROM b WHERE vec_id < {N_QUERIES}
+), cands AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         {_DOT.format(a='q.qv', b='b.embedding')}
+         / ({_NORM.format(v='q.qv')} * {_NORM.format(v='b.embedding')}) AS cos_sim
+  FROM q JOIN b ON q.qbucket = b.bucket AND b.vec_id <> q.query_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM cands
+  ) WHERE rank <= {TOP_K}
+)
+SELECT qs.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(a.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST({TOP_K} AS BIGINT) AS k
+FROM (SELECT DISTINCT query_id FROM truth) qs
+LEFT JOIN (
+  SELECT t.query_id, count(*) AS n_hits
+  FROM truth t JOIN approx a2 USING (query_id, neighbor_id) GROUP BY 1
+) h USING (query_id)
+LEFT JOIN (
+  SELECT query_id, count(*) AS n_approx FROM approx GROUP BY 1
+) a USING (query_id)
+ORDER BY qs.query_id
+"""
+
+
+@register(
+    "e14_ann_recall_eval",
+    E14_ORACLE,
+    doc=f"ANN index-quality evaluation: per-query recall@{TOP_K} of "
+    "the LSH index (e3) against the brute-force ground truth (e2), "
+    "reported as INTEGER hit counts (n_hits of k, plus the index's "
+    "own result count — a short bucket caps it) so the hashed output "
+    "carries no floats. The operational loop for tuning plane count "
+    "or probe width before committing an index to the corpus; both "
+    "legs reuse the proven e2/e3 derivations, so the eval measures "
+    "the INDEX, not engine drift",
+)
+def e14_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < N_QUERIES
+    truth = similarity.brute_force_topk(emb, query_pred=pred, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.lsh_topk(emb, query_pred=pred, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    n_approx = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .join(n_approx, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.lit(TOP_K).cast("long").alias("k"),
+        )
+    )

@@ -1413,3 +1413,185 @@ def m30_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("interpolated"),
     )
+
+
+# --- D8: canonical-document selection per near-dup cluster -----------------
+
+# The industrial dedup endgame: m8 finds WHO is duplicated, this
+# decides WHAT to keep — the highest-quality member of each cluster
+# (t2's integer 0-4 score), not the arbitrary min-id. The oracle
+# re-derives the identical MinHash-LSH pair set, resolves components
+# with the recursive CTE, scores quality with t2's SQL, and ranks —
+# every stage bit-for-bit shared with an already-green query.
+D8_ORACLE = f"""
+WITH RECURSIVE pairs AS ({{pairs_sql}}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+), clusters AS (
+  SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_rep
+  FROM reach GROUP BY id
+), tbase AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_no_space,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+             AS n_punct
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         CAST((CAST(len(t) AS BIGINT) BETWEEN 20 AND 2000)::INT
+            + (CAST(len(list_filter(t, x -> x IN {{stoplist}})) AS DOUBLE)
+                   / len(t) <= 0.6)::INT
+            + (CAST(n_punct AS DOUBLE) / n_chars <= 0.2)::INT
+            + (CAST(chars_no_space AS DOUBLE) / len(t)
+                   BETWEEN 2.0 AND 15.0)::INT AS BIGINT) AS quality_score
+  FROM tbase
+), ranked AS (
+  SELECT c.doc_id, c.cluster_rep, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_rep
+             ORDER BY q.quality_score DESC, c.doc_id) AS rn
+  FROM clusters c JOIN q USING (doc_id)
+)
+SELECT doc_id, cluster_rep, quality_score,
+       CAST(rn = 1 AS INT) AS is_canonical
+FROM ranked
+"""
+
+
+def _d8_oracle() -> str:
+    return D8_ORACLE.format(
+        pairs_sql=text_pipeline._minhash_oracle(),
+        stoplist=text_pipeline._STOPLIST,
+    )
+
+
+@register(
+    "d8_canonical_selection",
+    _d8_oracle(),
+    doc="canonical-doc selection per near-dup cluster (the dedup "
+    "endgame m8 stops short of): MinHash-LSH pairs -> connected "
+    "components -> keep the HIGHEST-QUALITY member (t2's integer 0-4 "
+    "score, doc_id tie-break), not the arbitrary min-id. One doc_id "
+    "join + one per-cluster window over bounded cluster sizes; "
+    "cluster_rep labels come from the O(log n) large/small-star "
+    "rounds, raw text never shuffles past the scoring projection",
+)
+def d8_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        text as _text,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash.minhash_lsh_dedup(docs, threshold=0.4).select("doc_a", "doc_b")
+    clusters = dedup_verdicts(docs, pairs).select("doc_id", "cluster_rep")
+    quality = _text.quality_score(_text.text_stats(docs)).select(
+        "doc_id", "quality_score"
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_rep",
+            "quality_score",
+            (F.col("rn") == 1).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+# --- pipe_llm_audit: drop-attribution over the curation cascade ------------
+
+_AUDIT_ORACLE = (
+    _CURATION_CTES
+    + """
+SELECT d.doc_id,
+       CASE WHEN e2.doc_id IS NULL THEN 'exact_dup'
+            WHEN v.doc_id IS NULL THEN 'near_dup'
+            WHEN p.doc_id IS NULL THEN 'quality'
+            WHEN rk.doc_id IS NULL THEN 'repetition'
+            ELSE 'kept' END AS drop_stage
+FROM documents d
+LEFT JOIN exact e2 ON d.doc_id = e2.doc_id
+LEFT JOIN verdict v ON d.doc_id = v.doc_id
+LEFT JOIN passed p ON d.doc_id = p.doc_id
+LEFT JOIN rkeep rk ON d.doc_id = rk.doc_id
+"""
+)
+
+
+@register(
+    "pipe_llm_audit",
+    _AUDIT_ORACLE,
+    doc="drop-attribution audit of the curation cascade: every input "
+    "doc labeled with the FIRST stage that dropped it (exact_dup / "
+    "near_dup / quality / repetition) or 'kept' — the review report "
+    "behind pipe_llm_curation's survivor set. Stage id sets are "
+    "computed once on the already-shrunk survivor chain (identical "
+    "plans to curate_corpus); attribution itself is doc_id-sized "
+    "left joins, so the audit costs the same one corpus pass",
+)
+def pipe_llm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.pipelines.curation import (
+        curation_audit,
+    )
+
+    return curation_audit(table(spark, sf_dir, "documents"))
+
+
+# --- m33: deterministic multi-epoch shuffle ---------------------------------
+
+_M33_EPOCHS = 3
+
+M33_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+         md5('epoch' || CAST(epoch AS VARCHAR) || ':'
+             || CAST(doc_id AS VARCHAR)) AS h,
+         ('0x' || substr(md5('epoch' || CAST(epoch AS VARCHAR) || ':'
+             || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % {prep.N_SHARDS} AS shard
+  FROM documents, generate_series(0, {_M33_EPOCHS - 1}) AS t(epoch)
+)
+SELECT epoch, doc_id, shard,
+       CAST(row_number() OVER (
+           PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS shard_pos
+FROM e
+"""
+
+
+@register(
+    "m33_epoch_shuffle",
+    M33_ORACLE,
+    doc=f"deterministic multi-epoch reshuffle ({_M33_EPOCHS} epochs): "
+    "each epoch re-derives shard AND within-shard order from an "
+    "epoch-salted md5 (m20's machinery with salt='epoch<e>'), so "
+    "every epoch is a DIFFERENT reproducible permutation of the same "
+    "corpus — the training-loop requirement (fresh order per epoch, "
+    "bit-replayable for debugging) without materializing permuted "
+    "copies. Per-epoch cost is identical to m20: one projection + "
+    "one shard shuffle; epochs are independent and can be planned "
+    "lazily per epoch rather than unioned",
+)
+def m33_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    per_epoch = [
+        prep.shard_assign(docs, "doc_id", salt=f"epoch{e}")
+        .select(
+            F.lit(e).cast("long").alias("epoch"), "doc_id", "shard", "shard_pos"
+        )
+        for e in range(_M33_EPOCHS)
+    ]
+    out = per_epoch[0]
+    for df in per_epoch[1:]:
+        out = out.unionByName(df)
+    return out

@@ -710,3 +710,63 @@ def m31_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.histogram_quantiles(hist, _H_LO, _H_HI, _H_BINS).select(
         F.col("g").alias("l_returnflag"), "n", "q50_upper_cents", "q95_upper_cents"
     )
+
+
+# --- M32: equi-depth bucketizer (per-group quantile discretization) -------
+
+_M32_B = 8
+
+M32_ORACLE = f"""
+WITH rl AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS val,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT g, val, c,
+         CAST(sum(c) OVER (PARTITION BY g ORDER BY val
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum,
+         CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM rl
+), bounds AS (
+  SELECT g,
+         {", ".join(
+             f"min(CASE WHEN cum - c < (({j} * n + {_M32_B - 1}) // {_M32_B}) "
+             f"AND (({j} * n + {_M32_B - 1}) // {_M32_B}) <= cum "
+             f"THEN val END) AS b{j}"
+             for j in range(1, _M32_B)
+         )}
+  FROM ranked GROUP BY g
+), assigned AS (
+  SELECT rl.g, rl.val, rl.c,
+         {" + ".join(f"CAST(rl.val > b.b{j} AS BIGINT)" for j in range(1, _M32_B))}
+             AS bucket
+  FROM rl JOIN bounds b ON rl.g = b.g
+)
+SELECT g AS l_returnflag, bucket,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       min(val) AS lo, max(val) AS hi
+FROM assigned GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "m32_equidepth_bucketize",
+    M32_ORACLE,
+    doc=f"per-group equi-depth discretizer ({_M32_B} buckets): "
+    "boundaries are the group's OWN type-1 discrete quantiles "
+    "(k = ceil(j*n/B), all-integer — interpolated quantiles are "
+    "engine-divergent and unhashable), a value's bucket = boundaries "
+    "strictly below it. The ML-prep complement of m31's fixed-domain "
+    "bins: data-adaptive ranges, near-equal depths. Ranks run over "
+    "run-length (group, value, count) pairs, never raw rows; the "
+    "B-1-column boundary table broadcasts into assignment",
+)
+def m32_equidepth_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+    return stats.equidepth_bucketize(
+        lineitem, "l_returnflag", cents, _M32_B
+    ).select(F.col("g").alias("l_returnflag"), "bucket", "n_rows", "lo", "hi")

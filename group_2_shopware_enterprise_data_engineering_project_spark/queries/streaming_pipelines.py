@@ -1258,3 +1258,134 @@ def st18_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") != F.lit("__sentinel__"))
         .select("window_start", "window_end", "event_type", "n_events")
     )
+
+
+# --- ST19: late-data accounting under a real watermark ---------------------
+
+# A deterministic subset of events (event_id % 23 == 0) is withheld and
+# arrives AFTER all on-time data, which itself lands in two time-ordered
+# batches. Spark's late filter uses the PREVIOUS trigger's watermark
+# (probed: batch N's input is filtered at wm(N-1), eviction at wm(N)),
+# so when the delayed batch runs, windows emitted by the first on-time
+# batch's watermark w1 = max(first-half ts) - 1h are closed: a late row
+# is dropped iff its window_end <= w1, and accepted otherwise. This
+# query makes that accounting visible per window by diffing the
+# streamed counts against the batch counts of ALL events; the oracle
+# reproduces the drop rule analytically in BIGINT microseconds.
+ST19_ORACLE = """
+WITH d AS (
+  SELECT ts, epoch_us(ts) AS us, (event_id % 23 = 0) AS delayed FROM events
+), b AS (
+  SELECT (min(us) + max(us)) // 2 AS c1 FROM d WHERE NOT delayed
+), w1 AS (
+  SELECT max(us) - 3600000000 AS w
+  FROM d, b WHERE NOT delayed AND us < b.c1
+), acc AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CAST(count(*) FILTER (WHERE NOT delayed
+             OR epoch_us(date_trunc('hour', ts)) + 3600000000
+                > (SELECT w FROM w1)) AS BIGINT) AS n_accepted,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM d GROUP BY 1
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       n_accepted,
+       n_all - n_accepted AS n_dropped_late
+FROM acc WHERE n_accepted > 0 ORDER BY 1
+"""
+
+
+@register(
+    "st19_late_data_accounting",
+    ST19_ORACLE,
+    doc="late-data accounting, run as a real watermark stream: a "
+    "deterministic event subset (event_id % 23 == 0) arrives after "
+    "two time-ordered on-time batches; by then the windows closed by "
+    "the first batch's watermark w1 = max(first-half ts) - 1h are "
+    "emitted-and-evicted, so Spark silently drops a late row iff its "
+    "window_end <= w1 (the late filter uses the PREVIOUS trigger's "
+    "watermark — probed, not assumed) and accepts the rest. Streamed "
+    "Append counts diffed against batch counts of all events surface "
+    "(n_accepted, n_dropped_late) per window; the oracle reproduces "
+    "the drop rule analytically in BIGINT microseconds. Sentinel "
+    "flush as in st15",
+)
+def st19_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        run_available_now,
+    )
+
+    base = _tmp("st19")
+    src, ckpt, out = f"{base}/in", f"{base}/ckpt", f"{base}/out"
+    os.makedirs(src)
+    events = table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    delayed = F.col("event_id") % 23 == 0
+    lo, hi = (
+        events.filter(~delayed).agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    )
+    c1 = (lo + hi) // 2
+    # b0/b1 = on-time halves in mtime order (watermark never drops an
+    # on-time row); b2 = the withheld subset, arriving last
+    parts = (
+        (0, ~delayed & (F.col("ts_us") < c1)),
+        (1, ~delayed & (F.col("ts_us") >= c1)),
+        (2, delayed),
+    )
+    for b, pred in parts:
+        stage = f"{base}/stage_{b}"
+        events.filter(pred).coalesce(1).write.mode("overwrite").json(stage)
+        part = next((n for n in os.listdir(stage) if n.endswith(".json")), None)
+        if part is None:
+            continue
+        dest = os.path.join(src, f"b{b}.json")
+        shutil.move(os.path.join(stage, part), dest)
+        t = os.path.getmtime(dest)
+        os.utime(dest, (t + 10 * b, t + 10 * b))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    stream = (
+        stream_json_source(spark, src, schema)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_accepted"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_accepted",
+        )
+    )
+    os.makedirs(out, exist_ok=True)
+    sink = lambda df, _bid: df.write.mode("append").parquet(out)  # noqa: E731
+    run_available_now(stream, ckpt, sink)
+    day_us = 86_400_000_000
+    with open(f"{src}/zz_sentinel.json", "w") as f:
+        f.write(json.dumps({"event_id": -1, "ts_us": hi + 10 * day_us}))
+    run_available_now(stream, ckpt, sink)
+
+    accepted = spark.read.parquet(out).filter(
+        F.col("window_start") < F.timestamp_micros(F.lit(hi + day_us))
+    )
+    full = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    )
+    return accepted.join(full, "window_start").select(
+        "window_start",
+        "window_end",
+        "n_accepted",
+        (F.col("n_all") - F.col("n_accepted")).alias("n_dropped_late"),
+    )

@@ -706,3 +706,36 @@ def test_temperature_resample_broadcasts_quotas(spark):
     # the corpus-side join against the D-row quota frame must be a
     # broadcast, and the corpus itself must never hit a global window
     assert "BroadcastHashJoin" in plan
+
+
+def test_curation_audit_partitions_the_corpus(spark):
+    """The audit's 'kept' set IS curate_corpus's survivor set, and the
+    four drop labels + kept form a total partition of the input."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.pipelines.curation import (
+        curate_corpus,
+        curation_audit,
+    )
+
+    rows = []
+    # 30 quality docs (long enough, varied), plus engineered failures
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home with a friend to rest ").split()
+    for i in range(30):
+        rows.append((i, " ".join(base + [f"tail{i}w{j}" for j in range(8)])))
+    rows.append((100, rows[0][1]))          # exact dup of doc 0
+    rows.append((101, rows[1][1] + " x"))   # near dup of doc 1
+    rows.append((102, "short text"))        # fails length check
+    rows.append((103, " ".join(["loop"] * 120)))  # repetition fail
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    audit = {r.doc_id: r.drop_stage for r in curation_audit(docs, 0.4).collect()}
+    kept = {r.doc_id for r in curate_corpus(docs, 0.4).collect()}
+
+    assert set(audit) == {r[0] for r in rows}  # total: every input labeled
+    assert {d for d, s in audit.items() if s == "kept"} == kept
+    assert audit[100] == "exact_dup"
+    assert audit[101] == "near_dup"
+    assert audit[102] == "quality"
+    assert audit[103] == "repetition"

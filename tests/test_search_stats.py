@@ -437,3 +437,30 @@ def test_histogram_sketch_merges_by_addition(spark):
     odd = spark.createDataFrame([("g", -5), ("g", 99999)], "g string, v long")
     eb = {r.b: r.c for r in stats.histogram_bins(odd, "g", F.col("v"), lo, hi, bins).collect()}
     assert eb == {0: 1, bins - 1: 1}
+
+
+def test_equidepth_buckets_balance_on_distinct_values(spark):
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("g", i * 7 % 1000) for i in range(1000)], "g string, v long"
+    )
+    out = stats.equidepth_bucketize(df, "g", F.col("v"), 8).collect()
+    assert {r.bucket for r in out} == set(range(8))
+    # distinct values -> every bucket within 1 row of n/B, ranges abut
+    assert all(abs(r.n_rows - 125) <= 1 for r in out)
+    by_b = sorted(out, key=lambda r: r.bucket)
+    assert all(by_b[i].hi < by_b[i + 1].lo for i in range(7))
+    assert sum(r.n_rows for r in out) == 1000
+    # massive ties collapse into the LOWER bucket deterministically:
+    # one value holding >1/B of the mass can leave later buckets empty
+    # but never splits across buckets
+    tied = spark.createDataFrame(
+        [("g", 5)] * 900 + [("g", i + 100) for i in range(100)],
+        "g string, v long",
+    )
+    tout = stats.equidepth_bucketize(tied, "g", F.col("v"), 4).collect()
+    five = [r for r in tout if r.lo <= 5 <= r.hi]
+    assert len(five) == 1 and five[0].n_rows >= 900

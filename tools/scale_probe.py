@@ -179,6 +179,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from group_2_shopware_enterprise_data_engineering_project_spark.operators import er
+    from group_2_shopware_enterprise_data_engineering_project_spark.pipelines.curation import (
+        curate_corpus,
+        curation_audit,
+    )
 
     ops = {
         "minhash": lambda d, e, p: minhash.minhash_lsh_dedup(d),
@@ -192,6 +196,12 @@ def main() -> None:
         "er_block": lambda d, e, p: er.blocked_pairs(
             p, id_col="p_partkey", name_col="p_name", max_distance=3, max_block=1000
         ),
+        # the flagship curation pass and its drop-attribution audit:
+        # the claim under test is that the audit costs the SAME single
+        # corpus pass as curation (gate sets materialized once), not
+        # one pass per attribution branch
+        "curate": lambda d, e, p: curate_corpus(d),
+        "audit": lambda d, e, p: curation_audit(d),
     }
     if only:
         unknown = only - set(ops) - {"incr"}
