@@ -295,6 +295,14 @@ class ParquetUpsertTable:
         # injectable commit clock (epoch seconds) so timestamp time
         # travel is testable with a pinned clock
         self._clock = clock or time.time
+        # the manifest's stored spec (written by every commit since
+        # partition evolution landed) is authoritative for an EXISTING
+        # table: a re-opened handle keeps writing the committed layout
+        # even if constructed without partition_by. Changing the spec
+        # goes through `evolve_partitioning`, never the constructor.
+        stored = self._read_manifest()
+        if stored is not None and "partition_by" in stored:
+            self.partition_by = tuple(stored["partition_by"])
 
     # -- snapshot bookkeeping (driver-side O(1) metadata ops) ------------
 
@@ -351,7 +359,19 @@ class ParquetUpsertTable:
             txns[txn[0]] = int(txn[1])
         tmp = self._manifest_file() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "dir": dir_name, "txns": txns}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "dir": dir_name,
+                    "txns": txns,
+                    # committed alongside the data it describes: a
+                    # re-opened handle writes the same layout, and
+                    # `evolve_partitioning` changes it atomically with
+                    # the rewritten snapshot
+                    "partition_by": list(self.partition_by),
+                },
+                f,
+            )
         os.replace(tmp, self._manifest_file())
 
     def last_txn(self, app_id: str) -> int:
@@ -634,6 +654,41 @@ class ParquetUpsertTable:
                 int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
             )
         self._snapshot_write(df)
+
+    def evolve_partitioning(self, new_partition_by: tuple[str, ...]) -> None:
+        """Partition-spec evolution (Iceberg's ALTER TABLE ... WRITE
+        ORDERED/PARTITIONED BY role): rewrite the active snapshot under
+        ``new_partition_by`` as the NEXT snapshot and commit atomically
+        — readers see the old layout until the manifest swap, retained
+        older snapshots keep their own layout (each snapshot dir is
+        self-describing parquet, so time travel across the evolution
+        boundary just works), and the new spec rides in the same
+        manifest write as the data, after which every handle on the
+        table (including ones constructed without partition_by) writes
+        the new layout.
+
+        The rewrite is one full-table shuffle clustered by the new
+        partition columns — the honest cost of re-laying-out data; at
+        scale it runs online exactly like `compact` (old snapshot
+        serves reads throughout). A query-layer migration that needs
+        only FUTURE data in the new layout should instead write a new
+        table and union over both — this method is for when the table
+        identity must be preserved.
+        """
+        new_spec = tuple(new_partition_by)
+        missing = [c for c in new_spec if c not in self.read().columns]
+        if missing:
+            raise ValueError(f"partition columns not in table: {missing}")
+        df = self.read()
+        if new_spec:
+            df = df.repartition(*[F.col(c) for c in new_spec])
+        old = self.partition_by
+        self.partition_by = new_spec
+        try:
+            self._snapshot_write(df)
+        except BaseException:
+            self.partition_by = old
+            raise
 
     def upsert_replace(
         self,

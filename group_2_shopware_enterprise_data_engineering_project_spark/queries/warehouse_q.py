@@ -617,3 +617,74 @@ def a25_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["status"], ["n_orders", "cents_sum", "max_key"], "metric", "value"
     )
+
+
+# --- K23: partition-spec evolution (Iceberg-style re-layout) --------------
+
+K23_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_price
+FROM orders GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "k23_partition_evolution",
+    K23_ORACLE,
+    doc="partition-spec evolution, content-proven: an orders table "
+    "laid out by o_orderstatus is re-laid-out by ship month as a NEW "
+    "atomic snapshot (old snapshot serves reads throughout — the "
+    "online-migration shape); the evolved spec commits in the same "
+    "manifest write as the data, so a handle re-opened WITHOUT "
+    "partition_by keeps writing the new layout. In-query asserts pin "
+    "the physical layouts of both snapshots (status dirs before, "
+    "month dirs after) and time travel across the evolution boundary; "
+    "the oracle proves the rewrite lost nothing",
+)
+def k23_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+
+    out = tempfile.mkdtemp(prefix="shopware_spark_k23_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"),
+    )
+    t = ParquetUpsertTable(
+        spark, f"{out}/orders_relayout", partition_by=("o_orderstatus",)
+    )
+    t.create_or_overwrite(orders)
+    v1_dir = t._data_dir()
+    t.evolve_partitioning(("ship_month",))
+    v2_dir = t._data_dir()
+    if not any(n.startswith("o_orderstatus=") for n in os.listdir(v1_dir)):
+        raise AssertionError("v1 snapshot not laid out by o_orderstatus")
+    if not any(n.startswith("ship_month=") for n in os.listdir(v2_dir)) or any(
+        n.startswith("o_orderstatus=") for n in os.listdir(v2_dir)
+    ):
+        raise AssertionError("v2 snapshot not re-laid-out by ship_month")
+    reopened = ParquetUpsertTable(spark, f"{out}/orders_relayout")
+    if reopened.partition_by != ("ship_month",):
+        raise AssertionError(
+            f"stored spec not picked up: {reopened.partition_by}"
+        )
+    if t.read_version(1).count() != t.read_version(2).count():
+        raise AssertionError("evolution boundary broke time travel")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return (
+        reopened.read()
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_price"),
+        )
+    )

@@ -485,3 +485,46 @@ def test_txn_on_legacy_layout_fails_before_any_write(spark, tmp_path):
     # untagged merges on legacy layouts still work (and adopt the manifest)
     t.upsert_additive(b, ("pid",), ("total",))
     assert {r.pid: r.total for r in t.read().collect()} == {1: 11.0}
+
+
+def test_partition_evolution_rewrites_layout_and_persists_spec(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "tbl")
+    t = ParquetUpsertTable(spark, path, partition_by=("d",))
+    src = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"p{i % 2}", i * 10) for i in range(12)],
+        "id long, d string, p string, v long",
+    )
+    t.create_or_overwrite(src)
+    v1_dir = t._data_dir()
+    assert any(n.startswith("d=") for n in os.listdir(v1_dir))
+
+    t.evolve_partitioning(("p",))
+    v2_dir = t._data_dir()
+    assert v2_dir != v1_dir
+    assert any(n.startswith("p=") for n in os.listdir(v2_dir))
+    assert not any(n.startswith("d=") for n in os.listdir(v2_dir))
+    # content identical across the rewrite
+    assert sorted(map(tuple, t.read().select("id", "d", "p", "v").collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    # time travel across the evolution boundary reads the OLD layout
+    assert t.read_version(1).count() == 12
+
+    # a re-opened handle without partition_by picks up the stored spec
+    t2 = ParquetUpsertTable(spark, path)
+    assert t2.partition_by == ("p",)
+    more = spark.createDataFrame(
+        [(100, "d9", "p0", 1)], "id long, d string, p string, v long"
+    )
+    t2.upsert_replace(more, ("id",))
+    assert any(
+        n.startswith("p=") for n in os.listdir(t2._data_dir())
+    ) and not any(n.startswith("d=") for n in os.listdir(t2._data_dir()))
+    assert t2.read().count() == 13
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t2.evolve_partitioning(("nope",))

@@ -640,3 +640,66 @@ def test_skew_join_lossless_for_any_layout(spark, left, right, salt, thr, how):
         .collect()
     )
     assert salted == plain
+
+
+# --- sketch / bucketizer laws ----------------------------------------------
+
+_HVALS = st.lists(
+    st.integers(min_value=-50, max_value=1050), min_size=1, max_size=40
+)
+
+
+@given(a=_HVALS, b=_HVALS)
+@_settings
+def test_histogram_sketch_merge_law_random_splits(spark, a, b):
+    """Union-then-bin == bin-then-add for ANY pair of corpora, and the
+    quantile estimates computed from either sketch agree — the
+    mergeability contract m31 rides on (including out-of-domain values
+    clamped into edge bins)."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    lo, hi, bins = 0, 1000, 8
+    da = spark.createDataFrame([("g", v) for v in a], "g string, v long")
+    db = spark.createDataFrame([("g", v) for v in b], "g string, v long")
+    whole = stats.histogram_bins(da.unionByName(db), "g", F.col("v"), lo, hi, bins)
+    merged = (
+        stats.histogram_bins(da, "g", F.col("v"), lo, hi, bins)
+        .unionByName(stats.histogram_bins(db, "g", F.col("v"), lo, hi, bins))
+        .groupBy("g", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+    qw = stats.histogram_quantiles(whole, lo, hi, bins).collect()[0]
+    qm = stats.histogram_quantiles(merged, lo, hi, bins).collect()[0]
+    assert tuple(qw) == tuple(qm)
+    assert qw.n == len(a) + len(b)
+
+
+@given(vals=_HVALS, nb=st.integers(min_value=2, max_value=6))
+@_settings
+def test_equidepth_bucketize_is_a_partition_with_ordered_ranges(spark, vals, nb):
+    """For ANY multiset: bucket counts sum to n, bucket ids are a
+    prefix of 0..B-1 in value order, ranges never overlap, and no
+    bucket except a tie-absorber exceeds ceil(n/B) + ties slack —
+    i.e. the output is always a valid ordered partition of the data."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    out = sorted(
+        stats.equidepth_bucketize(df, "g", F.col("v"), nb).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert sum(r.n_rows for r in out) == len(vals)
+    assert all(r.lo <= r.hi for r in out)
+    assert all(out[i].hi < out[i + 1].lo for i in range(len(out) - 1))
+    assert 0 <= out[0].bucket and out[-1].bucket <= nb - 1
+    # deterministic: same input -> identical sketch
+    again = sorted(
+        stats.equidepth_bucketize(df, "g", F.col("v"), nb).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert list(map(tuple, out)) == list(map(tuple, again))

@@ -979,3 +979,51 @@ def test_running_user_stats_distinct_across_batches(spark, tmp_path):
     assert (r0.n_events, r0.n_types, r0.total_value) == (2, 1, 0.3)
     # 0.1+0.2+0.3 as floats is NOT 0.6; exact cents make it exact
     assert (r1.n_events, r1.n_types, r1.total_value) == (4, 2, 0.6)
+
+
+def test_late_rows_drop_only_after_window_emitted(spark, tmp_path):
+    """Pins the watermark semantics st19's oracle depends on: the late
+    filter uses the PREVIOUS trigger's watermark while eviction uses
+    the current one, so a late row is dropped iff its window was
+    already emitted by an EARLIER batch (window_end <= w1 where w1 =
+    max(first batch ts) - delay) — not merely iff it is behind the
+    current watermark. A Spark upgrade changing either side of that
+    asymmetry must fail here before it silently flips st19's oracle.
+    """
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(src)
+    hour = 3600_000_000
+
+    def write(name, hours, off, bump=0):
+        p = os.path.join(src, name)
+        with open(p, "w") as f:
+            for h in hours:
+                f.write(json.dumps({"k": 1, "ts_us": h * hour + 1000 + bump}) + "\n")
+        t = os.path.getmtime(p)
+        os.utime(p, (t + off, t + off))
+
+    write("b0.json", range(5), 0)            # max = 4h -> w1 = 3h
+    write("b1.json", range(5, 10), 10)
+    write("b2.json", range(6), 20, bump=1)   # late rows at hours 0..5
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("ts_us", T.LongType())]
+    )
+    stream = (
+        stream_json_source(spark, src, schema)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    acc = []
+    sink = lambda df, _b: acc.extend((r.ws.hour, r.n) for r in df.collect())  # noqa: E731
+    run_available_now(stream, ckpt, sink)
+    write("zz.json", [100], 30)
+    run_available_now(stream, ckpt, sink)
+
+    got = dict(sorted(acc))
+    # windows 0-2 closed by b1's watermark (end <= 3h): late copies
+    # dropped; windows 3-5 still open when b2 arrived: late accepted
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 1, 7: 1, 8: 1, 9: 1}
