@@ -655,6 +655,26 @@ class ParquetUpsertTable:
             )
         self._snapshot_write(df)
 
+    def delete_where(self, condition) -> None:
+        """DELETE: commit a new snapshot without the matching rows —
+        the first half of the lakehouse hard-delete (GDPR / right-to-
+        be-forgotten) flow. Like Delta, DELETE alone does NOT remove
+        the data from history: retained older snapshots still contain
+        the rows until `vacuum` drops them, so a compliance purge is
+        ``delete_where(cond)`` followed by ``vacuum(keep_last=1)`` —
+        after which no retained snapshot can serve the deleted rows
+        (k24 asserts exactly this). Cost is one filtered rewrite of
+        the active snapshot; the filter is a plain predicate, so
+        partition pruning applies when it touches partition columns.
+
+        NULL predicate rows are KEPT (SQL DELETE semantics: only rows
+        where the condition is TRUE are removed — a bare ``~cond``
+        would silently drop the NULLs too).
+        """
+        self._snapshot_write(
+            self.read().filter(~F.coalesce(condition, F.lit(False)))
+        )
+
     def evolve_partitioning(self, new_partition_by: tuple[str, ...]) -> None:
         """Partition-spec evolution (Iceberg's ALTER TABLE ... WRITE
         ORDERED/PARTITIONED BY role): rewrite the active snapshot under

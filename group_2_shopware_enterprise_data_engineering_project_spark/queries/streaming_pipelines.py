@@ -1389,3 +1389,114 @@ def st19_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_accepted",
         (F.col("n_all") - F.col("n_accepted")).alias("n_dropped_late"),
     )
+
+
+# --- ST20: streaming ANN index maintenance (searchable LSH dim table) ------
+
+# Identical result contract to e3: same vectors, same md5-derived
+# planes, same tie-break — so e3's oracle applies verbatim. What ST20
+# adds is WHERE the search runs: against a PERSISTENT index table
+# maintained by a stream, not a batch derivation.
+from group_2_shopware_enterprise_data_engineering_project_spark.queries.embeddings_sim import (  # noqa: E402
+    E3_ORACLE as ST20_ORACLE,
+    N_QUERIES as _ST20_Q,
+    TOP_K as _ST20_K,
+)
+
+
+@register(
+    "st20_stream_ann_index",
+    ST20_ORACLE,
+    doc="streaming ANN index maintenance: embeddings arrive in 3 "
+    "micro-batches and replace-merge into a persistent (vec_id, "
+    "bucket, embedding) LSH index table under the manifest txn — new "
+    "vectors are searchable as soon as their batch commits, the "
+    "index-freshness property batch derivations can't give. The "
+    "search then runs AGAINST THE STORED INDEX (bucket equi-join, "
+    "stored buckets — not recomputed), and its top-5 equals the batch "
+    "LSH derivation bit-for-bit, so e3's oracle applies verbatim. "
+    "Batches move through parquet staging (bit-exact floats, no text "
+    "roundtrip)",
+)
+def st20_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        similarity,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        replacing_dim_sink,
+    )
+
+    base = _tmp("st20")
+    src, ckpt = f"{base}/in", f"{base}/ckpt"
+    os.makedirs(src)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for b in range(3):
+        stage = f"{base}/stage_{b}"
+        emb.filter(F.col("vec_id") % 3 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            (n for n in os.listdir(stage) if n.endswith(".parquet")), None
+        )
+        if part is None:
+            continue
+        dest = os.path.join(src, f"b{b}.parquet")
+        shutil.move(os.path.join(stage, part), dest)
+        t = os.path.getmtime(dest)
+        os.utime(dest, (t + 10 * b, t + 10 * b))
+
+    planes = similarity.hyperplane_signs(similarity.NUM_PLANES)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn(
+            "bucket",
+            similarity.lsh_bucket(
+                similarity._as_double(F.col("embedding")), planes
+            ),
+        )
+    )
+    index = ParquetUpsertTable(spark, f"{base}/ann_index")
+    replacing_dim_sink(stream, index, ("vec_id",), "vec_id", ckpt)
+
+    # search the STORED index: stored buckets, stored vectors
+    stored = index.read().select(
+        "vec_id",
+        similarity._as_double(F.col("embedding")).alias("v"),
+        "bucket",
+    )
+    queries = F.broadcast(
+        stored.filter(F.col("vec_id") < _ST20_Q).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cands = (
+        queries.join(stored, F.col("qbucket") == F.col("bucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                similarity.dot(F.col("qv"), F.col("v"))
+                / (
+                    similarity.l2_norm(F.col("qv"))
+                    * similarity.l2_norm(F.col("v"))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    return similarity._topk_per_query(cands, _ST20_K).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )

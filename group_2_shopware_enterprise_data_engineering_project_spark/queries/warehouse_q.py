@@ -688,3 +688,67 @@ def k23_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_price"),
         )
     )
+
+
+# --- K24: GDPR hard-delete purge (DELETE + VACUUM) -------------------------
+
+K24_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS total_price,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders WHERE o_custkey % 97 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "k24_gdpr_purge",
+    K24_ORACLE,
+    doc="hard-delete purge (right-to-be-forgotten), the Delta "
+    "DELETE+VACUUM flow: delete_where commits a NEW snapshot without "
+    "the purged customers' rows (NULL-predicate rows kept — SQL "
+    "DELETE semantics), then vacuum(keep_last=1) drops every retained "
+    "snapshot that could still serve them. In-query asserts: the "
+    "purged keys are gone from the active snapshot, EVERY remaining "
+    "retained version is free of them, and pre-purge time travel "
+    "raises. The oracle proves the survivors are untouched",
+)
+def k24_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+
+    out = tempfile.mkdtemp(prefix="shopware_spark_k24_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = ParquetUpsertTable(spark, f"{out}/orders_purged")
+    t.create_or_overwrite(orders)
+    purged = F.col("o_custkey") % 97 == 0
+    t.delete_where(purged)
+    removed = t.vacuum(keep_last=1)
+    versions = t.versions()
+    for v in versions:
+        if t.read_version(v).filter(purged).count() != 0:
+            raise AssertionError(f"purged keys still served by version {v}")
+    if removed:
+        try:
+            t.read_version(removed[-1])
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("vacuumed pre-purge version still readable")
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

@@ -528,3 +528,22 @@ def test_partition_evolution_rewrites_layout_and_persists_spec(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t2.evolve_partitioning(("nope",))
+
+
+def test_delete_where_keeps_null_predicate_rows_and_purges_with_vacuum(
+    spark, tmp_path
+):
+    t = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    src = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "drop"), (4, "drop")],
+        "id long, tag string",
+    )
+    t.create_or_overwrite(src)
+    t.delete_where(F.col("tag") == "drop")
+    # NULL-tag row survives (SQL DELETE semantics), matches are gone
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    # pre-delete snapshot still serves the rows until vacuum
+    assert t.read_version(1).count() == 4
+    t.vacuum(keep_last=1)
+    for v in t.versions():
+        assert t.read_version(v).filter(F.col("tag") == "drop").count() == 0
