@@ -299,10 +299,29 @@ class ParquetUpsertTable:
         # partition evolution landed) is authoritative for an EXISTING
         # table: a re-opened handle keeps writing the committed layout
         # even if constructed without partition_by. Changing the spec
-        # goes through `evolve_partitioning`, never the constructor.
+        # goes through `evolve_partitioning`, never the constructor —
+        # a CONFLICTING explicit argument is an error, not a silent
+        # override in either direction.
         stored = self._read_manifest()
         if stored is not None and "partition_by" in stored:
-            self.partition_by = tuple(stored["partition_by"])
+            stored_spec = tuple(stored["partition_by"])
+            if partition_by and tuple(partition_by) != stored_spec:
+                raise ValueError(
+                    f"table at {path} is committed with partition spec "
+                    f"{stored_spec}, not {tuple(partition_by)}; use "
+                    "evolve_partitioning to change the layout"
+                )
+            self.partition_by = stored_spec
+
+    def _refresh_spec(self) -> None:
+        """Re-adopt the manifest's stored partition spec before a
+        write: another handle may have evolved the layout since this
+        one was constructed, and writing with a stale in-memory spec
+        would either silently revert the evolution (snapshot path) or
+        mix layouts inside the active snapshot (scoped path)."""
+        m = self._read_manifest()
+        if m is not None and "partition_by" in m:
+            self.partition_by = tuple(m["partition_by"])
 
     # -- snapshot bookkeeping (driver-side O(1) metadata ops) ------------
 
@@ -619,6 +638,7 @@ class ParquetUpsertTable:
     def create_or_overwrite(self, df: DataFrame) -> None:
         """K3 — first-write bootstrap (reference transfom_pos.py:156-159).
         Snapshot-committed, so overwriting an existing table is atomic."""
+        self._refresh_spec()
         self._snapshot_write(df)
 
     def append(self, df: DataFrame) -> None:
@@ -626,6 +646,7 @@ class ParquetUpsertTable:
         Appends add files to the active snapshot; existing files are
         never rewritten, so a crash leaves at worst staged _temporary
         files, not data loss."""
+        self._refresh_spec()
         if not self.exists():
             self._snapshot_write(df)
             return
@@ -644,6 +665,7 @@ class ParquetUpsertTable:
         partition; `target_partitions` bounds the file count for the
         unpartitioned case (default: spark.sql.shuffle.partitions).
         """
+        self._refresh_spec()
         df = self.read()
         if self.partition_by:
             df = df.repartition(*[F.col(c) for c in self.partition_by])
@@ -671,6 +693,7 @@ class ParquetUpsertTable:
         where the condition is TRUE are removed — a bare ``~cond``
         would silently drop the NULLs too).
         """
+        self._refresh_spec()
         self._snapshot_write(
             self.read().filter(~F.coalesce(condition, F.lit(False)))
         )
@@ -695,11 +718,12 @@ class ParquetUpsertTable:
         table and union over both — this method is for when the table
         identity must be preserved.
         """
+        self._refresh_spec()
         new_spec = tuple(new_partition_by)
-        missing = [c for c in new_spec if c not in self.read().columns]
+        df = self.read()
+        missing = [c for c in new_spec if c not in df.columns]
         if missing:
             raise ValueError(f"partition columns not in table: {missing}")
-        df = self.read()
         if new_spec:
             df = df.repartition(*[F.col(c) for c in new_spec])
         old = self.partition_by
@@ -734,6 +758,7 @@ class ParquetUpsertTable:
         commits atomically with the data on the snapshot path (stamped
         immediately after on the scoped path; replace-merge is
         content-idempotent so a replay through that window is safe)."""
+        self._refresh_spec()
         if txn is not None and txn[1] <= self.last_txn(txn[0]):
             return
         self._check_txn_stampable(txn)
@@ -779,6 +804,7 @@ class ParquetUpsertTable:
         manifest right after the partition job commits — a crash inside
         that gap replays as a double-add; callers needing a zero-width
         window on a scoped table should force the snapshot path."""
+        self._refresh_spec()
         if txn is not None and txn[1] <= self.last_txn(txn[0]):
             return
         self._check_txn_stampable(txn)

@@ -412,11 +412,16 @@ def histogram_bins(
 
     Values below lo clamp to bin 0, at/above hi to bin bins-1 (the
     outermost bins absorb outliers; their counts flag a mis-sized
-    domain). One map-side-combining groupBy to <= groups x bins rows.
+    domain). NULL values are EXCLUDED from the sketch — a NULL has no
+    position in the domain, and letting it through would create a
+    NULL bin row that the quantile cumsum counts BEFORE bin 0. One
+    map-side-combining groupBy to <= groups x bins rows.
     """
+    if hi <= lo or bins < 1:
+        raise ValueError(f"need lo < hi and bins >= 1, got [{lo}, {hi}) x {bins}")
     pre = df.select(
         F.col(group_col).alias("g"), value_cents.cast("long").alias("_v")
-    )
+    ).filter(F.col("_v").isNotNull())
     raw = F.expr(f"((_v - {int(lo)}L) * {int(bins)}L) div {int(hi - lo)}L")
     b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("long")
     return (
@@ -488,10 +493,17 @@ def equidepth_bucketize(
     """
     if n_buckets < 2:
         raise ValueError(f"need n_buckets >= 2, got {n_buckets}")
+    # NULL values are EXCLUDED: under Spark's NULLS-FIRST window order
+    # a NULL run can absorb a boundary rank, making that boundary NULL
+    # and collapsing the whole group's bucket sum to NULL — and the
+    # engines disagree on NULL placement anyway.
     v = value_int.cast("long")
     g = F.col(group_col).alias("g")
-    rl = df.groupBy(g, v.alias("val")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    rl = (
+        df.select(g, v.alias("val"))
+        .filter(F.col("val").isNotNull())
+        .groupBy("g", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     w = (
         Window.partitionBy("g")

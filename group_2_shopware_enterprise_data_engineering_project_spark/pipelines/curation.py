@@ -37,37 +37,59 @@ from group_2_shopware_enterprise_data_engineering_project_spark.operators.compon
 )
 
 
-def curate_corpus(docs: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
-    """Run the full curation pass; returns the surviving corpus as
-    (doc_id, n_tokens, quality_score, split)."""
-    # 1. exact dedup: one survivor (min doc_id) per distinct text
-    exact = text.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
-    survivors = docs.join(exact, "doc_id", "semi")
+def _gate_sets(
+    docs: DataFrame, jaccard_threshold: float, materialize: bool
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """ONE copy of the curation gate chain, shared by `curate_corpus`
+    and `curation_audit` so the audit's 'kept' label can never drift
+    from the survivor set (a threshold tweak or a new stage reaches
+    both callers by construction). Returns per-stage keep frames:
 
-    # 2. near-dup clusters over the exact survivors; keep representatives
-    pairs = minhash.minhash_lsh_dedup(survivors, threshold=jaccard_threshold)
-    verdicts = dedup_verdicts(survivors, pairs.select("doc_a", "doc_b"))
-    keep = verdicts.filter(F.col("is_keep")).select("doc_id")
-    survivors = survivors.join(keep, "doc_id", "semi")
+      exact     (doc_id)                          exact-dedup survivors
+      keep2     (doc_id)                          near-dup cluster reps
+      passed    (doc_id, n_tokens, quality_score) quality-gate passers
+      rep_keep  (doc_id)                          repetition-gate keeps
 
-    # 3. quality gate
-    scored = text.quality_score(text.text_stats(survivors))
-    passed = scored.filter(F.col("is_quality")).select(
-        "doc_id", "n_tokens", "quality_score"
+    Each stage runs only on the previous stage's survivors. With
+    ``materialize`` each id set is eagerly checkpointed — required
+    when a caller consumes a set in MORE than one plan branch (the
+    audit's attribution joins), where lazy plans would re-execute the
+    whole upstream chain per branch."""
+    mat = (
+        (lambda d: d.localCheckpoint(eager=True)) if materialize else (lambda d: d)
     )
+    exact = mat(text.exact_dedup(docs).select(F.col("keep_id").alias("doc_id")))
+    surv1 = docs.join(exact, "doc_id", "semi")
 
-    # 3b. within-doc repetition gate (Gopher-style), computed only over
-    # the quality survivors — each stage shrinks the next stage's input
-    q_docs = survivors.join(passed.select("doc_id"), "doc_id", "semi")
-    rep_keep = (
+    pairs = minhash.minhash_lsh_dedup(surv1, threshold=jaccard_threshold)
+    verdicts = dedup_verdicts(surv1, pairs.select("doc_a", "doc_b"))
+    keep2 = mat(verdicts.filter(F.col("is_keep")).select("doc_id"))
+    surv2 = surv1.join(keep2, "doc_id", "semi")
+
+    scored = text.quality_score(text.text_stats(surv2))
+    passed = mat(
+        scored.filter(F.col("is_quality")).select(
+            "doc_id", "n_tokens", "quality_score"
+        )
+    )
+    q_docs = surv2.join(passed.select("doc_id"), "doc_id", "semi")
+    rep_keep = mat(
         text.repetition_signals(q_docs)
         .filter(F.col("repetition_keep"))
         .select("doc_id")
     )
-    passed = passed.join(rep_keep, "doc_id", "semi")
+    return exact, keep2, passed, rep_keep
 
-    # 4. hash-stable split assignment
-    return prep.split_assign(passed, "doc_id").select(
+
+def curate_corpus(docs: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
+    """Run the full curation pass; returns the surviving corpus as
+    (doc_id, n_tokens, quality_score, split). Gate chain in
+    `_gate_sets` (shared with `curation_audit`); this caller consumes
+    each stage once in a linear chain, so nothing is materialized."""
+    _, _, passed, rep_keep = _gate_sets(docs, jaccard_threshold, materialize=False)
+    survivors = passed.join(rep_keep, "doc_id", "semi")
+    # hash-stable split assignment
+    return prep.split_assign(survivors, "doc_id").select(
         "doc_id", "n_tokens", "quality_score", "split"
     )
 
@@ -115,50 +137,20 @@ def curation_audit(docs: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame
     input document labeled with the FIRST stage that dropped it
     ('exact_dup' | 'near_dup' | 'quality' | 'repetition') or 'kept'.
     curate_corpus answers "what survived"; this answers the question a
-    curation review actually asks — "where did the other 40% go" —
-    without re-reading the corpus per stage (each gate's id set is
-    computed once, on the already-shrunk survivor set, exactly as in
-    curate_corpus; the final attribution is doc_id-sized left joins).
-
-    Each gate's id set feeds BOTH the next stage and a final left-join
-    branch, so (as in curate_and_pack) every set is eagerly
-    materialized — without that, each attribution branch re-executes
-    the entire upstream chain in the plan. All four sets are
-    doc_id-sized.
-    """
-    exact = (
-        text.exact_dedup(docs)
-        .select(F.col("keep_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    surv1 = docs.join(exact, "doc_id", "semi")
-
-    pairs = minhash.minhash_lsh_dedup(surv1, threshold=jaccard_threshold)
-    verdicts = dedup_verdicts(surv1, pairs.select("doc_a", "doc_b"))
-    keep2 = (
-        verdicts.filter(F.col("is_keep"))
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
-    surv2 = surv1.join(keep2, "doc_id", "semi")
-
-    scored = text.quality_score(text.text_stats(surv2))
-    passed = (
-        scored.filter(F.col("is_quality"))
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
-    q_docs = surv2.join(passed, "doc_id", "semi")
-
-    rep_keep = (
-        text.repetition_signals(q_docs)
-        .filter(F.col("repetition_keep"))
-        .select("doc_id")
-        .localCheckpoint(eager=True)
+    curation review actually asks — "where did the other 40% go" — at
+    the cost of the same single corpus pass: the gate chain is the
+    SHARED `_gate_sets` (so the 'kept' label equals the survivor set
+    by construction, pinned by the partition-law pytest), run with
+    ``materialize=True`` because each id set here feeds BOTH the next
+    stage and a final attribution branch — lazy plans would re-execute
+    the whole upstream chain per branch. All four sets are
+    doc_id-sized."""
+    exact, keep2, passed, rep_keep = _gate_sets(
+        docs, jaccard_threshold, materialize=True
     )
 
     def _mark(ids: DataFrame, flag: str) -> DataFrame:
-        return ids.withColumn(flag, F.lit(1))
+        return ids.select("doc_id").withColumn(flag, F.lit(1))
 
     return (
         docs.select("doc_id")

@@ -1187,22 +1187,20 @@ ORDER BY 1, 3
 def st18_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
-    import shutil
 
     from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
         run_available_now,
+        stage_ordered_batches,
     )
 
     base = _tmp("st18")
     src, ckpt, out = f"{base}/in", f"{base}/ckpt", f"{base}/out"
-    os.makedirs(src)
     events = table(spark, sf_dir, "events").select(
         "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
     )
-    # 3 time-range buckets written with strictly increasing mtimes:
-    # maxFilesPerTrigger=1 + availableNow consumes them oldest-first,
-    # so the watermark (1h behind each batch's max ts) always trails
-    # the NEXT batch's minimum and no real event is late-dropped.
+    # 3 time-range buckets in mtime order: the watermark (1h behind
+    # each batch's max ts) always trails the NEXT batch's minimum, so
+    # no real event is late-dropped.
     c1, c2 = events.select(
         F.percentile("ts_us", F.lit(1.0 / 3)).cast("long"),
         F.percentile("ts_us", F.lit(2.0 / 3)).cast("long"),
@@ -1210,16 +1208,7 @@ def st18_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (
         F.when(F.col("ts_us") < c1, 0).when(F.col("ts_us") < c2, 1).otherwise(2)
     )
-    for b in range(3):
-        stage = f"{base}/stage_{b}"
-        events.filter(bucket == b).coalesce(1).write.mode("overwrite").json(stage)
-        part = next((n for n in os.listdir(stage) if n.endswith(".json")), None)
-        if part is None:
-            continue
-        dest = os.path.join(src, f"b{b}.json")
-        shutil.move(os.path.join(stage, part), dest)
-        t = os.path.getmtime(dest)
-        os.utime(dest, (t + 10 * b, t + 10 * b))
+    stage_ordered_batches(events, src, 3, bucket)
     max_us = events.agg(F.max("ts_us")).collect()[0][0]
 
     schema = T.StructType(
@@ -1314,40 +1303,30 @@ FROM acc WHERE n_accepted > 0 ORDER BY 1
 def st19_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
-    import shutil
 
     from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
         run_available_now,
+        stage_ordered_batches,
     )
 
     base = _tmp("st19")
     src, ckpt, out = f"{base}/in", f"{base}/ckpt", f"{base}/out"
-    os.makedirs(src)
     events = table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
     )
     delayed = F.col("event_id") % 23 == 0
-    lo, hi = (
-        events.filter(~delayed).agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-    )
+    lo, hi, gmax = events.select(
+        F.min(F.when(~delayed, F.col("ts_us"))),
+        F.max(F.when(~delayed, F.col("ts_us"))),
+        F.max("ts_us"),
+    ).collect()[0]
     c1 = (lo + hi) // 2
     # b0/b1 = on-time halves in mtime order (watermark never drops an
     # on-time row); b2 = the withheld subset, arriving last
-    parts = (
-        (0, ~delayed & (F.col("ts_us") < c1)),
-        (1, ~delayed & (F.col("ts_us") >= c1)),
-        (2, delayed),
+    assign = (
+        F.when(delayed, 2).when(F.col("ts_us") < c1, 0).otherwise(1)
     )
-    for b, pred in parts:
-        stage = f"{base}/stage_{b}"
-        events.filter(pred).coalesce(1).write.mode("overwrite").json(stage)
-        part = next((n for n in os.listdir(stage) if n.endswith(".json")), None)
-        if part is None:
-            continue
-        dest = os.path.join(src, f"b{b}.json")
-        shutil.move(os.path.join(stage, part), dest)
-        t = os.path.getmtime(dest)
-        os.utime(dest, (t + 10 * b, t + 10 * b))
+    stage_ordered_batches(events, src, 3, assign)
 
     schema = T.StructType(
         [
@@ -1370,13 +1349,16 @@ def st19_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(out, exist_ok=True)
     sink = lambda df, _bid: df.write.mode("append").parquet(out)  # noqa: E731
     run_available_now(stream, ckpt, sink)
+    # sentinel cutoffs derive from the GLOBAL max ts (delayed events
+    # can sit past the on-time max; a cutoff at the on-time max would
+    # wrongly drop their accepted windows and diverge from the oracle)
     day_us = 86_400_000_000
     with open(f"{src}/zz_sentinel.json", "w") as f:
-        f.write(json.dumps({"event_id": -1, "ts_us": hi + 10 * day_us}))
+        f.write(json.dumps({"event_id": -1, "ts_us": gmax + 10 * day_us}))
     run_available_now(stream, ckpt, sink)
 
     accepted = spark.read.parquet(out).filter(
-        F.col("window_start") < F.timestamp_micros(F.lit(hi + day_us))
+        F.col("window_start") < F.timestamp_micros(F.lit(gmax + day_us))
     )
     full = (
         table(spark, sf_dir, "events")

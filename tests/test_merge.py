@@ -547,3 +547,35 @@ def test_delete_where_keeps_null_predicate_rows_and_purges_with_vacuum(
     t.vacuum(keep_last=1)
     for v in t.versions():
         assert t.read_version(v).filter(F.col("tag") == "drop").count() == 0
+
+
+def test_conflicting_constructor_spec_raises_and_stale_handle_adopts(
+    spark, tmp_path
+):
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl")
+    a = ParquetUpsertTable(spark, path, partition_by=("d",))
+    src = spark.createDataFrame(
+        [(i, f"d{i % 2}", f"p{i % 3}", i) for i in range(6)],
+        "id long, d string, p string, v long",
+    )
+    a.create_or_overwrite(src)
+    # explicit spec conflicting with the committed one is an error,
+    # not a silent override in either direction
+    with _pytest.raises(ValueError):
+        ParquetUpsertTable(spark, path, partition_by=("p",))
+    # a handle opened BEFORE an evolution adopts the new spec on its
+    # next write instead of silently reverting the layout
+    b = ParquetUpsertTable(spark, path)
+    b.evolve_partitioning(("p",))
+    a.upsert_replace(
+        spark.createDataFrame([(99, "d9", "p9", 9)], src.schema), ("id",)
+    )
+    assert a.partition_by == ("p",)
+    import os
+
+    leaf = os.listdir(a._data_dir())
+    assert any(n.startswith("p=") for n in leaf)
+    assert not any(n.startswith("d=") for n in leaf)
+    assert a.read().count() == 7

@@ -249,9 +249,16 @@ def main() -> None:
     docs1 = table(spark, sf_dir, "documents").localCheckpoint(eager=True)
     emb1 = table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
     part1 = table(spark, sf_dir, "part").localCheckpoint(eager=True)
-    docsk = _docs_k(docs1, k).localCheckpoint(eager=True)
-    embk = _emb_k(emb1, k).localCheckpoint(eager=True)
-    partk = _part_k(part1, k).localCheckpoint(eager=True)
+    # the k-fold frames are EAGER materializations costing real minutes
+    # at factor 8 — build only the ones a selected op actually consumes
+    # (curate/audit use the gate-preserving docs_tk instead)
+    generic = set(ops) - {"curate", "audit"}
+    docsk = embk = partk = None
+    if generic or (only and "incr" in only):
+        docsk = _docs_k(docs1, k).localCheckpoint(eager=True)
+    if generic:
+        embk = _emb_k(emb1, k).localCheckpoint(eager=True)
+        partk = _part_k(part1, k).localCheckpoint(eager=True)
 
     results = {}
     if only and "incr" in only:
