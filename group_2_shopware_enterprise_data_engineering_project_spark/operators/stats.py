@@ -158,7 +158,14 @@ def winsorized_summary(
     # distinct values, not raw rows (bounds per-task memory on groups
     # with many repeated values)
     rl = df.groupBy(g, v.alias("val")).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w = Window.partitionBy("group_key").orderBy("val")
+    # ROWS frame pinned even though (group, val) is unique by
+    # construction (RANGE==ROWS here): the m15 lesson — remove the
+    # divergence surface, don't reason it away
+    w = (
+        Window.partitionBy("group_key")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     ranked = rl.withColumn("cum", F.sum("c").over(w)).withColumn(
         "n", F.sum("c").over(Window.partitionBy("group_key"))
     )

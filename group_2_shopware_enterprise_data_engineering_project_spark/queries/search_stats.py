@@ -171,7 +171,8 @@ WITH rl AS (
   FROM lineitem GROUP BY 1, 2
 ), r2 AS (
   SELECT *,
-         sum(c) OVER (PARTITION BY group_key ORDER BY val) AS cum,
+         sum(c) OVER (PARTITION BY group_key ORDER BY val
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
          sum(c) OVER (PARTITION BY group_key) AS n
   FROM rl
 ), r3 AS (
