@@ -1482,3 +1482,100 @@ def st20_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity._topk_per_query(cands, _ST20_K).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
+
+
+# --- S10: binaryFile scan (the media-blob ingestion source) ----------------
+
+S10_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+@register(
+    "s10_binaryfile_scan",
+    S10_ORACLE,
+    doc="binaryFile source scan — the ingestion path for opaque media "
+    "blobs (images/audio) that the mm-family operators consume: each "
+    "doc's utf-8 bytes land as one .bin file, Spark's binaryFile "
+    "source reads (path, length, content), and the oracle proves the "
+    "byte-level roundtrip (octet length + md5 over the raw bytes, "
+    "not characters). The fixture writes file-per-row only because "
+    "the harness must CREATE the blobs; at scale the blobs already "
+    "exist in object storage and this is purely the scan side — "
+    "partition parallelism comes from Spark's file splitting across "
+    "the listing",
+)
+def s10_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    base = _tmp("s10")
+    blobs = f"{base}/blobs"
+    os.makedirs(blobs)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    for doc_id, text in docs.collect():
+        with open(os.path.join(blobs, f"{doc_id}.bin"), "wb") as f:
+            f.write(text.encode("utf-8"))
+    back = spark.read.format("binaryFile").load(blobs)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+# --- S11: raw text-log scan + regexp parse ---------------------------------
+
+S11_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(max(us) AS BIGINT) AS max_us
+FROM (
+  SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+) GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "s11_logline_parse",
+    S11_ORACLE,
+    doc="raw log-line ingestion: events serialized as pipe-delimited "
+    "text lines, read back with the plain text source and parsed by "
+    "regexp_extract into typed columns — the classic ETL shape for "
+    "appliance/syslog feeds that arrive as lines, not records. The "
+    "per-type aggregate (count, BIGINT id sum, max epoch-us) hashes "
+    "exactly against the original table, proving the "
+    "serialize -> line-scan -> regexp -> cast path is lossless. "
+    "Parsing is a codegen'd projection — no shuffle before the agg",
+)
+def s11_logline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp("s11")
+    logs = f"{base}/logs"
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    events.select(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.col("us").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(logs)
+    lines = spark.read.text(logs)
+    pat = r"^(\d+)\|([^|]*)\|(-?\d+)$"
+    parsed = lines.select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("event_id"),
+        F.regexp_extract("value", pat, 2).alias("event_type"),
+        F.regexp_extract("value", pat, 3).cast("long").alias("us"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.max("us").alias("max_us"),
+    )
