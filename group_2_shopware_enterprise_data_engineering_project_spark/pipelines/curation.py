@@ -84,9 +84,15 @@ def _gate_sets(
 def curate_corpus(docs: DataFrame, jaccard_threshold: float = 0.4) -> DataFrame:
     """Run the full curation pass; returns the surviving corpus as
     (doc_id, n_tokens, quality_score, split). Gate chain in
-    `_gate_sets` (shared with `curation_audit`); this caller consumes
-    each stage once in a linear chain, so nothing is materialized."""
-    _, _, passed, rep_keep = _gate_sets(docs, jaccard_threshold, materialize=False)
+    `_gate_sets` (shared with `curation_audit`), run MATERIALIZED:
+    the chain is linear stage-to-stage but each intermediate survivor
+    frame feeds multiple plan branches (surv1 -> pairs AND verdicts
+    AND surv2; surv2 -> scoring AND the repetition gate), so the lazy
+    plan re-executed the upstream chain per branch — 326 exchanges at
+    plan time vs 4 materialized, and measurably slower at sf0.1. The
+    id sets are survivor-sized; at corpus scale they are the cheap
+    thing to persist."""
+    _, _, passed, rep_keep = _gate_sets(docs, jaccard_threshold, materialize=True)
     survivors = passed.join(rep_keep, "doc_id", "semi")
     # hash-stable split assignment
     return prep.split_assign(survivors, "doc_id").select(
