@@ -740,3 +740,62 @@ FROM att GROUP BY channel
 )
 def a24_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.last_touch_attribution(table(spark, sf_dir, "events"))
+
+
+# --- A26: ranking-function surface (rank / dense_rank / ntile / ratios) ----
+
+A26_ORACLE = """
+WITH v AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, status, cents,
+       CAST(rank() OVER w_val AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w_val AS BIGINT) AS drnk,
+       percent_rank() OVER w_val AS pct_rank,
+       cume_dist() OVER w_val AS cume,
+       CAST(ntile(4) OVER w_tot AS BIGINT) AS quartile
+FROM v
+WINDOW w_val AS (PARTITION BY status ORDER BY cents DESC),
+       w_tot AS (PARTITION BY status ORDER BY cents DESC, o_orderkey)
+ORDER BY status, cents DESC, o_orderkey
+"""
+
+
+@register(
+    "a26_window_ranks",
+    A26_ORACLE,
+    doc="the ranking-function surface in one query: rank/dense_rank/"
+    "percent_rank/cume_dist over a VALUE ordering (ties share ranks, "
+    "so every per-row value is deterministic without a tie-break) "
+    "plus ntile over a TOTAL ordering (ntile splits tie groups, so "
+    "its ordering must be collision-proof — the o_orderkey tie-break "
+    "is load-bearing, not stylistic). percent_rank/cume_dist are one "
+    "division of identical integers on both engines — exactly-rounded "
+    "IEEE, hash-safe per the repo's float discipline. One shuffle on "
+    "the partition key serves all five functions",
+)
+def a26_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    v = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    w_val = Window.partitionBy("status").orderBy(F.col("cents").desc())
+    w_tot = Window.partitionBy("status").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey")
+    )
+    return v.select(
+        "o_orderkey",
+        "status",
+        "cents",
+        F.rank().over(w_val).cast("long").alias("rnk"),
+        F.dense_rank().over(w_val).cast("long").alias("drnk"),
+        F.percent_rank().over(w_val).alias("pct_rank"),
+        F.cume_dist().over(w_val).alias("cume"),
+        F.ntile(4).over(w_tot).cast("long").alias("quartile"),
+    )
