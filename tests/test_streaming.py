@@ -1027,3 +1027,73 @@ def test_late_rows_drop_only_after_window_emitted(spark, tmp_path):
     # windows 0-2 closed by b1's watermark (end <= 3h): late copies
     # dropped; windows 3-5 still open when b2 arrived: late accepted
     assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 1, 7: 1, 8: 1, 9: 1}
+
+
+def test_streaming_ann_index_is_fresh_after_each_batch(spark, tmp_path):
+    """The property st20 sells: a vector is searchable as soon as its
+    micro-batch commits — the index table holds exactly the vectors of
+    the batches drained so far, with buckets equal to the batch
+    derivation."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import similarity
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        replacing_dim_sink,
+    )
+
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(src)
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = similarity.hyperplane_signs(similarity.NUM_PLANES)
+
+    def _stage(b, ids):
+        stage = str(tmp_path / f"s{b}")
+        emb.filter(F.col("vec_id").isin(ids)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))
+        dest = os.path.join(src, f"b{b}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        t = os.path.getmtime(dest)
+        os.utime(dest, (t + 10 * b, t + 10 * b))
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn(
+            "bucket",
+            similarity.lsh_bucket(similarity._as_double(F.col("embedding")), planes),
+        )
+    )
+    index = ParquetUpsertTable(spark, str(tmp_path / "idx"))
+
+    _stage(0, list(range(10)))
+    replacing_dim_sink(stream, index, ("vec_id",), "vec_id", ckpt)
+    assert sorted(r.vec_id for r in index.read().collect()) == list(range(10))
+
+    _stage(1, list(range(10, 20)))
+    replacing_dim_sink(stream, index, ("vec_id",), "vec_id", ckpt)
+    got = index.read()
+    assert sorted(r.vec_id for r in got.collect()) == list(range(20))
+    # stored buckets equal the batch derivation over the same vectors
+    want = emb.select(
+        "vec_id",
+        similarity.lsh_bucket(similarity._as_double(F.col("embedding")), planes).alias(
+            "bucket"
+        ),
+    )
+    assert {(r.vec_id, r.bucket) for r in got.select("vec_id", "bucket").collect()} == {
+        (r.vec_id, r.bucket) for r in want.collect()
+    }
