@@ -799,3 +799,80 @@ def a26_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w_val).alias("cume"),
         F.ntile(4).over(w_tot).cast("long").alias("quartile"),
     )
+
+
+# --- A27: proportion estimates with Wilson confidence bounds ---------------
+
+# z = 1.96 exactly (a double literal); every input to the bound is a
+# BIGINT count, and the bound itself is ONE pinned expression using
+# only +,-,*,/ and sqrt — all exactly-rounded per IEEE-754, so both
+# engines produce bit-identical doubles (the repo's float discipline;
+# ln/exp/pow never appear).
+A27_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_type,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+  FROM events GROUP BY 1
+)
+SELECT event_type, n_type, n_total,
+       CAST(n_type AS DOUBLE) / CAST(n_total AS DOUBLE) AS p_hat,
+       (CAST(n_type AS DOUBLE) / CAST(n_total AS DOUBLE)
+          + 1.96 * 1.96 / (2.0 * CAST(n_total AS DOUBLE))
+          - 1.96 * sqrt(
+              (CAST(n_type AS DOUBLE) / CAST(n_total AS DOUBLE))
+              * (1.0 - CAST(n_type AS DOUBLE) / CAST(n_total AS DOUBLE))
+              / CAST(n_total AS DOUBLE)
+              + 1.96 * 1.96 / (4.0 * CAST(n_total AS DOUBLE)
+                               * CAST(n_total AS DOUBLE))))
+         / (1.0 + 1.96 * 1.96 / CAST(n_total AS DOUBLE)) AS wilson_lo,
+       (CAST(n_type AS DOUBLE) / CAST(n_total AS DOUBLE)
+          + 1.96 * 1.96 / (2.0 * CAST(n_total AS DOUBLE))
+          + 1.96 * sqrt(
+              (CAST(n_type AS DOUBLE) / CAST(n_total AS DOUBLE))
+              * (1.0 - CAST(n_type AS DOUBLE) / CAST(n_total AS DOUBLE))
+              / CAST(n_total AS DOUBLE)
+              + 1.96 * 1.96 / (4.0 * CAST(n_total AS DOUBLE)
+                               * CAST(n_total AS DOUBLE))))
+         / (1.0 + 1.96 * 1.96 / CAST(n_total AS DOUBLE)) AS wilson_hi
+FROM c ORDER BY event_type
+"""
+
+
+@register(
+    "a27_wilson_proportions",
+    A27_ORACLE,
+    doc="per-type event share with Wilson 95% confidence bounds — the "
+    "interval that stays inside [0,1] and behaves at small n, unlike "
+    "the naive normal approximation; the decision-grade form of 'is "
+    "this share really higher'. Inputs are BIGINT counts and the "
+    "bound is ONE pinned expression over +,-,*,/ and sqrt (all "
+    "IEEE exactly-rounded -> bit-identical across engines; the repo's "
+    "float discipline). One map-side-combined groupBy; the total "
+    "rides a window over the per-type rows, not the data",
+)
+def a27_wilson_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    c = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_type")
+    )
+    c = c.withColumn(
+        "n_total", F.sum("n_type").over(Window.partitionBy()).cast("long")
+    )
+    nt = F.col("n_type").cast("double")
+    n = F.col("n_total").cast("double")
+    z = F.lit(1.96)
+    p = nt / n
+    center = p + z * z / (F.lit(2.0) * n)
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+    denom = F.lit(1.0) + z * z / n
+    return c.select(
+        "event_type",
+        "n_type",
+        "n_total",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )
