@@ -677,6 +677,39 @@ class ParquetUpsertTable:
             )
         self._snapshot_write(df)
 
+    def write_audit_publish(self, df: DataFrame, audit_fn) -> DataFrame:
+        """Write-audit-publish (Iceberg WAP / DLT-expectations role):
+        STAGE the next snapshot on disk, AUDIT the staged files, and
+        PUBLISH (the atomic manifest commit) only if every constraint
+        passed. ``audit_fn`` maps the staged DataFrame to a report
+        with a boolean ``passed`` column (e.g.
+        ``validate.expectation_report``); any False row raises and
+        leaves the ACTIVE snapshot untouched — readers never see
+        unaudited data, and the failed staging dir is simply
+        overwritten by the next write (same orphan story as a crashed
+        merge).
+
+        The audit deliberately runs against the STAGED PARQUET, not
+        the input plan: what gets audited is byte-for-byte what
+        readers would see, so writer-side surprises (schema coercion,
+        shortest-repr roundtrips) are inside the checked surface.
+        Returns the audit report of a successful publish."""
+        self._refresh_spec()
+        act = self._active()
+        version = (act[0] + 1) if act else 1
+        dir_name = f"v{version:06d}"
+        dest = os.path.join(self.path, dir_name)
+        self._write(df, "overwrite", dest)
+        report = audit_fn(self.spark.read.parquet(dest))
+        failures = [r.constraint_name for r in report.filter(~F.col("passed")).collect()]
+        if failures:
+            raise ValueError(
+                f"audit failed, snapshot NOT published: {failures}"
+            )
+        self._commit(version, dir_name)
+        self._prune()
+        return report
+
     def delete_where(self, condition) -> None:
         """DELETE: commit a new snapshot without the matching rows —
         the first half of the lakehouse hard-delete (GDPR / right-to-

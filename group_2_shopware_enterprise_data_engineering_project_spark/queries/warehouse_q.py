@@ -752,3 +752,67 @@ def k24_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_price"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+# --- K25: write-audit-publish (expectations gate the atomic commit) --------
+
+K25_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "k25_write_audit_publish",
+    K25_ORACLE,
+    doc="write-audit-publish (Iceberg WAP / DLT expectations): the "
+    "next snapshot is STAGED to disk, the Deequ-style expectation "
+    "suite runs against the STAGED PARQUET (what readers would "
+    "actually see), and the atomic manifest commit happens only if "
+    "every constraint passed. In-query proof: a poisoned publish "
+    "(duplicate key + out-of-bounds price) RAISES and must leave the "
+    "version chain and active content untouched; the oracle then "
+    "proves the published table equals the clean source",
+)
+def k25_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+
+    out = tempfile.mkdtemp(prefix="shopware_spark_k25_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    audit = lambda df: validate.expectation_report(  # noqa: E731
+        df,
+        completeness_cols=["o_orderstatus"],
+        unique_cols=["o_orderkey"],
+        bounds={"o_totalprice": (0.0, 10_000_000.0)},
+        allowed={"o_orderstatus": ["F", "O", "P"]},
+    )
+    t = ParquetUpsertTable(spark, f"{out}/orders_wap")
+    t.write_audit_publish(orders, audit)
+    versions = t.versions()
+
+    poison = orders.limit(1).select(
+        "o_orderkey", "o_orderstatus", F.lit(-1.0).alias("o_totalprice")
+    )
+    try:
+        t.write_audit_publish(orders.unionByName(poison), audit)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("poisoned publish was not rejected")
+    if t.versions() != versions:
+        raise AssertionError("failed audit disturbed the version chain")
+
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

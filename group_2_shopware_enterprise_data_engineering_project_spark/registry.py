@@ -128,10 +128,10 @@ CORE_ORDER: tuple[str, ...] = (
     "st15_stream_outer_join",
     "st10_stream_stream_join",
     # --- driver window boundary (first 50 above) ---
-    # r7 rotation priority: the 18 queries added AFTER the r6 window
+    # r7 rotation priority: the 19 queries added AFTER the r6 window
     # froze have never had a driver row and should rotate in first —
     # st17, m31, a25, st18, d8_canonical_selection, pipe_llm_audit,
-    # m32, st19, e14, m33, k23, k24, st20, s10, s11, a26, a27, e15 (each
+    # m32, st19, e14, m33, k23, k24, st20, s10, s11, a26, a27, e15, k25 (each
     # sweep-green in CORRECTNESS_LOCAL_r06.json).
     # rotated out in r6 (each has a green r5 driver row):
     "a13_funnel",

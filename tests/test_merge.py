@@ -579,3 +579,30 @@ def test_conflicting_constructor_spec_raises_and_stale_handle_adopts(
     assert any(n.startswith("p=") for n in leaf)
     assert not any(n.startswith("d=") for n in leaf)
     assert a.read().count() == 7
+
+
+def test_write_audit_publish_gates_the_commit(spark, tmp_path):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import validate
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "tbl"))
+    good = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    bad = spark.createDataFrame([(3, -5.0), (3, 7.0)], "id long, v double")
+
+    audit = lambda df: validate.expectation_report(  # noqa: E731
+        df, unique_cols=["id"], bounds={"v": (0.0, 100.0)}
+    )
+    report = t.write_audit_publish(good, audit)
+    assert report.filter(~F.col("passed")).count() == 0
+    assert t.read().count() == 2
+    v_before = t.versions()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NOT published"):
+        t.write_audit_publish(good.unionByName(bad), audit)
+    # active snapshot untouched by the failed publish
+    assert t.versions() == v_before
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    # next good publish lands normally over the orphaned staging dir
+    t.write_audit_publish(good, audit)
+    assert t.read().count() == 2
