@@ -626,8 +626,8 @@ _PREP_ORACLE = (
   FROM tk
 )
 SELECT c.doc_id, c.n_tokens, c.quality_score, c.split, cum.shard,
-       cum.cum_before // {_PREP_CAP} AS pack_id,
-       cum.cum_before % {_PREP_CAP} AS pack_offset,
+       CAST(cum.cum_before // {_PREP_CAP} AS BIGINT) AS pack_id,
+       CAST(cum.cum_before % {_PREP_CAP} AS BIGINT) AS pack_offset,
        CAST((cum.cum_before % {_PREP_CAP}) + cum.n_tok > {_PREP_CAP} AS INTEGER)
            AS spans_boundary
 FROM curated c JOIN cum USING (doc_id)
@@ -810,8 +810,8 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, shard, n_tokens,
-       cum_before // {_M15_CAP} AS pack_id,
-       cum_before % {_M15_CAP} AS pack_offset,
+       CAST(cum_before // {_M15_CAP} AS BIGINT) AS pack_id,
+       CAST(cum_before % {_M15_CAP} AS BIGINT) AS pack_offset,
        CAST((cum_before % {_M15_CAP}) + n_tokens > {_M15_CAP} AS INTEGER)
            AS spans_boundary
 FROM c

@@ -160,9 +160,34 @@ def main():
             }
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            # Driver-faithful output-type gate: the driver fetches oracle
+            # results via Arrow, where DuckDB HUGEINT/DECIMAL becomes
+            # decimal128 — which hash-mismatches Spark's int64 even when
+            # every value is equal. Python fetchall() collapses HUGEINT to
+            # plain int, which is exactly how the r4–r6 m15 red stayed
+            # invisible locally for three rounds. Refuse such oracles here.
+            bad_types = [
+                f"{c}:{t}"
+                for c, t in zip(ocols, [str(t) for t in rel.types])
+                if any(k in str(t).upper() for k in ("HUGEINT", "DECIMAL"))
+            ]
+            if bad_types:
+                print(
+                    f"FAIL  {name}: oracle emits driver-unsafe output "
+                    f"type(s) {bad_types} (HUGEINT/DECIMAL -> Arrow "
+                    f"decimal128 != Spark int64; CAST ... AS BIGINT/DOUBLE)"
+                )
+                report[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": len(srows),
+                    "oracle_rows": None,
+                    "err": f"oracle_unsafe_types: {bad_types}",
+                }
+                failures += 1
+                continue
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             report[name] = {
