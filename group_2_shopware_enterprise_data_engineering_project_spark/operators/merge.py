@@ -823,9 +823,10 @@ class ParquetUpsertTable:
         key_cols: tuple[str, ...],
         sum_cols: tuple[str, ...],
         txn: tuple[str, int] | None = None,
+        force_snapshot: bool = False,
     ) -> None:
         """K5 against stored state. The KPI shape (partition col in the
-        key, e.g. (product_id, date) partitioned by date) always takes
+        key, e.g. (product_id, date) partitioned by date) normally takes
         the partition-scoped path: a daily batch rewrites one date, not
         the table's history.
 
@@ -835,8 +836,13 @@ class ParquetUpsertTable:
         manifest swap as the data (Delta txn pattern), so a crash can
         never commit the add without its id. The scoped path stamps the
         manifest right after the partition job commits — a crash inside
-        that gap replays as a double-add; callers needing a zero-width
-        window on a scoped table should force the snapshot path."""
+        that gap replays as a double-add. ``force_snapshot=True`` opts a
+        partition-scoped-eligible table out of that window: the merge
+        takes the snapshot path, whose data+txn commit is one
+        os.replace, at the cost of rewriting the full table per batch —
+        the right trade for modest accumulator tables (KPI rollups);
+        wrong for fact-sized ones, where the honest fix is a
+        transactional log (the Delta path)."""
         self._refresh_spec()
         if txn is not None and txn[1] <= self.last_txn(txn[0]):
             return
@@ -854,7 +860,7 @@ class ParquetUpsertTable:
                 txn=txn,
             )
             return
-        if self._partition_scoped_ok(key_cols):
+        if not force_snapshot and self._partition_scoped_ok(key_cols):
             self._scoped_merge(
                 source,
                 lambda tgt: merge_additive(tgt, source, key_cols, sum_cols),

@@ -618,16 +618,38 @@ def t13_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- t14: compression-ratio redundancy signal (rows-only check) ---------
 
 
+# zlib has no SQL equivalent, so the oracle uses the m13 bounds-audit
+# pattern: the EXACT byte count (strlen = utf-8 bytes in DuckDB) hashes
+# against the operator's n_bytes, and the oracle's literal TRUE columns
+# hash against per-document bound-check booleans the Spark side genuinely
+# computes from the zlib output — any document whose compressed size or
+# ratio accounting violates its analytic bound flips a boolean and fails
+# the driver's exact hash. compressed_ok encodes DEFLATE's worst case
+# (stored blocks: ~5 bytes per 16 KiB + 2-byte header + 4-byte adler;
+# 64 bytes of slack covers any corpus); ratio_ok encodes internal
+# consistency (ratio = n_compressed/n_bytes to 1e-12) plus the <=1.25
+# repetition-signal ceiling for docs big enough (>=256 B) that fixed
+# overhead can't dominate.
+T14_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       TRUE AS compressed_ok,
+       TRUE AS ratio_ok
+FROM documents
+"""
+
+
 @register(
     "t14_compression_ratio",
-    None,  # zlib has no SQL equivalent -> driver rows-only check
+    T14_ORACLE,
     doc="zlib-ratio redundancy signal (Gopher/FineWeb-style cheap "
     "quality filter): repetitive boilerplate compresses far below "
     "prose; Arrow-batched mapInPandas because DEFLATE has no native "
     "expression — one of the three sanctioned Python surfaces. "
-    "In-query invariant asserts stand in for the missing oracle: "
-    "byte accounting (0 < n_compressed, n_bytes = utf-8 length, "
-    "ratio = n_compressed/n_bytes), ratio bounds, and planted "
+    "Hashable oracle via the m13 bounds-audit pattern: exact utf-8 "
+    "byte counts + per-doc within-bound booleans (DEFLATE worst-case "
+    "size, ratio accounting to 1e-12, repetition ceiling) hash "
+    "against oracle-side exact strlen + literal TRUE; planted "
     "known-ratio probes with analytic bounds (constant repeat <0.02 "
     "via LZ77; sha256-derived printable noise >0.78, below the "
     "entropy floor no compressor can beat; 16x-repeated prose "
@@ -636,32 +658,6 @@ def t13_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t14_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text.compression_ratio(table(spark, sf_dir, "documents"))
-    out = out.localCheckpoint(eager=True)
-    # invariants over the real corpus: every doc's accounting must be
-    # internally consistent, and output size must respect DEFLATE's
-    # worst case (stored blocks: ~5 bytes per 16 KiB + 2-byte header +
-    # 4-byte adler — 64 bytes of slack covers any corpus). The ratio
-    # bound applies only to docs big enough that the fixed overhead
-    # can't dominate (a 10-byte doc legitimately has ratio ~1.8).
-    bad = out.filter(
-        (F.col("n_compressed") <= 0)
-        | (F.col("n_bytes") < 0)
-        | (F.col("ratio") <= 0)
-        | (F.col("n_compressed") > F.col("n_bytes") + F.lit(64))
-        | ((F.col("n_bytes") >= 256) & (F.col("ratio") > 1.25))
-        | (
-            (F.col("n_bytes") > 0)
-            & (
-                F.abs(
-                    F.col("ratio")
-                    - F.col("n_compressed").cast("double") / F.col("n_bytes")
-                )
-                > 1e-12
-            )
-        )
-    ).count()
-    if bad:
-        raise AssertionError(f"t14 invariant violated on {bad} documents")
     # planted probes THROUGH the same operator, with ANALYTICALLY
     # bounded expected ratios (not just relative ordering):
     #  - constant repeat: one LZ77 back-reference repeated; DEFLATE
@@ -694,7 +690,29 @@ def t14_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not ok:
         raise AssertionError(f"t14 known-ratio probe failed: {pr}")
-    return out
+    # bounds-audited hashable surface (see T14_ORACLE note above): the
+    # booleans are computed from the real zlib output, so a broken
+    # operator flips them and the driver's exact hash goes red.
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        (
+            (F.col("n_compressed") > 0)
+            & (F.col("n_compressed") <= F.col("n_bytes") + F.lit(64))
+        ).alias("compressed_ok"),
+        (
+            (F.col("ratio") > 0)
+            & (
+                F.abs(
+                    F.col("ratio")
+                    - F.col("n_compressed").cast("double")
+                    / F.greatest(F.col("n_bytes"), F.lit(1)).cast("double")
+                )
+                <= F.lit(1e-12)
+            )
+            & ((F.col("n_bytes") < 256) | (F.col("ratio") <= 1.25))
+        ).alias("ratio_ok"),
+    )
 
 
 # --- t15: distributed BPE tokenizer training (full SQL oracle) ----------

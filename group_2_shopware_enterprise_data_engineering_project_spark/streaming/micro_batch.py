@@ -255,6 +255,7 @@ def accumulating_kpi_sink(
     sum_cols: tuple[str, ...],
     agg_fn,
     checkpoint: str,
+    exactly_once: bool = False,
 ) -> StreamingQuery:
     """ST7 — the POS KPI pattern as a stream: per micro-batch, aggregate
     with `agg_fn(df) -> (key_cols + sum_cols) DataFrame`, then additive-
@@ -269,17 +270,24 @@ def accumulating_kpi_sink(
     ``upsert_additive`` takes the partition-SCOPED path instead, whose
     txn stamp lands just after the partition rewrite commits — a crash
     inside that narrow gap replays the batch as a double-add on
-    restart (see ``upsert_additive``'s docstring). Callers needing a
-    zero-width window on such a table should use an unpartitioned KPI
-    table (forcing the snapshot path). The per-stream app id comes
-    from ``_stream_app_id`` (stored in the checkpoint dir), matching
-    Structured Streaming's batch-id scope: a new checkpoint restarts
-    ids at 0 AND yields a fresh app id."""
+    restart (see ``upsert_additive``'s docstring). Pass
+    ``exactly_once=True`` to force the snapshot path on such a table
+    (data+txn in one atomic manifest swap, zero-width window) — the
+    right trade for modest KPI rollups, paid for by a full-table
+    rewrite per batch; leave it False for fact-sized accumulators and
+    accept the documented at-least-once edge. The per-stream app id
+    comes from ``_stream_app_id`` (stored in the checkpoint dir),
+    matching Structured Streaming's batch-id scope: a new checkpoint
+    restarts ids at 0 AND yields a fresh app id."""
     app_id = _stream_app_id(checkpoint)
 
     def _batch(df: DataFrame, batch_id: int) -> None:
         table.upsert_additive(
-            agg_fn(df), key_cols, sum_cols, txn=(app_id, batch_id)
+            agg_fn(df),
+            key_cols,
+            sum_cols,
+            txn=(app_id, batch_id),
+            force_snapshot=exactly_once,
         )
 
     return run_available_now(stream_df, checkpoint, _batch)

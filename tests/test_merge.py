@@ -606,3 +606,68 @@ def test_write_audit_publish_gates_the_commit(spark, tmp_path):
     # next good publish lands normally over the orphaned staging dir
     t.write_audit_publish(good, audit)
     assert t.read().count() == 2
+
+
+def test_scoped_txn_crash_window_vs_force_snapshot(spark, tmp_path, monkeypatch):
+    """The scoped additive path's documented at-least-once edge, and the
+    force_snapshot escape hatch that closes it.
+
+    Scoped path: a crash between the partition rewrite and the txn
+    stamp leaves committed data with no batch id — restart replays the
+    batch as a DOUBLE-ADD (exactly what the docstring warns).
+    force_snapshot=True: data and txn ride one atomic manifest swap, so
+    the same crash point cannot exist — a crash before the swap leaves
+    the old snapshot AND old txn intact, and the replay applies once."""
+    import pytest
+
+    rows = "pid long, date string, total double"
+    b0 = spark.createDataFrame([(1, "2025-01-01", 10.0)], rows)
+    b1 = spark.createDataFrame([(1, "2025-01-01", 5.0)], rows)
+
+    # --- scoped path: the window is real (documented, not fixed) ---
+    t = ParquetUpsertTable(spark, str(tmp_path / "scoped"), partition_by=("date",))
+    t.upsert_additive(b0, ("pid", "date"), ("total",), txn=("s", 0))
+    orig_stamp = t._stamp_txn
+
+    def crash_stamp(app_id, batch_id):
+        raise RuntimeError("injected crash after partition job, before txn stamp")
+
+    monkeypatch.setattr(t, "_stamp_txn", crash_stamp)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t.upsert_additive(b1, ("pid", "date"), ("total",), txn=("s", 1))
+    monkeypatch.setattr(t, "_stamp_txn", orig_stamp)
+    assert t.last_txn("s") == 0  # data landed, batch id didn't
+    # restart replays batch 1 -> double-add (10 + 5 + 5)
+    t.upsert_additive(b1, ("pid", "date"), ("total",), txn=("s", 1))
+    assert t.read().collect()[0].total == 20.0
+
+    # --- force_snapshot: zero-width window on the same table shape ---
+    t2 = ParquetUpsertTable(spark, str(tmp_path / "snap"), partition_by=("date",))
+    t2.upsert_additive(
+        b0, ("pid", "date"), ("total",), txn=("s", 0), force_snapshot=True
+    )
+    orig_commit = t2._commit
+
+    def crash_commit(version, dir_name, txn=None):
+        raise RuntimeError("injected crash before manifest swap")
+
+    monkeypatch.setattr(t2, "_commit", crash_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t2.upsert_additive(
+            b1, ("pid", "date"), ("total",), txn=("s", 1), force_snapshot=True
+        )
+    monkeypatch.setattr(t2, "_commit", orig_commit)
+    # crash before the swap: old snapshot AND old txn both intact
+    assert t2.last_txn("s") == 0
+    assert t2.read().collect()[0].total == 10.0
+    # replay applies exactly once
+    t2.upsert_additive(
+        b1, ("pid", "date"), ("total",), txn=("s", 1), force_snapshot=True
+    )
+    assert t2.last_txn("s") == 1
+    assert t2.read().collect()[0].total == 15.0
+    # and a second replay is a manifest-checked no-op
+    t2.upsert_additive(
+        b1, ("pid", "date"), ("total",), txn=("s", 1), force_snapshot=True
+    )
+    assert t2.read().collect()[0].total == 15.0
