@@ -42,97 +42,95 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: never-driver-checked queries rotate in (r4: e9 in for a5; r5: full
 #: rotation to the never-checked set, see the block comment below).
 CORE_ORDER: tuple[str, ...] = (
-    # r6 rotation: m15 stays first per the r5 verdict (r4+r5 driver
-    # hash-red; r6 fix = ROWS frame + md5(text) tie-break + INT flag on
-    # BOTH engines, prep.py:sequence_pack / ml_prep.py:M15_ORACLE —
-    # this row is the proof). The six queries that have never had a
-    # driver row rotate in (t14/s8 deferred from r5, t16/t17/t18/
-    # pipe_llm_prep new in r5); rotated out to make space, each with a
-    # green r5 driver row and overlapping pytest coverage: k13, k18,
-    # a22, a23, j4, st11.
+    # r7 rotation. m15 + pipe_llm_prep stay first per the r6 verdict:
+    # their 3-round hash-red was root-caused to the ORACLE emitting
+    # HUGEINT (DuckDB widens SUM(BIGINT) window sums; uncast //1024 and
+    # %1024 materialize as Arrow decimal128 vs Spark int64) — r7 fix =
+    # CAST(... AS BIGINT) in M15_ORACLE and _PREP_ORACLE, verified by
+    # the new tools/oracle_type_lint.py (0 offenders across all
+    # oracles). These two rows going green is the proof.
     "m15_sequence_pack",
+    "pipe_llm_prep",
+    # t14 flips from rows-only to a hashable oracle this round (m13
+    # bounds-audit pattern: exact strlen byte counts + literal-TRUE
+    # bound booleans vs Spark-computed bound checks).
     "t14_compression_ratio",
+    # The 19 late-r6 queries that have never had a driver row (each
+    # sweep-green in CORRECTNESS_LOCAL_r06.json) rotate in, per the r6
+    # verdict's item 4:
+    "st17_stream_static_join",
+    "m31_histogram_quantiles",
+    "a25_unpivot_metrics",
+    "st18_hopping_window",
+    "d8_canonical_selection",
+    "pipe_llm_audit",
+    "m32_equidepth_bucketize",
+    "st19_late_data_accounting",
+    "e14_ann_recall_eval",
+    "m33_epoch_shuffle",
+    "k23_partition_evolution",
+    "k24_gdpr_purge",
+    "st20_stream_ann_index",
+    "s10_binaryfile_scan",
+    "s11_logline_parse",
+    "a26_window_ranks",
+    "a27_wilson_proportions",
+    "e15_ann_matryoshka",
+    "k25_write_audit_publish",
+    # Remaining slots: r6-window entries whose ONLY driver row is r6
+    # (they keep a second-round confirmation slot until new r7 queries
+    # rotate them out, single-green-first ordering so multi-green rows
+    # are displaced first from the tail):
     "s8_orc_roundtrip",
     "t16_pii_redact",
-    "pipe_llm_prep",
     "t17_strip_markup",
     "t18_url_stats",
-    # new in r6: native-XML interop (st12 rotated out, green r5 +
-    # sweep + pytest coverage)
     "s9_xml_roundtrip",
-    # new in r6: hybrid skew-aware equi-join (k12 rotated out, green r5)
     "j5_skew_join",
-    # warehouse / storage layer — k21 new in r6 (schema-evolving merge;
-    # k14 rotated out, green r5 + sweep coverage)
     "k21_schema_evolution",
-    # new in r6: stored-version-chain time travel + CDC (k16 rotated
-    # out, green r5 + sweep coverage)
     "k22_time_travel_cdc",
-    "k17_zone_map_scan",
-    # new in r6: runtime dynamicpruning subquery, plan-proven (k19
-    # rotated out, green r5 + sweep coverage)
     "j6_dynamic_partition_pruning",
+    "t19_bpe_encode",
+    "d7_incremental_dedup",
+    "st14_stream_incremental_dedup",
+    "m29_temperature_resample",
+    "m30_resample_interpolate",
+    "a24_attribution",
+    "st16_stream_custom_state",
+    "st15_stream_outer_join",
+    # multi-green fill (rotate these out first as r7 queries land):
+    "k17_zone_map_scan",
     "k20_shard_manifest",
-    # ANN / embedding family
     "e10_ann_lsh_multiprobe",
     "e11_semdedup",
     "e12_ann_pq",
     "e13_ann_ivfpq",
-    # graph
     "g1_pagerank",
     "g2_triangle_counts",
-    # entity resolution / dedup
     "d5_er_blocked_pairs",
     "d6_qgram_pairs",
     "mm5_media_near_dup",
-    # text / search
+    # --- driver window boundary (first 50 above) ---
+    # rotated out in r7 (each has green r5 AND r6 driver rows + sweep):
     "t8_corpus_dup_ngrams",
     "t9_dedup_spans",
     "t15_bpe_train",
-    # late-r6 additions, swapped into the window so each gets its
-    # first driver row THIS round (rotated out to make space, each
-    # with a green r5 driver row + pytest coverage: t10-t13, m18, a19)
-    "t19_bpe_encode",
-    "d7_incremental_dedup",
-    "st14_stream_incremental_dedup",
     "m27_count_min",
     "st13_stream_count_min",
     "m28_hll_distinct",
-    # training-prep
     "m19_chunk_documents",
     "m20_shard_assign",
     "m21_source_quantile_filter",
-    # new in r6: applies m16's temperature mixture (m22 rotated out,
-    # green r5 + sweep + test_prep coverage)
-    "m29_temperature_resample",
     "m23_negative_sample",
     "m24_dense_ids",
     "m25_transition_matrix",
-    # new in r6: linear-interpolation resample (m26 ffill rotated out,
-    # green r5 + sweep coverage)
-    "m30_resample_interpolate",
-    # analytics — a24 new in r6 (last-touch attribution; a13 rotated
-    # out, green r5 + sweep coverage)
-    "a24_attribution",
-    # new in r6: custom stateful streaming aggregate (a14 rotated out,
-    # green r5 + sweep coverage)
-    "st16_stream_custom_state",
     "a15_key_skew_profile",
     "a16_regression_trends",
     "a17_winsorize",
     "a18_anomaly_zscore",
     "a20_expectations",
     "a21_item_cooccurrence",
-    # joins / streaming — st15 new in r6 (left-outer watermark flush;
-    # st9 rotated out, green r5 + sweep coverage)
-    "st15_stream_outer_join",
     "st10_stream_stream_join",
-    # --- driver window boundary (first 50 above) ---
-    # r7 rotation priority: the 19 queries added AFTER the r6 window
-    # froze have never had a driver row and should rotate in first —
-    # st17, m31, a25, st18, d8_canonical_selection, pipe_llm_audit,
-    # m32, st19, e14, m33, k23, k24, st20, s10, s11, a26, a27, e15, k25 (each
-    # sweep-green in CORRECTNESS_LOCAL_r06.json).
     # rotated out in r6 (each has a green r5 driver row):
     "a13_funnel",
     "a14_cohort_retention",
