@@ -138,17 +138,31 @@ def candidate_pairs(buckets: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFra
         salted_pair_tasks,
     )
 
-    tasks = salted_pair_tasks(
-        buckets, bucket_cap, ("band_idx", "band_hash"), "doc_id"
-    )
-    return (
-        salted_pair_join(tasks, ("band_idx", "band_hash"), "doc_id")
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+    # Persist the bucket frame (ids + digests only, ~50 B/row — tiny
+    # next to the corpus) so the salt-split's oversized-bucket sizing
+    # agg and the pair join share ONE evaluation of the 16-permutation
+    # md5 signature pipeline above; without it the sizing branch
+    # re-derives every signature (measured ~20% of dedup_minhash_lsh
+    # wall at sf0.1, r7 bisect in PERF.md). Eagerly checkpointed out
+    # below, so the cache lifetime is this function.
+    buckets = buckets.persist()
+    try:
+        tasks = salted_pair_tasks(
+            buckets, bucket_cap, ("band_idx", "band_hash"), "doc_id"
         )
-        .distinct()
-    )
+        return (
+            salted_pair_join(tasks, ("band_idx", "band_hash"), "doc_id")
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+            # narrow (doc_a, doc_b) rows only — eager, so the bucket
+            # cache can be released before this function returns
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        buckets.unpersist()
 
 
 def exact_jaccard(shingle_df: DataFrame, pairs: DataFrame) -> DataFrame:

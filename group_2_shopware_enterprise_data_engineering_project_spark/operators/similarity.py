@@ -607,11 +607,17 @@ def embedding_near_dup_pairs(
         _as_double(F.col("embedding")).alias("v"),
         lsh_bucket(_as_double(F.col("embedding")), planes).alias("bucket"),
     )
+    # persisted so the salt-split's oversized-bucket sizing agg and the
+    # pair join share one evaluation of the H-plane projection (the
+    # sizing branch would otherwise re-run lsh_bucket over the corpus;
+    # r7 bisect, PERF.md)
+    bucketed = bucketed.persist()
     tasks = _salted_pair_tasks(bucketed, bucket_cap).persist()
     try:
         return _near_dup_pairs_body(tasks, threshold)
     finally:
         tasks.unpersist()
+        bucketed.unpersist()
 
 
 def _near_dup_pairs_body(tasks: DataFrame, threshold: float) -> DataFrame:
