@@ -864,3 +864,63 @@ def temperature_resample(
         .filter(F.col("mix_rank") <= F.col("quota"))
         .select(group_col, id_col, "mix_rank", "quota")
     )
+
+
+# --- preference-pair construction (DPO/RLHF prep) ---------------------------
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Preference-pair construction — the data-prep step of DPO/RLHF
+    fine-tuning: within each prompt group, pair the best-scored
+    response (chosen) against the worst-scored (rejected). Groups with
+    a single candidate produce no pair (chosen == rejected is
+    excluded), and the margin is emitted so downstream filtering can
+    drop low-signal pairs.
+
+    Determinism: both extremes are picked by row_number over a TOTAL
+    ordering ((score, id) desc for chosen, asc for rejected), so ties
+    cannot flip the pair between runs or engines.
+
+    Scale: one shuffle on the group key; both rank windows share that
+    partitioning (one exchange, two in-partition sorts); per-group
+    data must fit a task sort — the usual salt-split escape applies if
+    one prompt group dominates.
+    """
+    w_hi = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).desc()
+    )
+    w_lo = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        df.select(group_col, id_col, score_col)
+        .withColumn("_rh", F.row_number().over(w_hi))
+        .withColumn("_rl", F.row_number().over(w_lo))
+    )
+    chosen = ranked.filter(F.col("_rh") == 1).select(
+        F.col(group_col),
+        F.col(id_col).alias("chosen_id"),
+        F.col(score_col).alias("chosen_score"),
+    )
+    rejected = ranked.filter(F.col("_rl") == 1).select(
+        F.col(group_col),
+        F.col(id_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, group_col)
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            group_col,
+            "chosen_id",
+            "rejected_id",
+            (F.col("chosen_score") - F.col("rejected_score"))
+            .cast("long")
+            .alias("margin"),
+        )
+    )

@@ -606,3 +606,64 @@ def url_stats(
         F.count(F.lit(1)).cast("long").alias("n_urls"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )
+
+
+# --- bigram-coverage quality proxy (LM-score stand-in) ---------------------
+
+
+def bigram_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+) -> DataFrame:
+    """Cheap LM-likelihood proxy for corpus quality filtering: the
+    fraction of a document's distinct word bigrams that are "known" —
+    appearing in at least ``min_df`` documents corpus-wide. Fluent text
+    is built from common collocations, so its bigrams are overwhelmingly
+    known; gibberish, OCR noise, and word-salad spam score low. This is
+    the integer-exact stand-in for a KenLM perplexity gate (whose ln()
+    is libm-divergent cross-engine and so stays out of hashed outputs).
+
+    Emits (doc_id, n_bigrams, n_covered, coverage) — counts BIGINT,
+    coverage a single exact division (NULL for docs with < 2 words).
+
+    Scale: bigram doc-frequency is a map-side-combined groupBy (hot
+    stopword bigrams partial-aggregate before the exchange); the
+    coverage join redistributes (bigram, doc_id) pairs only — document
+    bodies never shuffle. Tokenization re-evaluates once per branch
+    (two corpus scans), the deliberate trade against persisting the
+    exploded bigram table.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+        spread,
+    )
+
+    docs = spread(docs)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(tokens(text_col), k=2).alias("bgs"),
+    )
+    ex = sh.select("doc_id", F.explode("bgs").alias("bg"))
+    dfc = ex.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per = (
+        ex.join(dfc, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("df") >= min_df, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return sh.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("n_covered"), F.lit(0)).cast("long").alias("n_covered"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("n_covered").cast("double") / F.col("n_bigrams"),
+        ).alias("coverage"),
+    )

@@ -1595,3 +1595,46 @@ def m33_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_epoch[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --- m34: preference-pair construction (DPO/RLHF prep) ---------------------
+
+_M34_GROUPS = 200
+
+M34_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id % {_M34_GROUPS} AS prompt_id, doc_id, n_chars,
+         row_number() OVER (
+             PARTITION BY doc_id % {_M34_GROUPS}
+             ORDER BY n_chars DESC, doc_id DESC) AS rh,
+         row_number() OVER (
+             PARTITION BY doc_id % {_M34_GROUPS}
+             ORDER BY n_chars ASC, doc_id ASC) AS rl
+  FROM documents
+)
+SELECT ch.prompt_id,
+       ch.doc_id AS chosen_id,
+       rj.doc_id AS rejected_id,
+       CAST(ch.n_chars - rj.n_chars AS BIGINT) AS margin
+FROM (SELECT * FROM c WHERE rh = 1) ch
+JOIN (SELECT * FROM c WHERE rl = 1) rj USING (prompt_id)
+WHERE ch.doc_id <> rj.doc_id
+"""
+
+
+@register(
+    "m34_preference_pairs",
+    M34_ORACLE,
+    doc="DPO/RLHF preference-pair prep: within each prompt group "
+    f"(doc_id % {_M34_GROUPS}), pair the best-scored candidate "
+    "(chosen) with the worst (rejected) under a TOTAL (score, id) "
+    "ordering, emit the integer score margin; single-candidate groups "
+    "yield no pair. One group-key shuffle serves both rank windows",
+)
+def m34_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _M34_GROUPS).alias("prompt_id"),
+        "doc_id",
+        "n_chars",
+    )
+    return prep.preference_pairs(docs, "prompt_id", "doc_id", "n_chars")

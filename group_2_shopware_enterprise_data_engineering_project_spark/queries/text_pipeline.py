@@ -1140,3 +1140,52 @@ def t19_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     merges = bpe.bpe_train(docs, n_merges=_T15_MERGES)
     return bpe.bpe_encode(docs, merges)
+
+
+# --- m35: bigram-coverage quality proxy (LM-score stand-in) ---------------
+
+_M35_MIN_DF = 5
+
+M35_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+1], ' ')
+                        FOR i IN generate_series(1, greatest(len(t) - 1, 0))])
+             AS bgs
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(bgs) AS bg FROM sh
+), dfc AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY bg
+), per AS (
+  SELECT e.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN d.df >= {_M35_MIN_DF} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_covered
+  FROM ex e JOIN dfc d USING (bg)
+  GROUP BY e.doc_id
+)
+SELECT s.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       coalesce(p.n_covered, 0) AS n_covered,
+       CASE WHEN p.n_bigrams > 0
+            THEN CAST(p.n_covered AS DOUBLE) / p.n_bigrams END AS coverage
+FROM sh s LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register(
+    "m35_bigram_coverage",
+    M35_ORACLE,
+    doc="bigram-coverage quality proxy (integer-exact KenLM stand-in): "
+    f"share of each doc's distinct bigrams seen in >= {_M35_MIN_DF} "
+    "docs corpus-wide; doc-frequency is a map-side-combined groupBy, "
+    "the coverage join shuffles (bigram, doc_id) pairs only, coverage "
+    "is one exact division (NULL for <2-word docs)",
+)
+def m35_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_coverage(
+        table(spark, sf_dir, "documents"), min_df=_M35_MIN_DF
+    )
