@@ -159,3 +159,48 @@ def inverted_index(
     return full.join(capped, "term").filter(F.col("df") >= min_df).select(
         "term", "df", "tf_total", "postings"
     )
+
+
+# --- reciprocal-rank fusion (hybrid keyword + vector retrieval) -------------
+
+RRF_K = 60
+RRF_MICRO = 1_000_000_000
+
+
+def rrf_fuse(
+    kw_ranks: DataFrame,
+    vec_ranks: DataFrame,
+    id_col: str = "doc_id",
+    rrf_k: int = RRF_K,
+    micro: int = RRF_MICRO,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    retrieval lists — the standard hybrid-search combiner (BM25 keyword
+    ranks + embedding-cosine ranks) of a RAG data stack. Input frames
+    carry (id, rank_kw) / (id, rank_vec); a doc absent from one list
+    contributes only the other term (the RRF convention).
+
+    The fused score is computed in integer micro-units —
+    ``micro div (rrf_k + rank)`` per list, summed as BIGINT — so it is
+    exactly reproducible cross-engine (the float 1/(k+r) sum would be
+    fine at 2 terms, but the integer form stays exact at any number of
+    fused lists). Ties broken by id; fused_rank assigned over the
+    union of the two top-k lists (<= |kw| + |vec| rows, so the global
+    rank window is bounded by construction, not by data volume).
+    """
+    fused = kw_ranks.join(vec_ranks, id_col, "full")
+    contrib = (
+        F.coalesce(
+            F.expr(f"{micro} div ({rrf_k} + rank_kw)"), F.lit(0).cast("long")
+        )
+        + F.coalesce(
+            F.expr(f"{micro} div ({rrf_k} + rank_vec)"), F.lit(0).cast("long")
+        )
+    ).cast("long")
+    scored = fused.select(
+        id_col, "rank_kw", "rank_vec", contrib.alias("rrf_micro")
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+    return scored.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    )

@@ -667,3 +667,66 @@ def bigram_coverage(
             F.col("n_covered").cast("double") / F.col("n_bigrams"),
         ).alias("coverage"),
     )
+
+
+# --- C4-style line-quality filtering (page -> kept lines) -------------------
+
+#: lowercase substrings whose presence disqualifies a line (the C4
+#: "bad words / boilerplate" rule, trimmed to a deterministic,
+#: SQL-portable core)
+LINE_BLOCKLIST: tuple[str, ...] = ("cookie", "javascript", "privacy policy", "lorem ipsum")
+
+#: a kept line must end in terminal punctuation (C4's sentence rule)
+_LINE_TERMINAL_RE = r'[.!?"]$'
+
+#: and carry at least this many whitespace words
+LINE_MIN_WORDS = 5
+
+
+def c4_line_filter(
+    pages: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): split a
+    page into newline lines and keep only lines that (1) end in
+    terminal punctuation, (2) have >= LINE_MIN_WORDS words, and (3)
+    contain no blocklisted boilerplate substring (case-insensitive).
+    Emits per page: line counts before/after, the kept text's length,
+    an md5 digest of the kept lines (order preserved — the digest
+    stands in for shipping the cleaned page through the comparison),
+    and C4's page-level verdict (>= ``page_min_kept`` surviving lines).
+
+    Scale: pure per-row array expressions — no explode, no shuffle; the
+    whole filter is one codegen'd projection over the corpus.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+        spread,
+    )
+
+    pages = spread(pages)
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(line: Column) -> Column:
+        low = F.lower(line)
+        no_block = ~reduce_or([low.contains(b) for b in LINE_BLOCKLIST])
+        return (
+            line.rlike(_LINE_TERMINAL_RE)
+            & (F.size(tokens(line)) >= LINE_MIN_WORDS)
+            & no_block
+        )
+
+    kept = F.filter(lines, _keep)
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.length(F.array_join(kept, "\n")).cast("long").alias("kept_chars"),
+        F.md5(F.array_join(kept, "\n")).alias("kept_digest"),
+        (F.size(kept) >= F.lit(2)).cast("int").alias("page_kept"),
+    )
+
+
+def reduce_or(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out

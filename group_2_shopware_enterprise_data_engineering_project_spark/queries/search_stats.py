@@ -771,3 +771,105 @@ def m32_equidepth_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.equidepth_bucketize(
         lineitem, "l_returnflag", cents, _M32_B
     ).select(F.col("g").alias("l_returnflag"), "bucket", "n_rows", "lo", "hi")
+
+
+# --- t21: reciprocal-rank fusion (hybrid keyword + vector retrieval) -------
+
+_RRF_TOPK = 20
+_NORM_T21 = (
+    "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_DOT_T21 = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+T21_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), ad AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN {_BM25_TERMS!r} GROUP BY 1, 2
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(
+           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * {_K1 + 1.0!r})
+              / (CAST(tf AS DOUBLE)
+                 + {_K1!r} * ({1.0 - _B!r}
+                              + {_B!r} * CAST(dl AS DOUBLE) / avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS micro
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), nd, ad
+), ds AS (
+  SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+  FROM scored GROUP BY 1
+), kw AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+              AS BIGINT) AS rank_kw
+  FROM ds
+  QUALIFY rank_kw <= {_RRF_TOPK}
+), vq AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), vsims AS (
+  SELECT vec_id AS doc_id,
+         {_DOT_T21.format(a='qv', b='embedding')}
+         / ({_NORM_T21.format(v='qv')} * {_NORM_T21.format(v='embedding')})
+             AS cs
+  FROM embeddings, vq WHERE vec_id <> 0
+), vec AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS BIGINT)
+             AS rank_vec
+  FROM vsims
+  QUALIFY rank_vec <= {_RRF_TOPK}
+)
+SELECT doc_id, rank_kw, rank_vec,
+       CAST(coalesce(1000000000 // (60 + rank_kw), 0)
+          + coalesce(1000000000 // (60 + rank_vec), 0) AS BIGINT) AS rrf_micro,
+       CAST(row_number() OVER (
+           ORDER BY coalesce(1000000000 // (60 + rank_kw), 0)
+                  + coalesce(1000000000 // (60 + rank_vec), 0) DESC,
+                    doc_id ASC) AS BIGINT) AS fused_rank
+FROM kw FULL JOIN vec USING (doc_id)
+"""
+
+
+@register(
+    "t21_rrf_fusion",
+    T21_ORACLE,
+    doc="hybrid-retrieval reciprocal-rank fusion (Cormack 2009): BM25 "
+    f"top-{_RRF_TOPK} keyword list fused with the exact-cosine "
+    f"top-{_RRF_TOPK} list for query vector 0 via integer micro-unit "
+    "1/(60+rank) contributions (BIGINT div — exact cross-engine); "
+    "absent-list docs contribute one term; fused rank window bounded "
+    "by construction (<= 2k rows)",
+)
+def t21_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        similarity,
+    )
+
+    kw = search.bm25_topk(
+        table(spark, sf_dir, "documents"),
+        query_terms=_BM25_TERMS,
+        k=_RRF_TOPK,
+        k1=_K1,
+        b=_B,
+    ).select("doc_id", F.col("rank").cast("long").alias("rank_kw"))
+    vec = similarity.brute_force_topk(
+        table(spark, sf_dir, "embeddings"), query_ids=[0], k=_RRF_TOPK
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank_vec"),
+    )
+    return search.rrf_fuse(kw, vec)

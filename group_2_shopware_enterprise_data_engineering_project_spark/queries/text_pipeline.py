@@ -1189,3 +1189,86 @@ def m35_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_coverage(
         table(spark, sf_dir, "documents"), min_df=_M35_MIN_DF
     )
+
+
+# --- t20: C4-style line-quality filtering ----------------------------------
+
+# Deterministic multi-line pages are synthesized around each document
+# (the corpus text itself has no newlines — same synthesis pattern as
+# t18's URLs): the doc text with a terminal '.' (kept when long
+# enough), one blocklisted boilerplate line, one too-short line, and
+# two doc_id-gated lines exercising the keep and no-terminal-punct
+# branches.
+T20_ORACLE = """
+WITH pages AS (
+  SELECT doc_id,
+         coalesce(text, '') || '.'
+           || chr(10) || 'Read the full privacy policy and cookie notice here.'
+           || chr(10) || 'Too short.'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN chr(10) ||
+                        'This sentence is long enough to keep and ends properly.'
+                   ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) ||
+                        'no terminal punctuation so this line is dropped despite length'
+                   ELSE '' END AS page
+  FROM documents
+), split AS (
+  SELECT doc_id,
+         string_split(page, chr(10)) AS lines
+  FROM pages
+), kept AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x ->
+             regexp_matches(x, '[.!?"]$')
+             AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5
+             AND NOT contains(lower(x), 'cookie')
+             AND NOT contains(lower(x), 'javascript')
+             AND NOT contains(lower(x), 'privacy policy')
+             AND NOT contains(lower(x), 'lorem ipsum')) AS k
+  FROM split
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(k) AS BIGINT) AS n_kept,
+       CAST(length(array_to_string(k, chr(10))) AS BIGINT) AS kept_chars,
+       md5(array_to_string(k, chr(10))) AS kept_digest,
+       CAST(len(k) >= 2 AS INT) AS page_kept
+FROM kept
+"""
+
+
+@register(
+    "t20_line_quality_filter",
+    T20_ORACLE,
+    doc="C4-style line-level cleaning (terminal punctuation + >=5 "
+    "words + boilerplate blocklist per line, >=2 surviving lines per "
+    "page) over deterministic synthesized multi-line pages; pure "
+    "codegen projection — no explode, no shuffle; kept text compared "
+    "via md5 digest",
+)
+def t20_line_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("."),
+            F.lit("\nRead the full privacy policy and cookie notice here."),
+            F.lit("\nToo short."),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(
+                    "\nThis sentence is long enough to keep and ends properly."
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    "\nno terminal punctuation so this line is dropped despite length"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.c4_line_filter(pages)
