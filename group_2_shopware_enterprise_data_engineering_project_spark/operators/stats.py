@@ -545,3 +545,64 @@ def equidepth_bucketize(
             F.max("val").alias("hi"),
         )
     )
+
+
+def drift_buckets(
+    df: DataFrame,
+    period_col: str,
+    value_cents: Column,
+    lo: int,
+    hi: int,
+    bins: int = 10,
+) -> DataFrame:
+    """Distribution-drift monitor between a baseline and a current
+    period — the data-quality gate a production ingest runs before
+    accepting a new batch into a training corpus (a value-distribution
+    shift flags upstream schema/unit changes, bot floods, scraper
+    breakage). ``period_col`` must be 0 (baseline) / 1 (current).
+
+    Reuses `histogram_bins`' fixed-domain BIGINT binning, then emits
+    ONE ROW PER BIN: baseline/current counts (exact BIGINT), the
+    current count expected under the baseline shape, and the bin's
+    chi-square contribution. No float SUM anywhere — the chi-square
+    statistic is deliberately left per-bin (each contribution is a
+    fixed tree of exactly-rounded IEEE ops, bit-equal cross-engine;
+    a float total would be addition-order-dependent). Downstream
+    alerting thresholds per-bin or sums the BIGINT counts.
+
+    Scale: one map-side-combined groupBy to <= 2 x bins rows; totals
+    come from a second tiny agg of that result, broadcast back.
+    """
+    hist = histogram_bins(df, period_col, value_cents, lo, hi, bins)
+    per_bin = hist.groupBy("b").agg(
+        F.sum(F.when(F.col("g") == 0, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(F.col("g") == 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    totals = per_bin.agg(
+        F.sum("n_base").cast("long").alias("total_base"),
+        F.sum("n_cur").cast("long").alias("total_cur"),
+    )
+    expected = (
+        F.col("n_base").cast("double")
+        * F.col("total_cur").cast("double")
+        / F.col("total_base").cast("double")
+    )
+    diff = F.col("n_cur").cast("double") - F.col("expected_cur")
+    return (
+        per_bin.crossJoin(F.broadcast(totals))
+        .withColumn("expected_cur", expected)
+        .select(
+            F.col("b").alias("bin"),
+            "n_base",
+            "n_cur",
+            "expected_cur",
+            F.when(
+                F.col("expected_cur") > 0,
+                diff * diff / F.col("expected_cur"),
+            ).alias("chi2_contrib"),
+        )
+    )

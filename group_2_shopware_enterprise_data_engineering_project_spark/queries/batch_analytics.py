@@ -876,3 +876,70 @@ def a27_wilson_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     )
+
+
+# --- a28: distribution-drift monitor (chi-square per bucket) ---------------
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (  # noqa: E402
+    stats as _stats,
+)
+
+_A28_LO, _A28_HI, _A28_BINS = 0, 50_000, 10
+
+A28_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(day(ts) % 2 AS INT) AS g,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS val
+  FROM events WHERE value IS NOT NULL
+), binned AS (
+  SELECT g,
+         least({_A28_BINS - 1},
+               greatest(0, ((val - {_A28_LO}) * {_A28_BINS})
+                           // {_A28_HI - _A28_LO})) AS bin
+  FROM v
+), per AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc
+  FROM per
+), scored AS (
+  SELECT bin, n_base, n_cur,
+         CAST(n_base AS DOUBLE) * CAST(tc AS DOUBLE) / CAST(tb AS DOUBLE)
+             AS expected_cur
+  FROM per, tot
+)
+SELECT bin, n_base, n_cur, expected_cur,
+       CASE WHEN expected_cur > 0
+            THEN (CAST(n_cur AS DOUBLE) - expected_cur)
+               * (CAST(n_cur AS DOUBLE) - expected_cur) / expected_cur
+       END AS chi2_contrib
+FROM scored
+"""
+
+
+@register(
+    "a28_drift_buckets",
+    A28_ORACLE,
+    doc="distribution-drift gate between baseline/current periods "
+    "(day-parity split): fixed-domain BIGINT value histogram per "
+    "period, per-bin expected-under-baseline count and chi-square "
+    "contribution — contributions deliberately NOT float-summed "
+    "(order-dependent); one map-side-combined groupBy + a broadcast "
+    "totals row",
+)
+def a28_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        (F.dayofmonth("ts") % 2).cast("int").alias("period"),
+        "value",
+    )
+    return _stats.drift_buckets(
+        ev,
+        "period",
+        F.floor(F.col("value") * 100.0 + 0.5),
+        lo=_A28_LO,
+        hi=_A28_HI,
+        bins=_A28_BINS,
+    )

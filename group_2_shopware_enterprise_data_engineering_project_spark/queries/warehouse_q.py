@@ -816,3 +816,64 @@ def k25_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# --- k26: Z-order (Morton) layout statistics -------------------------------
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (  # noqa: E402
+    zorder,
+)
+
+# 8 bits per dimension so the Morton space (2^16) is actually FILLED
+# by the test data's dim ranges — with 16-bit dims everything lands in
+# z-bucket 0 and the layout statistics demonstrate nothing. Each of
+# the 64 fixed-width z-ranges then covers a 32x32 rectangle of the
+# (custkey mod 256, day mod 256) plane, which the min/max columns
+# prove (extent <= 31 on both dims in every bucket).
+_K26_BITS = 8
+_K26_BUCKETS = 64
+_K26_WIDTH = (1 << (2 * _K26_BITS)) // _K26_BUCKETS
+_K26_Z_SQL = zorder.z_value_sql(
+    "o_custkey", "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+    _K26_BITS,
+)
+
+K26_ORACLE = f"""
+WITH dims AS (
+  SELECT o_custkey AS xd,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS yd,
+         {_K26_Z_SQL} AS zval
+  FROM orders
+)
+SELECT CAST(zval // {_K26_WIDTH} AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(xd & {(1 << _K26_BITS) - 1}) AS BIGINT) AS x_min,
+       CAST(max(xd & {(1 << _K26_BITS) - 1}) AS BIGINT) AS x_max,
+       CAST(min(yd & {(1 << _K26_BITS) - 1}) AS BIGINT) AS y_min,
+       CAST(max(yd & {(1 << _K26_BITS) - 1}) AS BIGINT) AS y_max
+FROM dims
+GROUP BY 1
+"""
+
+
+@register(
+    "k26_zorder_layout",
+    K26_ORACLE,
+    doc="Z-order (Morton-curve) multi-dim clustering stats — the "
+    "pure-Spark OPTIMIZE ZORDER BY (custkey, order-day): interleave "
+    "16+16 bits in one codegen'd BIGINT expression, assign fixed-width "
+    "zvalue ranges (no global sort/ntile), roll up per-range min/max "
+    "of BOTH dims — the file-statistics table that makes predicates "
+    "on EITHER column prune most files",
+)
+def k26_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return zorder.zorder_layout_stats(
+        orders,
+        F.col("o_custkey"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ),
+        n_buckets=_K26_BUCKETS,
+        bits=_K26_BITS,
+    )

@@ -98,20 +98,27 @@ CORE_ORDER: tuple[str, ...] = (
     "a24_attribution",
     "st16_stream_custom_state",
     "st15_stream_outer_join",
-    # multi-green fill (rotate these out first as r7 queries land):
+    # new in r7 — each needs its first driver row:
+    "m34_preference_pairs",
+    "m35_bigram_coverage",
+    "t20_line_quality_filter",
+    "t21_rrf_fusion",
+    "k26_zorder_layout",
+    "a28_drift_buckets",
+    # multi-green fill (rotate these out first as further queries land):
     "k17_zone_map_scan",
     "k20_shard_manifest",
     "e10_ann_lsh_multiprobe",
     "e11_semdedup",
     "e12_ann_pq",
+    # --- driver window boundary (first 50 above) ---
+    # rotated out in r7 (each has green r5 AND r6 driver rows + sweep):
     "e13_ann_ivfpq",
     "g1_pagerank",
     "g2_triangle_counts",
     "d5_er_blocked_pairs",
     "d6_qgram_pairs",
     "mm5_media_near_dup",
-    # --- driver window boundary (first 50 above) ---
-    # rotated out in r7 (each has green r5 AND r6 driver rows + sweep):
     "t8_corpus_dup_ngrams",
     "t9_dedup_spans",
     "t15_bpe_train",

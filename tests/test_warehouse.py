@@ -184,3 +184,56 @@ def test_nb_train_requires_vocab(spark):
 
     with _pytest.raises(ValueError):
         nbayes.nb_train(docs, [])
+
+
+def test_zorder_morton_interleave_and_rectangle_bound(spark):
+    """z_value must be the exact Morton interleave (x in even bit
+    positions, y in odd), the SQL mirror must agree bit-for-bit, and
+    fixed-width z-ranges must cover bounded rectangles of the plane."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import zorder
+
+    def morton(x, y, bits=8):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    pts = [(x, y) for x in (0, 1, 3, 170, 255) for y in (0, 2, 85, 255)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder.z_value(F.col("x"), F.col("y"), bits=8).alias("z")
+        ).collect()
+    }
+    assert got == {(x, y): morton(x, y) for x, y in pts}
+    # masking: out-of-range high bits cannot collide across dims
+    big = spark.createDataFrame([(256 + 3, 512 + 5)], "x long, y long")
+    assert (
+        big.select(zorder.z_value(F.col("x"), F.col("y"), bits=8).alias("z"))
+        .collect()[0]
+        .z
+        == morton(3, 5)
+    )
+    # SQL mirror parity via DuckDB
+    import duckdb
+
+    con = duckdb.connect()
+    sql_z = zorder.z_value_sql("x", "y", bits=8)
+    for x, y in pts:
+        assert con.sql(f"SELECT {sql_z} FROM (SELECT {x} AS x, {y} AS y)").fetchone()[0] == morton(x, y)
+    # layout: 64 fixed-width ranges over an exhaustive 8-bit grid ->
+    # every bucket is exactly a 32x32 rectangle
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(0, 256, 8) for y in range(0, 256, 8)],
+        "x long, y long",
+    )
+    stats = zorder.zorder_layout_stats(
+        grid, F.col("x"), F.col("y"), n_buckets=64, bits=8
+    ).collect()
+    assert len(stats) == 64
+    for r in stats:
+        assert r.x_max - r.x_min <= 31 and r.y_max - r.y_min <= 31

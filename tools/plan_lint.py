@@ -73,6 +73,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "global_window": "quota arithmetic over the D-row per-source "
         "totals frame (prep.temperature_resample docstring)"
     },
+    "t21_rrf_fusion": {
+        "global_window": "fused rank over the union of two top-20 "
+        "retrieval lists (<= 40 rows by construction; search.rrf_fuse "
+        "docstring)"
+    },
 }
 
 # windowspecdefinition(<first arg> ...: a partitioned spec starts with
