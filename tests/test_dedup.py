@@ -498,3 +498,55 @@ def test_minhash_signature_matches_documented_family(spark):
         minhash.signatures(df.filter(F.col("doc_id") == 1)).collect()[0].signature
     )
     assert again == got
+
+
+def test_bigram_coverage_counts_and_short_docs(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c"),      # bigrams: "a b", "b c"
+            (1, "a b d"),      # "a b", "b d"
+            (2, "a b"),        # "a b"
+            (3, "x"),          # <2 words -> no bigrams
+            (4, None),         # NULL text -> no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_bigrams, r.n_covered, r.coverage)
+        for r in text.bigram_coverage(df, min_df=3).collect()
+    }
+    # "a b" df=3 (covered); "b c"/"b d" df=1 (not)
+    assert out[0] == (2, 1, 0.5)
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (1, 1, 1.0)
+    assert out[3] == (0, 0, None)
+    assert out[4] == (0, 0, None)
+
+
+def test_c4_line_filter_rules(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    page = "\n".join(
+        [
+            "This line is long enough and ends with a period.",  # kept
+            "Ends with a question mark does this line?",         # kept
+            "no terminal punctuation here despite being long",   # dropped: punct
+            "Too short.",                                        # dropped: <5 words
+            "Please accept our Cookie banner to continue now.",  # dropped: blocklist
+            "Check the PRIVACY POLICY for details right here.",  # dropped: blocklist (case-insensitive)
+        ]
+    )
+    df = spark.createDataFrame([(0, page), (1, "Short.")], "doc_id long, text string")
+    out = {r.doc_id: r for r in text.c4_line_filter(df).collect()}
+    assert (out[0].n_lines, out[0].n_kept, out[0].page_kept) == (6, 2, 1)
+    assert (out[1].n_lines, out[1].n_kept, out[1].page_kept) == (1, 0, 0)
+    import hashlib
+
+    kept = (
+        "This line is long enough and ends with a period.\n"
+        "Ends with a question mark does this line?"
+    )
+    assert out[0].kept_digest == hashlib.md5(kept.encode()).hexdigest()
+    assert out[0].kept_chars == len(kept)

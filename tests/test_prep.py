@@ -739,3 +739,27 @@ def test_curation_audit_partitions_the_corpus(spark):
     assert audit[101] == "near_dup"
     assert audit[102] == "quality"
     assert audit[103] == "repetition"
+
+
+def test_preference_pairs_extremes_ties_singletons(spark):
+    """Chosen/rejected are the (score, id) total-order extremes, ties
+    resolve deterministically, and singleton groups emit no pair."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+    df = spark.createDataFrame(
+        [
+            # group 0: clear extremes
+            (0, 1, 10), (0, 2, 50), (0, 3, 30),
+            # group 1: ALL scores tie -> ids break it (chosen=max id,
+            # rejected=min id), margin 0
+            (1, 4, 7), (1, 5, 7), (1, 6, 7),
+            # group 2: singleton -> no pair
+            (2, 9, 99),
+        ],
+        "g long, id long, score long",
+    )
+    out = {
+        r.g: (r.chosen_id, r.rejected_id, r.margin)
+        for r in prep.preference_pairs(df, "g", "id", "score").collect()
+    }
+    assert out == {0: (2, 1, 40), 1: (6, 4, 0)}

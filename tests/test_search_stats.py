@@ -464,3 +464,44 @@ def test_equidepth_buckets_balance_on_distinct_values(spark):
     tout = stats.equidepth_bucketize(tied, "g", F.col("v"), 4).collect()
     five = [r for r in tout if r.lo <= 5 <= r.hi]
     assert len(five) == 1 and five[0].n_rows >= 900
+
+
+def test_rrf_fuse_contributions_and_absentees(spark):
+    """RRF micro-contributions are exact integer division; docs absent
+    from one list contribute only the other term; ranks assigned over
+    the fused union with id tie-breaks."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import search
+
+    kw = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank_kw long")
+    vec = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank_vec long")
+    out = {r.doc_id: r for r in search.rrf_fuse(kw, vec).collect()}
+    m = search.RRF_MICRO
+    assert out[20].rrf_micro == m // 62 + m // 61  # both lists
+    assert out[10].rrf_micro == m // 61            # kw only
+    assert out[30].rrf_micro == m // 62            # vec only
+    assert out[10].rank_vec is None and out[30].rank_kw is None
+    assert (out[20].fused_rank, out[10].fused_rank, out[30].fused_rank) == (1, 2, 3)
+
+
+def test_drift_buckets_expected_and_chi2(spark):
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    # baseline: 30 rows bin0, 10 bin1; current: 10 bin0, 30 bin1
+    rows = (
+        [(0, 1.0)] * 30 + [(0, 3.0)] * 10 + [(1, 1.0)] * 10 + [(1, 3.0)] * 30
+    )
+    df = spark.createDataFrame(rows, "period int, value double")
+    out = {
+        r.bin: r
+        for r in stats.drift_buckets(
+            df, "period", F.floor(F.col("value") * 100.0 + 0.5), lo=0, hi=400, bins=2
+        ).collect()
+    }
+    assert (out[0].n_base, out[0].n_cur) == (30, 10)
+    assert (out[1].n_base, out[1].n_cur) == (10, 30)
+    # totals equal (40/40) -> expected = n_base; chi2 = (cur-base)^2/base
+    assert out[0].expected_cur == 30.0 and out[1].expected_cur == 10.0
+    assert out[0].chi2_contrib == (10.0 - 30.0) ** 2 / 30.0
+    assert out[1].chi2_contrib == (30.0 - 10.0) ** 2 / 10.0
