@@ -924,3 +924,51 @@ def preference_pairs(
             .alias("margin"),
         )
     )
+
+
+# --- conversation linearization (SFT-example assembly) -----------------------
+
+
+def linearize_conversations(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    turn_col: str = "turn",
+    max_turns: int = 512,
+) -> DataFrame:
+    """SFT-example assembly: per user, linearize their event turns into
+    ONE newline-joined string in strict (ts, id) order — the
+    dialogue-flattening step that turns an interaction log into
+    supervised fine-tuning examples. Emits (user_id, n_turns,
+    convo_chars, convo_digest): the md5 digest stands in for shipping
+    the assembled text through comparisons, same pattern as t20.
+
+    Per-key state is CAPPED before collection: a rank window keeps the
+    first ``max_turns`` turns per user, so collect_list state is
+    O(max_turns) even for a bot account with millions of events — the
+    uncapped version is the classic groupBy-collect OOM at corpus
+    scale. The cap and the collect share one user-key shuffle. The
+    turn array is sorted by the order columns INSIDE the aggregation
+    (array_sort over (order..., turn) structs), so the result is
+    independent of partitioning and task arrival order.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    capped = (
+        events.select(user_col, *order_cols, turn_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_turns)
+    )
+    sorted_turns = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(turn_col)))
+        ),
+        lambda s: s[turn_col],
+    )
+    convo = F.array_join(sorted_turns, "\n")
+    return capped.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.length(convo).cast("long").alias("convo_chars"),
+        F.md5(convo).alias("convo_digest"),
+    )

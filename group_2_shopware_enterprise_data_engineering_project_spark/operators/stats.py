@@ -573,7 +573,18 @@ def drift_buckets(
     Scale: one map-side-combined groupBy to <= 2 x bins rows; totals
     come from a second tiny agg of that result, broadcast back.
     """
-    hist = histogram_bins(df, period_col, value_cents, lo, hi, bins)
+    return drift_from_histogram(
+        histogram_bins(df, period_col, value_cents, lo, hi, bins)
+    )
+
+
+def drift_from_histogram(hist: DataFrame) -> DataFrame:
+    """Finish stage of `drift_buckets`, split out so a STREAMED
+    histogram works identically: per-period bin counts are additive
+    (commute across micro-batches), so a counter table maintained by
+    additive merges yields the exact same drift report as one batch
+    pass — the st21 pattern, same law as st13's streamed count-min.
+    Input: (g, b, c) rows with g = 0 baseline / 1 current."""
     per_bin = hist.groupBy("b").agg(
         F.sum(F.when(F.col("g") == 0, F.col("c")).otherwise(F.lit(0)))
         .cast("long")

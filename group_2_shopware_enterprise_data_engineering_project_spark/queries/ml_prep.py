@@ -1638,3 +1638,55 @@ def m34_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     return prep.preference_pairs(docs, "prompt_id", "doc_id", "n_chars")
+
+
+# --- m36: conversation linearization (SFT-example assembly) -----------------
+
+_M36_CAP = 32
+
+M36_ORACLE = f"""
+WITH turns AS (
+  SELECT user_id, ts, event_id,
+         event_type || '#'
+           || CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+             AS turn,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), capped AS (
+  SELECT * FROM turns WHERE rn <= {_M36_CAP}
+), agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         string_agg(turn, chr(10) ORDER BY ts, event_id) AS convo
+  FROM capped GROUP BY user_id
+)
+SELECT user_id, n_turns,
+       CAST(length(convo) AS BIGINT) AS convo_chars,
+       md5(convo) AS convo_digest
+FROM agg
+"""
+
+
+@register(
+    "m36_conversation_linearize",
+    M36_ORACLE,
+    doc="SFT-example assembly: per user, the first "
+    f"{_M36_CAP} event turns (event_type#value-cents) linearized into "
+    "one newline-joined string in strict (ts, event_id) order — "
+    "per-key collect state CAPPED by a rank window sharing the same "
+    "shuffle, turn order enforced by in-aggregation array_sort "
+    "(partitioning-invariant); text compared via md5 digest",
+)
+def m36_conversation_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit("#"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").cast("string"),
+        ).alias("turn"),
+    )
+    return prep.linearize_conversations(ev, max_turns=_M36_CAP)

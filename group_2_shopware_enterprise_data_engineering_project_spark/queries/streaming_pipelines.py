@@ -1579,3 +1579,77 @@ def s11_logline_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("id_sum"),
         F.max("us").alias("max_us"),
     )
+
+
+# --- ST21: streaming distribution-drift monitor -----------------------------
+
+# Increments commute (bin counts are additive), so the streamed counter
+# table equals the one-pass batch histogram byte-for-byte and the a28
+# batch oracle is exact for the streamed result — the same law st13
+# relies on for the streamed count-min.
+from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (  # noqa: E402
+    A28_ORACLE as _ST21_ORACLE,
+    _A28_BINS,
+    _A28_HI,
+    _A28_LO,
+)
+
+
+@register(
+    "st21_stream_drift",
+    _ST21_ORACLE,
+    doc="streaming drift monitor: per micro-batch, fixed-domain "
+    "(period, bin) histogram increments additively MERGE into a "
+    "persistent counter table under the exactly-once manifest txn; "
+    "the drift report (expected-under-baseline + per-bin chi-square) "
+    "is computed from the final counters. Bin counts commute, so the "
+    "streamed table equals the batch histogram exactly — a28's oracle "
+    "verifies the full streaming path",
+)
+def st21_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        stats as _stats,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+
+    base = _tmp("st21")
+    src_dir, cnt_path, ckpt = f"{base}/in", f"{base}/counters", f"{base}/ckpt"
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.dayofmonth("ts") % 2).cast("int").alias("period"),
+        "value",
+    )
+    ev.withColumn("bucket", (F.col("event_id") % 3).cast("int")).repartition(
+        3, "bucket"
+    ).drop("bucket").write.mode("overwrite").json(src_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("period", T.IntegerType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    counters = ParquetUpsertTable(spark, cnt_path)
+
+    def _batch_hist(df):
+        return _stats.histogram_bins(
+            df,
+            "period",
+            F.floor(F.col("value") * 100.0 + 0.5),
+            _A28_LO,
+            _A28_HI,
+            _A28_BINS,
+        )
+
+    accumulating_kpi_sink(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        counters,
+        ("g", "b"),
+        ("c",),
+        _batch_hist,
+        ckpt,
+    )
+    return _stats.drift_from_histogram(counters.read())

@@ -1272,3 +1272,51 @@ def t20_line_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.c4_line_filter(pages)
+
+
+# --- t22: tokenizer fertility per language ---------------------------------
+
+_T22_BPE_RE = text.BPE_ISH_PATTERN
+
+T22_ORACLE = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len({_TOKS}) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '{_T22_BPE_RE}')) AS BIGINT)
+             AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+           AS fertility
+FROM per_doc
+GROUP BY lang
+"""
+
+
+@register(
+    "t22_tokenizer_fertility",
+    T22_ORACLE,
+    doc="tokenizer-fertility audit per language (subword tokens per "
+    "word — the multilingual tokenizer-fairness metric): exact BIGINT "
+    "word and BPE-ish token sums per lang, fertility as ONE division "
+    "of the exact sums; a pure map-side-combined groupBy over a "
+    "codegen projection",
+)
+def t22_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    counts = text.token_counts(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        (
+            F.sum("n_bpe_tokens").cast("double")
+            / F.sum("n_words").cast("double")
+        ).alias("fertility"),
+    )

@@ -105,14 +105,17 @@ CORE_ORDER: tuple[str, ...] = (
     "t21_rrf_fusion",
     "k26_zorder_layout",
     "a28_drift_buckets",
+    "m36_conversation_linearize",
+    "t22_tokenizer_fertility",
+    "st21_stream_drift",
     # multi-green fill (rotate these out first as further queries land):
     "k17_zone_map_scan",
     "k20_shard_manifest",
+    # --- driver window boundary (first 50 above) ---
+    # rotated out in r7 (each has green r5 AND r6 driver rows + sweep):
     "e10_ann_lsh_multiprobe",
     "e11_semdedup",
     "e12_ann_pq",
-    # --- driver window boundary (first 50 above) ---
-    # rotated out in r7 (each has green r5 AND r6 driver rows + sweep):
     "e13_ann_ivfpq",
     "g1_pagerank",
     "g2_triangle_counts",
