@@ -730,3 +730,123 @@ def reduce_or(conds: list[Column]) -> Column:
     for c in conds[1:]:
         out = out | c
     return out
+
+
+# --- cross-source overlap matrix (dedup-priority planning) ------------------
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-overlap matrix between sources: exact Jaccard similarity
+    of each source pair's distinct-bigram vocabularies — the signal a
+    curation pipeline uses to ORDER cross-source dedup work (scrape A
+    vs mirror B with jaccard 0.9 gets deduped first; disjoint sources
+    skip the pairwise pass entirely).
+
+    Emits (src_a < src_b, n_a, n_b, n_common, jaccard) with exact
+    BIGINT set sizes and one exact division.
+
+    Scale: the shuffle carries (source, bigram) pairs only — documents
+    never move. The bigram self-join fans out at most S rows per
+    bigram side (S = source count), so a universal stopword bigram
+    costs O(S^2) pair rows, bounded by the source-pair matrix itself,
+    not by corpus size. Distinct-per-source dedup is map-side
+    combined.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+        spread,
+    )
+
+    docs = spread(docs)
+    src_bg = (
+        docs.select(
+            F.col(group_col).alias("src"),
+            F.explode(shingles(tokens(text_col), k=2)).alias("bg"),
+        )
+        .distinct()
+    )
+    sizes = src_bg.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pairs = (
+        src_bg.alias("a")
+        .join(src_bg.alias("b"), "bg")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- Unicode-script mix detection (multilingual routing) --------------------
+
+#: (script, Java-regex char class, RE2 char class) — the two regex
+#: dialects spell code-point ranges differently ('\\uXXXX' vs
+#: '\\x{XXXX}'), but the RANGES are identical, so counts match exactly.
+SCRIPT_RANGES: tuple[tuple[str, str, str], ...] = (
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("cjk", "[一-鿿]", "[\\x{4E00}-\\x{9FFF}]"),
+    ("cyrillic", "[Ѐ-ӿ]", "[\\x{0400}-\\x{04FF}]"),
+    ("arabic", "[؀-ۿ]", "[\\x{0600}-\\x{06FF}]"),
+)
+
+
+def script_mix(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script composition per document — the routing signal a
+    multilingual pipeline uses BEFORE language-ID (a doc that is 90%
+    CJK never reaches the Latin-marker classifier) and the basis of
+    mixed-script spam gates. Counts code points per script range plus
+    the dominant script under a deterministic (count, name-order)
+    rule. Pure codegen projection — no shuffle, no UDF.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+        spread,
+    )
+
+    docs = spread(docs)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.length(t) - F.length(F.regexp_replace(t, java_cls, ""))
+        for name, java_cls, _ in SCRIPT_RANGES
+    }
+    # dominant: highest count, ties broken by SCRIPT_RANGES order;
+    # all-zero -> 'none'
+    dom = F.lit("none")
+    best = F.lit(0).cast("long")
+    for name, *_ in SCRIPT_RANGES:
+        c = counts[name].cast("long")
+        dom = F.when(c > best, F.lit(name)).otherwise(dom)
+        best = F.when(c > best, c).otherwise(best)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[counts[name].cast("long").alias(f"n_{name}") for name, *_ in SCRIPT_RANGES],
+        dom.alias("dominant_script"),
+    )

@@ -1320,3 +1320,114 @@ def t22_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_words").cast("double")
         ).alias("fertility"),
     )
+
+
+# --- m37: cross-source overlap matrix (dedup-priority planning) -------------
+
+M37_ORACLE = f"""
+WITH toks AS (
+  SELECT source, {_TOKS} AS t FROM documents
+), sb AS (
+  SELECT DISTINCT source AS src, bg
+  FROM toks, unnest([array_to_string(t[i:i+1], ' ')
+                     FOR i IN generate_series(1, greatest(len(t) - 1, 0))])
+       AS u(bg)
+), sizes AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n FROM sb GROUP BY 1
+), pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sb a JOIN sb b ON a.bg = b.bg AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b,
+       sa.n AS n_a, sb2.n AS n_b, p.n_common,
+       CAST(p.n_common AS DOUBLE)
+         / CAST(sa.n + sb2.n - p.n_common AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.src = p.src_a
+JOIN sizes sb2 ON sb2.src = p.src_b
+"""
+
+
+@register(
+    "m37_source_overlap",
+    M37_ORACLE,
+    doc="cross-source corpus-overlap matrix: exact Jaccard of each "
+    "source pair's distinct-bigram vocabularies — orders cross-source "
+    "dedup work; shuffle carries (source, bigram) pairs only, hot "
+    "bigrams bounded at O(S^2) pair rows (S = source count), one "
+    "exact division per pair",
+)
+def m37_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.source_overlap(table(spark, sf_dir, "documents"))
+
+
+# --- t23: Unicode-script mix detection --------------------------------------
+
+# The corpus is ASCII, so script content is synthesized
+# deterministically (t18/t20 pattern): CJK tokens on every 3rd doc,
+# Cyrillic on every 5th, and every 11th doc replaced by a pure-CJK
+# page so the dominant-script branch actually flips.
+_T23_GREATEST = "greatest(n_latin, n_cjk, n_cyrillic, n_arabic)"
+
+T23_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN repeat('汉', 50)
+              ELSE coalesce(text, '')
+                || CASE WHEN doc_id % 3 = 0 THEN ' 汉字测试' ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN ' привет' ELSE '' END
+         END AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+         CAST(length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS n_latin,
+         CAST(length(t) - length(regexp_replace(t, '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g'))
+              AS BIGINT) AS n_cjk,
+         CAST(length(t) - length(regexp_replace(t, '[\\x{{0400}}-\\x{{04FF}}]', '', 'g'))
+              AS BIGINT) AS n_cyrillic,
+         CAST(length(t) - length(regexp_replace(t, '[\\x{{0600}}-\\x{{06FF}}]', '', 'g'))
+              AS BIGINT) AS n_arabic
+  FROM pages
+)
+SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic,
+       CASE WHEN {_T23_GREATEST} = 0 THEN 'none'
+            WHEN n_latin = {_T23_GREATEST} THEN 'latin'
+            WHEN n_cjk = {_T23_GREATEST} THEN 'cjk'
+            WHEN n_cyrillic = {_T23_GREATEST} THEN 'cyrillic'
+            ELSE 'arabic' END AS dominant_script
+FROM counts
+"""
+
+
+@register(
+    "t23_script_mix",
+    T23_ORACLE,
+    doc="Unicode-script composition per doc (multilingual routing "
+    "before lang-ID; mixed-script spam gate): code-point counts for "
+    "latin/CJK/cyrillic/arabic ranges + first-at-max dominant script; "
+    "pure codegen projection over deterministically synthesized "
+    "script content — Java and RE2 spell the ranges differently but "
+    "count identically",
+)
+def t23_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("汉" * 50))
+        .otherwise(
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" 汉字测试")).otherwise(
+                    F.lit("")
+                ),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" привет")).otherwise(
+                    F.lit("")
+                ),
+            )
+        )
+        .alias("text"),
+    )
+    return text.script_mix(pages)
