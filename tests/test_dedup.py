@@ -550,3 +550,45 @@ def test_c4_line_filter_rules(spark):
     )
     assert out[0].kept_digest == hashlib.md5(kept.encode()).hexdigest()
     assert out[0].kept_chars == len(kept)
+
+
+def test_source_overlap_exact_jaccard(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c", "s1"),     # bigrams {a b, b c}
+            (1, "a b d", "s2"),     # {a b, b d}
+            (2, "x y", "s3"),       # {x y} — disjoint from s1/s2
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.src_a, r.src_b): (r.n_a, r.n_b, r.n_common, r.jaccard)
+        for r in text.source_overlap(df).collect()
+    }
+    # only pairs with common bigrams appear (inner join semantics)
+    assert out == {("s1", "s2"): (2, 2, 1, 1 / 3)}
+
+
+def test_script_mix_counts_and_dominance(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, "汉字" * 5),
+            (2, "привет hi"),        # cyrillic 6 > latin 2
+            (3, "!!! 123"),          # no script chars
+            (4, "ab 汉字"),           # tie 2-2 -> first-in-order: latin
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.script_mix(df).collect()}
+    assert (out[0].n_latin, out[0].dominant_script) == (10, "latin")
+    assert (out[1].n_cjk, out[1].dominant_script) == (10, "cjk")
+    assert (out[2].n_cyrillic, out[2].dominant_script) == (6, "cyrillic")
+    assert out[3].dominant_script == "none"
+    assert (out[4].n_latin, out[4].n_cjk, out[4].dominant_script) == (2, 2, "latin")
+    assert out[5].dominant_script == "none"

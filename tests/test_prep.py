@@ -763,3 +763,33 @@ def test_preference_pairs_extremes_ties_singletons(spark):
         for r in prep.preference_pairs(df, "g", "id", "score").collect()
     }
     assert out == {0: (2, 1, 40), 1: (6, 4, 0)}
+
+
+def test_linearize_conversations_order_and_cap(spark):
+    """Turn order is (ts, id) regardless of input order; the rank cap
+    truncates per-user state; digest matches the assembled string."""
+    import hashlib
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+    rows = [
+        # user 1 arrives out of order
+        (1, 300, 3, "c"),
+        (1, 100, 1, "a"),
+        (1, 200, 2, "b"),
+        # user 2 has 4 turns, cap=3 keeps the FIRST three by (ts, id)
+        (2, 10, 1, "w"),
+        (2, 10, 2, "x"),
+        (2, 20, 3, "y"),
+        (2, 30, 4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, turn string")
+    out = {
+        r.user_id: r
+        for r in prep.linearize_conversations(df, max_turns=3).collect()
+    }
+    assert out[1].n_turns == 3
+    assert out[1].convo_digest == hashlib.md5(b"a\nb\nc").hexdigest()
+    assert out[2].n_turns == 3
+    assert out[2].convo_digest == hashlib.md5(b"w\nx\ny").hexdigest()
+    assert out[2].convo_chars == 5
