@@ -191,6 +191,42 @@ def _part_k(part: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def _events_k(events: DataFrame, k: int) -> DataFrame:
+    """Width axis for per-user operators: replica i shifts user_id and
+    event_id, so the USER population grows k-fold while every user's
+    per-key history (turn count, ordering, state size) is exactly the
+    original's — the shape a cluster absorbs by adding executors."""
+    n = 10**9
+    parts = []
+    for i in range(k):
+        parts.append(
+            events.select(
+                (F.col("event_id") + F.lit(i * n)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * n)).alias("user_id"),
+                "event_type",
+                "value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _turns(events: DataFrame) -> DataFrame:
+    return events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit("#"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").cast("string"),
+        ).alias("turn"),
+    )
+
+
 def _run(make) -> tuple[float, int]:
     # time CONSTRUCTION + count: several operators materialize eagerly
     # inside construction (localCheckpoint cache-release pattern), so
@@ -237,14 +273,40 @@ def main() -> None:
         # one pass per attribution branch
         "curate": lambda d, e, p: curate_corpus(d),
         "audit": lambda d, e, p: curation_audit(d),
+        # r7 additions: the three new shuffle-bearing ops. bigram's
+        # corpus-df join and overlap's (source, bigram) self-join are
+        # the scale surfaces; convo probes the capped per-user collect
+        # as the user population (not per-user history) grows.
+        "bigram": lambda d, e, p: text.bigram_coverage(d),
+        "overlap": lambda d, e, p: text.source_overlap(d),
     }
     if only:
-        unknown = only - set(ops) - {"incr"}
+        unknown = only - set(ops) - {"incr", "convo"}
         if unknown:
             sys.exit(
-                f"unknown ops: {sorted(unknown)} (have {sorted(ops) + ['incr']})"
+                f"unknown ops: {sorted(unknown)} (have {sorted(ops) + ['incr', 'convo']})"
             )
         ops = {n: f for n, f in ops.items() if n in only}
+
+    if only and "convo" in only:
+        ev1 = table(spark, sf_dir, "events").localCheckpoint(eager=True)
+        evk = _events_k(ev1, k).localCheckpoint(eager=True)
+
+        def _convo(ev):
+            return lambda: prep.linearize_conversations(_turns(ev), max_turns=32)
+
+        _convo(ev1)().count()  # warm
+        t1, rows1 = _run(_convo(ev1))
+        tk, rowsk = _run(_convo(evk))
+        results_convo = {
+            "t1": round(t1, 2), "tk": round(tk, 2),
+            "ratio": round(tk / t1, 2) if t1 > 0 else None,
+            "rows1": rows1, "rowsk": rowsk,
+        }
+        only.discard("convo")
+        ops = {n: f for n, f in ops.items() if n in only}
+    else:
+        results_convo = None
 
     docs1 = table(spark, sf_dir, "documents").localCheckpoint(eager=True)
     emb1 = table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
@@ -261,6 +323,8 @@ def main() -> None:
         partk = _part_k(part1, k).localCheckpoint(eager=True)
 
     results = {}
+    if results_convo is not None:
+        results["convo"] = results_convo
     if only and "incr" in only:
         # incremental_dedup has a different scaling axis than the width
         # ops: the SHARD stays fixed and the HISTORY grows k-fold (its
