@@ -1690,3 +1690,108 @@ def m36_conversation_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("turn"),
     )
     return prep.linearize_conversations(ev, max_turns=_M36_CAP)
+
+
+# --- m38: dataset card (corpus summary bundle) ------------------------------
+
+# One long-format (metric, dimension, value) table — the "dataset
+# card" a curation pipeline publishes next to every corpus release.
+# Every value is an exact BIGINT (token totals ride as counts, the
+# exact-dup rate as a dup-row count, not a ratio), so the whole card
+# hashes.
+M38_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, source, md5(text) AS fp,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+), dups AS (
+  SELECT CAST(sum(c - 1) AS BIGINT) AS extra
+  FROM (SELECT count(*) AS c FROM toks GROUP BY fp)
+)
+SELECT 'corpus' AS metric, 'docs' AS dimension,
+       CAST(count(*) AS BIGINT) AS value FROM toks
+UNION ALL
+SELECT 'corpus', 'words', CAST(sum(n_words) AS BIGINT) FROM toks
+UNION ALL
+SELECT 'corpus', 'chars', CAST(sum(n_chars) AS BIGINT) FROM toks
+UNION ALL
+SELECT 'corpus', 'exact_dup_rows', extra FROM dups
+UNION ALL
+SELECT 'lang_docs', lang, CAST(count(*) AS BIGINT) FROM toks GROUP BY lang
+UNION ALL
+SELECT 'lang_words', lang, CAST(sum(n_words) AS BIGINT) FROM toks GROUP BY lang
+UNION ALL
+SELECT 'source_docs', source, CAST(count(*) AS BIGINT) FROM toks GROUP BY source
+"""
+
+
+@register(
+    "m38_dataset_card",
+    M38_ORACLE,
+    doc="dataset-card generator: the corpus release summary as one "
+    "long-format (metric, dimension, value) table — doc/word/char "
+    "totals, exact-dup row count (md5 groupBy), per-lang and "
+    "per-source breakdowns; ALL values exact BIGINTs so the whole "
+    "card hashes; one tokenizing scan feeds every branch via an "
+    "eager narrow projection",
+)
+def m38_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    # narrow per-doc stats materialized once — the union branches below
+    # would each re-run the tokenize scan on the lazy plan
+    base = docs.select(
+        "lang",
+        "source",
+        F.md5("text").alias("fp"),
+        token_count("text").cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).localCheckpoint(eager=True)
+
+    def _row(metric, dim_col, value_col, grouped):
+        if grouped is None:
+            return (
+                base.agg(value_col.alias("value"))
+                .select(
+                    F.lit(metric).alias("metric"),
+                    F.lit(dim_col).alias("dimension"),
+                    "value",
+                )
+            )
+        return (
+            base.groupBy(grouped)
+            .agg(value_col.alias("value"))
+            .select(
+                F.lit(metric).alias("metric"),
+                F.col(grouped).alias("dimension"),
+                "value",
+            )
+        )
+
+    dups = (
+        base.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg((F.sum(F.col("c") - 1)).cast("long").alias("value"))
+        .select(
+            F.lit("corpus").alias("metric"),
+            F.lit("exact_dup_rows").alias("dimension"),
+            "value",
+        )
+    )
+    out = (
+        _row("corpus", "docs", F.count(F.lit(1)).cast("long"), None)
+        .unionByName(_row("corpus", "words", F.sum("n_words").cast("long"), None))
+        .unionByName(_row("corpus", "chars", F.sum("n_chars").cast("long"), None))
+        .unionByName(dups)
+        .unionByName(_row("lang_docs", None, F.count(F.lit(1)).cast("long"), "lang"))
+        .unionByName(_row("lang_words", None, F.sum("n_words").cast("long"), "lang"))
+        .unionByName(
+            _row("source_docs", None, F.count(F.lit(1)).cast("long"), "source")
+        )
+    )
+    return out
