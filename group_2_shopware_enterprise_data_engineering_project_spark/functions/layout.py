@@ -41,12 +41,14 @@ def _normalize(col: Column, lo: float, hi: float) -> Column:
     )
 
 
-def morton_code(a: Column, b: Column) -> Column:
-    """Interleave BITS bits of two BITS-bit integers: bit i of `a`
-    lands at position 2i, bit i of `b` at 2i+1. Pure shift/and/or
-    expressions — whole-stage codegen, no UDF."""
+def morton_code(a: Column, b: Column, bits: int = BITS) -> Column:
+    """Interleave ``bits`` bits of two ``bits``-bit integers: bit i of
+    `a` lands at position 2i, bit i of `b` at 2i+1. Pure shift/and/or
+    expressions — whole-stage codegen, no UDF. The single Morton
+    implementation in the repo: `operators/zorder.py` (layout stats /
+    SQL mirror) delegates here."""
     code = F.lit(0).cast("long")
-    for i in range(BITS):
+    for i in range(bits):
         code = code.bitwiseOR(
             F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
         ).bitwiseOR(

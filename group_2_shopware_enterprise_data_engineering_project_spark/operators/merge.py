@@ -917,3 +917,43 @@ def delta_upsert_additive(
         .whenNotMatchedInsertAll()
         .execute()
     )
+
+
+def merge_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    key_cols: tuple[str, ...],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC change feed in one pass — the full
+    ``MERGE ... WHEN MATCHED [AND op='D'] THEN DELETE / UPDATE /
+    WHEN NOT MATCHED THEN INSERT`` shape (Delta's CDF-apply pattern,
+    and the consumer side of `k22_time_travel_cdc`'s producer).
+
+    ``changes`` carries the key columns, the target's payload columns,
+    an ``op`` in ('I','U','D'), and a monotone ``seq``; only the
+    LATEST change per key applies (ties on seq break by op descending —
+    'U' over 'I' over 'D' — purely to make pathological same-seq feeds
+    deterministic; well-formed feeds have unique seqs per key). Net
+    effect: latest op D drops the key, latest I/U replaces-or-inserts
+    its payload, untouched target rows pass through.
+
+    One shuffle on the key columns serves the change-compaction window
+    AND the union-merge (same partitioning); at 100 TB the feed is a
+    day's changes, not the table, so the snapshot-path caller pairs
+    this with partition scoping exactly like any other merge.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    payload = [c for c in target.columns]
+    upserts = latest.filter(F.col(op_col).isin("I", "U")).select(*payload)
+    deletes = latest.filter(F.col(op_col) == "D").select(*key_cols)
+    merged = merge_replace(target, upserts, key_cols)
+    return merged.join(deletes, list(key_cols), "left_anti")

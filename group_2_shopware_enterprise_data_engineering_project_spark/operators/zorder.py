@@ -26,18 +26,18 @@ Z_BITS = 16
 
 def z_value(x: Column, y: Column, bits: int = Z_BITS) -> Column:
     """Morton interleave of the low ``bits`` bits of x (even positions)
-    and y (odd positions) — a single codegen'd BIGINT expression, no
-    UDF. Callers are responsible for range-reducing the dimensions
-    (e.g. ``% (1 << bits)``) first; values are masked here anyway so
-    out-of-range bits can never collide across dimensions."""
+    and y (odd positions) — masks the inputs, then delegates to the
+    repo's single interleave implementation
+    (`functions.layout.morton_code`, the one k17's zone-map write also
+    uses), so the bit layout cannot drift between the write path and
+    these layout statistics."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.layout import (
+        morton_code,
+    )
+
     xm = x.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
     ym = y.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        out = out + F.shiftleft(
-            F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i
-        ) + F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-    return out
+    return morton_code(xm, ym, bits)
 
 
 def z_value_sql(x: str, y: str, bits: int = Z_BITS) -> str:

@@ -877,3 +877,95 @@ def k26_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=_K26_BUCKETS,
         bits=_K26_BITS,
     )
+
+
+# --- k27: CDC-apply merge (WHEN MATCHED DELETE / UPDATE / INSERT) -----------
+
+# Deterministic synthesized change feed over orders:
+#   key % 5 == 0 -> D at seq 1
+#   key % 5 == 1 -> U at seq 1 (+100 cents, status 'U1'); keys % 10 == 1
+#                   ALSO get a seq-2 U (+200, status 'U2') that must win
+#   key % 5 == 2 -> I of a NEW key (key + 10^9)
+K27_ORACLE = """
+WITH tgt AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), feed AS (
+  SELECT 'D' AS op, k, status, cents, 1 AS seq FROM tgt WHERE k % 5 = 0
+  UNION ALL
+  SELECT 'U', k, 'U1', cents + 100, 1 FROM tgt WHERE k % 5 = 1
+  UNION ALL
+  SELECT 'U', k, 'U2', cents + 200, 2 FROM tgt WHERE k % 10 = 1
+  UNION ALL
+  SELECT 'I', k + 1000000000, 'NEW', 555, 1 FROM tgt WHERE k % 5 = 2
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
+    FROM feed
+  ) WHERE rn = 1
+), merged AS (
+  SELECT k, status, cents FROM latest WHERE op IN ('I', 'U')
+  UNION ALL
+  SELECT t.k, t.status, t.cents FROM tgt t
+  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k = t.k)
+)
+SELECT m.k AS o_orderkey, m.status AS o_orderstatus, m.cents AS price_cents
+FROM merged m
+WHERE NOT EXISTS (
+  SELECT 1 FROM latest l WHERE l.op = 'D' AND l.k = m.k
+)
+"""
+
+
+@register(
+    "k27_apply_cdc",
+    K27_ORACLE,
+    doc="CDC-apply merge (Delta CDF consumer shape — WHEN MATCHED "
+    "DELETE / UPDATE, WHEN NOT MATCHED INSERT): a change feed with "
+    "I/U/D ops and a monotone seq is compacted to latest-per-key "
+    "(seq desc, op desc) and applied in ONE pass — replace-or-insert "
+    "upserts, anti-join deletes; one key shuffle serves compaction "
+    "and merge. Latest-wins proven by double-update keys",
+)
+def k27_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        merge_cdc,
+    )
+
+    tgt = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    mk = lambda df, op, key, status, cents, seq: df.select(  # noqa: E731
+        F.lit(op).alias("op"),
+        key.alias("o_orderkey"),
+        status.alias("o_orderstatus"),
+        cents.cast("long").alias("price_cents"),
+        F.lit(seq).cast("int").alias("seq"),
+    )
+    k, c = F.col("o_orderkey"), F.col("price_cents")
+    feed = (
+        mk(tgt.filter(k % 5 == 0), "D", k, F.col("o_orderstatus"), c, 1)
+        .unionByName(
+            mk(tgt.filter(k % 5 == 1), "U", k, F.lit("U1"), c + 100, 1)
+        )
+        .unionByName(
+            mk(tgt.filter(k % 10 == 1), "U", k, F.lit("U2"), c + 200, 2)
+        )
+        .unionByName(
+            mk(
+                tgt.filter(k % 5 == 2),
+                "I",
+                k + 1000000000,
+                F.lit("NEW"),
+                F.lit(555),
+                1,
+            )
+        )
+    )
+    return merge_cdc(tgt, feed, ("o_orderkey",), "seq")

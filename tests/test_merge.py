@@ -671,3 +671,26 @@ def test_scoped_txn_crash_window_vs_force_snapshot(spark, tmp_path, monkeypatch)
         b1, ("pid", "date"), ("total",), txn=("s", 1), force_snapshot=True
     )
     assert t2.read().collect()[0].total == 15.0
+
+
+def test_merge_cdc_latest_wins_and_ops(spark):
+    """One-pass CDC apply: D drops, U replaces, I inserts, only the
+    latest change per key (seq desc) applies, untouched rows pass."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import merge_cdc
+
+    tgt = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    feed = spark.createDataFrame(
+        [
+            ("D", 1, None, 1),          # delete key 1
+            ("U", 2, "b2", 1),          # update key 2 ...
+            ("U", 2, "b3", 2),          # ... then again: seq 2 wins
+            ("I", 5, "e", 1),           # insert new key 5
+            ("U", 3, "c2", 1),          # update then delete: D at seq 2 wins
+            ("D", 3, None, 2),
+        ],
+        "op string, k long, v string, seq int",
+    )
+    out = {r.k: r.v for r in merge_cdc(tgt, feed, ("k",), "seq").collect()}
+    assert out == {2: "b3", 4: "d", 5: "e"}
