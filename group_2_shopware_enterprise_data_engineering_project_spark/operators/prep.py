@@ -278,6 +278,7 @@ def sequence_pack(
     shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """GPT-2/T5-style concat-and-chunk packing PLAN: lay documents
     end-to-end in a deterministic order, cut the token stream into
@@ -296,14 +297,28 @@ def sequence_pack(
     of output files and the window sort is per-shard, not global.
     Pack ids are (shard, pack_id) pairs so no cross-shard coordination
     exists anywhere in the plan.
+
+    ``shard_col`` overrides the default ``id % shards`` sharding with a
+    caller-provided grouping column — the SEMANTIC-packing variant
+    (Staniszewski et al.'s related-document packing): assign documents
+    to clusters first (e.g. `similarity.ivf_assign`), pass the cluster
+    id as the shard, and each pack then holds topically-related docs —
+    long-context training examples with coherent context instead of
+    random concatenation. Same plan shape: per-shard running sum, no
+    global window.
     """
     from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
         token_count,
     )
 
+    shard_expr = (
+        F.col(shard_col).cast("long")
+        if shard_col is not None
+        else (F.col(id_col) % F.lit(shards))
+    )
     d = docs.select(
         F.col(id_col),
-        (F.col(id_col) % F.lit(shards)).alias("shard"),
+        shard_expr.alias("shard"),
         token_count(text_col).cast("long").alias("n_tokens"),
         # Tie-break for the running-sum ordering: if id_col ever has
         # duplicates, plain orderBy(id_col) + a ROWS frame is

@@ -225,3 +225,31 @@ def expectation_report(
         ]
     )
     return row.select(F.explode(packed).alias("_e")).select("_e.*")
+
+
+def k_anonymity(
+    df: DataFrame, qi_cols: tuple[str, ...], k: int = 10
+) -> DataFrame:
+    """K-anonymity audit over quasi-identifier columns — the privacy
+    check a training-data pipeline runs BEFORE releasing tabular or
+    user-derived data (complementing t16's PII redaction and k24's
+    hard purge): every equivalence class of the quasi-identifiers with
+    fewer than k members can potentially re-identify its members via
+    linkage. Emits one row per class with its size and an at-risk
+    flag; NULL quasi-identifier values form their own class (groupBy
+    semantics — a NULL nation is itself a linkable fact).
+
+    One map-side-combined groupBy; class cardinality, not data volume,
+    bounds the result.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .select(
+            *qi_cols,
+            "class_size",
+            (F.col("class_size") < k).cast("int").alias("at_risk"),
+        )
+    )

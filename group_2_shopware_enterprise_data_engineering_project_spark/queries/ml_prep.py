@@ -1795,3 +1795,75 @@ def m38_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --- m39: semantic sequence packing (related-doc long-context layout) -------
+
+from group_2_shopware_enterprise_data_engineering_project_spark.queries.embeddings_sim import (  # noqa: E402
+    _DOT as _M39_DOT,
+    _NORM as _M39_NORM,
+    N_CENTROIDS as _M39_C,
+)
+
+_M39_CAP = 1024
+
+M39_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id < {_M39_C}
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_M39_DOT.format(a='e.embedding', b='c.cv')}
+         / ({_M39_NORM.format(v='e.embedding')} * {_M39_NORM.format(v='c.cv')})
+             AS c_sim
+  FROM embeddings e CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), tk AS (
+  SELECT d.doc_id, a.centroid_id AS shard,
+         CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         md5(d.text) AS _tie
+  FROM documents d JOIN assigned a ON d.doc_id = a.vec_id
+), cum AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, _tie
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS cum_before
+  FROM tk
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       CAST(cum_before // {_M39_CAP} AS BIGINT) AS pack_id,
+       CAST(cum_before % {_M39_CAP} AS BIGINT) AS pack_offset,
+       CAST((cum_before % {_M39_CAP}) + n_tokens > {_M39_CAP} AS INTEGER)
+           AS spans_boundary
+FROM cum
+"""
+
+
+@register(
+    "m39_semantic_pack",
+    M39_ORACLE,
+    doc="semantic sequence packing (related-document long-context "
+    "layout): docs are clustered by their embedding's nearest of "
+    f"{_M39_C} broadcast centroids (cosine argmin, e5's quantizer), "
+    "then the m15 pack recurrence runs PER CLUSTER — every pack holds "
+    "topically-related docs, the long-context training layout; "
+    "per-shard running sum, no global window, oracle CASTs all "
+    "HUGEINT-widened columns",
+)
+def m39_semantic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        similarity,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = similarity.ivf_assign(emb).select(
+        F.col("vec_id").alias("doc_id"), "centroid_id"
+    )
+    docs = table(spark, sf_dir, "documents").join(assigned, "doc_id")
+    return prep.sequence_pack(docs, cap=_M39_CAP, shard_col="centroid_id")

@@ -969,3 +969,37 @@ def k27_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_cdc(tgt, feed, ("o_orderkey",), "seq")
+
+
+# --- a29: k-anonymity audit --------------------------------------------------
+
+_A29_K = 10
+
+A29_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(*) < {_A29_K} AS INT) AS at_risk
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "a29_k_anonymity",
+    A29_ORACLE,
+    doc=f"k-anonymity audit (k={_A29_K}) over the (nation, segment) "
+    "quasi-identifier pair: equivalence-class sizes + at-risk flags — "
+    "the pre-release privacy check next to t16 redaction and k24 "
+    "purge; one map-side-combined groupBy, result bounded by class "
+    "cardinality",
+)
+def a29_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.validate import (
+        k_anonymity,
+    )
+
+    return k_anonymity(
+        table(spark, sf_dir, "customer"),
+        ("c_nationkey", "c_mktsegment"),
+        k=_A29_K,
+    )
