@@ -1317,3 +1317,53 @@ def brute_force_topk_gemm(
     sims = spread(emb).select("vec_id", "embedding").mapInPandas(_batches, schema)
     sims = sims.filter(F.col("neighbor_id") != F.col("query_id"))
     return _topk_per_query(sims, k).orderBy("query_id", "rank")
+
+
+def pool_chunk_embeddings(
+    emb: DataFrame,
+    group_col: str = "group_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Mean-pool chunk embeddings into document embeddings — the
+    aggregation step after a chunk-level embedding model runs (RAG
+    indexing and doc-level SemDedup both consume pooled vectors). A
+    naive float sum is partitioning-order-dependent; here each
+    component is quantized to fixed point (x * 2^scale_bits, rounded),
+    summed as BIGINT (order-free, exact), and the mean emitted as ONE
+    division — bit-identical on any cluster layout, at the cost of
+    2^-scale_bits quantization (1e-6 at 20 bits, far below fp32 noise).
+
+    Emits one SCALAR row per (group, component): n_chunks, the exact
+    integer sum, and the mean — long-format because pooled arrays
+    would re-enter the float-array comparison surface this operator
+    exists to avoid; the array re-assembly is a downstream
+    collect_list the consumer does.
+
+    Scale: posexplode is a map-side fan-out (64x rows, narrow), the
+    one shuffle is the map-side-combined (group, pos) agg.
+    """
+    scale = 1 << scale_bits
+    ex = spread(emb).select(
+        F.col(group_col),
+        F.posexplode(F.col("embedding")).alias("pos", "_x"),
+    )
+    q = F.floor(F.col("_x").cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        ex.groupBy(group_col, "pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(q).cast("long").alias("sum_q"),
+        )
+        .select(
+            group_col,
+            F.col("pos").cast("long").alias("pos"),
+            "n_chunks",
+            "sum_q",
+            (
+                F.col("sum_q").cast("double")
+                / (F.col("n_chunks") * F.lit(scale)).cast("double")
+            ).alias("mean"),
+        )
+    )

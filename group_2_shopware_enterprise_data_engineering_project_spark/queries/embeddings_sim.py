@@ -946,3 +946,43 @@ def e15_ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity._topk_per_query(rerank, TOP_K).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
+
+
+# --- m40: exact chunk-embedding mean pooling --------------------------------
+
+_M40_GROUPS = 50
+_M40_SCALE = 1 << 20
+
+M40_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id % {_M40_GROUPS} AS group_id,
+         i - 1 AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {float(_M40_SCALE)!r} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings, generate_series(1, 64) AS t(i)
+)
+SELECT group_id,
+       CAST(pos AS BIGINT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q) AS DOUBLE)
+         / CAST(count(*) * {_M40_SCALE} AS DOUBLE) AS mean
+FROM ex GROUP BY 1, 2
+"""
+
+
+@register(
+    "m40_chunk_embedding_pool",
+    M40_ORACLE,
+    doc="chunk->document embedding mean-pooling with ORDER-FREE exact "
+    "arithmetic: components quantized to 2^-20 fixed point, summed as "
+    "BIGINT (partitioning-invariant where a float sum is not), mean = "
+    "one division; long-format scalar rows per (group, component) — "
+    "the RAG-indexing/doc-SemDedup aggregation step; one map-side-"
+    "combined shuffle",
+)
+def m40_chunk_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % _M40_GROUPS).alias("group_id"), "embedding"
+    )
+    return similarity.pool_chunk_embeddings(emb, "group_id", scale_bits=20)

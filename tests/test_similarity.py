@@ -500,3 +500,34 @@ def test_gemm_bruteforce_agrees_with_fold_path(emb):
         assert set(f_by_q[q]) == set(g_by_q[q]), q
         for n, s in f_by_q[q].items():
             assert abs(s - g_by_q[q][n]) < 1e-9
+
+
+def test_pool_chunk_embeddings_exact_and_partition_invariant(spark):
+    """Fixed-point pooling: exact sums, one-division means, and the
+    same result at any partitioning (the property a float sum lacks)."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, -0.5]),
+        (0, [0.5, 0.5]),
+        (1, [0.25, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "group_id long, embedding array<float>")
+    out = {
+        (r.group_id, r.pos): (r.n_chunks, r.sum_q, r.mean)
+        for r in similarity.pool_chunk_embeddings(df, "group_id", scale_bits=2).collect()
+    }
+    # scale 4: 1.0->4, -0.5->floor(-2+0.5)=-2 ... floor(-1.5)=-2
+    assert out[(0, 0)] == (2, 4 + 2, 6 / 8)
+    assert out[(0, 1)] == (2, -2 + 2, 0.0)
+    assert out[(1, 0)] == (1, 1, 0.25)
+    # partition invariance
+    again = {
+        (r.group_id, r.pos): (r.n_chunks, r.sum_q, r.mean)
+        for r in similarity.pool_chunk_embeddings(
+            df.repartition(7), "group_id", scale_bits=2
+        ).collect()
+    }
+    assert again == out
