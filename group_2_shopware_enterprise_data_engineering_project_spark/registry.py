@@ -112,6 +112,11 @@ CORE_ORDER: tuple[str, ...] = (
     "k17_zone_map_scan",
     "k20_shard_manifest",
     # --- driver window boundary (first 50 above) ---
+    # r8 rotation priority: the late-r7 queries that have never had a
+    # driver row — m37_source_overlap, t23_script_mix, m38_dataset_card,
+    # k27_apply_cdc, a29_k_anonymity, m39_semantic_pack,
+    # m40_chunk_embedding_pool (each sweep-green in
+    # CORRECTNESS_LOCAL_r07.json).
     # rotated out in r7 (each has green r5 AND r6 driver rows + sweep):
     "e10_ann_lsh_multiprobe",
     "e11_semdedup",
