@@ -703,3 +703,83 @@ def test_equidepth_bucketize_is_a_partition_with_ordered_ranges(spark, vals, nb)
         key=lambda r: r.bucket,
     )
     assert list(map(tuple, out)) == list(map(tuple, again))
+
+
+# --- r7: CDC apply == brute-force replay ------------------------------------
+
+_OPS = st.sampled_from(["I", "U", "D"])
+_FEED = st.lists(
+    st.tuples(_OPS, KEYS, VALS, st.integers(min_value=1, max_value=5)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(t=BATCH, feed=_FEED)
+@_settings
+def test_merge_cdc_equals_bruteforce_replay(spark, t, feed):
+    """merge_cdc (one-pass compact + merge + anti-join) must equal the
+    obvious per-key replay of the latest change under the documented
+    (seq desc, op desc) compaction rule."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import merge_cdc
+
+    def latest_batch(rows):
+        out = {}
+        for k, v in rows:
+            out[k] = v
+        return out
+
+    target = latest_batch(t)
+
+    # reference: latest change per key by (seq, op) — op desc means
+    # 'U' > 'I' > 'D' on ties
+    best = {}
+    for op, k, v, seq in feed:
+        cur = best.get(k)
+        if cur is None or (seq, op) > (cur[2], cur[0]):
+            best[k] = (op, v, seq)
+    expect = dict(target)
+    for k, (op, v, _seq) in best.items():
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+
+    tgt_df = _df(spark, list(target.items()))
+    feed_rows = [(op, k, v, seq) for op, k, v, seq in feed] or [("I", 0, 0, 1)]
+    feed_df = spark.createDataFrame(
+        feed_rows, "op string, k long, v long, seq long"
+    ).limit(len(feed))
+    got = {r.k: r.v for r in merge_cdc(tgt_df, feed_df, ("k",), "seq").collect()}
+    assert got == expect
+
+
+@given(rows=st.lists(st.tuples(KEYS, KEYS, VALS), min_size=0, max_size=20))
+@_settings
+def test_preference_pairs_match_extremes(spark, rows):
+    """chosen/rejected are exactly the (score, id) max/min per group;
+    singletons (and groups where max==min id) emit nothing else."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+    # unique ids: (g, id) pairs may repeat in the strategy — dedup
+    seen = {}
+    for g, i, s in rows:
+        seen[(g, i)] = s
+    flat = [(g, i, s) for (g, i), s in seen.items()]
+    if not flat:
+        return
+    df = spark.createDataFrame(flat, "g long, id long, score long")
+    got = {
+        r.g: (r.chosen_id, r.rejected_id, r.margin)
+        for r in prep.preference_pairs(df, "g", "id", "score").collect()
+    }
+    expect = {}
+    groups = {}
+    for g, i, s in flat:
+        groups.setdefault(g, []).append((s, i))
+    for g, members in groups.items():
+        hi = max(members)
+        lo = min(members)
+        if hi[1] != lo[1]:
+            expect[g] = (hi[1], lo[1], hi[0] - lo[0])
+    assert got == expect
