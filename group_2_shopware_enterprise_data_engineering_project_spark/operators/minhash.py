@@ -22,7 +22,7 @@ j=0.8 — tune P/R per corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
@@ -425,3 +425,54 @@ def incremental_dedup(
             new_buckets.unpersist()
         if cross is not None:
             cross.unpersist()
+
+
+def pair_evidence(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.4,
+    top_n: int = 3,
+) -> DataFrame:
+    """Near-dup EXPLANATION: for every verified near-dup pair, the
+    exact shared-shingle count and the lexicographically-first
+    ``top_n`` shared shingles — the human-auditable evidence a
+    curation review wants next to each dedup verdict ("why did we drop
+    doc B against doc A?"). Composes the full `minhash_lsh_dedup`
+    pipeline with one more inverted-index join restricted to the
+    verified pairs.
+
+    The evidence strings are capped BEFORE collection (rank window on
+    the pair partition, t12's postings-cap pattern), so per-pair state
+    is O(top_n) even for boilerplate pairs sharing thousands of
+    shingles; the shared count still comes from the full uncapped
+    aggregate on the same shuffle.
+    """
+    pairs = minhash_lsh_dedup(
+        docs, text_col, id_col, k=k, threshold=threshold
+    )
+    ss = shingle_sets(docs, text_col, id_col, k)
+    ex = ss.select("doc_id", F.explode("shingles").alias("s"))
+    shared = (
+        pairs.join(ex.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            ex.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "s", "s_b"
+            ),
+            ["doc_b"],
+        )
+        .filter(F.col("s") == F.col("s_b"))
+        .select("doc_a", "doc_b", "jaccard", "s")
+    )
+    w = Window.partitionBy("doc_a", "doc_b").orderBy("s")
+    capped = shared.withColumn("_rn", F.row_number().over(w))
+    return capped.groupBy("doc_a", "doc_b", "jaccard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.when(F.col("_rn") <= top_n, F.col("s")))
+            ),
+            ",",
+        ).alias("top_shared"),
+    )

@@ -1431,3 +1431,47 @@ def t23_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return text.script_mix(pages)
+
+
+# --- t24: near-dup pair evidence (audit/explanation) ------------------------
+
+T24_ORACLE = f"""
+WITH toks24 AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh24 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN generate_series(1, greatest(len(t) - 2, 0))])
+             AS shingles
+  FROM toks24
+), ex24 AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh24
+), pairs24 AS (
+  SELECT * FROM ({_minhash_oracle()})
+), shared24 AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard, a.s
+  FROM pairs24 p
+  JOIN ex24 a ON a.doc_id = p.doc_a
+  JOIN ex24 b ON b.doc_id = p.doc_b AND b.s = a.s
+)
+SELECT doc_a, doc_b, jaccard,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       array_to_string(list_slice(list_sort(list(s)), 1, 3), ',')
+           AS top_shared
+FROM shared24
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "t24_pair_evidence",
+    T24_ORACLE,
+    doc="near-dup pair EVIDENCE (the audit layer over "
+    "dedup_minhash_lsh): per verified pair, the exact shared-shingle "
+    "count and the first-3 shared shingles — capped BEFORE collection "
+    "via a rank window on the pair partition (t12's postings-cap "
+    "pattern), so per-pair state is O(3) under boilerplate floods; "
+    "the count still aggregates the full set on the same shuffle",
+)
+def t24_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash.pair_evidence(table(spark, sf_dir, "documents"))
