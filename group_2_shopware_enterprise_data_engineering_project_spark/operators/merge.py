@@ -731,6 +731,33 @@ class ParquetUpsertTable:
             self.read().filter(~F.coalesce(condition, F.lit(False)))
         )
 
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        key_cols: tuple[str, ...],
+        txn: tuple[str, int] | None = None,
+    ) -> None:
+        """DELETE by key FRAME (anti-join) — the purge-feed form of
+        `delete_where`: the keys to forget arrive as data (a stream of
+        erasure requests), not as a predicate literal, so collecting
+        them into an IN-list would bottleneck on the driver at scale.
+        One anti-join rewrite of the active snapshot, committed as the
+        next snapshot; ``txn=`` rides the same atomic manifest swap
+        (snapshot path), making a replayed purge batch a no-op — and a
+        replay would also be harmless (deleting already-deleted keys),
+        so this path is doubly idempotent. NULL keys never match an
+        anti-join (SQL semantics), mirroring `delete_where`'s
+        NULL-predicate rule. `vacuum(keep_last=1)` still applies for
+        the compliance-grade history purge (see k24)."""
+        self._refresh_spec()
+        if txn is not None and txn[1] <= self.last_txn(txn[0]):
+            return
+        self._check_txn_stampable(txn)
+        self._snapshot_write(
+            self.read().join(keys.select(*key_cols), list(key_cols), "left_anti"),
+            txn=txn,
+        )
+
     def evolve_partitioning(self, new_partition_by: tuple[str, ...]) -> None:
         """Partition-spec evolution (Iceberg's ALTER TABLE ... WRITE
         ORDERED/PARTITIONED BY role): rewrite the active snapshot under

@@ -1653,3 +1653,85 @@ def st21_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt,
     )
     return _stats.drift_from_histogram(counters.read())
+
+
+# --- ST22: streaming GDPR purge feed -----------------------------------------
+
+# Erasure requests arrive as a stream; each micro-batch anti-join-
+# deletes its keys from the stored table as the NEXT atomic snapshot
+# under the manifest txn, then vacuum drops pre-purge history. The
+# oracle is the batch truth: the final table equals orders minus every
+# purged key.
+ST22_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderkey % 7 <> 0
+"""
+
+
+@register(
+    "st22_stream_purge",
+    ST22_ORACLE,
+    doc="streaming right-to-be-forgotten: erasure requests (keys with "
+    "o_orderkey % 7 = 0) arrive over 3 micro-batches; each batch "
+    "anti-join-deletes its keys as the next atomic snapshot under the "
+    "exactly-once manifest txn (delete_keys — replays are no-ops AND "
+    "harmless), then vacuum(keep_last=1) drops pre-purge history; "
+    "in-query assert: no retained snapshot serves any purged key. "
+    "Oracle = batch truth (orders minus all purged keys)",
+)
+def st22_stream_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        _stream_app_id,
+        run_available_now,
+    )
+
+    base = _tmp("st22")
+    src_dir, tbl_path, ckpt = f"{base}/in", f"{base}/table", f"{base}/ckpt"
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    t = ParquetUpsertTable(spark, tbl_path)
+    t.create_or_overwrite(orders)
+
+    purge_keys = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey"
+    )
+    purge_keys.withColumn(
+        "bucket", (F.col("o_orderkey") % 3).cast("int")
+    ).repartition(3, "bucket").drop("bucket").write.mode("overwrite").json(
+        src_dir
+    )
+
+    schema = T.StructType([T.StructField("o_orderkey", T.LongType())])
+    app_id = _stream_app_id(ckpt)
+
+    def _batch(df, batch_id):
+        t.delete_keys(df, ("o_orderkey",), txn=(app_id, batch_id))
+
+    run_available_now(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        ckpt,
+        _batch,
+    )
+    t.vacuum(keep_last=1)
+    # compliance assert: NO retained snapshot can serve a purged key
+    for v in t.versions():
+        leaked = (
+            t.read_version(v)
+            .join(F.broadcast(purge_keys), "o_orderkey", "semi")
+            .count()
+        )
+        if leaked:
+            raise AssertionError(
+                f"purged keys still readable in retained snapshot v{v}"
+            )
+    return t.read()

@@ -694,3 +694,20 @@ def test_merge_cdc_latest_wins_and_ops(spark):
     )
     out = {r.k: r.v for r in merge_cdc(tgt, feed, ("k",), "seq").collect()}
     assert out == {2: "b3", 4: "d", 5: "e"}
+
+
+def test_delete_keys_txn_replay_and_null_keys(spark, tmp_path):
+    """delete_keys: anti-join delete as the next atomic snapshot; txn
+    replays skip; NULL keys in the purge feed never match."""
+    t = ParquetUpsertTable(spark, str(tmp_path / "dk"))
+    t.create_or_overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    )
+    keys = spark.createDataFrame([(2,), (None,)], "k long")
+    t.delete_keys(keys, ("k",), txn=("purge", 0))
+    assert sorted(r.k for r in t.read().collect()) == [1, 3]
+    # replay: no new snapshot, same content
+    v = t.versions()
+    t.delete_keys(keys, ("k",), txn=("purge", 0))
+    assert t.versions() == v
+    assert sorted(r.k for r in t.read().collect()) == [1, 3]
