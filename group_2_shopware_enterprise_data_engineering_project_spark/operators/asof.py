@@ -193,3 +193,50 @@ def asof_join_bucketed(
         filled.filter((F.col("_src") == 1) & F.col("_p_fin").isNotNull())
         .select(*lcols, *[F.col(f"_p_fin.{c}").alias(c) for c in payload_cols])
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: tuple[str, ...],
+    tolerance_sec: int,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """`asof_join` with a match-freshness bound — pandas
+    ``merge_asof(tolerance=...)`` semantics: the latest prior right row
+    still wins, but the pair is DROPPED (not replaced by an older row)
+    when it is staler than ``tolerance_sec`` — the attribution-window
+    rule ("credit the last touch, but only within 30 minutes").
+
+    Implemented as the plain as-of join with the matched ``right_ts``
+    carried through the payload struct and one exact integer filter on
+    epoch microseconds — no extra shuffle, no float time math. The
+    matched timestamp column is emitted (as ``matched_ts``) so
+    downstream audits can see HOW stale each surviving match was.
+    """
+    if right_ts == left_ts or right_ts in left.columns:
+        raise ValueError(
+            f"right_ts {right_ts!r} collides with a left column — rename "
+            "the right timestamp before the call (the matched timestamp "
+            "must survive next to the left one for the freshness filter)"
+        )
+    carried = tuple(dict.fromkeys((*payload_cols, right_ts)))
+    out = asof_join(
+        left,
+        right,
+        left_key,
+        right_key,
+        left_ts,
+        right_ts,
+        carried,
+        right_tiebreak=right_tiebreak,
+    )
+    age_us = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts))
+    return (
+        out.filter(age_us <= F.lit(int(tolerance_sec) * 1_000_000))
+        .withColumnRenamed(right_ts, "matched_ts")
+    )

@@ -1867,3 +1867,61 @@ def m39_semantic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = table(spark, sf_dir, "documents").join(assigned, "doc_id")
     return prep.sequence_pack(docs, cap=_M39_CAP, shard_col="centroid_id")
+
+
+# --- j7: as-of join with tolerance (attribution window) ---------------------
+
+_J7_TOL = 1800  # 30-minute attribution window
+
+J7_ORACLE = f"""
+WITH v AS (
+  SELECT user_id AS v_user, ts AS view_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT p.event_id, p.user_id, p.ts, v.view_ts, v.view_id
+  FROM p ASOF JOIN v
+    ON p.user_id = v.v_user AND p.ts >= v.view_ts
+)
+SELECT event_id, user_id, ts, view_id, view_ts AS matched_ts
+FROM m
+WHERE epoch_us(ts) - epoch_us(view_ts) <= {_J7_TOL * 1_000_000}
+"""
+
+
+@register(
+    "j7_asof_tolerance",
+    J7_ORACLE,
+    doc="as-of join with a freshness bound (pandas merge_asof "
+    "tolerance semantics): each purchase attributed to the user's "
+    "most recent prior view, pair DROPPED — not replaced — when "
+    f"staler than {_J7_TOL}s; exact epoch-microsecond filter, no "
+    "extra shuffle over the plain as-of plan. DuckDB ASOF JOIN + "
+    "tolerance WHERE as the oracle",
+)
+def j7_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.asof import (
+        asof_join_tolerance,
+    )
+
+    return asof_join_tolerance(
+        purchases,
+        views,
+        left_key="user_id",
+        right_key="v_user",
+        left_ts="ts",
+        right_ts="view_ts",
+        payload_cols=("view_id",),
+        tolerance_sec=_J7_TOL,
+        right_tiebreak="view_id",
+    )
