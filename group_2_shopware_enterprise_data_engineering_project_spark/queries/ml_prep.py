@@ -1925,3 +1925,120 @@ def j7_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_sec=_J7_TOL,
         right_tiebreak="view_id",
     )
+
+
+# --- m41: packing-efficiency report ------------------------------------------
+
+M41_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id % {_M15_SHARDS} AS shard,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), per AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM t GROUP BY 1
+)
+SELECT shard, n_docs, total_tokens,
+       CAST((total_tokens + {_M15_CAP - 1}) // {_M15_CAP} AS BIGINT) AS n_packs,
+       CAST(((total_tokens + {_M15_CAP - 1}) // {_M15_CAP}) * {_M15_CAP}
+            - total_tokens AS BIGINT) AS waste_tokens
+FROM per
+"""
+
+
+@register(
+    "m41_packing_efficiency",
+    M41_ORACLE,
+    doc="packing-efficiency report over the m15 layout: per shard, doc "
+    "and token totals, pack count (ceil(total/cap) — the concat-and-"
+    "chunk stream is gapless, so the closed form is exact), and "
+    "tail-waste tokens; the metric a training-data writer publishes "
+    "next to every packed shard set. One map-side-combined groupBy",
+)
+def m41_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            (F.col("doc_id") % _M15_SHARDS).alias("shard"),
+            token_count("text").cast("long").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    n_packs = F.expr(f"(total_tokens + {_M15_CAP - 1}) div {_M15_CAP}")
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        n_packs.alias("n_packs"),
+        (n_packs * _M15_CAP - F.col("total_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+    )
+
+
+# --- m42: dedup cluster-size distribution ------------------------------------
+
+_M42_ORACLE_TMPL = """
+WITH RECURSIVE pairs AS ({pairs_sql}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+), clusters AS (
+  SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_rep
+  FROM reach GROUP BY id
+), sizes AS (
+  SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS removable_docs
+FROM sizes GROUP BY 1
+"""
+
+
+def _m42_oracle() -> str:
+    return _M42_ORACLE_TMPL.format(pairs_sql=text_pipeline._minhash_oracle())
+
+
+@register(
+    "m42_dedup_cluster_stats",
+    _m42_oracle(),
+    doc="near-dup cluster-size distribution (the dedup IMPACT report: "
+    "how much of the corpus is removable, and whether one mega-cluster "
+    "dominates — the signal that a boilerplate flood, not organic "
+    "duplication, is at work): MinHash-LSH pairs -> components -> "
+    "size histogram + removable-doc counts; two map-side-combined "
+    "groupBys past the component labels",
+)
+def m42_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash.minhash_lsh_dedup(docs, threshold=0.4).select(
+        "doc_a", "doc_b"
+    )
+    clusters = dedup_verdicts(docs, pairs).select("doc_id", "cluster_rep")
+    sizes = clusters.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1))
+        .cast("long")
+        .alias("removable_docs"),
+    )

@@ -1735,3 +1735,100 @@ def st22_stream_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"purged keys still readable in retained snapshot v{v}"
             )
     return t.read()
+
+
+# --- ST23: streaming write-audit-publish gate ---------------------------------
+
+# k25's write-audit-publish as a STREAM: every micro-batch must pass a
+# Deequ-style constraint before it may append; failing batches land in
+# a quarantine table whole (batch-atomic gate — partial batches are
+# exactly what audit gates exist to prevent). Batch 1 is
+# deterministically poisoned (negated values), so the gate provably
+# fires; the oracle is the batch truth over the two clean batches.
+ST23_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+WHERE event_id % 3 <> 1
+GROUP BY event_type
+"""
+
+
+@register(
+    "st23_stream_audit_gate",
+    ST23_ORACLE,
+    doc="streaming write-audit-publish: per micro-batch a min(value)>=0 "
+    "constraint gates the append — passing batches land, failing "
+    "batches quarantine WHOLE (batch-atomic; the poisoned batch 1 "
+    "proves the gate fires and the in-query assert pins its full row "
+    "count in quarantine); oracle = batch truth over the clean batches",
+)
+def st23_stream_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        run_available_now,
+    )
+
+    base = _tmp("st23")
+    src_dir, good_path, dlq_path, ckpt = (
+        f"{base}/in",
+        f"{base}/good",
+        f"{base}/dlq",
+        f"{base}/ckpt",
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        # poison batch 1: negate values so min(value) >= 0 fails
+        F.when(
+            F.col("event_id") % 3 == 1, -F.abs(F.col("value")) - F.lit(1.0)
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    ev.withColumn("bucket", (F.col("event_id") % 3).cast("int")).repartition(
+        3, "bucket"
+    ).drop("bucket").write.mode("overwrite").json(src_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    good = ParquetUpsertTable(spark, good_path)
+    dlq = ParquetUpsertTable(spark, dlq_path)
+
+    def _batch(df, batch_id):
+        df = df.localCheckpoint(eager=True)  # gate + land read once
+        violations = df.filter(
+            F.col("value").isNull() | (F.col("value") < 0)
+        ).count()
+        target = good if violations == 0 else dlq
+        if target.exists():
+            target.append(df)
+        else:
+            target.create_or_overwrite(df)
+
+    run_available_now(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        ckpt,
+        _batch,
+    )
+    # the gate must have quarantined EXACTLY the poisoned batch
+    n_poison = ev.filter(F.col("event_id") % 3 == 1).count()
+    n_dlq = dlq.read().count() if dlq.exists() else 0
+    if n_dlq != n_poison:
+        raise AssertionError(
+            f"audit gate quarantined {n_dlq} rows, expected {n_poison}"
+        )
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    return good.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("value_cents"),
+    )
