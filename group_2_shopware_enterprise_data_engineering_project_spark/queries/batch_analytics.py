@@ -943,3 +943,41 @@ def a28_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=_A28_HI,
         bins=_A28_BINS,
     )
+
+
+# --- a30: RFM customer features ---------------------------------------------
+
+_A30_REF = "2001-08-01"  # fixed reference date (corpus max order date)
+
+A30_ORACLE = f"""
+SELECT o_custkey,
+       CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                      DATE '{_A30_REF}') AS BIGINT) AS recency_days,
+       CAST(count(*) AS BIGINT) AS frequency,
+       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS monetary_cents
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "a30_rfm_features",
+    A30_ORACLE,
+    doc="RFM customer-feature build (recency to a fixed reference "
+    "date, order frequency, exact-cents monetary) — the classic "
+    "segmentation/feature-store projection; one map-side-combined "
+    "groupBy, all-integer outputs",
+)
+def a30_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_A30_REF).cast("date"), F.to_date(F.max("o_orderdate"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(cents).cast("long").alias("monetary_cents"),
+    )

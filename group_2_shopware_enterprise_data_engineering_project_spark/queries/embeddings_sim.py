@@ -986,3 +986,88 @@ def m40_chunk_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % _M40_GROUPS).alias("group_id"), "embedding"
     )
     return similarity.pool_chunk_embeddings(emb, "group_id", scale_bits=20)
+
+
+# --- e16: filtered ANN (metadata predicate + vector search) -----------------
+
+# Pre-filtered search, NOT post-filtered: restricting the corpus BEFORE
+# ranking guarantees k results satisfying the predicate; ranking first
+# and filtering after silently returns < k (or misses entirely) when
+# the predicate is selective — the classic vector-DB filtered-search
+# trap. The broadcast-queries x corpus-scan shape is unchanged; the
+# predicate rides the corpus scan, so Catalyst pushes it to parquet.
+E16_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, label, embedding AS nv FROM embeddings
+  WHERE label % 2 = 1
+), sims AS (
+  SELECT query_id, neighbor_id, c.label,
+         {_DOT.format(a='qv', b='nv')}
+         / ({_NORM.format(v='qv')} * {_NORM.format(v='nv')}) AS cos_sim
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, label, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "e16_ann_filtered",
+    E16_ORACLE,
+    doc="filtered ANN (metadata predicate + vector search): corpus "
+    "restricted to label%2=1 BEFORE ranking — pre-filtering guarantees "
+    "k predicate-satisfying results where rank-then-filter silently "
+    "under-returns; predicate pushed to the parquet scan, queries "
+    "broadcast, corpus never shuffles",
+)
+def e16_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+        spread,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.similarity import (
+        _as_double,
+        _topk_per_query,
+        dot,
+        l2_norm,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    corpus = spread(emb.filter(F.col("label") % 2 == 1)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        _as_double(F.col("embedding")).alias("nv"),
+    )
+    sims = (
+        queries.crossJoin(corpus)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            (
+                dot(F.col("qv"), F.col("nv"))
+                / (l2_norm(F.col("qv")) * l2_norm(F.col("nv")))
+            ).alias("cos_sim"),
+        )
+    )
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    return (
+        _topk_per_query(sims.drop("label"), TOP_K)
+        .join(F.broadcast(labels), "neighbor_id")
+        .select("query_id", "neighbor_id", "label", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    )
