@@ -758,6 +758,31 @@ class ParquetUpsertTable:
             txn=txn,
         )
 
+    def apply_cdc(
+        self,
+        changes: DataFrame,
+        key_cols: tuple[str, ...],
+        seq_col: str,
+        op_col: str = "op",
+        txn: tuple[str, int] | None = None,
+    ) -> None:
+        """Apply a CDC change batch (`merge_cdc` semantics: latest
+        change per key; D deletes, I/U replace-or-insert) as ONE atomic
+        snapshot — inserts, updates, and deletes of a batch land
+        together or not at all, and ``txn=`` rides the same manifest
+        swap, so a replayed batch is a no-op. Two separate
+        delete-then-upsert snapshots would expose a mid-batch state
+        (deletes visible, updates not) plus a second replay window —
+        exactly what a streaming CDC consumer must not do."""
+        self._refresh_spec()
+        if txn is not None and txn[1] <= self.last_txn(txn[0]):
+            return
+        self._check_txn_stampable(txn)
+        self._snapshot_write(
+            merge_cdc(self.read(), changes, key_cols, seq_col, op_col),
+            txn=txn,
+        )
+
     def evolve_partitioning(self, new_partition_by: tuple[str, ...]) -> None:
         """Partition-spec evolution (Iceberg's ALTER TABLE ... WRITE
         ORDERED/PARTITIONED BY role): rewrite the active snapshot under

@@ -2042,3 +2042,82 @@ def m42_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("removable_docs"),
     )
+
+
+# --- m43: train/test near-dup leakage report ---------------------------------
+
+_M43_ORACLE_TMPL = f"""
+WITH pairs AS ({{pairs_sql}}
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_T1}' THEN 'train'
+              WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_T2}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), tagged AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         least(a.split, b.split) AS split_lo,
+         greatest(a.split, b.split) AS split_hi
+  FROM pairs p
+  JOIN sp a ON a.doc_id = p.doc_a
+  JOIN sp b ON b.doc_id = p.doc_b
+)
+SELECT split_lo, split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaking
+FROM tagged
+GROUP BY 1, 2
+"""
+
+
+def _m43_oracle() -> str:
+    return _M43_ORACLE_TMPL.format(pairs_sql=text_pipeline._minhash_oracle())
+
+
+@register(
+    "m43_split_leakage",
+    _m43_oracle(),
+    doc="train/test near-dup LEAKAGE report — the eval-integrity check "
+    "every split must pass (a test doc with a train near-dup inflates "
+    "eval scores exactly like m14's direct contamination): MinHash-LSH "
+    "pairs tagged with both members' hash-stable splits, rolled up per "
+    "split pair with cross-split counts; two broadcast-side split "
+    "joins past the pair set",
+)
+def m43_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash.minhash_lsh_dedup(docs, threshold=0.4).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sp = prep.split_assign(docs, "doc_id").select("doc_id", "split")
+    tagged = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("split_lo"),
+            F.greatest("_sa", "_sb").alias("split_hi"),
+        )
+    )
+    return tagged.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("split_lo") != F.col("split_hi"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_leaking"),
+    )

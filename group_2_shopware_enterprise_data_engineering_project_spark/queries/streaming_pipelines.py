@@ -1832,3 +1832,108 @@ def st23_stream_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(cents).cast("long").alias("value_cents"),
     )
+
+
+# --- ST24: streaming CDC consumer (apply change feed to a stored table) ------
+
+# k27's synthesized change feed, streamed: batch 0 = seq-1 updates,
+# batch 1 = deletes + the seq-2 overriding updates, batch 2 = inserts.
+# Each batch applies via ParquetUpsertTable.apply_cdc — ONE atomic
+# snapshot per batch (inserts/updates/deletes land together) under the
+# exactly-once manifest txn. Per-key changes arrive in seq order across
+# batches, so the sequential application equals the one-shot
+# compaction — k27's oracle verifies the full streaming path.
+from group_2_shopware_enterprise_data_engineering_project_spark.queries.warehouse_q import (  # noqa: E402
+    K27_ORACLE as _ST24_ORACLE,
+)
+
+
+@register(
+    "st24_stream_cdc_apply",
+    _ST24_ORACLE,
+    doc="streaming CDC consumer: I/U/D change batches apply to a "
+    "stored table via apply_cdc — one atomic snapshot per batch "
+    "(mid-batch states never visible) under the exactly-once manifest "
+    "txn; per-key seq order across batches makes sequential apply "
+    "equal one-shot compaction, so k27's batch oracle verifies the "
+    "whole streaming path",
+)
+def st24_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        _stream_app_id,
+        run_available_now,
+    )
+
+    base = _tmp("st24")
+    src_dir, tbl_path, ckpt = f"{base}/in", f"{base}/table", f"{base}/ckpt"
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    t = ParquetUpsertTable(spark, tbl_path)
+    t.create_or_overwrite(orders)
+
+    k, c = F.col("o_orderkey"), F.col("price_cents")
+    mk = lambda df, op, key, status, cents, seq, b: df.select(  # noqa: E731
+        F.lit(op).alias("op"),
+        key.alias("o_orderkey"),
+        status.alias("o_orderstatus"),
+        cents.cast("long").alias("price_cents"),
+        F.lit(seq).cast("long").alias("seq"),
+        F.lit(b).cast("int").alias("bucket"),
+    )
+    feed = (
+        mk(orders.filter(k % 5 == 1), "U", k, F.lit("U1"), c + 100, 1, 0)
+        .unionByName(
+            mk(orders.filter(k % 5 == 0), "D", k, F.col("o_orderstatus"), c, 1, 1)
+        )
+        .unionByName(
+            mk(orders.filter(k % 10 == 1), "U", k, F.lit("U2"), c + 200, 2, 1)
+        )
+        .unionByName(
+            mk(
+                orders.filter(k % 5 == 2),
+                "I",
+                k + 1000000000,
+                F.lit("NEW"),
+                F.lit(555),
+                1,
+                2,
+            )
+        )
+    )
+    # stage as 3 time-ordered micro-batches (bucket = batch index)
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        stage_ordered_batches,
+    )
+
+    # the staged JSON keeps the bucket field; the read schema below
+    # simply omits it
+    stage_ordered_batches(feed, src_dir, 3, F.col("bucket"))
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("price_cents", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    app_id = _stream_app_id(ckpt)
+
+    def _batch(df, batch_id):
+        t.apply_cdc(df, ("o_orderkey",), "seq", txn=(app_id, batch_id))
+
+    run_available_now(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        ckpt,
+        _batch,
+    )
+    return t.read()

@@ -1475,3 +1475,37 @@ GROUP BY 1, 2, 3
 )
 def t24_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash.pair_evidence(table(spark, sf_dir, "documents"))
+
+
+# --- t25: language-ID confusion matrix (in-engine classifier eval) -----------
+
+T25_ORACLE = f"""
+WITH scored AS (SELECT doc_id, lang, {_LANG_SCORES_SQL} FROM documents)
+SELECT lang AS actual, {_PRED_SQL} AS predicted,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "t25_langid_confusion",
+    T25_ORACLE,
+    doc="language-ID confusion matrix — classifier eval IN the engine "
+    "(per (actual, predicted) doc counts over t3's marker heuristic): "
+    "the quality report that decides whether the cheap lang gate is "
+    "trustworthy per language; scoring is a codegen projection, the "
+    "rollup one map-side-combined groupBy",
+)
+def t25_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pred = text.lang_id(docs).select("doc_id", "predicted_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy(
+            F.col("lang").alias("actual"),
+            F.col("predicted_lang").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
