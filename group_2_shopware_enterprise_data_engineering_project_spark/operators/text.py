@@ -850,3 +850,41 @@ def script_mix(
         *[counts[name].cast("long").alias(f"n_{name}") for name, *_ in SCRIPT_RANGES],
         dom.alias("dominant_script"),
     )
+
+
+# --- feature hashing (the hashing trick) -------------------------------------
+
+
+def feature_hashing(
+    docs: DataFrame,
+    n_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009 — the fastText/VW input
+    encoding): each token maps to index md5_16(token) mod D, counts
+    aggregate per (doc, index). No vocabulary pass, no vocab broadcast,
+    collisions by design — the fixed-dimension sparse featurizer for
+    linear/fastText-style models over unbounded token spaces. md5 keeps
+    the index assignment engine-portable (same rule as `prep`'s
+    hash_bucket).
+
+    Emits long-format (doc_id, feature_idx, n) sparse triples; one
+    map-side-combined groupBy after a narrow explode.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+        spread,
+    )
+
+    docs = spread(docs)
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    idx = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long"),
+        F.lit(n_features),
+    )
+    return ex.select("doc_id", idx.alias("feature_idx")).groupBy(
+        "doc_id", "feature_idx"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

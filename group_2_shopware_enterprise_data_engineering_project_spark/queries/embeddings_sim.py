@@ -1071,3 +1071,73 @@ def e16_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "label", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --- e17: embedding-space drift monitor --------------------------------------
+
+# Both periods assign to the SAME first-N centroids (the frozen
+# production quantizer), so a shift in per-centroid occupancy is a real
+# distribution shift, not quantizer noise. The chi-square finish is
+# a28's drift_from_histogram — bin = centroid, period = vec_id parity.
+E17_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_DOT.format(a='e.embedding', b='c.cv')}
+         / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='c.cv')}) AS c_sim
+  FROM embeddings e CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), per AS (
+  SELECT centroid_id AS bin,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_base,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cur
+  FROM assigned GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_base) AS BIGINT) AS tb, CAST(sum(n_cur) AS BIGINT) AS tc
+  FROM per
+), scored2 AS (
+  SELECT bin, n_base, n_cur,
+         CAST(n_base AS DOUBLE) * CAST(tc AS DOUBLE) / CAST(tb AS DOUBLE)
+             AS expected_cur
+  FROM per, tot
+)
+SELECT bin, n_base, n_cur, expected_cur,
+       CASE WHEN expected_cur > 0
+            THEN (CAST(n_cur AS DOUBLE) - expected_cur)
+               * (CAST(n_cur AS DOUBLE) - expected_cur) / expected_cur
+       END AS chi2_contrib
+FROM scored2
+"""
+
+
+@register(
+    "e17_embedding_drift",
+    E17_ORACLE,
+    doc="embedding-space drift monitor: both periods (vec_id parity) "
+    "assign to the SAME frozen centroids, per-centroid occupancy "
+    "counts feed the a28 chi-square finish — the vector-side analogue "
+    "of value-distribution drift (detects corpus shift / encoder "
+    "regressions before they poison dedup and ANN); centroids "
+    "broadcast, one map-side-combined count",
+)
+def e17_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.stats import (
+        drift_from_histogram,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = similarity.ivf_assign(emb).select("vec_id", "centroid_id")
+    hist = assigned.groupBy(
+        (F.col("vec_id") % 2).cast("int").alias("g"),
+        F.col("centroid_id").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return drift_from_histogram(hist)

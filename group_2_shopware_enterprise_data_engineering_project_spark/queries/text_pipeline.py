@@ -1509,3 +1509,32 @@ def t25_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# --- m44: feature hashing (fastText/VW featurizer) ---------------------------
+
+_M44_D = 1024
+
+M44_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substring(md5(tok), 1, 4))::BIGINT % {_M44_D}
+            AS BIGINT) AS feature_idx,
+       CAST(count(*) AS BIGINT) AS n
+FROM toks
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "m44_feature_hashing",
+    M44_ORACLE,
+    doc="feature hashing (the hashing trick, fastText/VW input "
+    f"encoding): token -> md5_16 mod {_M44_D} index, counts per "
+    "(doc, index) — fixed-dimension sparse features with NO vocabulary "
+    "pass or broadcast; narrow explode + one map-side-combined groupBy",
+)
+def m44_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.feature_hashing(table(spark, sf_dir, "documents"), _M44_D)
