@@ -229,3 +229,59 @@ def test_star_cc_handles_long_chain_in_log_rounds(spark):
     )
     got = {r.id: r.cluster_rep for r in connected_components_star(nodes, edges).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_asof_tolerance_drops_stale_not_replaces(spark):
+    """merge_asof tolerance semantics: the LATEST prior match is
+    dropped when stale — an older in-tolerance row must NOT be
+    substituted; boundary is inclusive (age == tolerance survives)."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.asof import (
+        asof_join_tolerance,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, 1000), (2, 1, 2000), (3, 1, 3000)],
+        "event_id long, user_id long, ts_s long",
+    ).select("event_id", "user_id", F.timestamp_seconds("ts_s").alias("ts"))
+    # views: at 995s (in tolerance for event 1 only) and 800s (stale
+    # for everything but would be "in tolerance" for nothing)
+    right = spark.createDataFrame(
+        [(10, 1, 995), (11, 1, 1990)],
+        "view_id long, v_user long, vts_s long",
+    ).select("view_id", "v_user", F.timestamp_seconds("vts_s").alias("view_ts"))
+    out = {
+        r.event_id: r.view_id
+        for r in asof_join_tolerance(
+            left,
+            right,
+            left_key="user_id",
+            right_key="v_user",
+            left_ts="ts",
+            right_ts="view_ts",
+            payload_cols=("view_id",),
+            tolerance_sec=10,
+            right_tiebreak="view_id",
+        ).collect()
+    }
+    # event 1: latest prior = 995, age 5s -> kept
+    # event 2: latest prior = 1990, age 10s -> kept (inclusive bound)
+    # event 3: latest prior = 1990, age 1010s -> DROPPED, and the
+    #          older 995 view must NOT be substituted
+    assert out == {1: 10, 2: 11}
+
+    # right_ts colliding with a left column is rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="collides"):
+        asof_join_tolerance(
+            left,
+            right.withColumnRenamed("view_ts", "ts"),
+            left_key="user_id",
+            right_key="v_user",
+            left_ts="ts",
+            right_ts="ts",
+            payload_cols=("view_id",),
+            tolerance_sec=10,
+        )

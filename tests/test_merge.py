@@ -711,3 +711,35 @@ def test_delete_keys_txn_replay_and_null_keys(spark, tmp_path):
     t.delete_keys(keys, ("k",), txn=("purge", 0))
     assert t.versions() == v
     assert sorted(r.k for r in t.read().collect()) == [1, 3]
+
+
+def test_apply_cdc_atomic_and_replayable(spark, tmp_path, monkeypatch):
+    """apply_cdc: one atomic snapshot per batch (crash before the
+    manifest swap leaves the ENTIRE old state — no delete-visible
+    half-state), and txn replays are no-ops."""
+    import pytest
+
+    t = ParquetUpsertTable(spark, str(tmp_path / "cdc"))
+    t.create_or_overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    feed = spark.createDataFrame(
+        [("D", 1, None, 1), ("U", 2, "b2", 1), ("I", 3, "c", 1)],
+        "op string, k long, v string, seq long",
+    )
+    orig = t._commit
+
+    def crash(version, dir_name, txn=None):
+        raise RuntimeError("injected crash before manifest swap")
+
+    monkeypatch.setattr(t, "_commit", crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t.apply_cdc(feed, ("k",), "seq", txn=("cdc", 0))
+    monkeypatch.setattr(t, "_commit", orig)
+    # crash left the FULL old state (delete not applied without the rest)
+    assert {r.k: r.v for r in t.read().collect()} == {1: "a", 2: "b"}
+    t.apply_cdc(feed, ("k",), "seq", txn=("cdc", 0))
+    assert {r.k: r.v for r in t.read().collect()} == {2: "b2", 3: "c"}
+    v = t.versions()
+    t.apply_cdc(feed, ("k",), "seq", txn=("cdc", 0))  # replay: no-op
+    assert t.versions() == v
