@@ -1937,3 +1937,96 @@ def st24_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         _batch,
     )
     return t.read()
+
+
+# --- ST25: checkpoint recovery across stream restarts -------------------------
+
+ST25_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "st25_checkpoint_recovery",
+    ST25_ORACLE,
+    doc="checkpoint recovery end-to-end: wave 1 (even event_ids, 2 "
+    "batches) runs to completion, the query STOPS, wave 2 files land, "
+    "a SECOND availableNow run resumes from the SAME checkpoint — "
+    "Spark's file-source log must skip wave 1's files and the txn "
+    "guard must accept wave 2's new batch ids; double-counting either "
+    "wave fails the exact-cents hash. Oracle = one-pass batch truth "
+    "over both waves",
+)
+def st25_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        ParquetUpsertTable,
+    )
+
+    base = _tmp("st25")
+    src_dir, kpi_path, ckpt = f"{base}/in", f"{base}/kpi", f"{base}/ckpt"
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    kpi = ParquetUpsertTable(spark, kpi_path)
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+
+    def _agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("value_cents")
+        )
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        stage_ordered_batches,
+    )
+
+    # wave 1: even event_ids as 2 ordered drops; run to completion
+    wave1 = events.filter(F.col("event_id") % 2 == 0)
+    stage_ordered_batches(
+        wave1, src_dir, 2, ((F.col("event_id") % 4) / 2).cast("int")
+    )
+    accumulating_kpi_sink(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        kpi,
+        ("event_type",),
+        ("n", "value_cents"),
+        _agg,
+        ckpt,
+    )
+    # the query is now STOPPED (availableNow drains and terminates).
+    # wave 2 lands as new files; a fresh run on the SAME checkpoint
+    # must process ONLY the new files and merge under NEW batch ids.
+    import os
+    import time as _time
+
+    wave2 = events.filter(F.col("event_id") % 2 == 1)
+    w2 = f"{src_dir}/wave2.json"
+    wave2.coalesce(1).write.mode("overwrite").json(f"{src_dir}/_stage_w2")
+    part = next(
+        f
+        for f in os.listdir(f"{src_dir}/_stage_w2")
+        if f.endswith(".json")
+    )
+    os.replace(os.path.join(f"{src_dir}/_stage_w2", part), w2)
+    t = _time.time() + 60  # strictly newer mtime than wave 1's files
+    os.utime(w2, (t, t))
+    accumulating_kpi_sink(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        kpi,
+        ("event_type",),
+        ("n", "value_cents"),
+        _agg,
+        ckpt,
+    )
+    return kpi.read()

@@ -1538,3 +1538,67 @@ GROUP BY 1, 2
 )
 def m44_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.feature_hashing(table(spark, sf_dir, "documents"), _M44_D)
+
+
+# --- m45: n-gram LM counts (the count-based LM training artifact) ------------
+
+_M45_MIN_N = 3
+
+M45_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), bgl AS (
+  SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                 FOR i IN generate_series(1, greatest(len(t) - 1, 0))]) AS p
+  FROM toks
+), bg AS (
+  SELECT p.w1 AS w1, p.w2 AS w2 FROM bgl
+), counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2
+), totals AS (
+  SELECT w1, CAST(sum(n) AS BIGINT) AS n_w1 FROM counts GROUP BY 1
+)
+SELECT c.w1, c.w2, c.n, t.n_w1,
+       CAST(c.n AS DOUBLE) / CAST(t.n_w1 AS DOUBLE) AS cond_p
+FROM counts c JOIN totals t USING (w1)
+WHERE c.n >= {_M45_MIN_N}
+"""
+
+
+@register(
+    "m45_ngram_lm_counts",
+    M45_ORACLE,
+    doc="count-based bigram LM table (the KenLM/SRILM training "
+    "artifact): per (w1, w2) raw counts, per-w1 totals (computed over "
+    "ALL bigrams, so conditional probabilities stay true after the "
+    f"n>={_M45_MIN_N} frequency cut), cond_p as ONE exact division; "
+    "token-position bigrams (not distinct-per-doc) — the LM statistic, "
+    "unlike m35's coverage sets; two map-side-combined groupBys "
+    "sharing the w1 key",
+)
+def m45_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    bg = docs.select(
+        F.explode(text.shingles(toks, k=2, distinct=False)).alias("b")
+    ).select(
+        F.split(F.col("b"), " ")[0].alias("w1"),
+        F.split(F.col("b"), " ")[1].alias("w2"),
+    )
+    counts = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("w1").agg(F.sum("n").cast("long").alias("n_w1"))
+    return (
+        counts.join(totals, "w1")
+        .filter(F.col("n") >= _M45_MIN_N)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            "n_w1",
+            (F.col("n").cast("double") / F.col("n_w1").cast("double")).alias(
+                "cond_p"
+            ),
+        )
+    )
