@@ -2121,3 +2121,43 @@ def m43_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_leaking"),
     )
+
+
+# --- m46: fixed-k deterministic per-group sample ------------------------------
+
+_M46_K = 20
+
+M46_ORACLE = f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         md5('evalset:' || CAST(doc_id AS VARCHAR)) AS h,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5('evalset:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS pick
+  FROM documents
+)
+SELECT lang, doc_id, CAST(pick AS BIGINT) AS pick
+FROM r WHERE pick <= {_M46_K}
+"""
+
+
+@register(
+    "m46_fixed_k_sample",
+    M46_ORACLE,
+    doc=f"fixed-size eval-set builder: exactly min(k={_M46_K}, n) docs "
+    "per language, chosen by salted-md5 rank — the deterministic "
+    "reservoir replacement (same k members across runs, engines, and "
+    "corpus partitionings; adding docs displaces at most the hash "
+    "boundary). One group-key shuffle; unlike m5's FRACTION quota "
+    "this pins the absolute subset size evals need",
+)
+def m46_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("evalset:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= _M46_K)
+    )

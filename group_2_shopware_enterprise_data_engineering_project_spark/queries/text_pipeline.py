@@ -1602,3 +1602,58 @@ def m45_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- t26: normalized exact dedup ----------------------------------------------
+
+# Case/whitespace-normalized fingerprints: catches the near-trivial
+# duplicates raw-md5 dedup (t4) misses — same text re-crawled with
+# different casing or spacing. Dup pressure is synthesized (t4's
+# doubled-corpus pattern, but with case+whitespace mutations so the
+# raw fingerprints differ while the normalized ones collide).
+T26_ORACLE = """
+WITH variants AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || '  ' FROM documents
+), norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS norm_fingerprint
+  FROM variants
+)
+SELECT norm_fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM norm GROUP BY 1
+"""
+
+
+@register(
+    "t26_normalized_dedup",
+    T26_ORACLE,
+    doc="normalized exact dedup: md5 over casefolded, whitespace-"
+    "collapsed text — catches recrawl variants raw-md5 dedup (t4) "
+    "misses; proven on a corpus doubled with case/whitespace mutants "
+    "(every group collapses to n_copies=2); hash-groupBy, 32-hex "
+    "keys shuffle, never texts",
+)
+def t26_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    variants = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+        )
+    )
+    norm = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    return (
+        variants.select("doc_id", norm.alias("norm_fingerprint"))
+        .groupBy("norm_fingerprint")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
