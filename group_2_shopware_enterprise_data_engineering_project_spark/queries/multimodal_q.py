@@ -8,7 +8,7 @@ path — binary columns, metadata structs, Arrow-batched decode.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from group_2_shopware_enterprise_data_engineering_project_spark.operators import multimodal
@@ -188,3 +188,88 @@ def mm5_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("media_id") + 100000
     )
     return multimodal.media_near_dup(media.unionByName(dupes), max_hamming=6)
+
+
+# --- mm6: contrastive text-media pair construction ---------------------------
+
+_MM6_POOL = 3  # negative-candidate pool per language
+_MM6_N = 2  # negatives per anchor
+
+MM6_ORACLE = f"""
+WITH pool AS (
+  SELECT lang, doc_id AS neg_id, md5(text) AS neg_fp,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY md5('neg:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS pool_rank
+  FROM documents
+), pool_cut AS (
+  SELECT * FROM pool WHERE pool_rank <= {_MM6_POOL}
+), paired AS (
+  SELECT d.doc_id AS anchor_id, md5(d.text) AS anchor_fp,
+         p.neg_id AS neg_media_id, p.neg_fp,
+         row_number() OVER (
+             PARTITION BY d.doc_id ORDER BY p.pool_rank) AS neg_rank
+  FROM documents d
+  JOIN pool_cut p ON p.lang = d.lang AND p.neg_id <> d.doc_id
+)
+SELECT anchor_id, anchor_fp, neg_media_id, neg_fp,
+       CAST(neg_rank AS BIGINT) AS neg_rank
+FROM paired WHERE neg_rank <= {_MM6_N}
+"""
+
+
+@register(
+    "mm6_contrastive_pairs",
+    MM6_ORACLE,
+    doc="contrastive text-media training-pair construction (CLIP-prep "
+    "shape): each document anchors its own media payload as the "
+    "positive (same id — fingerprints prove the linkage) and draws "
+    f"{_MM6_N} deterministic same-language negatives from a "
+    f"{_MM6_POOL}-member salted-md5 pool per language (shared "
+    "in-batch-negative style — the pool BROADCASTS, so negative "
+    "mining never shuffles the corpus); payloads ride as md5 "
+    "fingerprints, never bytes",
+)
+def mm6_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media_fp = multimodal.media_fingerprint(_media(spark, sf_dir)).select(
+        F.col("media_id"), F.col("fingerprint")
+    )
+    h = F.md5(F.concat(F.lit("neg:"), F.col("neg_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("neg_id"))
+    pool = (
+        docs.select("lang", F.col("doc_id").alias("neg_id"))
+        .withColumn("pool_rank", F.row_number().over(w))
+        .filter(F.col("pool_rank") <= _MM6_POOL)
+        .join(
+            media_fp.select(
+                F.col("media_id").alias("neg_id"),
+                F.col("fingerprint").alias("neg_fp"),
+            ),
+            "neg_id",
+        )
+    )
+    anchors = docs.select(
+        F.col("doc_id").alias("anchor_id"), "lang"
+    ).join(
+        media_fp.select(
+            F.col("media_id").alias("anchor_id"),
+            F.col("fingerprint").alias("anchor_fp"),
+        ),
+        "anchor_id",
+    )
+    w2 = Window.partitionBy("anchor_id").orderBy("pool_rank")
+    return (
+        anchors.join(F.broadcast(pool), "lang")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .withColumn("neg_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("neg_rank") <= _MM6_N)
+        .select(
+            "anchor_id",
+            "anchor_fp",
+            F.col("neg_id").alias("neg_media_id"),
+            "neg_fp",
+            "neg_rank",
+        )
+    )

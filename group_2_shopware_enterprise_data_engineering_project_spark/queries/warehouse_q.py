@@ -1003,3 +1003,86 @@ def a29_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("c_nationkey", "c_mktsegment"),
         k=_A29_K,
     )
+
+
+# --- a31: market-basket lift / association strength ---------------------------
+
+A31_ORACLE = """
+WITH oi AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+), ok AS (
+  SELECT okey FROM oi GROUP BY okey HAVING count(*) <= 50
+), b AS (
+  SELECT oi.* FROM oi JOIN ok USING (okey)
+), nb AS (
+  SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets FROM b
+), isup AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item
+), pairs AS (
+  SELECT a.item AS item_a, c.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM b a JOIN b c ON a.okey = c.okey AND a.item < c.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST(p.n_ab * nb.n_baskets AS DOUBLE)
+         / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+FROM pairs p
+JOIN isup ia ON ia.item = p.item_a
+JOIN isup ib ON ib.item = p.item_b, nb
+"""
+
+
+@register(
+    "a31_basket_lift",
+    A31_ORACLE,
+    doc="association-rule lift over co-purchase pairs (support >= 2, "
+    "baskets capped at 50 items before the O(b^2) self-join — a21's "
+    "bound): lift = (n_ab * n_baskets) / (n_a * n_b) as ONE division "
+    "of exact BIGINT products — the recommender-candidate signal "
+    "beyond raw co-occurrence counts",
+)
+def a31_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    oi = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+    ).distinct()
+    ok = oi.groupBy("okey").agg(F.count(F.lit(1)).alias("_n")).filter(
+        F.col("_n") <= 50
+    ).select("okey")
+    b = oi.join(ok, "okey")
+    n_baskets = b.agg(
+        F.countDistinct("okey").cast("long").alias("n_baskets")
+    )
+    isup = b.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "okey")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .groupBy(F.col("x.item").alias("item_a"), F.col("y.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(isup.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(isup.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
