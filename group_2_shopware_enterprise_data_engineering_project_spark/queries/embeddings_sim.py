@@ -1141,3 +1141,72 @@ def e17_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("centroid_id").alias("b"),
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
     return drift_from_histogram(hist)
+
+
+# --- e18: LSH index-health report (bucket occupancy) -------------------------
+
+_E18_PLANES = 8
+
+_E18_BUCKET_SQL_BITS = " || ".join(
+    "CASE WHEN {dot} > 0 THEN '1' ELSE '0' END".format(
+        dot=_DOT.format(a="embedding", b=f"plane_{p}")
+    )
+    for p in range(_E18_PLANES)
+)
+
+
+def _e18_oracle() -> str:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.similarity import (
+        hyperplane_signs,
+    )
+
+    planes = hyperplane_signs(_E18_PLANES)
+    plane_cols = ", ".join(
+        "["
+        + ", ".join(repr(v) for v in row)
+        + f"]::DOUBLE[] AS plane_{p}"
+        for p, row in enumerate(planes)
+    )
+    return f"""
+WITH p AS (SELECT {plane_cols}), b AS (
+  SELECT {_E18_BUCKET_SQL_BITS} AS bucket
+  FROM embeddings, p
+), occ AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+)
+SELECT n AS bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS n_vectors
+FROM occ GROUP BY 1
+"""
+
+
+@register(
+    "e18_lsh_bucket_stats",
+    _e18_oracle(),
+    doc="ANN index-health report: SRP-LSH bucket-occupancy histogram "
+    "(bucket-size -> bucket count + vector mass) — the monitoring "
+    "metric behind derive_num_planes' occupancy law and the early "
+    "alarm for embedding collapse (everything hashing into few "
+    "buckets); planes broadcast, two map-side-combined groupBys",
+)
+def e18_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.similarity import (
+        _as_double,
+        hyperplane_signs,
+        lsh_bucket,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    planes = hyperplane_signs(_E18_PLANES)
+    occ = (
+        emb.select(
+            lsh_bucket(_as_double(F.col("embedding")), planes).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return occ.groupBy(F.col("n").alias("bucket_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_vectors"),
+    )

@@ -2161,3 +2161,66 @@ def m46_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pick", F.row_number().over(w).cast("long"))
         .filter(F.col("pick") <= _M46_K)
     )
+
+
+# --- m47: pack attention-span metadata (block-diagonal mask spans) -----------
+
+M47_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_M15_SHARDS} AS shard,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS n_tokens,
+         md5(text) AS _tie
+  FROM documents
+), c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, _tie
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS cum_before
+  FROM t
+), spans AS (
+  SELECT shard,
+         CAST(cum_before // {_M15_CAP} AS BIGINT) AS pack_id,
+         CAST(cum_before % {_M15_CAP} AS BIGINT) AS off,
+         n_tokens
+  FROM c
+)
+SELECT CAST(shard AS BIGINT) AS shard, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(off AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR),
+                  ',' ORDER BY off) AS mask_spans
+FROM spans
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "m47_pack_attention_spans",
+    M47_ORACLE,
+    doc="block-diagonal attention-mask metadata for the m15 packing "
+    "layout: per (shard, pack) the ordered 'offset:len' span list — "
+    "what a packed-training writer emits so attention never crosses "
+    "document boundaries; span strings assembled with in-aggregation "
+    "ordering (m36's array_sort pattern), counts exact",
+)
+def m47_pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = prep.sequence_pack(
+        table(spark, sf_dir, "documents"), cap=_M15_CAP, shards=_M15_SHARDS
+    )
+    span = F.concat(
+        F.col("pack_offset").cast("string"),
+        F.lit(":"),
+        F.col("n_tokens").cast("string"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pack_offset").alias("o"), span.alias("s")))
+        ),
+        lambda x: x["s"],
+    )
+    return packed.groupBy(
+        F.col("shard").cast("long").alias("shard"), "pack_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_join(ordered, ",").alias("mask_spans"),
+    )

@@ -122,7 +122,8 @@ CORE_ORDER: tuple[str, ...] = (
     # m44_feature_hashing, e17_embedding_drift,
     # st25_checkpoint_recovery, m45_ngram_lm_counts,
     # m46_fixed_k_sample, t26_normalized_dedup, mm6_contrastive_pairs,
-    # a31_basket_lift, k28_hidden_partitioning
+    # a31_basket_lift, k28_hidden_partitioning,
+    # m47_pack_attention_spans, e18_lsh_bucket_stats
     # (each sweep-green in CORRECTNESS_LOCAL_r07.json).
     # rotated out in r7 (each has green r5 AND r6 driver rows + sweep):
     "e10_ann_lsh_multiprobe",
