@@ -2030,3 +2030,95 @@ def st25_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt,
     )
     return kpi.read()
+
+
+# --- S13: gzip-compressed NDJSON scan ----------------------------------------
+
+
+@register(
+    "s13_gzip_jsonl_roundtrip",
+    S3_ORACLE,  # identical semantics to s3 — compression is transparent
+    doc="S13 gzip NDJSON scan: customer -> .json.gz -> read_jsonl -> "
+    "per-nation agg (s3's oracle verbatim — codec transparency IS the "
+    "claim). gzip is NOT splittable: at 100 TB one .gz = one task, so "
+    "the writer shards into many files (as here) or uses a splittable "
+    "codec; the reader needs no special-casing either way",
+)
+def s13_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmp("s13")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    cust.write.mode("overwrite").option("compression", "gzip").json(out)
+    back = read_jsonl(spark, out, CUSTOMER_JSON_SCHEMA)
+    cents = F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_acctbal"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.max("c_custkey").alias("max_custkey"),
+    )
+
+
+# --- S14: malformed-CSV quarantine (PERMISSIVE + corrupt-record column) ------
+
+S14_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_good,
+       CAST((SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
+            AS BIGINT) AS n_corrupt,
+       CAST(sum(c_custkey) AS BIGINT) AS custkey_sum
+FROM customer WHERE c_custkey % 10 <> 0
+"""
+
+
+@register(
+    "s14_csv_malformed_quarantine",
+    S14_ORACLE,
+    doc="malformed-input quarantine at the CSV reader: every 10th line "
+    "is deterministically corrupted (unparseable numeric field); "
+    "PERMISSIVE mode + columnNameOfCorruptRecord routes bad lines to "
+    "the corrupt column instead of failing the scan or silently "
+    "dropping — counts of good/quarantined rows and the good-row "
+    "checksum hash against the truth. The ingestion-robustness twin "
+    "of K6's rule-level quarantine",
+)
+def s14_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmp("s14")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    # corrupt every 10th record: acctbal becomes a non-numeric token
+    lines = cust.select(
+        F.concat_ws(
+            ",",
+            F.col("c_custkey").cast("string"),
+            F.col("c_nationkey").cast("string"),
+            F.when(
+                F.col("c_custkey") % 10 == 0, F.lit("NOT_A_NUMBER")
+            ).otherwise(F.col("c_acctbal").cast("string")),
+        ).alias("value")
+    )
+    lines.coalesce(4).write.mode("overwrite").text(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    back = back.localCheckpoint(eager=True)  # one scan serves both counts
+    good = back.filter(F.col("_corrupt").isNull())
+    n_corrupt = back.filter(F.col("_corrupt").isNotNull()).count()
+    return good.agg(
+        F.count(F.lit(1)).cast("long").alias("n_good"),
+        F.lit(n_corrupt).cast("long").alias("n_corrupt"),
+        F.sum("c_custkey").cast("long").alias("custkey_sum"),
+    )

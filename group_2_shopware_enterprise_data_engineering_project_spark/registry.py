@@ -123,7 +123,8 @@ CORE_ORDER: tuple[str, ...] = (
     # st25_checkpoint_recovery, m45_ngram_lm_counts,
     # m46_fixed_k_sample, t26_normalized_dedup, mm6_contrastive_pairs,
     # a31_basket_lift, k28_hidden_partitioning,
-    # m47_pack_attention_spans, e18_lsh_bucket_stats
+    # m47_pack_attention_spans, e18_lsh_bucket_stats,
+    # s13_gzip_jsonl_roundtrip, s14_csv_malformed_quarantine
     # (each sweep-green in CORRECTNESS_LOCAL_r07.json).
     # rotated out in r7 (each has green r5 AND r6 driver rows + sweep):
     "e10_ann_lsh_multiprobe",
