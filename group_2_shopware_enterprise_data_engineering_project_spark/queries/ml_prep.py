@@ -2224,3 +2224,55 @@ def m47_pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.array_join(ordered, ",").alias("mask_spans"),
     )
+
+
+# --- m48: leakage-free (cluster-aware) split assignment -----------------------
+
+_M48_ORACLE_TMPL = f"""
+WITH RECURSIVE pairs AS ({{pairs_sql}}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+), clusters AS (
+  SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_rep
+  FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_rep,
+       CASE WHEN substring(md5('split:' || CAST(cluster_rep AS VARCHAR)), 1, 4)
+                 < '{_T1}' THEN 'train'
+            WHEN substring(md5('split:' || CAST(cluster_rep AS VARCHAR)), 1, 4)
+                 < '{_T2}' THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters
+"""
+
+
+def _m48_oracle() -> str:
+    return _M48_ORACLE_TMPL.format(pairs_sql=text_pipeline._minhash_oracle())
+
+
+@register(
+    "m48_leakage_free_split",
+    _m48_oracle(),
+    doc="leakage-free split assignment — the FIX for what m43 detects: "
+    "the hash-stable split keys on the near-dup CLUSTER representative "
+    "instead of the doc id, so every near-dup cluster lands whole in "
+    "one split and cross-split leakage is structurally zero (two "
+    "cluster members in different splits would need different reps — "
+    "impossible). Same zero-shuffle split projection, applied after "
+    "the component labels",
+)
+def m48_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash.minhash_lsh_dedup(docs, threshold=0.4).select(
+        "doc_a", "doc_b"
+    )
+    clusters = dedup_verdicts(docs, pairs).select("doc_id", "cluster_rep")
+    return prep.split_assign(clusters, "cluster_rep").select(
+        "doc_id", "cluster_rep", "split"
+    )
