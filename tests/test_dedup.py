@@ -592,3 +592,25 @@ def test_script_mix_counts_and_dominance(spark):
     assert out[3].dominant_script == "none"
     assert (out[4].n_latin, out[4].n_cjk, out[4].dominant_script) == (2, 2, "latin")
     assert out[5].dominant_script == "none"
+
+
+def test_leakage_free_split_never_splits_clusters(spark):
+    """m48's structural guarantee: members of one near-dup cluster all
+    receive the same split, for any cluster shape."""
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+    clusters = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "doc_id long, cluster_rep long"
+    )
+    out = prep.split_assign(clusters, "cluster_rep").select(
+        "doc_id", "cluster_rep", "split"
+    )
+    per_cluster = {
+        r.cluster_rep: r.n
+        for r in out.groupBy("cluster_rep")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    }
+    assert all(n == 1 for n in per_cluster.values())
