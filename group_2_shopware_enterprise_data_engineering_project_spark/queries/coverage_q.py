@@ -46,7 +46,16 @@ from group_2_shopware_enterprise_data_engineering_project_spark.streaming.statef
 
 
 def _tmp(prefix: str) -> str:
-    return tempfile.mkdtemp(prefix=f"shopware_spark_{prefix}_")
+    """Scratch dir for a query run, reaped at PROCESS exit (after all
+    results are materialized): a long harness session runs hundreds of
+    scratch-writing queries, and leaked dirs measurably degrade later
+    timings (11 GB / ~5k dirs observed in one r7 session)."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=f"shopware_spark_{prefix}_")
+    atexit.register(shutil.rmtree, d, True)
+    return d
 
 
 # --- P2: extra-column detection + split -----------------------------------

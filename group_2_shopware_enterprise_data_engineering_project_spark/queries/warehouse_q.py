@@ -15,6 +15,19 @@ from group_2_shopware_enterprise_data_engineering_project_spark.registry import 
 from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
 
 
+def _scratch(prefix: str) -> str:
+    """Scratch dir reaped at process exit (see streaming_pipelines._tmp
+    — leaked scratch measurably degrades long-session timings)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"shopware_spark_{prefix}_")
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
+
 # --- K16: SCD Type-2 dimension history ----------------------------------
 
 K16_ORACLE = """
@@ -211,7 +224,7 @@ def k17_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_write,
     )
 
-    out = tempfile.mkdtemp(prefix="shopware_spark_k17_")
+    out = _scratch("k17")
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -328,7 +341,7 @@ def k19_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         prune_files_bloom,
     )
 
-    out = tempfile.mkdtemp(prefix="shopware_spark_k19_")
+    out = _scratch("k19")
     (
         table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -398,7 +411,7 @@ def k20_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_training_shards,
     )
 
-    out = tempfile.mkdtemp(prefix="shopware_spark_k20_")
+    out = _scratch("k20")
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     sharded = shard_assign(docs, "doc_id", n_shards=_K20_N).select(
         "doc_id", "text", "shard"
@@ -440,7 +453,7 @@ def k21_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ParquetUpsertTable,
     )
 
-    out = tempfile.mkdtemp(prefix="shopware_spark_k21_")
+    out = _scratch("k21")
     orders = table(spark, sf_dir, "orders")
     v1 = orders.filter(F.col("o_orderkey") % 4 != 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -491,7 +504,7 @@ def k22_time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ParquetUpsertTable,
     )
 
-    out = tempfile.mkdtemp(prefix="shopware_spark_k22_")
+    out = _scratch("k22")
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -547,7 +560,7 @@ GROUP BY 1
 def j6_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="shopware_spark_j6_")
+    out = _scratch("j6")
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_totalprice",
@@ -652,7 +665,7 @@ def k23_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ParquetUpsertTable,
     )
 
-    out = tempfile.mkdtemp(prefix="shopware_spark_k23_")
+    out = _scratch("k23")
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_totalprice",
@@ -722,7 +735,7 @@ def k24_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ParquetUpsertTable,
     )
 
-    out = tempfile.mkdtemp(prefix="shopware_spark_k24_")
+    out = _scratch("k24")
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -784,7 +797,7 @@ def k25_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ParquetUpsertTable,
     )
 
-    out = tempfile.mkdtemp(prefix="shopware_spark_k25_")
+    out = _scratch("k25")
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -1114,7 +1127,7 @@ WHERE o_custkey = 42
 def k28_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="shopware_spark_k28_")
+    out = _scratch("k28")
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
