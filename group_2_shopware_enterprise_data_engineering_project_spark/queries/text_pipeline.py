@@ -1657,3 +1657,73 @@ def t26_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_copies"),
         )
     )
+
+
+# --- t27: OCR/extraction-noise signal -----------------------------------------
+
+# Synthesized noise (the corpus is clean prose-shaped tokens): every
+# 4th doc gets hyphen-broken words and scattered single chars appended
+# — the two classic OCR/PDF-extraction artifacts.
+T27_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id,
+         coalesce(text, '')
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' exam- ple bro- ken l i n e s x q z'
+                   ELSE '' END AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, t,
+         list_filter(string_split(t, ' '), x -> x <> '') AS w
+  FROM pages
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(w, x -> length(x) = 1)) AS BIGINT)
+           AS n_single_char,
+       CAST(len(list_filter(w, x -> x LIKE '%-')) AS BIGINT)
+           AS n_hyphen_breaks,
+       CAST(len(list_filter(w, x -> length(x) = 1)) AS DOUBLE)
+           / len(w) AS single_char_ratio,
+       CAST((CAST(len(list_filter(w, x -> length(x) = 1)) AS DOUBLE)
+                 / len(w) > 0.05
+             OR len(list_filter(w, x -> x LIKE '%-')) >= 2) AS INT)
+           AS ocr_suspect
+FROM toks
+"""
+
+
+@register(
+    "t27_ocr_noise_signal",
+    T27_ORACLE,
+    doc="OCR/PDF-extraction noise gate: single-character-token ratio + "
+    "trailing-hyphen word-break count (the two classic artifacts, "
+    "synthesized onto every 4th doc), suspect flag from either signal "
+    "— the cheap filter run before expensive quality models on "
+    "scanned-document corpora; pure codegen projection",
+)
+def t27_ocr_noise_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" exam- ple bro- ken l i n e s x q z"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    w = text.tokens("t")
+    n_tok = F.size(w).cast("long")
+    n_single = F.size(F.filter(w, lambda x: F.length(x) == 1)).cast("long")
+    n_hyphen = F.size(F.filter(w, lambda x: x.endswith("-"))).cast("long")
+    ratio = n_single.cast("double") / n_tok
+    return pages.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_single.alias("n_single_char"),
+        n_hyphen.alias("n_hyphen_breaks"),
+        ratio.alias("single_char_ratio"),
+        ((ratio > 0.05) | (n_hyphen >= 2)).cast("int").alias("ocr_suspect"),
+    )

@@ -1180,3 +1180,65 @@ def _k28_bucket(key):
         ).cast("long"),
         F.lit(_K28_BUCKETS),
     ).cast("int")
+
+
+# --- k29: ANALYZE-style column statistics (CBO catalog stats) -----------------
+
+K29_ORACLE = """
+WITH s AS (SELECT * FROM orders)
+SELECT 'o_orderkey' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_val
+FROM s
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM s
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus)
+FROM s
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority)
+FROM s
+"""
+
+
+@register(
+    "k29_analyze_column_stats",
+    K29_ORACLE,
+    doc="ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS equivalent: "
+    "per-column row/null counts, distinct counts, min/max (integer "
+    "columns rendered as exact strings) — the CBO catalog artifact "
+    "behind join reordering and broadcast decisions; ONE aggregate "
+    "scan serves all columns. At 100 TB ndv swaps to the m28 HLL "
+    "sketch (same output shape, fixed memory)",
+)
+def k29_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+
+    def _stats(col, is_int):
+        mn = F.min(col).cast("string") if is_int else F.min(col)
+        mx = F.max(col).cast("string") if is_int else F.max(col)
+        return orders.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_null"),
+            F.countDistinct(col).cast("long").alias("ndv"),
+            mn.alias("min_val"),
+            mx.alias("max_val"),
+        ).select(F.lit(col).alias("col"), "n_rows", "n_null", "ndv", "min_val", "max_val")
+
+    out = _stats("o_orderkey", True)
+    for c, i in (("o_custkey", True), ("o_orderstatus", False), ("o_orderpriority", False)):
+        out = out.unionByName(_stats(c, i))
+    return out

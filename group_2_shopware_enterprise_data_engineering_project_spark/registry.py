@@ -125,7 +125,8 @@ CORE_ORDER: tuple[str, ...] = (
     # a31_basket_lift, k28_hidden_partitioning,
     # m47_pack_attention_spans, e18_lsh_bucket_stats,
     # s13_gzip_jsonl_roundtrip, s14_csv_malformed_quarantine,
-    # m48_leakage_free_split
+    # m48_leakage_free_split, k29_analyze_column_stats,
+    # t27_ocr_noise_signal
     # (each sweep-green in CORRECTNESS_LOCAL_r07.json).
     # rotated out in r7 (each has green r5 AND r6 driver rows + sweep):
     "e10_ann_lsh_multiprobe",
