@@ -981,3 +981,61 @@ def a30_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(cents).cast("long").alias("monetary_cents"),
     )
+
+
+# --- a32: bounded moving-window aggregates ------------------------------------
+
+A32_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, n, cents,
+       CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "a32_moving_window",
+    A32_ORACLE,
+    doc="7-day moving totals per user (bounded RANGE frame over the "
+    "daily pre-aggregate — the rolling-KPI shape; the window runs "
+    "over per-day rows, not raw events, so frame state is <= 7 rows "
+    "however hot the user); exact BIGINT sums, one user shuffle "
+    "shared by the daily agg and the window",
+)
+def a32_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    # RANGE frame over a day-ordinal column: Spark's RANGE frame needs
+    # a numeric ordering expression for interval bounds — epoch-day
+    # keeps it integer-exact and engine-portable
+    day_idx = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(day_idx)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "n",
+        "cents",
+        F.sum("n").over(w).cast("long").alias("n_7d"),
+        F.sum("cents").over(w).cast("long").alias("cents_7d"),
+    )
