@@ -476,3 +476,108 @@ def pair_evidence(
             ",",
         ).alias("top_shared"),
     )
+
+
+def calibration(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = NUM_PERM,
+    band_rows: int = BAND_ROWS,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """MinHash calibration report: per LSH candidate pair, the
+    signature agreement count (0..num_perm — num_perm * the unbiased
+    Jaccard estimator) NEXT TO the exact shared-shingle and union
+    cardinalities. The sketch-quality audit a dedup pipeline publishes
+    when tuning num_perm / band geometry: if n_agree/num_perm tracks
+    inter/union poorly, the permutation budget is wrong for the corpus.
+
+    All-integer output (n_agree, inter_n, union_n) — estimator and
+    truth both ride as exact counts, division left to the reader.
+
+    Scale shape: reuses the production pipeline end-to-end — ONE
+    signature evaluation feeds buckets and the agreement join (persist
+    + eager-checkpoint discipline inherited from candidate_pairs), the
+    pair set is the salt-split-capped LSH candidate set (never all
+    pairs), and the exact leg restricts the shingle index to candidate
+    docs before joining (exact_jaccard's shape).
+    """
+    ss = shingle_sets(docs, text_col, id_col, k).persist()
+    try:
+        sigs = ss.select(
+            "doc_id", minhash_signature(F.col("shingles"), num_perm).alias("signature")
+        ).persist()
+        try:
+            pairs = candidate_pairs(
+                band_buckets(sigs, num_perm, band_rows), bucket_cap
+            )
+            agree = (
+                pairs.join(
+                    sigs.select(
+                        F.col("doc_id").alias("doc_a"),
+                        F.col("signature").alias("_sig_a"),
+                    ),
+                    "doc_a",
+                )
+                .join(
+                    sigs.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("signature").alias("_sig_b"),
+                    ),
+                    "doc_b",
+                )
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                "_sig_a", "_sig_b", lambda x, y: x == y
+                            ),
+                            lambda v: v,
+                        )
+                    )
+                    .cast("long")
+                    .alias("n_agree"),
+                )
+            )
+            exploded = ss.select("doc_id", F.explode("shingles").alias("shingle"))
+            sizes = ss.select("doc_id", F.size("shingles").alias("sz"))
+            inter = (
+                pairs.join(exploded.alias("x"), pairs["doc_a"] == F.col("x.doc_id"))
+                .join(
+                    exploded.alias("y"),
+                    (pairs["doc_b"] == F.col("y.doc_id"))
+                    & (F.col("x.shingle") == F.col("y.shingle")),
+                )
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count(F.lit(1)).cast("long").alias("inter_n"))
+            )
+            out = (
+                agree.join(inter, ["doc_a", "doc_b"], "left")
+                .join(
+                    sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa")),
+                    "doc_a",
+                )
+                .join(
+                    sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb")),
+                    "doc_b",
+                )
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    "n_agree",
+                    F.coalesce("inter_n", F.lit(0)).cast("long").alias("inter_n"),
+                    (F.col("_sa") + F.col("_sb") - F.coalesce("inter_n", F.lit(0)))
+                    .cast("long")
+                    .alias("union_n"),
+                )
+            )
+            # |pairs|-sized rows — eager, so both caches release on return
+            return out.localCheckpoint(eager=True)
+        finally:
+            sigs.unpersist()
+    finally:
+        ss.unpersist()

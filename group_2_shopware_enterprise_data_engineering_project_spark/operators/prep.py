@@ -987,3 +987,73 @@ def linearize_conversations(
         F.length(convo).cast("long").alias("convo_chars"),
         F.md5(convo).alias("convo_digest"),
     )
+
+
+def loss_mask_spans(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    turn_col: str = "turn",
+    max_turns: int = 512,
+) -> DataFrame:
+    """Loss-mask metadata for SFT training over linearized
+    conversations (the sibling of `linearize_conversations` /
+    m47's attention spans): per conversation, the char-offset spans of
+    the COMPLETION turns — the positions a supervised-fine-tune loss is
+    computed on, with prompt turns masked out. Turn roles alternate
+    deterministically by position (odd rank = prompt/masked, even rank
+    = completion/loss), the standard user/assistant alternation after
+    dialogue flattening.
+
+    Offsets count characters in the newline-joined linearization
+    (turn lengths + 1 separator per preceding turn), so downstream
+    writers can slice the m36 convo string directly. Emits
+    (user_id, n_turns, n_loss_tokens, loss_spans) with spans as
+    ordered 'offset:len' strings (m47's span-string pattern) — all
+    counts exact, digest-free.
+
+    Scale shape: ONE user-key shuffle serves the rank cap, the running
+    offset, and the span assembly; per-key window state is O(1) and
+    collect state is O(max_turns).
+    """
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    capped = (
+        events.select(user_col, *order_cols, turn_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_turns)
+    )
+    wlen = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = capped.select(
+        user_col,
+        *order_cols,
+        "_rn",
+        F.length(turn_col).alias("_len"),
+        # chars before this turn: prior turn lengths + one '\n' each
+        (
+            F.sum(F.length(turn_col)).over(wlen)
+            - F.length(turn_col)
+            + (F.col("_rn") - 1)
+        ).alias("_off"),
+    )
+    completion = F.col("_rn") % 2 == 0
+    span_str = F.concat(
+        F.col("_off").cast("string"), F.lit(":"), F.col("_len").cast("string")
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    completion,
+                    F.struct(F.col("_off").alias("o"), span_str.alias("s")),
+                )
+            )
+        ),
+        lambda x: x["s"],
+    )
+    return spans.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(completion, F.col("_len")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_loss_chars"),
+        F.array_join(ordered, ",").alias("loss_spans"),
+    )

@@ -888,3 +888,260 @@ def feature_hashing(
     return ex.select("doc_id", idx.alias("feature_idx")).groupBy(
         "doc_id", "feature_idx"
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# --- within-doc repetition signal (Gopher-style quality gate) -----------------
+
+
+def repetition_signal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition stats (the Gopher/MassiveText "rep"
+    quality gates, Rae et al. 2021 §A1.1): per doc, word and bigram
+    cardinalities plus the most-frequent-bigram count — the signals
+    behind "fraction of duplicate n-grams" filters that catch boilerplate,
+    template spam, and decode-loop degeneration.
+
+    Scale shape: word stats are zero-shuffle array expressions; the
+    per-doc bigram mode runs as explode -> groupBy(doc, bigram) ->
+    groupBy(doc), both map-side combined on doc-prefixed keys, so no
+    reducer ever holds more than one doc's distinct bigrams. (A pure
+    array-expression mode — max over transform(distinct, count-equal) —
+    would be O(len^2) per doc: quadratic in DOCUMENT length is the
+    wrong trade for web-scale docs; the groupBy is linear.)
+
+    The flag is integer cross-multiplication (top*100 > n*18 mirrors
+    Gopher's 0.18 top-bigram share) — no float division in any output.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+        spread,
+    )
+
+    docs = spread(docs)
+    # null text counts as empty (quality gates must not emit NULL stats)
+    t = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(t).cast("long").alias("n_words"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_words"),
+    )
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(t, k=2, distinct=False)).alias("b"),
+    )
+    bga = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_n").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+            F.max("_n").cast("long").alias("top_bigram_n"),
+        )
+    )
+    out = words.join(bga, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("n_distinct_bigrams", F.lit(0))
+        .cast("long")
+        .alias("n_distinct_bigrams"),
+        F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+    )
+    return out.withColumn(
+        "rep_flag",
+        (
+            (F.col("n_bigrams") >= 10)
+            & (F.col("top_bigram_n") * 100 > F.col("n_bigrams") * 18)
+        ).cast("long"),
+    )
+
+
+# --- bigram-LM OOV quality filter ---------------------------------------------
+
+
+def lm_oov_score(
+    score_docs: DataFrame,
+    ref_docs: DataFrame,
+    min_ref_count: int = 2,
+    max_oov_pct: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-LM quality filter (the CCNet/KenLM-style gate, Wenzek et
+    al. 2020, with counts instead of probabilities): build a reference
+    bigram vocabulary from `ref_docs` (bigrams seen >= min_ref_count
+    times), then score every `score_docs` document by how many of its
+    bigrams the reference knows. Documents whose out-of-vocabulary
+    bigram share exceeds max_oov_pct% are flagged out — gibberish,
+    wrong-language, and OCR-mangled text score high OOV against any
+    clean reference.
+
+    Scale shape: the reference table aggregates once (map-side
+    combined) and joins on the bigram key — a shuffle join, NOT a
+    broadcast, because a real reference LM's vocabulary is
+    GB-scale; per-doc roll-up is a second map-side-combined groupBy.
+    The keep flag is integer cross-multiplication (no float division).
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+        spread,
+    )
+
+    ref_bg = (
+        spread(ref_docs)
+        .select(F.explode(shingles(tokens(text_col), 2, distinct=False)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_ref_count)
+        .select("b", F.lit(1).alias("_known"))
+    )
+    bg = spread(score_docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokens(text_col), 2, distinct=False)).alias("b"),
+    )
+    scored = (
+        bg.join(ref_bg, "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce("_known", F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    ids = score_docs.select(F.col(id_col).alias("doc_id"))
+    out = ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "n_hit",
+        (F.col("n_bigrams") - F.col("n_hit")).alias("n_oov"),
+        (
+            (F.col("n_bigrams") - F.col("n_hit")) * 100
+            <= F.col("n_bigrams") * max_oov_pct
+        )
+        .cast("long")
+        .alias("keep_flag"),
+    )
+
+
+# --- vocabulary coverage curve --------------------------------------------------
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (10, 100, 1000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: for each k in `ks`, how many corpus
+    token OCCURRENCES the k most frequent types cover — the statistic
+    behind tokenizer vocab sizing and OOV-rate budgeting ("32k types
+    cover 97% of tokens").
+
+    Scale shape: one map-side-combined token count, then a PARTIAL
+    top-max(k) (TakeOrderedAndProject — every task forwards only its
+    own top max(k), no global sort of the vocabulary), and a cumulative
+    window over that bounded max(k)-row frame. The corpus total rides
+    as a broadcast single-row join. Counts exact; no floats.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+        spread,
+    )
+
+    kmax = max(ks)
+    counts = (
+        spread(docs)
+        .select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total_tokens"))
+    topk = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(kmax)
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("tok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = (
+        topk.withColumn("covered", F.sum("n").over(w).cast("long"))
+        .withColumn("k", F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("tok"))
+        ).cast("long"))
+        .filter(F.col("k").isin([int(k) for k in ks]))
+        .select("k", "covered")
+    )
+    return curve.join(F.broadcast(total)).select("k", "covered", "total_tokens")
+
+
+# --- cross-document boilerplate-line removal ------------------------------------
+
+
+def boilerplate_lines(
+    pages: DataFrame,
+    source_col: str = "source",
+    min_share_pct: int = 30,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the corpus-level complement
+    of `c4_line_filter`'s per-line blocklist): a line that appears in
+    >= min_share_pct% of a SOURCE's documents is template chrome —
+    nav bars, footers, cookie banners — and is dropped from every
+    document of that source. Unlike a static blocklist this learns the
+    boilerplate from the corpus itself, per source.
+
+    Sources with fewer than `min_docs` documents learn NOTHING: in a
+    one-doc source every line has 100% share, so an unguarded learner
+    deletes the entire document (caught by the toy-corpus test).
+
+    Emits per doc: line counts before/after, dropped-line count, and
+    an md5 digest of the kept text (t20's digest pattern).
+
+    Scale shape: line frequencies aggregate on (source, line-fp) —
+    map-side combined, 16-byte fingerprints shuffle, never line text;
+    the boilerplate verdict joins back on the same key; per-doc
+    reassembly is ONE doc-key groupBy with order restored by
+    in-aggregation array_sort on line position (m36's pattern). The
+    share test is integer cross-multiplication.
+    """
+    lines = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_fp", F.md5("line"))
+    totals = (
+        pages.groupBy(F.col(source_col).alias("source"))
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") >= min_docs)
+    )
+    freqs = (
+        lines.select("source", "line_fp", "doc_id")
+        .distinct()
+        .groupBy("source", "line_fp")
+        .agg(F.count(F.lit(1)).alias("_n_with"))
+        .join(totals, "source")
+        .filter(F.col("_n_with") * 100 >= F.col("_n_docs") * min_share_pct)
+        .select("source", "line_fp", F.lit(1).alias("_boiler"))
+    )
+    tagged = lines.join(freqs, ["source", "line_fp"], "left")
+    kept_struct = F.when(
+        F.col("_boiler").isNull(),
+        F.struct(F.col("pos").alias("p"), F.col("line").alias("l")),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(kept_struct)), lambda x: x["l"]
+    )
+    kept_text = F.array_join(ordered, "\n")
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_boiler").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boiler"),
+        F.sum(F.when(F.col("_boiler").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(kept_text).alias("kept_digest"),
+    )

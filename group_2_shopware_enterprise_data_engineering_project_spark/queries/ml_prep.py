@@ -2276,3 +2276,130 @@ def m48_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.split_assign(clusters, "cluster_rep").select(
         "doc_id", "cluster_rep", "split"
     )
+
+
+# --- m49: SFT loss-mask spans -------------------------------------------------
+
+M49_ORACLE = f"""
+WITH turns AS (
+  SELECT user_id, ts, event_id,
+         event_type || '#'
+           || CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+             AS turn,
+         row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), capped AS (
+  SELECT * FROM turns WHERE rn <= {_M36_CAP}
+), offs AS (
+  SELECT user_id, rn, CAST(length(turn) AS BIGINT) AS len,
+         CAST(SUM(length(turn)) OVER (
+                  PARTITION BY user_id ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - length(turn) + (rn - 1) AS BIGINT) AS off
+  FROM capped
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN rn % 2 = 0 THEN len ELSE 0 END) AS BIGINT)
+           AS n_loss_chars,
+       coalesce(
+           string_agg(CAST(off AS VARCHAR) || ':' || CAST(len AS VARCHAR),
+                      ',' ORDER BY off) FILTER (WHERE rn % 2 = 0),
+           '') AS loss_spans
+FROM offs GROUP BY user_id
+"""
+
+
+@register(
+    "m49_loss_mask_spans",
+    M49_ORACLE,
+    doc="SFT loss-mask metadata over the m36 conversation "
+    "linearization: per user, the char-offset 'offset:len' spans of "
+    "COMPLETION turns (even rank — the user/assistant alternation "
+    "after dialogue flattening) in the newline-joined convo string, "
+    "plus the exact loss-char total — what a supervised-finetune "
+    "writer emits so the loss never trains on prompt tokens. ONE "
+    "user-key shuffle serves rank cap, running offset, and span "
+    "assembly (m47's ordered span-string pattern)",
+)
+def m49_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit("#"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").cast("string"),
+        ).alias("turn"),
+    )
+    return prep.loss_mask_spans(ev, max_turns=_M36_CAP).select(
+        "user_id", "n_turns", "n_loss_chars", "loss_spans"
+    )
+
+
+# --- m51: dedup-aware token accounting ----------------------------------------
+
+M51_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, md5(text) AS fp,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_T1}' THEN 'train'
+              WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_T2}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), canon AS (
+  SELECT fp, min(doc_id) AS keep_id FROM t GROUP BY fp
+), j AS (
+  SELECT t.*, CASE WHEN t.doc_id = c.keep_id THEN 1 ELSE 0 END AS is_canon
+  FROM t JOIN canon c USING (fp)
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_canon) AS BIGINT) AS n_canonical,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN is_canon = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_canonical
+FROM j GROUP BY 1, 2
+"""
+
+
+@register(
+    "m51_token_accounting",
+    M51_ORACLE,
+    doc="dedup-aware token accounting ('how many training tokens do we "
+    "ACTUALLY have'): per (split, source), doc and token totals next "
+    "to their post-exact-dedup canonical counts — the budget sheet "
+    "behind epoch and mixture planning, where raw token counts "
+    "overstate unique data by the dup rate. Canonical = min doc_id per "
+    "md5(text) (mm1's rule); split = the m1 hash projection. One "
+    "fp-key shuffle + one map-side-combined rollup; token counting "
+    "never leaves codegen",
+)
+def m51_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text as _text
+
+    docs = table(spark, sf_dir, "documents")
+    t = prep.split_assign(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        "split",
+        F.md5("text").alias("fp"),
+        F.size(_text.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    canon = t.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    j = t.join(canon, "fp").withColumn(
+        "is_canon", (F.col("doc_id") == F.col("keep_id")).cast("long")
+    )
+    return j.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_canon").cast("long").alias("n_canonical"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("is_canon") == 1, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_canonical"),
+    )

@@ -229,19 +229,38 @@ FROM paired WHERE neg_rank <= {_MM6_N}
     f"{_MM6_POOL}-member salted-md5 pool per language (shared "
     "in-batch-negative style — the pool BROADCASTS, so negative "
     "mining never shuffles the corpus); payloads ride as md5 "
-    "fingerprints, never bytes",
+    "fingerprints, never bytes. Pool construction is skew-proof: a "
+    "two-stage top-k (rank within (lang, salt), keep pool-size per "
+    "salt, re-rank the bounded union) so no task ever sorts a whole "
+    "language — the global per-lang top-k is always a subset of the "
+    "union of per-salt top-ks, so results are identical",
 )
 def mm6_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media_fp = multimodal.media_fingerprint(_media(spark, sf_dir)).select(
         F.col("media_id"), F.col("fingerprint")
     )
-    h = F.md5(F.concat(F.lit("neg:"), F.col("neg_id").cast("string")))
-    w = Window.partitionBy("lang").orderBy(h, F.col("neg_id"))
+    # Stage 1: per-(lang, salt) top-POOL — bounds every sort task to
+    # ~|lang|/S rows even when one language is 80% of the corpus.
+    n_salts = 16
+    cand = docs.select("lang", F.col("doc_id").alias("neg_id")).withColumn(
+        "h", F.md5(F.concat(F.lit("neg:"), F.col("neg_id").cast("string")))
+    )
+    w_pre = Window.partitionBy("lang", "salt").orderBy("h", "neg_id")
+    pre = (
+        cand.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("neg_id")), F.lit(n_salts))
+        )
+        .withColumn("pre_rank", F.row_number().over(w_pre))
+        .filter(F.col("pre_rank") <= _MM6_POOL)
+        .drop("salt", "pre_rank")
+    )
+    # Stage 2: re-rank the <= n_salts*POOL survivors per lang (tiny).
+    w = Window.partitionBy("lang").orderBy("h", "neg_id")
     pool = (
-        docs.select("lang", F.col("doc_id").alias("neg_id"))
-        .withColumn("pool_rank", F.row_number().over(w))
+        pre.withColumn("pool_rank", F.row_number().over(w))
         .filter(F.col("pool_rank") <= _MM6_POOL)
+        .drop("h")
         .join(
             media_fp.select(
                 F.col("media_id").alias("neg_id"),
@@ -272,4 +291,96 @@ def mm6_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_fp",
             "neg_rank",
         )
+    )
+
+
+# --- mm7: per-video frame dedup -----------------------------------------------
+
+_MM7_CYCLE = 5  # synthetic duplicate-frame period (static-scene stand-in)
+
+MM7_ORACLE = f"""
+WITH frames AS (
+  SELECT doc_id AS media_id, md5(text) AS media_fp, gs.f AS frame_idx
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0,
+           CAST(floor((n_chars * 40 - 1) / 1000.0) AS BIGINT))) AS f) gs
+  WHERE n_chars > 0 AND doc_id % 3 = 2
+), fp AS (
+  SELECT media_id, frame_idx,
+         md5(media_fp || ':' || CAST(frame_idx % {_MM7_CYCLE} AS VARCHAR))
+             AS frame_fp
+  FROM frames
+), kept AS (
+  SELECT media_id, frame_fp, min(frame_idx) AS k
+  FROM fp GROUP BY 1, 2
+), per_video AS (
+  SELECT media_id,
+         CAST(count(*) AS BIGINT) AS n_unique,
+         md5(string_agg(CAST(k AS VARCHAR), ',' ORDER BY k)) AS kept_digest
+  FROM kept GROUP BY 1
+), totals AS (
+  SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames
+  FROM frames GROUP BY 1
+)
+SELECT t.media_id, t.n_frames, p.n_unique,
+       CAST(t.n_frames - p.n_unique AS BIGINT) AS n_dropped,
+       p.kept_digest
+FROM totals t JOIN per_video p USING (media_id)
+"""
+
+
+@register(
+    "mm7_frame_dedup",
+    MM7_ORACLE,
+    doc="per-video frame dedup (static-scene removal before frame "
+    "decode): mm2's sampling plan + per-frame fingerprints, keep the "
+    "earliest frame per (video, fingerprint), report per-video "
+    "sampled/unique/dropped counts and an order-pinned digest of the "
+    "kept frame indexes. Dedup is WITHIN the video key — the "
+    "(media_id, frame_fp) shuffle never grows past one video's frame "
+    "count per reducer group, and payloads never ride (fingerprints "
+    f"only). Duplicate frames synthesized with period {_MM7_CYCLE}; a "
+    "real deployment swaps the synthetic frame_fp for a phash of the "
+    "decoded frame (mm1/mm5's fingerprint path)",
+)
+def mm7_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir).filter(F.col("kind") == "video")
+    frames = multimodal.frame_sample_plan(media)
+    media_fp = multimodal.media_fingerprint(media).select(
+        "media_id", F.col("fingerprint").alias("media_fp")
+    )
+    f = frames.join(media_fp, "media_id").withColumn(
+        "frame_fp",
+        F.md5(
+            F.concat(
+                F.col("media_fp"),
+                F.lit(":"),
+                (F.col("frame_idx") % _MM7_CYCLE).cast("string"),
+            )
+        ),
+    )
+    kept = f.groupBy("media_id", "frame_fp").agg(
+        F.min("frame_idx").alias("k")
+    )
+    per_video = kept.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("k")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("kept_digest"),
+    )
+    totals = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    return totals.join(per_video, "media_id").select(
+        "media_id",
+        "n_frames",
+        "n_unique",
+        (F.col("n_frames") - F.col("n_unique")).cast("long").alias("n_dropped"),
+        "kept_digest",
     )

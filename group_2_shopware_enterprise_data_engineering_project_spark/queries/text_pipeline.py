@@ -1727,3 +1727,310 @@ def t27_ocr_noise_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("single_char_ratio"),
         ((ratio > 0.05) | (n_hyphen >= 2)).cast("int").alias("ocr_suspect"),
     )
+
+
+# --- t28: within-doc repetition signal (Gopher-style gates) -------------------
+
+T28_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest([t[i] || ' ' || t[i+1]
+                 FOR i IN generate_series(1, greatest(len(t) - 1, 0))]) AS b
+  FROM toks
+), bgc AS (
+  SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2
+), bga AS (
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(max(n) AS BIGINT) AS top_bigram_n
+  FROM bgc GROUP BY 1
+), w AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_words
+  FROM toks
+)
+SELECT w.doc_id, w.n_words, w.n_distinct_words,
+       CAST(coalesce(bga.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(bga.n_distinct_bigrams, 0) AS BIGINT)
+           AS n_distinct_bigrams,
+       CAST(coalesce(bga.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(CASE WHEN coalesce(bga.n_bigrams, 0) >= 10
+                  AND coalesce(bga.top_bigram_n, 0) * 100
+                      > coalesce(bga.n_bigrams, 0) * 18
+                 THEN 1 ELSE 0 END AS BIGINT) AS rep_flag
+FROM w LEFT JOIN bga USING (doc_id)
+"""
+
+
+@register(
+    "t28_repetition_signal",
+    T28_ORACLE,
+    doc="within-document repetition gates (Gopher/MassiveText A1.1): "
+    "word/bigram cardinalities + most-frequent-bigram count per doc, "
+    "flag = top-bigram share > 18% by integer cross-multiplication — "
+    "catches boilerplate, template spam, decode-loop degeneration. "
+    "Per-doc bigram mode via two map-side-combined groupBys (LINEAR in "
+    "doc length; an array-expression mode would be quadratic)",
+)
+def t28_repetition_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_signal(table(spark, sf_dir, "documents"))
+
+
+# --- t29: bigram-LM OOV quality filter ----------------------------------------
+
+_T29_MIN_REF = 2
+_T29_MAX_OOV_PCT = 20
+
+T29_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest([t[i] || ' ' || t[i+1]
+                 FOR i IN generate_series(1, greatest(len(t) - 1, 0))]) AS b
+  FROM toks
+), ref AS (
+  SELECT b FROM bg WHERE doc_id % 2 = 0
+  GROUP BY b HAVING count(*) >= {_T29_MIN_REF}
+), scored AS (
+  SELECT bg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(count(ref.b) AS BIGINT) AS n_hit
+  FROM bg LEFT JOIN ref ON bg.b = ref.b
+  WHERE bg.doc_id % 2 = 1
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(s.n_bigrams, 0) - coalesce(s.n_hit, 0) AS BIGINT)
+           AS n_oov,
+       CAST(CASE WHEN (coalesce(s.n_bigrams, 0) - coalesce(s.n_hit, 0)) * 100
+                      <= coalesce(s.n_bigrams, 0) * {_T29_MAX_OOV_PCT}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register(
+    "t29_lm_oov_filter",
+    T29_ORACLE,
+    doc="count-LM quality gate (CCNet/KenLM shape, counts not probs): "
+    f"reference bigram vocab from even docs (count >= {_T29_MIN_REF}), "
+    "odd docs scored by OOV-bigram share, keep when OOV <= "
+    f"{_T29_MAX_OOV_PCT}% via integer cross-multiplication. Reference "
+    "joins on the bigram KEY (shuffle join — a real LM vocab is "
+    "GB-scale, never broadcast); both roll-ups map-side combined",
+)
+def t29_lm_oov_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return text.lm_oov_score(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        min_ref_count=_T29_MIN_REF,
+        max_oov_pct=_T29_MAX_OOV_PCT,
+    )
+
+
+# --- m50: vocabulary coverage curve -------------------------------------------
+
+_M50_KS = (5, 15, 30)
+
+M50_ORACLE = f"""
+WITH counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+), ranked AS (
+  SELECT n,
+         row_number() OVER (ORDER BY n DESC, tok) AS k,
+         CAST(sum(n) OVER (ORDER BY n DESC, tok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS covered
+  FROM counts
+), total AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM counts
+)
+SELECT CAST(k AS BIGINT) AS k, covered, total_tokens
+FROM ranked CROSS JOIN total
+WHERE k IN {_M50_KS}
+"""
+
+
+@register(
+    "m50_vocab_coverage",
+    M50_ORACLE,
+    doc="vocabulary coverage curve (tokenizer vocab sizing / OOV "
+    f"budgeting): corpus token occurrences covered by the top-k types "
+    f"at k in {_M50_KS}. Partial top-k (TakeOrderedAndProject — no "
+    "global vocab sort), cumulative window over the bounded max(k)-row "
+    "frame, corpus total broadcast; all counts exact",
+)
+def m50_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocab_coverage(table(spark, sf_dir, "documents"), ks=_M50_KS)
+
+
+# --- d9: MinHash-vs-exact calibration report ----------------------------------
+
+def _d9_oracle() -> str:
+    p, r = minhash.NUM_PERM, minhash.BAND_ROWS
+    mh_cols = ",\n         ".join(
+        f"list_min([md5('{i}:' || s) FOR s IN shingles]) AS mh{i}"
+        for i in range(p)
+    )
+    pipe_concat = " || '|' || "
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM sig".format(
+            b=b, expr=pipe_concat.join(f"mh{b * r + j}" for j in range(r))
+        )
+        for b in range(p // r)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(p)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN generate_series(1, greatest(len(t) - 2, 0))]) AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh
+), buckets AS (
+{band_selects}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inter AS (
+  SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i
+  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({agree} AS BIGINT) AS n_agree,
+       CAST(coalesce(i.i, 0) AS BIGINT) AS inter_n,
+       CAST(za.sz + zb.sz - coalesce(i.i, 0) AS BIGINT) AS union_n
+FROM cands c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+LEFT JOIN inter i ON i.da = c.doc_a AND i.db = c.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+"""
+
+
+@register(
+    "d9_minhash_calibration",
+    _d9_oracle(),
+    doc="MinHash calibration report (sketch-quality audit for tuning "
+    f"num_perm/band geometry): per LSH candidate pair, the signature "
+    "agreement count (the unbiased Jaccard estimator numerator) next "
+    "to exact intersection/union cardinalities — all-integer output, "
+    "division left to the reader. One signature evaluation feeds "
+    "buckets AND the agreement join (candidate_pairs' persist + eager "
+    "checkpoint discipline); exact leg restricted to candidate docs "
+    "before joining; md5 hash family reproduced bit-for-bit in SQL",
+)
+def d9_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash.calibration(table(spark, sf_dir, "documents"))
+
+
+# --- t30: learned boilerplate-line removal --------------------------------------
+
+_T30_PCT = 30
+
+# Synthesis (t20's pattern — corpus text has no newlines): every doc of
+# a source carries that source's footer (100% share -> learned
+# boilerplate), every 4th doc carries a newsletter line (25% < 30% ->
+# kept), and each doc has a unique ref line (never boilerplate).
+T30_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, source,
+         coalesce(text, '')
+           || chr(10) || 'Visit the ' || source || ' homepage for more articles.'
+           || CASE WHEN doc_id % 4 = 0
+                   THEN chr(10) || 'Subscribe to our newsletter today.'
+                   ELSE '' END
+           || chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS page
+  FROM documents
+), split AS (
+  SELECT doc_id, source, string_split(page, chr(10)) AS lines FROM pages
+), lines AS (
+  SELECT doc_id, source, gs.i AS pos, lines[gs.i] AS line
+  FROM split,
+       LATERAL (SELECT unnest(generate_series(1, len(lines))) AS i) gs
+), totals AS (
+  SELECT source, count(*) AS n_docs FROM pages GROUP BY 1
+), boiler AS (
+  SELECT l.source, l.line
+  FROM (SELECT DISTINCT source, line, doc_id FROM lines) l
+  JOIN totals t USING (source)
+  WHERE t.n_docs >= 2
+  GROUP BY l.source, l.line, t.n_docs
+  HAVING count(*) * 100 >= t.n_docs * {_T30_PCT}
+), tagged AS (
+  SELECT li.doc_id, li.pos, li.line,
+         CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END AS is_boiler
+  FROM lines li
+  LEFT JOIN boiler b ON b.source = li.source AND b.line = li.line
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(is_boiler) AS BIGINT) AS n_boiler,
+       CAST(sum(1 - is_boiler) AS BIGINT) AS n_kept,
+       md5(coalesce(
+           string_agg(CASE WHEN is_boiler = 0 THEN line END, chr(10)
+                      ORDER BY pos),
+           '')) AS kept_digest
+FROM tagged GROUP BY doc_id
+"""
+
+
+@register(
+    "t30_boilerplate_lines",
+    T30_ORACLE,
+    doc="learned cross-document boilerplate removal (corpus-level "
+    "complement of t20's static blocklist): a line appearing in >= "
+    f"{_T30_PCT}% of a source's docs is template chrome and drops "
+    "from every doc of that source. Frequencies aggregate on "
+    "(source, line-fp) — 16-byte fingerprints shuffle, never line "
+    "text; verdict joins back on the same key; per-doc reassembly is "
+    "one doc-key groupBy with in-aggregation position sort. "
+    "Synthesized footers: per-source 100% (dropped), 25% newsletter "
+    "(kept), unique ref line (kept)",
+)
+def t30_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nVisit the "),
+            F.col("source"),
+            F.lit(" homepage for more articles."),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nSubscribe to our newsletter today."),
+            ).otherwise(F.lit("")),
+            F.concat(F.lit("\nref "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return text.boilerplate_lines(pages, min_share_pct=_T30_PCT)

@@ -1220,25 +1220,39 @@ FROM s
     doc="ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS equivalent: "
     "per-column row/null counts, distinct counts, min/max (integer "
     "columns rendered as exact strings) — the CBO catalog artifact "
-    "behind join reordering and broadcast decisions; ONE aggregate "
-    "scan serves all columns. At 100 TB ndv swaps to the m28 HLL "
-    "sketch (same output shape, fixed memory)",
+    "behind join reordering and broadcast decisions. ONE FileScan "
+    "serves every column: a single agg computes all columns' stats "
+    "side by side (Spark plans the multi-countDistinct via Expand, "
+    "still one pass over the table), then stack() unpivots the 1-row "
+    "frame to per-column rows. At 100 TB that is the difference "
+    "between one overnight table pass and four; ndv swaps to the m28 "
+    "HLL sketch at that scale (same output shape, fixed memory)",
 )
 def k29_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-
-    def _stats(col, is_int):
-        mn = F.min(col).cast("string") if is_int else F.min(col)
-        mx = F.max(col).cast("string") if is_int else F.max(col)
-        return orders.agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(col)).cast("long").alias("n_null"),
-            F.countDistinct(col).cast("long").alias("ndv"),
-            mn.alias("min_val"),
-            mx.alias("max_val"),
-        ).select(F.lit(col).alias("col"), "n_rows", "n_null", "ndv", "min_val", "max_val")
-
-    out = _stats("o_orderkey", True)
-    for c, i in (("o_custkey", True), ("o_orderstatus", False), ("o_orderpriority", False)):
-        out = out.unionByName(_stats(c, i))
-    return out
+    cols = (
+        ("o_orderkey", True),
+        ("o_custkey", True),
+        ("o_orderstatus", False),
+        ("o_orderpriority", False),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c, is_int in cols:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}__null")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"{c}__ndv"))
+        mn, mx = F.min(c), F.max(c)
+        aggs.append((mn.cast("string") if is_int else mn).alias(f"{c}__min"))
+        aggs.append((mx.cast("string") if is_int else mx).alias(f"{c}__max"))
+    one = orders.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__null, {c}__ndv, {c}__min, {c}__max" for c, _ in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(col, n_null, ndv, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select("col", "n_rows", "n_null", "ndv", "min_val", "max_val")

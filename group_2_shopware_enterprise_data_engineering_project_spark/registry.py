@@ -42,26 +42,89 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: never-driver-checked queries rotate in (r4: e9 in for a5; r5: full
 #: rotation to the never-checked set, see the block comment below).
 CORE_ORDER: tuple[str, ...] = (
-    # r7 rotation. m15 + pipe_llm_prep stay first per the r6 verdict:
-    # their 3-round hash-red was root-caused to the ORACLE emitting
-    # HUGEINT (DuckDB widens SUM(BIGINT) window sums; uncast //1024 and
-    # %1024 materialize as Arrow decimal128 vs Spark int64) — r7 fix =
-    # CAST(... AS BIGINT) in M15_ORACLE and _PREP_ORACLE, verified by
-    # the new tools/oracle_type_lint.py (0 offenders across all
-    # oracles). These two rows going green is the proof.
+    # r8 rotation (r7 verdict items 1 + 6). m15/pipe_llm_prep/t14 keep
+    # the first three slots for a SECOND consecutive green driver row
+    # (each has exactly one green row after 3-4 red rounds; the r7 fix
+    # was oracle-side CAST AS BIGINT / bounds-audit oracle).
     "m15_sequence_pack",
     "pipe_llm_prep",
-    # t14 flips from rows-only to a hashable oracle this round (m13
-    # bounds-audit pattern: exact strlen byte counts + literal-TRUE
-    # bound booleans vs Spark-computed bound checks).
     "t14_compression_ratio",
-    # The 19 late-r6 queries that have never had a driver row (each
-    # sweep-green in CORRECTNESS_LOCAL_r06.json) rotate in, per the r6
-    # verdict's item 4:
+    # The 34 never-driver-checked queries rotate in (verdict item 1):
+    # 32 late-r7 additions sweep-green in CORRECTNESS_LOCAL_r07.json,
+    # plus k29/t27 which were committed after that artifact (verified
+    # live in r7 judging; re-swept in CORRECTNESS_LOCAL_r08.json).
+    # k29 was rewritten single-scan and mm6 de-skewed (verdict items
+    # 3-4) before entering the window; both re-verified green.
+    "m37_source_overlap",
+    "t23_script_mix",
+    "m38_dataset_card",
+    "k27_apply_cdc",
+    "a29_k_anonymity",
+    "m39_semantic_pack",
+    "m40_chunk_embedding_pool",
+    "t24_pair_evidence",
+    "st22_stream_purge",
+    "j7_asof_tolerance",
+    "m41_packing_efficiency",
+    "m42_dedup_cluster_stats",
+    "st23_stream_audit_gate",
+    "e16_ann_filtered",
+    "a30_rfm_features",
+    "st24_stream_cdc_apply",
+    "m43_split_leakage",
+    "t25_langid_confusion",
+    "m44_feature_hashing",
+    "e17_embedding_drift",
+    "st25_checkpoint_recovery",
+    "m45_ngram_lm_counts",
+    "m46_fixed_k_sample",
+    "t26_normalized_dedup",
+    "mm6_contrastive_pairs",
+    "a31_basket_lift",
+    "k28_hidden_partitioning",
+    "m47_pack_attention_spans",
+    "e18_lsh_bucket_stats",
+    "s13_gzip_jsonl_roundtrip",
+    "s14_csv_malformed_quarantine",
+    "m48_leakage_free_split",
+    "k29_analyze_column_stats",
+    "t27_ocr_noise_signal",
+    # Remaining 13 slots: r7-window entries whose ONLY driver row is r7
+    # (second-round confirmation; the rest of the single-green r7 set
+    # rotates back in next round as these confirm):
+    "m34_preference_pairs",
+    "m35_bigram_coverage",
+    "t20_line_quality_filter",
+    "t21_rrf_fusion",
+    "k26_zorder_layout",
+    "a28_drift_buckets",
+    "m36_conversation_linearize",
+    "t22_tokenizer_fertility",
+    "st21_stream_drift",
     "st17_stream_static_join",
     "m31_histogram_quantiles",
     "a25_unpivot_metrics",
     "st18_hopping_window",
+    # --- driver window boundary (first 50 above) ---
+    # r9 rotation priority: (a) the new-in-r8 queries, which have never
+    # had a driver row (sweep-green in CORRECTNESS_LOCAL_r08.json):
+    "t28_repetition_signal",
+    "t29_lm_oov_filter",
+    "m49_loss_mask_spans",
+    "m50_vocab_coverage",
+    "d9_minhash_calibration",
+    "m51_token_accounting",
+    "mm7_frame_dedup",
+    "a32_shuffle_skew_audit",
+    "t30_boilerplate_lines",
+    # (b) the remaining single-green r7-window entries
+    # (d8_canonical_selection, pipe_llm_audit, m32_equidepth_bucketize,
+    # st19_late_data_accounting, e14_ann_recall_eval, m33_epoch_shuffle,
+    # k23_partition_evolution, k24_gdpr_purge, st20_stream_ann_index,
+    # s10_binaryfile_scan, s11_logline_parse, a26_window_ranks,
+    # a27_wilson_proportions, e15_ann_matryoshka,
+    # k25_write_audit_publish).
+    # rotated out in r8 (each has a green r7 driver row + r8 sweep):
     "d8_canonical_selection",
     "pipe_llm_audit",
     "m32_equidepth_bucketize",
@@ -77,10 +140,6 @@ CORE_ORDER: tuple[str, ...] = (
     "a27_wilson_proportions",
     "e15_ann_matryoshka",
     "k25_write_audit_publish",
-    # Remaining slots: r6-window entries whose ONLY driver row is r6
-    # (they keep a second-round confirmation slot until new r7 queries
-    # rotate them out, single-green-first ordering so multi-green rows
-    # are displaced first from the tail):
     "s8_orc_roundtrip",
     "t16_pii_redact",
     "t17_strip_markup",
@@ -98,36 +157,8 @@ CORE_ORDER: tuple[str, ...] = (
     "a24_attribution",
     "st16_stream_custom_state",
     "st15_stream_outer_join",
-    # new in r7 — each needs its first driver row:
-    "m34_preference_pairs",
-    "m35_bigram_coverage",
-    "t20_line_quality_filter",
-    "t21_rrf_fusion",
-    "k26_zorder_layout",
-    "a28_drift_buckets",
-    "m36_conversation_linearize",
-    "t22_tokenizer_fertility",
-    "st21_stream_drift",
-    # multi-green fill (rotate these out first as further queries land):
     "k17_zone_map_scan",
     "k20_shard_manifest",
-    # --- driver window boundary (first 50 above) ---
-    # r8 rotation priority: the late-r7 queries that have never had a
-    # driver row — m37_source_overlap, t23_script_mix, m38_dataset_card,
-    # k27_apply_cdc, a29_k_anonymity, m39_semantic_pack,
-    # m40_chunk_embedding_pool, t24_pair_evidence, st22_stream_purge,
-    # j7_asof_tolerance, m41_packing_efficiency, m42_dedup_cluster_stats,
-    # st23_stream_audit_gate, e16_ann_filtered, a30_rfm_features,
-    # st24_stream_cdc_apply, m43_split_leakage, t25_langid_confusion,
-    # m44_feature_hashing, e17_embedding_drift,
-    # st25_checkpoint_recovery, m45_ngram_lm_counts,
-    # m46_fixed_k_sample, t26_normalized_dedup, mm6_contrastive_pairs,
-    # a31_basket_lift, k28_hidden_partitioning,
-    # m47_pack_attention_spans, e18_lsh_bucket_stats,
-    # s13_gzip_jsonl_roundtrip, s14_csv_malformed_quarantine,
-    # m48_leakage_free_split, k29_analyze_column_stats,
-    # t27_ocr_noise_signal
-    # (each sweep-green in CORRECTNESS_LOCAL_r07.json).
     # rotated out in r7 (each has green r5 AND r6 driver rows + sweep):
     "e10_ann_lsh_multiprobe",
     "e11_semdedup",

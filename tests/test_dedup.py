@@ -614,3 +614,117 @@ def test_leakage_free_split_never_splits_clusters(spark):
         .collect()
     }
     assert all(n == 1 for n in per_cluster.values())
+
+
+def test_repetition_signal_toy_corpus(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),  # 6 words/2 distinct; bigrams: ab x3, ba x2
+            (1, "x y z"),        # all distinct
+            (2, "w"),            # no bigrams
+            (3, None),           # null text -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_signal(df).collect()}
+    assert (out[0].n_words, out[0].n_distinct_words) == (6, 2)
+    assert (out[0].n_bigrams, out[0].n_distinct_bigrams, out[0].top_bigram_n) == (5, 2, 3)
+    assert out[0].rep_flag == 0  # only 5 bigrams, below the >=10 floor
+    assert (out[1].n_bigrams, out[1].top_bigram_n, out[1].rep_flag) == (2, 1, 0)
+    assert (out[2].n_words, out[2].n_bigrams) == (1, 0)
+    assert (out[3].n_words, out[3].n_bigrams, out[3].rep_flag) == (0, 0, 0)
+    # a long degenerate loop fires the flag: 11 bigrams, all the same
+    loop = spark.createDataFrame([(9, "q " * 12)], "doc_id long, text string")
+    r = text.repetition_signal(loop).collect()[0]
+    assert (r.n_bigrams, r.top_bigram_n, r.rep_flag) == (11, 11, 1)
+
+
+def test_lm_oov_score_reference_gating(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    ref = spark.createDataFrame(
+        # "a b" appears twice (known at min_ref_count=2); "b c" once (unknown)
+        [(0, "a b c"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "a b c"),   # bigrams: "a b" hit, "b c" oov -> 50% oov
+            (3, "a b a b"), # "a b" x2 hit, "b a" oov -> 33% oov
+            (5, "z"),       # no bigrams -> keep (0 <= 0)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text.lm_oov_score(
+            score, ref, min_ref_count=2, max_oov_pct=40
+        ).collect()
+    }
+    assert (out[1].n_bigrams, out[1].n_hit, out[1].n_oov, out[1].keep_flag) == (2, 1, 1, 0)
+    assert (out[3].n_bigrams, out[3].n_hit, out[3].n_oov, out[3].keep_flag) == (3, 2, 1, 1)
+    assert (out[5].n_bigrams, out[5].keep_flag) == (0, 1)
+
+
+def test_vocab_coverage_exact_curve(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    df = spark.createDataFrame(
+        # counts: a=4, b=2, c=1 -> total 7; curve k=1: 4, k=2: 6, k=3: 7
+        [(0, "a a b"), (1, "a b c a")],
+        "doc_id long, text string",
+    )
+    out = {r.k: (r.covered, r.total_tokens)
+           for r in text.vocab_coverage(df, ks=(1, 2, 3)).collect()}
+    assert out == {1: (4, 7), 2: (6, 7), 3: (7, 7)}
+
+
+def test_boilerplate_lines_learned_threshold(spark):
+    import hashlib
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            # s1: footer on all 3 docs (100% >= 50% -> dropped);
+            # "promo" on 1/3 (33% < 50% -> kept); unique body kept
+            (0, "body0\nfooter s1\npromo", "s1"),
+            (1, "body1\nfooter s1", "s1"),
+            (2, "body2\nfooter s1", "s1"),
+            # s2: same footer TEXT but a 1-doc source — below the
+            # min_docs floor, so NOTHING is learned there (an unguarded
+            # learner would delete the whole doc at 100% share); also
+            # proves learning is per-source, not global
+            (3, "body3\nfooter s1", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in text.boilerplate_lines(df, min_share_pct=50).collect()}
+    assert (out[0].n_lines, out[0].n_boiler, out[0].n_kept) == (3, 1, 2)
+    assert out[0].kept_digest == hashlib.md5(b"body0\npromo").hexdigest()
+    assert (out[1].n_boiler, out[1].n_kept) == (1, 1)
+    assert (out[3].n_boiler, out[3].n_kept) == (0, 2)
+
+
+def test_minhash_calibration_bounds_and_exact_dup(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import minhash
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (2, "completely different text with other words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash.calibration(df).collect()
+    by_pair = {(r.doc_a, r.doc_b): r for r in rows}
+    assert (0, 1) in by_pair  # exact dups must be LSH candidates
+    r = by_pair[(0, 1)]
+    assert r.n_agree == minhash.NUM_PERM  # identical signatures
+    assert r.inter_n == r.union_n  # identical shingle sets
+    for r in rows:
+        assert 0 <= r.n_agree <= minhash.NUM_PERM
+        assert 0 <= r.inter_n <= r.union_n

@@ -793,3 +793,37 @@ def test_linearize_conversations_order_and_cap(spark):
     assert out[2].n_turns == 3
     assert out[2].convo_digest == hashlib.md5(b"w\nx\ny").hexdigest()
     assert out[2].convo_chars == 5
+
+
+def test_loss_mask_spans_hand_computed(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+    ev = spark.createDataFrame(
+        # user 7: turns in (ts, event_id) order: "aa"(1,masked),
+        # "bbb"(2,loss), "c"(3,masked), "dddd"(4,loss)
+        # linearized: "aa\nbbb\nc\ndddd"; offsets: bbb@3 len3, dddd@9 len4
+        [
+            (7, 1, 10, "aa"),
+            (7, 2, 11, "bbb"),
+            (7, 3, 12, "c"),
+            (7, 4, 13, "dddd"),
+            # user 8: single turn -> prompt only, no loss spans
+            (8, 1, 20, "solo"),
+        ],
+        "user_id long, ts long, event_id long, turn string",
+    )
+    out = {r.user_id: r for r in prep.loss_mask_spans(ev).collect()}
+    assert (out[7].n_turns, out[7].n_loss_chars, out[7].loss_spans) == (4, 7, "3:3,9:4")
+    assert (out[8].n_turns, out[8].n_loss_chars, out[8].loss_spans) == (1, 0, "")
+
+
+def test_loss_mask_spans_cap_bounds_state(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+    ev = spark.createDataFrame(
+        [(1, t, t, "x" * 2) for t in range(1, 11)],
+        "user_id long, ts long, event_id long, turn string",
+    )
+    r = prep.loss_mask_spans(ev, max_turns=4).collect()[0]
+    # only the first 4 turns survive the cap: xx\nxx\nxx\nxx
+    assert (r.n_turns, r.n_loss_chars, r.loss_spans) == (4, 4, "3:2,9:2")

@@ -78,6 +78,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "retrieval lists (<= 40 rows by construction; search.rrf_fuse "
         "docstring)"
     },
+    "m50_vocab_coverage": {
+        "global_window": "cumulative sum over the max(k)-row "
+        "TakeOrderedAndProject survivors (text.vocab_coverage "
+        "docstring: partial top-k, never a global vocab sort)"
+    },
 }
 
 # windowspecdefinition(<first arg> ...: a partitioned spec starts with

@@ -279,6 +279,31 @@ def main() -> None:
         # as the user population (not per-user history) grows.
         "bigram": lambda d, e, p: text.bigram_coverage(d),
         "overlap": lambda d, e, p: text.source_overlap(d),
+        # r8 additions: rep's doc-keyed bigram mode, lm_oov's bigram-KEY
+        # vocab join (ref vocab grows k-fold wide under the suffix
+        # transform — the scale surface), boiler's (source, line-fp)
+        # frequency join, calib's agreement+exact legs over the LSH
+        # candidate set (replicas are content-decorrelated, so
+        # candidates scale in COUNT, not density).
+        "rep": lambda d, e, p: text.repetition_signal(d),
+        "lm_oov": lambda d, e, p: text.lm_oov_score(
+            d.filter(F.col("doc_id") % 2 == 1),
+            d.filter(F.col("doc_id") % 2 == 0),
+        ),
+        "boiler": lambda d, e, p: text.boilerplate_lines(
+            d.select(
+                "doc_id",
+                "source",
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit("\nVisit the "),
+                    F.col("source"),
+                    F.lit(" homepage for more articles."),
+                    F.concat(F.lit("\nref "), F.col("doc_id").cast("string")),
+                ).alias("text"),
+            )
+        ),
+        "calib": lambda d, e, p: minhash.calibration(d),
     }
     if only:
         unknown = only - set(ops) - {"incr", "convo"}
