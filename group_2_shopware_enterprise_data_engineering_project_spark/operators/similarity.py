@@ -1367,3 +1367,78 @@ def pool_chunk_embeddings(
             ).alias("mean"),
         )
     )
+
+
+def two_stage_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    query_pred: Column | None = None,
+    k: int = 5,
+    pool: int = 20,
+) -> DataFrame:
+    """Two-stage retrieval (the production serving pattern): a CHEAP
+    int8-quantized scan selects a per-query candidate pool (4x less
+    corpus I/O than float32 — `quantized_topk`'s stage), then exact
+    float cosine reranks only the pool to the final top-k. Emits the
+    coarse rank alongside the exact rank, so rerank movement (the
+    quality the second stage buys) is visible in the output.
+
+    Scale shape: stage 1 is the quantized broadcast-queries/
+    corpus-streams scan with partial top-pool; stage 2 touches only
+    |Q| x pool vectors — the full-precision corpus is read once for
+    the pool join (id-equi-join, broadcastable: the pool is
+    |Q| x pool ids), never scanned per query.
+    """
+    if query_pred is None:
+        query_pred = F.col("vec_id").isin(query_ids or [])
+    coarse = quantized_topk(emb, query_pred=query_pred, k=pool).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("coarse_rank"),
+    )
+    # float32 -> double BEFORE the fold (brute_force_topk's discipline:
+    # a float32 zip_with fold diverges from the oracle's double fold in
+    # the last ulps)
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    paired = (
+        F.broadcast(coarse)
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                vecs.filter(query_pred).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                )
+            ),
+            "query_id",
+        )
+    )
+    sims = paired.select(
+        "query_id",
+        "neighbor_id",
+        "coarse_rank",
+        (
+            dot(F.col("qv"), F.col("nv"))
+            / (l2_norm(F.col("qv")) * l2_norm(F.col("nv")))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            "rank",
+            F.col("coarse_rank").cast("long").alias("coarse_rank"),
+        )
+    )

@@ -1210,3 +1210,74 @@ def e18_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.sum("n").cast("long").alias("n_vectors"),
     )
+
+
+# --- e19: two-stage retrieval (quantized scan -> exact rerank) -----------------
+
+_E19_POOL = 20
+
+E19_ORACLE = f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+           * (CAST(127 AS DOUBLE)
+              / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
+           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qvec
+  FROM embeddings
+), qn AS (
+  SELECT vec_id, qvec,
+         sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> qvec[i] * qvec[i])) AS DOUBLE)) AS qnorm
+  FROM qz
+), q AS (
+  SELECT vec_id AS query_id, qvec AS qa, qnorm AS na
+  FROM qn WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, qvec AS qb, qnorm AS nb FROM qn
+), qsims AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> qa[i] * qb[i])) AS DOUBLE) / (na * nb) AS q_cos_sim
+  FROM q, c WHERE neighbor_id <> query_id
+), coarse AS (
+  SELECT query_id, neighbor_id, coarse_rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY q_cos_sim DESC, neighbor_id)
+        AS coarse_rank
+    FROM qsims
+  ) WHERE coarse_rank <= {_E19_POOL}
+), exact AS (
+  SELECT co.query_id, co.neighbor_id, co.coarse_rank,
+         {_DOT.format(a='eq.embedding', b='en.embedding')}
+         / ({_NORM.format(v='eq.embedding')}
+            * {_NORM.format(v='en.embedding')}) AS cos_sim
+  FROM coarse co
+  JOIN embeddings eq ON eq.vec_id = co.query_id
+  JOIN embeddings en ON en.vec_id = co.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank,
+       CAST(coarse_rank AS BIGINT) AS coarse_rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM exact
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "e19_two_stage_rerank",
+    E19_ORACLE,
+    doc="two-stage retrieval (the production serving pattern): int8 "
+    f"coarse scan keeps a {_E19_POOL}-candidate pool per query (4x "
+    "less corpus I/O), exact float cosine reranks only the pool to "
+    f"top-{TOP_K}; coarse_rank rides along so rerank movement is "
+    "visible. Full-precision vectors are touched via one bounded "
+    "id-equi-join — never a per-query corpus scan",
+)
+def e19_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.two_stage_topk(
+        emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K, pool=_E19_POOL
+    )

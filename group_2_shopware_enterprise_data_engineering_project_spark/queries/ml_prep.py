@@ -2403,3 +2403,183 @@ def m51_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_canonical"),
     )
+
+
+# --- m52: hashed-feature importance selection (DSIR-lite) ----------------------
+
+_M52_D = 1024
+
+M52_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source = 'src0' AS is_t, unnest({{toks}}) AS tok
+  FROM documents
+), ff AS (
+  SELECT doc_id, is_t,
+         CAST(CAST(concat('0x', substring(md5(tok), 1, 4)) AS BIGINT)
+              % {_M52_D} AS BIGINT) AS feature_idx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY 1, 2, 3
+), pf AS (
+  SELECT feature_idx,
+         CAST(coalesce(sum(CASE WHEN is_t THEN n END), 0) AS BIGINT) AS tc,
+         CAST(coalesce(sum(CASE WHEN NOT is_t THEN n END), 0) AS BIGINT) AS rc
+  FROM ff GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS tr FROM pf
+), lean AS (
+  SELECT feature_idx FROM pf CROSS JOIN tot WHERE tc * tr > rc * tt
+)
+SELECT ff.doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(CASE WHEN l.feature_idx IS NOT NULL THEN n END), 0)
+            AS BIGINT) AS n_leaning,
+       CAST(CASE WHEN 2 * coalesce(sum(CASE WHEN l.feature_idx IS NOT NULL
+                                            THEN n END), 0) >= sum(n)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+FROM ff LEFT JOIN lean l USING (feature_idx)
+WHERE NOT is_t
+GROUP BY ff.doc_id
+""".format(toks="list_filter(string_split(text, ' '), x -> x <> '')")
+
+
+@register(
+    "m52_importance_selection",
+    M52_ORACLE,
+    doc="hashed-feature importance selection (DSIR shape, Xie et al. "
+    "2023, with integer evidence instead of log-ratios): features are "
+    f"m44's hashing-trick indexes (md5_16 mod {_M52_D}); a feature is "
+    "target-leaning when over-represented in the target domain "
+    "(source=src0) by exact cross-multiplication (tc*tr > rc*tt); a "
+    "raw-pool doc is kept when >= half its token occurrences hash to "
+    "target-leaning features. The per-feature table is bounded by D "
+    "-> the leaning set BROADCASTS; corpus pays one explode + two "
+    "map-side-combined groupBys; no vocabulary pass, no floats",
+)
+def m52_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text as _text
+
+    docs = table(spark, sf_dir, "documents")
+    feats = _text.feature_hashing(docs, _M52_D)
+    flags = docs.select("doc_id", (F.col("source") == "src0").alias("is_t"))
+    ff = feats.join(flags, "doc_id")
+    pf = ff.groupBy("feature_idx").agg(
+        F.coalesce(F.sum(F.when(F.col("is_t"), F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("tc"),
+        F.coalesce(F.sum(F.when(~F.col("is_t"), F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("rc"),
+    )
+    tot = pf.agg(
+        F.sum("tc").cast("long").alias("tt"),
+        F.sum("rc").cast("long").alias("tr"),
+    )
+    lean = (
+        pf.join(F.broadcast(tot))
+        .filter(F.col("tc") * F.col("tr") > F.col("rc") * F.col("tt"))
+        .select("feature_idx", F.lit(1).alias("_lean"))
+    )
+    scored = (
+        ff.filter(~F.col("is_t"))
+        .join(F.broadcast(lean), "feature_idx", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("_lean") == 1, F.col("n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_leaning"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_leaning",
+        (2 * F.col("n_leaning") >= F.col("n_tokens"))
+        .cast("long")
+        .alias("keep_flag"),
+    )
+
+
+# --- m53: span-corruption targets (T5/UL2 denoising prep) ----------------------
+
+_M53_CHUNK = 20
+_M53_SPAN = 3
+_M53_SLOTS = _M53_CHUNK - _M53_SPAN + 1  # 18 start slots per chunk
+
+M53_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n
+  FROM documents
+), spans AS (
+  SELECT doc_id, n, gs.c AS span_idx
+  FROM t,
+       LATERAL (SELECT unnest(generate_series(0,
+           CAST(n // {_M53_CHUNK} - 1 AS BIGINT))) AS c) gs
+  WHERE n >= {_M53_CHUNK}
+)
+SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+       CAST(span_idx * {_M53_CHUNK}
+            + CAST(CAST(concat('0x', substring(md5(
+                  'span:' || CAST(doc_id AS VARCHAR) || ':'
+                          || CAST(span_idx AS VARCHAR)), 1, 4)) AS BIGINT)
+                   % {_M53_SLOTS} AS BIGINT) AS BIGINT) AS start_tok,
+       CAST({_M53_SPAN} AS BIGINT) AS span_len
+FROM spans
+"""
+
+
+@register(
+    "m53_span_corruption",
+    M53_ORACLE,
+    doc="span-corruption target layout (T5/UL2 denoising prep): one "
+    f"{_M53_SPAN}-token corruption span per {_M53_CHUNK}-token chunk "
+    f"(15% noise density), start slot hash-placed (md5_16 mod "
+    f"{_M53_SLOTS}) so masks are deterministic across runs, engines, "
+    "and partitionings — no RNG state to checkpoint. Pure projection "
+    "+ explode, ZERO shuffles: corrupting 100 TB costs one codegen "
+    "pass; the sentinel-id is the span_idx itself",
+)
+def m53_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text as _text
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(_text.tokens("text")).cast("long").alias("n")
+    ).filter(F.col("n") >= _M53_CHUNK)
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.floor(F.col("n") / _M53_CHUNK) - 1).cast("long")
+            )
+        ).alias("span_idx"),
+    )
+    slot = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("span:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("span_idx").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_M53_SLOTS),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        (F.col("span_idx") * _M53_CHUNK + slot).cast("long").alias("start_tok"),
+        F.lit(_M53_SPAN).cast("long").alias("span_len"),
+    )

@@ -117,6 +117,9 @@ CORE_ORDER: tuple[str, ...] = (
     "mm7_frame_dedup",
     "a32_shuffle_skew_audit",
     "t30_boilerplate_lines",
+    "e19_two_stage_rerank",
+    "m52_importance_selection",
+    "m53_span_corruption",
     # (b) the remaining single-green r7-window entries
     # (d8_canonical_selection, pipe_llm_audit, m32_equidepth_bucketize,
     # st19_late_data_accounting, e14_ann_recall_eval, m33_epoch_shuffle,

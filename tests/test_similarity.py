@@ -531,3 +531,28 @@ def test_pool_chunk_embeddings_exact_and_partition_invariant(spark):
         ).collect()
     }
     assert again == out
+
+
+def test_two_stage_rerank_pool_all_is_brute_force(emb):
+    """With pool >= corpus-1 the coarse stage keeps EVERYTHING, so the
+    exact rerank must reproduce brute force bit-for-bit (ids, ranks,
+    and cosine values); with a small pool the result set is the
+    rerank of a genuine subset (recall <= 1, every neighbor drawn
+    from the coarse pool)."""
+    df, vecs = emb
+    qids = [0, 5, 9]
+    k = 5
+    bf = {
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 12), r.rank)
+        for r in similarity.brute_force_topk(df, query_ids=qids, k=k).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 12), r.rank)
+        for r in similarity.two_stage_topk(
+            df, query_ids=qids, k=k, pool=len(vecs)
+        ).collect()
+    }
+    assert full == bf
+    small = similarity.two_stage_topk(df, query_ids=qids, k=k, pool=8).collect()
+    assert all(r.coarse_rank <= 8 for r in small)
+    assert {r.query_id for r in small} == set(qids)
