@@ -78,3 +78,60 @@ def interval_join_binned(
         (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
     )
     return joined.drop("_bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """INNER-join interval rows to interval rows on half-open overlap
+    (``ls < re AND rs < le``) via the same time-binning trick as
+    `interval_join_binned` — without it, an inequality-only join plans
+    as a nested loop / cartesian product.
+
+    Both sides explode into the bins they cover, equi-join on the bin,
+    then keep a surviving pair ONLY in its canonical bin — the bin
+    containing ``max(ls, rs)`` (the later start). For a genuinely
+    overlapping pair that instant lies inside BOTH intervals, so both
+    sides cover its bin and the pair survives there exactly once; no
+    distinct() over the pair blowup is ever needed. Replication factor
+    per row is ``ceil(len/bin) + 1`` — pick bin_seconds near the
+    typical interval length. Skewed bins are ordinary join-key skew
+    (AQE-splittable), never a payload problem.
+
+    Column collisions are the caller's responsibility (alias first).
+    """
+    if bin_seconds <= 0:
+        raise ValueError("bin_seconds must be positive")
+    b = F.lit(bin_seconds).cast("long")
+
+    def _bins(df: DataFrame, s: str, e: str) -> DataFrame:
+        df = df.where(F.col(s) < F.col(e))
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / b).cast("long"),
+                    F.floor((F.unix_timestamp(F.col(e)) - 1) / b).cast("long"),
+                )
+            ),
+        )
+
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re = F.col(right_start), F.col(right_end)
+    later_start = F.greatest(F.unix_timestamp(ls), F.unix_timestamp(rs))
+    return (
+        _bins(left, left_start, left_end)
+        .join(_bins(right, right_start, right_end), "_bin", "inner")
+        .where(
+            (F.unix_timestamp(ls) < F.unix_timestamp(re))
+            & (F.unix_timestamp(rs) < F.unix_timestamp(le))
+            & (F.col("_bin") == F.floor(later_start / b).cast("long"))
+        )
+        .drop("_bin")
+    )

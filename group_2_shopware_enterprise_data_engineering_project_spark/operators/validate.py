@@ -253,3 +253,33 @@ def k_anonymity(
             (F.col("class_size") < k).cast("int").alias("at_risk"),
         )
     )
+
+
+def l_diversity(
+    df: DataFrame, qi_cols: tuple[str, ...], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """L-diversity audit — the strengthening of `k_anonymity` that
+    catches the homogeneity attack k-anonymity misses: a class can be
+    large (k-anonymous) yet expose its members anyway when every row
+    shares the SAME sensitive value. Emits one row per
+    quasi-identifier equivalence class with its size, the count of
+    DISTINCT sensitive values, and an at-risk flag (< l distinct).
+
+    Same scale shape as k_anonymity: one groupBy (the countDistinct
+    plans map-side via Expand), result bounded by class cardinality.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct(sensitive_col).cast("long").alias("n_sensitive"),
+        )
+        .select(
+            *qi_cols,
+            "class_size",
+            "n_sensitive",
+            (F.col("n_sensitive") < l).cast("int").alias("at_risk"),
+        )
+    )

@@ -873,3 +873,63 @@ def t21_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank_vec"),
     )
     return search.rrf_fuse(kw, vec)
+
+
+# --- j8: interval-interval overlap join (binned, canonical-bin dedup) --------
+
+J8_ORACLE = """
+WITH l AS (
+  SELECT o_orderkey AS a,
+         CAST(o_orderdate AS TIMESTAMP) AS ls,
+         CAST(o_orderdate + INTERVAL 7 DAY AS TIMESTAMP) AS le
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+), r AS (
+  SELECT o_orderkey AS b,
+         CAST(o_orderdate AS TIMESTAMP) AS rs,
+         CAST(o_orderdate + INTERVAL 7 DAY AS TIMESTAMP) AS re
+  FROM orders WHERE o_orderpriority = '2-HIGH'
+), p AS (
+  SELECT a, b FROM l JOIN r ON ls < re AND rs < le
+)
+SELECT a AS orderkey,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(min(b) AS BIGINT) AS min_overlap_key,
+       CAST(max(b) AS BIGINT) AS max_overlap_key
+FROM p GROUP BY 1
+"""
+
+
+@register(
+    "j8_interval_overlap",
+    J8_ORACLE,
+    doc="interval x interval overlap join (urgent vs high-priority "
+    "7-day order windows) — no equi-key on EITHER side, the shape a "
+    "naive plan turns into a cartesian product. Both sides bin-explode "
+    "and equi-join on the bin; a pair survives only in its CANONICAL "
+    "bin (the one containing the later start, inside both intervals "
+    "by the overlap definition) so no distinct() over the pair blowup "
+    "is needed. Replication ~2x at bin = window length",
+)
+def j8_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+
+    def side(priority, key, s, e):
+        return orders.filter(F.col("o_orderpriority") == priority).select(
+            F.col("o_orderkey").alias(key),
+            F.col("o_orderdate").cast("timestamp").alias(s),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+            .cast("timestamp")
+            .alias(e),
+        )
+
+    pairs = rangejoin.interval_overlap_join(
+        side("1-URGENT", "a", "ls", "le"),
+        side("2-HIGH", "b", "rs", "re"),
+        "ls", "le", "rs", "re",
+        bin_seconds=7 * 86400,
+    )
+    return pairs.groupBy(F.col("a").alias("orderkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+        F.min("b").cast("long").alias("min_overlap_key"),
+        F.max("b").cast("long").alias("max_overlap_key"),
+    )

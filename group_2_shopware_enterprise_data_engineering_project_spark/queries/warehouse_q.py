@@ -1256,3 +1256,38 @@ def k29_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col", "n_rows", "n_null", "ndv", "min_val", "max_val")
+
+
+# --- a33: l-diversity audit ----------------------------------------------------
+
+_A33_L = 3
+
+A33_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+            AS BIGINT) AS n_sensitive,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+            < {_A33_L} AS INT) AS at_risk
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "a33_l_diversity",
+    A33_ORACLE,
+    doc=f"l-diversity audit (l={_A33_L}) over the (nation, segment) "
+    "quasi-identifiers with the account-balance band as the sensitive "
+    "attribute — the strengthening of a29 that catches the homogeneity "
+    "attack (a class can be k-anonymous yet expose every member when "
+    "all rows share one sensitive value); one groupBy, countDistinct "
+    "planned map-side via Expand, result bounded by class cardinality",
+)
+def a33_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").withColumn(
+        "_band", F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    )
+    return validate.l_diversity(
+        cust, ("c_nationkey", "c_mktsegment"), "_band", l=_A33_L
+    )

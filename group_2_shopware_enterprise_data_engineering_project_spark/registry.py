@@ -120,6 +120,8 @@ CORE_ORDER: tuple[str, ...] = (
     "e19_two_stage_rerank",
     "m52_importance_selection",
     "m53_span_corruption",
+    "a33_l_diversity",
+    "j8_interval_overlap",
     # (b) the remaining single-green r7-window entries
     # (d8_canonical_selection, pipe_llm_audit, m32_equidepth_bucketize,
     # st19_late_data_accounting, e14_ann_recall_eval, m33_epoch_shuffle,

@@ -141,3 +141,43 @@ def test_skew_join_rejects_unsupported_how(spark):
 
     with pytest.raises(ValueError, match="inner/left"):
         skew_join(left, left, "k", how="full")
+
+
+def test_interval_overlap_join_equals_naive(spark):
+    """Canonical-bin dedup must reproduce the naive inequality join's
+    pair SET exactly — including pairs spanning many bins (long
+    intervals) and touching pairs (half-open: sharing only an endpoint
+    is NOT overlap)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import rangejoin
+
+    def ts(h):  # hours from epoch
+        return h * 3600
+
+    left = spark.createDataFrame(
+        [(1, ts(0), ts(10)), (2, ts(5), ts(6)), (3, ts(20), ts(21))],
+        "a long, ls_s long, le_s long",
+    ).select("a", F.timestamp_seconds("ls_s").alias("ls"),
+             F.timestamp_seconds("le_s").alias("le"))
+    right = spark.createDataFrame(
+        # 100: long interval spanning many 1h bins, overlaps 1 and 2;
+        # 101: touches 1 at its end exactly (no overlap, half-open);
+        # 102: inside 3
+        [(100, ts(4), ts(30)), (101, ts(10), ts(12)), (102, ts(20), ts(21))],
+        "b long, rs_s long, re_s long",
+    ).select("b", F.timestamp_seconds("rs_s").alias("rs"),
+             F.timestamp_seconds("re_s").alias("re"))
+
+    got = {
+        (r.a, r.b)
+        for r in rangejoin.interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bin_seconds=3600
+        ).select("a", "b").collect()
+    }
+    naive = {
+        (r.a, r.b)
+        for r in left.crossJoin(right)
+        .where((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .select("a", "b")
+        .collect()
+    }
+    assert got == naive == {(1, 100), (2, 100), (3, 100), (3, 102)}
