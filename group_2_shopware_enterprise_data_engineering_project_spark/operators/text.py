@@ -893,14 +893,15 @@ def feature_hashing(
 # --- within-doc repetition signal (Gopher-style quality gate) -----------------
 
 
-def repetition_signal(
+def bigram_repetition_gate(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Within-document repetition stats (the Gopher/MassiveText "rep"
-    quality gates, Rae et al. 2021 §A1.1): per doc, word and bigram
-    cardinalities plus the most-frequent-bigram count — the signals
-    behind "fraction of duplicate n-grams" filters that catch boilerplate,
-    template spam, and decode-loop degeneration.
+    """Most-frequent-BIGRAM share gate (Gopher/MassiveText A1.1's
+    top-2gram filter — the one repetition gate `repetition_signals`/t7
+    omits, which covers unique-token, top-TOKEN, and dup-ngram
+    fractions): per doc, word and bigram cardinalities plus the
+    most-frequent-bigram count, flagging template spam and decode-loop
+    degeneration dominated by one repeated phrase.
 
     Scale shape: word stats are zero-shuffle array expressions; the
     per-doc bigram mode runs as explode -> groupBy(doc, bigram) ->
@@ -1145,3 +1146,84 @@ def boilerplate_lines(
         .alias("n_kept"),
         F.md5(kept_text).alias("kept_digest"),
     )
+
+
+# --- RAKE keyword extraction ----------------------------------------------------
+
+
+def rake_keywords(
+    docs: DataFrame,
+    stopwords: tuple[str, ...] = STOPWORDS,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), corpus-level:
+    candidate phrases are maximal stopword-free token runs; each word
+    accumulates freq (occurrences in candidates) and degree (sum of
+    lengths of the phrases it appears in — its co-occurrence degree);
+    a phrase scores by its words' degree and freq totals. This
+    implementation ranks by the RATIO OF SUMS sum(degree)/sum(freq)
+    — ONE exact division of BIGINT totals — rather than classic
+    RAKE's sum of per-word ratios, because a cross-engine float SUM
+    is fold-order-dependent while a single division of exact integers
+    is IEEE-reproducible (the repo-wide float discipline).
+
+    Scale shape: phrase segmentation is one doc-key window (running
+    stopword count) + one (doc, run) groupBy sharing the shuffle;
+    word stats are a vocabulary-sized groupBy; the final cut is a
+    partial top-k (TakeOrderedAndProject), never a global sort of the
+    phrase space.
+    """
+    docs = spread(docs)
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "pos", "w"
+        ),
+    ).withColumn("is_stop", F.col("w").isin(list(stopwords)))
+    wseg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = pos.withColumn(
+        "g", F.sum(F.col("is_stop").cast("int")).over(wseg)
+    ).filter(~F.col("is_stop"))
+    # (doc, run) -> ordered phrase string + length; order restored by
+    # in-aggregation sort (m36's pattern)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos").alias("p"), F.col("w").alias("t")))
+        ),
+        lambda x: x["t"],
+    )
+    phrases = seg.groupBy("doc_id", "g").agg(
+        F.array_join(ordered, " ").alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    # word stats over candidate occurrences (word rides with its run's
+    # length, so degree needs no second join back to phrases)
+    word_occ = seg.join(phrases, ["doc_id", "g"]).select("w", "plen")
+    word_stats = word_occ.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    phrase_occ = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    scored = (
+        phrase_occ.select("phrase", "n_occurrences")
+        .withColumn("w", F.explode(F.split(F.col("phrase"), " ")))
+        .join(word_stats, "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.sum("degree").cast("long").alias("sum_degree"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+        )
+        .withColumn(
+            "score",
+            F.col("sum_degree").cast("double") / F.col("sum_freq").cast("double"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("phrase")).limit(k)
+    wr = Window.orderBy(F.col("score").desc(), F.col("phrase"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("long"))

@@ -1769,17 +1769,18 @@ FROM w LEFT JOIN bga USING (doc_id)
 
 
 @register(
-    "t28_repetition_signal",
+    "t28_bigram_repetition_gate",
     T28_ORACLE,
-    doc="within-document repetition gates (Gopher/MassiveText A1.1): "
-    "word/bigram cardinalities + most-frequent-bigram count per doc, "
+    doc="most-frequent-bigram share gate (Gopher A1.1's top-2gram "
+    "filter — the one repetition gate t7 omits): word/bigram "
+    "cardinalities + top-bigram count per doc, "
     "flag = top-bigram share > 18% by integer cross-multiplication — "
     "catches boilerplate, template spam, decode-loop degeneration. "
     "Per-doc bigram mode via two map-side-combined groupBys (LINEAR in "
     "doc length; an array-expression mode would be quadratic)",
 )
-def t28_repetition_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.repetition_signal(table(spark, sf_dir, "documents"))
+def t28_bigram_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_repetition_gate(table(spark, sf_dir, "documents"))
 
 
 # --- t29: bigram-LM OOV quality filter ----------------------------------------
@@ -2034,3 +2035,72 @@ def t30_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.boilerplate_lines(pages, min_share_pct=_T30_PCT)
+
+
+# --- t31: RAKE keyword extraction ------------------------------------------------
+
+_T31_K = 20
+
+T31_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), pos AS (
+  SELECT doc_id, gs.i AS pos, t[gs.i] AS w
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) gs
+), seg AS (
+  SELECT doc_id, pos, w,
+         sum(CASE WHEN w IN {_STOPLIST} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g,
+         w IN {_STOPLIST} AS is_stop
+  FROM pos
+), run_words AS (
+  SELECT doc_id, g, pos, w FROM seg WHERE NOT is_stop
+), phrases AS (
+  SELECT doc_id, g,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM run_words GROUP BY 1, 2
+), word_stats AS (
+  SELECT rw.w,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(p.plen) AS BIGINT) AS degree
+  FROM run_words rw JOIN phrases p USING (doc_id, g)
+  GROUP BY rw.w
+), phrase_occ AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM phrases
+  GROUP BY 1
+), scored AS (
+  SELECT po.phrase, po.n_occurrences,
+         CAST(sum(ws.degree) AS BIGINT) AS sum_degree,
+         CAST(sum(ws.freq) AS BIGINT) AS sum_freq
+  FROM phrase_occ po,
+       LATERAL (SELECT unnest(string_split(po.phrase, ' ')) AS w) u
+  JOIN word_stats ws ON ws.w = u.w
+  GROUP BY 1, 2
+)
+SELECT phrase, n_occurrences, sum_degree, sum_freq,
+       CAST(sum_degree AS DOUBLE) / CAST(sum_freq AS DOUBLE) AS score,
+       CAST(row_number() OVER (
+           ORDER BY CAST(sum_degree AS DOUBLE) / CAST(sum_freq AS DOUBLE)
+                    DESC, phrase) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {_T31_K}
+ORDER BY rank
+"""
+
+
+@register(
+    "t31_rake_keywords",
+    T31_ORACLE,
+    doc=f"RAKE keyword extraction (Rose et al. 2010), corpus top-"
+    f"{_T31_K}: stopword-free token runs are candidate phrases, words "
+    "accumulate freq + co-occurrence degree, phrases rank by "
+    "sum(degree)/sum(freq) — ONE exact BIGINT division (classic "
+    "RAKE's per-word ratio SUM is float-fold-order-dependent across "
+    "engines, so the ratio-of-sums variant is the reproducible form). "
+    "One doc-key window + run groupBy share a shuffle; vocabulary-"
+    "sized word stats; partial top-k cut",
+)
+def t31_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.rake_keywords(table(spark, sf_dir, "documents"), k=_T31_K)

@@ -108,7 +108,7 @@ CORE_ORDER: tuple[str, ...] = (
     # --- driver window boundary (first 50 above) ---
     # r9 rotation priority: (a) the new-in-r8 queries, which have never
     # had a driver row (sweep-green in CORRECTNESS_LOCAL_r08.json):
-    "t28_repetition_signal",
+    "t28_bigram_repetition_gate",
     "t29_lm_oov_filter",
     "m49_loss_mask_spans",
     "m50_vocab_coverage",
@@ -122,6 +122,7 @@ CORE_ORDER: tuple[str, ...] = (
     "m53_span_corruption",
     "a33_l_diversity",
     "j8_interval_overlap",
+    "t31_rake_keywords",
     # (b) the remaining single-green r7-window entries
     # (d8_canonical_selection, pipe_llm_audit, m32_equidepth_bucketize,
     # st19_late_data_accounting, e14_ann_recall_eval, m33_epoch_shuffle,

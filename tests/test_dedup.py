@@ -616,7 +616,7 @@ def test_leakage_free_split_never_splits_clusters(spark):
     assert all(n == 1 for n in per_cluster.values())
 
 
-def test_repetition_signal_toy_corpus(spark):
+def test_bigram_repetition_gate_toy_corpus(spark):
     from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
 
     df = spark.createDataFrame(
@@ -628,7 +628,7 @@ def test_repetition_signal_toy_corpus(spark):
         ],
         "doc_id long, text string",
     )
-    out = {r.doc_id: r for r in text.repetition_signal(df).collect()}
+    out = {r.doc_id: r for r in text.bigram_repetition_gate(df).collect()}
     assert (out[0].n_words, out[0].n_distinct_words) == (6, 2)
     assert (out[0].n_bigrams, out[0].n_distinct_bigrams, out[0].top_bigram_n) == (5, 2, 3)
     assert out[0].rep_flag == 0  # only 5 bigrams, below the >=10 floor
@@ -637,7 +637,7 @@ def test_repetition_signal_toy_corpus(spark):
     assert (out[3].n_words, out[3].n_bigrams, out[3].rep_flag) == (0, 0, 0)
     # a long degenerate loop fires the flag: 11 bigrams, all the same
     loop = spark.createDataFrame([(9, "q " * 12)], "doc_id long, text string")
-    r = text.repetition_signal(loop).collect()[0]
+    r = text.bigram_repetition_gate(loop).collect()[0]
     assert (r.n_bigrams, r.top_bigram_n, r.rep_flag) == (11, 11, 1)
 
 
@@ -728,3 +728,28 @@ def test_minhash_calibration_bounds_and_exact_dup(spark):
     for r in rows:
         assert 0 <= r.n_agree <= minhash.NUM_PERM
         assert 0 <= r.inter_n <= r.union_n
+
+
+def test_rake_keywords_toy_corpus(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    # stopwords: a, value, row, table. Runs: doc0 -> ["deep learning"],
+    # ["deep"]; doc1 -> ["deep learning"], ["fast"]
+    df = spark.createDataFrame(
+        [
+            (0, "deep learning a deep"),
+            (1, "deep learning value fast"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r for r in text.rake_keywords(df, k=10).collect()}
+    # word stats: deep: freq 3 (two phrases of len2, one of len1),
+    # degree 2+2+1=5; learning: freq 2, degree 4; fast: freq 1, degree 1
+    r = out["deep learning"]
+    assert (r.n_occurrences, r.sum_degree, r.sum_freq) == (2, 9, 5)
+    assert (out["deep"].sum_degree, out["deep"].sum_freq) == (5, 3)
+    assert (out["fast"].sum_degree, out["fast"].sum_freq) == (1, 1)
+    # ratio-of-sums ordering: "deep learning" 1.8 > "deep" 1.667 > "fast" 1.0
+    assert [p for p, v in sorted(out.items(), key=lambda kv: kv[1].rank)] == [
+        "deep learning", "deep", "fast",
+    ]

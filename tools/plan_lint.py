@@ -83,6 +83,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "TakeOrderedAndProject survivors (text.vocab_coverage "
         "docstring: partial top-k, never a global vocab sort)"
     },
+    "t31_rake_keywords": {
+        "global_window": "rank over the top-k TakeOrderedAndProject "
+        "survivors (text.rake_keywords docstring)"
+    },
 }
 
 # windowspecdefinition(<first arg> ...: a partitioned spec starts with

@@ -285,7 +285,7 @@ def main() -> None:
         # frequency join, calib's agreement+exact legs over the LSH
         # candidate set (replicas are content-decorrelated, so
         # candidates scale in COUNT, not density).
-        "rep": lambda d, e, p: text.repetition_signal(d),
+        "rep": lambda d, e, p: text.bigram_repetition_gate(d),
         "lm_oov": lambda d, e, p: text.lm_oov_score(
             d.filter(F.col("doc_id") % 2 == 1),
             d.filter(F.col("doc_id") % 2 == 0),
