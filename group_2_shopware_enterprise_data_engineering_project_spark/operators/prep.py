@@ -1008,7 +1008,7 @@ def loss_mask_spans(
     Offsets count characters in the newline-joined linearization
     (turn lengths + 1 separator per preceding turn), so downstream
     writers can slice the m36 convo string directly. Emits
-    (user_id, n_turns, n_loss_tokens, loss_spans) with spans as
+    (user_id, n_turns, n_loss_chars, loss_spans) with spans as
     ordered 'offset:len' strings (m47's span-string pattern) — all
     counts exact, digest-free.
 

@@ -10,26 +10,45 @@ Spark's own range-join hints in closed-source forks) is to
 discretize time into fixed bins, explode each interval into the bins
 it covers, tag each point with its single containing bin, and
 equi-join on the bin id — a plain hash/sort-merge join that
-hash-partitions both sides, followed by the exact range predicate as
-a cheap post-join filter.
+hash-partitions both sides, followed by the exact range predicate
+OVER THE RAW COLUMNS as a cheap post-join filter.
 
-Correctness: bins partition the timeline, a point lives in exactly one
-bin, and an interval is replicated into every bin it overlaps — so
-every true (point, interval) pair meets in the point's bin exactly
-once. No dedup step is needed.
+Bin ids come from ``unix_timestamp()`` (whole seconds); raw timestamps
+may carry sub-second precision. Truncation is safe for BINNING because
+it is monotone — ``s <= t`` implies ``trunc(s) <= trunc(t)`` — so an
+interval's truncated bin range always covers the truncated bin of any
+instant inside it, PROVIDED the end bin is ``floor(trunc(end)/bin)``
+(not ``floor((trunc(end)-1)/bin)``: an interval ending at 10.5s still
+reaches into second 10, which the ``-1`` form would drop). The cost of
+the inclusive end bin is at most one extra candidate bin per interval,
+discarded by the exact raw-column predicate. Truncation is NEVER used
+in the final predicate — comparing truncated seconds there would
+silently drop sub-second overlaps (e.g. [10.2s,10.9s) vs [10.5s,11s)).
+
+Correctness (point form): bins partition the timeline, a point lives
+in exactly one bin, and an interval is replicated into every bin its
+truncated range covers — so every true (point, interval) pair meets in
+the point's bin exactly once. No dedup step is needed.
 
 Scale shape: replication factor per interval is
-``ceil(len/bin) + 1`` — pick ``bin_seconds`` near the typical interval
+``<= len/bin + 2`` — pick ``bin_seconds`` near the typical interval
 length so the factor stays ~2. The join shuffles (bin_id) on both
-sides; skewed bins (a hot hour) are ordinary join skew handled by AQE
-skew-join splitting, because the bin id is the join key, not a
-payload.
+sides; skewed bins are ordinary join-key skew. AQE skew-join can SPLIT
+an oversized bin's task but cannot SHRINK a quadratic pair set: a
+single hot bin holding B rows on both sides is a B x B task. The
+``salt``/``hot_threshold`` knobs on `interval_overlap_join` bound that
+structurally (skewjoin's bipartite pattern: hot-bin left rows salted,
+hot-bin right rows replicated per salt).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    skewjoin,
+)
 
 
 def interval_join_binned(
@@ -60,20 +79,21 @@ def interval_join_binned(
         "_bin", F.floor(F.unix_timestamp(F.col(point_ts)) / b).cast("long")
     )
     # empty/inverted intervals ([end <= start]) contain no points by the
-    # half-open definition — drop them BEFORE the bin explode, where
-    # F.sequence(start_bin > end_bin) would error out the whole job
+    # half-open definition — drop them BEFORE the bin explode
     intervals = intervals.where(F.col(start_col) < F.col(end_col))
     ivs = intervals.withColumn(
         "_bin",
         F.explode(
             F.sequence(
                 F.floor(F.unix_timestamp(F.col(start_col)) / b).cast("long"),
-                # end is exclusive: an interval ending exactly on a bin
-                # boundary does not reach into that bin
-                F.floor((F.unix_timestamp(F.col(end_col)) - 1) / b).cast("long"),
+                # inclusive end bin: trunc(end) may still be reached by
+                # a sub-second end (see module doc); start<end raw plus
+                # monotone truncation guarantees an ascending sequence
+                F.floor(F.unix_timestamp(F.col(end_col)) / b).cast("long"),
             )
         ),
     )
+    # exact predicate over the RAW columns — full timestamp precision
     joined = pts.join(ivs, "_bin", "inner").where(
         (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
     )
@@ -88,26 +108,43 @@ def interval_overlap_join(
     right_start: str,
     right_end: str,
     bin_seconds: int,
+    salt: int = 1,
+    hot_threshold: int = 1_000_000,
 ) -> DataFrame:
     """INNER-join interval rows to interval rows on half-open overlap
-    (``ls < re AND rs < le``) via the same time-binning trick as
-    `interval_join_binned` — without it, an inequality-only join plans
-    as a nested loop / cartesian product.
+    (``ls < re AND rs < le``, compared on the RAW timestamp columns)
+    via the same time-binning trick as `interval_join_binned` —
+    without it, an inequality-only join plans as a nested loop /
+    cartesian product.
 
-    Both sides explode into the bins they cover, equi-join on the bin,
-    then keep a surviving pair ONLY in its canonical bin — the bin
-    containing ``max(ls, rs)`` (the later start). For a genuinely
-    overlapping pair that instant lies inside BOTH intervals, so both
-    sides cover its bin and the pair survives there exactly once; no
-    distinct() over the pair blowup is ever needed. Replication factor
-    per row is ``ceil(len/bin) + 1`` — pick bin_seconds near the
-    typical interval length. Skewed bins are ordinary join-key skew
-    (AQE-splittable), never a payload problem.
+    Both sides explode into the bins their truncated ranges cover
+    (end bin inclusive — see module doc), equi-join on the bin, then
+    keep a surviving pair ONLY in its canonical bin — the bin of
+    ``trunc(max(ls, rs))`` (the later start, taken over the raw
+    columns). For a genuinely overlapping pair the later start m
+    satisfies ``ls <= m < le`` and ``rs <= m < re``; truncation is
+    monotone, so both sides' bin ranges cover ``floor(trunc(m)/bin)``
+    and the pair survives there exactly once — no distinct() over the
+    pair blowup is ever needed. Replication factor per row is
+    ``<= len/bin + 2`` — pick bin_seconds near the typical interval
+    length.
+
+    Hot-bin guard: with ``salt > 1``, bins holding more than
+    ``hot_threshold`` LEFT rows take skewjoin's bipartite path — left
+    rows spread over ``salt`` deterministic sub-keys (xxhash64 of the
+    full row; full-row duplicates share a salt, the documented
+    degradation), right rows replicate once per salt — bounding a hot
+    bin's per-task pair count to ~(B_left/salt) x B_right instead of
+    one quadratic task AQE can only split, not shrink. Cold bins pay
+    zero replication. ``salt=1`` (default) skips the hot-bin count
+    pass entirely.
 
     Column collisions are the caller's responsibility (alias first).
     """
     if bin_seconds <= 0:
         raise ValueError("bin_seconds must be positive")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
     b = F.lit(bin_seconds).cast("long")
 
     def _bins(df: DataFrame, s: str, e: str) -> DataFrame:
@@ -117,21 +154,29 @@ def interval_overlap_join(
             F.explode(
                 F.sequence(
                     F.floor(F.unix_timestamp(F.col(s)) / b).cast("long"),
-                    F.floor((F.unix_timestamp(F.col(e)) - 1) / b).cast("long"),
+                    F.floor(F.unix_timestamp(F.col(e)) / b).cast("long"),
                 )
             ),
         )
 
+    lbins = _bins(left, left_start, left_end)
+    rbins = _bins(right, right_start, right_end)
+    if salt > 1:
+        lbins, rbins = skewjoin.salted_sides(
+            lbins, rbins, ["_bin"], salt, hot_threshold
+        )
+        joined = lbins.join(rbins, ["_bin", "_salt"], "inner")
+    else:
+        joined = lbins.join(rbins, "_bin", "inner")
+
     ls, le = F.col(left_start), F.col(left_end)
     rs, re = F.col(right_start), F.col(right_end)
-    later_start = F.greatest(F.unix_timestamp(ls), F.unix_timestamp(rs))
+    later_start = F.unix_timestamp(F.greatest(ls, rs))
     return (
-        _bins(left, left_start, left_end)
-        .join(_bins(right, right_start, right_end), "_bin", "inner")
-        .where(
-            (F.unix_timestamp(ls) < F.unix_timestamp(re))
-            & (F.unix_timestamp(rs) < F.unix_timestamp(le))
+        joined.where(
+            (ls < re)
+            & (rs < le)
             & (F.col("_bin") == F.floor(later_start / b).cast("long"))
         )
-        .drop("_bin")
+        .drop("_bin", "_salt")
     )

@@ -617,3 +617,46 @@ def drift_from_histogram(hist: DataFrame) -> DataFrame:
             ).alias("chi2_contrib"),
         )
     )
+
+
+def shuffle_skew_audit(
+    df: DataFrame, key_col: str, n_buckets: int = 8
+) -> DataFrame:
+    """Pre-flight shuffle-skew audit: hash ``key_col`` into the
+    ``n_buckets`` reducer buckets a shuffle on that key would use
+    (engine-portable md5_16 mod rule, same as k28's hidden
+    partitioning) and report per-bucket row/key counts with a
+    >2x-mean ``skew_flag`` — the report that tells a pipeline to salt
+    (j5/skewjoin) BEFORE the straggler, not after.
+
+    One map-side-combined groupBy over the hashed bucket; the flag is
+    integer cross-multiplication (n_rows * n_buckets > 2 * total)
+    against a broadcast 1-row total — no floats in the output.
+    """
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("skew:"), F.col(key_col))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    ).cast("long")
+    per_bucket = (
+        df.select(bucket.alias("bucket"), key_col)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(key_col).cast("long").alias("n_keys"),
+        )
+    )
+    tot = per_bucket.agg(F.sum("n_rows").cast("long").alias("total"))
+    return per_bucket.join(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        "n_keys",
+        (F.col("n_rows") * n_buckets > 2 * F.col("total"))
+        .cast("long")
+        .alias("skew_flag"),
+    )

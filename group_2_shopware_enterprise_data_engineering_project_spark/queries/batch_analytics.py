@@ -1041,15 +1041,15 @@ def a32_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- a32: shuffle-skew pre-flight audit ---------------------------------------
+# --- a34: shuffle-skew pre-flight audit ---------------------------------------
 
-_A32_BUCKETS = 8
+_A34_BUCKETS = 8
 
-A32_ORACLE = f"""
+A34_ORACLE = f"""
 WITH b AS (
   SELECT CAST(CAST(concat('0x', substring(
              md5('skew:' || event_type), 1, 4)) AS BIGINT)
-             % {_A32_BUCKETS} AS BIGINT) AS bucket,
+             % {_A34_BUCKETS} AS BIGINT) AS bucket,
          event_type
   FROM events
 ), per_bucket AS (
@@ -1061,49 +1061,27 @@ WITH b AS (
   SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM per_bucket
 )
 SELECT bucket, n_rows, n_keys,
-       CAST(CASE WHEN n_rows * {_A32_BUCKETS} > 2 * total
+       CAST(CASE WHEN n_rows * {_A34_BUCKETS} > 2 * total
                  THEN 1 ELSE 0 END AS BIGINT) AS skew_flag
 FROM per_bucket CROSS JOIN tot
 """
 
 
 @register(
-    "a32_shuffle_skew_audit",
-    A32_ORACLE,
+    "a34_shuffle_skew_audit",
+    A34_ORACLE,
     doc="shuffle-skew pre-flight audit: before shuffling on a "
     "low-cardinality key (event_type), hash keys into the planned "
-    f"reducer buckets (md5_16 mod {_A32_BUCKETS} — engine-portable, "
+    f"reducer buckets (md5_16 mod {_A34_BUCKETS} — engine-portable, "
     "k28's bucket rule) and report per-bucket row/key counts with a "
     ">2x-mean flag — the report that tells a pipeline to salt (j5) "
     "BEFORE the straggler, not after. One map-side-combined groupBy; "
     "flag by integer cross-multiplication against a broadcast total",
 )
-def a32_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a34_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        stats,
+    )
+
     events = table(spark, sf_dir, "events")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("skew:"), F.col("event_type"))), 1, 4
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(_A32_BUCKETS),
-    ).cast("long")
-    per_bucket = (
-        events.select(bucket.alias("bucket"), "event_type")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.countDistinct("event_type").cast("long").alias("n_keys"),
-        )
-    )
-    tot = per_bucket.agg(F.sum("n_rows").cast("long").alias("total"))
-    return per_bucket.join(F.broadcast(tot)).select(
-        "bucket",
-        "n_rows",
-        "n_keys",
-        (F.col("n_rows") * _A32_BUCKETS > 2 * F.col("total"))
-        .cast("long")
-        .alias("skew_flag"),
-    )
+    return stats.shuffle_skew_audit(events, "event_type", _A34_BUCKETS)

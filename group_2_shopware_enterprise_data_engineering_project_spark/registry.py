@@ -115,7 +115,7 @@ CORE_ORDER: tuple[str, ...] = (
     "d9_minhash_calibration",
     "m51_token_accounting",
     "mm7_frame_dedup",
-    "a32_shuffle_skew_audit",
+    "a34_shuffle_skew_audit",
     "t30_boilerplate_lines",
     "e19_two_stage_rerank",
     "m52_importance_selection",

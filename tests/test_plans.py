@@ -234,6 +234,13 @@ def test_contrastive_pool_prestage_is_salted(plans):
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     full_corpus_specs = [s for s in specs if "lang" in s]
     assert full_corpus_specs, "expected per-lang window specs in plan"
-    # at least one (lang, salt)-partitioned spec must exist, and it must
-    # appear BEFORE (deeper than) any lang-only spec in execution order
-    assert any("salt" in s for s in full_corpus_specs)
+    # the (lang, salt)-partitioned spec must exist AND be the deepest
+    # lang spec in the plan (optimized-plan strings print inner/earlier
+    # operators LAST, so the full-corpus pre-stage window — the one
+    # that must be salted — is the final lang spec in the string;
+    # lang-only specs may only re-rank the bounded n_salts*POOL union
+    # and therefore must all appear before it)
+    assert "salt" in full_corpus_specs[-1], (
+        "deepest (full-corpus) window spec is not salt-partitioned: "
+        f"{full_corpus_specs}"
+    )

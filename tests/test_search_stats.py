@@ -505,3 +505,36 @@ def test_drift_buckets_expected_and_chi2(spark):
     assert out[0].expected_cur == 30.0 and out[1].expected_cur == 10.0
     assert out[0].chi2_contrib == (10.0 - 30.0) ** 2 / 30.0
     assert out[1].chi2_contrib == (30.0 - 10.0) ** 2 / 10.0
+
+
+# --- shuffle_skew_audit ---------------------------------------------------
+
+
+def test_shuffle_skew_audit_flags_hot_key(spark):
+    """Against a REALLY skewed key distribution (one key holding ~90%
+    of rows — the mm6 hot-language shape) the >2x-mean flag must fire
+    on exactly the hot key's bucket, and nowhere else when the rest is
+    uniform."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    rows = [("hot-lang",)] * 900 + [(f"cold-{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.bucket: r for r in stats.shuffle_skew_audit(df, "k", 8).collect()}
+
+    assert sum(r.n_rows for r in out.values()) == 1000
+    flagged = [b for b, r in out.items() if r.skew_flag == 1]
+    # the hot key's bucket holds >= 900 of 1000 rows -> 900*8 > 2*1000
+    hot_bucket = max(out, key=lambda b: out[b].n_rows)
+    assert flagged == [hot_bucket]
+    assert out[hot_bucket].n_rows >= 900
+
+
+def test_shuffle_skew_audit_uniform_key_quiet(spark):
+    """A uniform high-cardinality key must raise no flag: no bucket
+    can exceed 2x the mean when keys hash evenly."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(4000)], "k string")
+    out = stats.shuffle_skew_audit(df, "k", 8).collect()
+    assert sum(r.n_rows for r in out) == 4000
+    assert all(r.skew_flag == 0 for r in out)

@@ -181,3 +181,117 @@ def test_interval_overlap_join_equals_naive(spark):
         .collect()
     }
     assert got == naive == {(1, 100), (2, 100), (3, 100), (3, 102)}
+
+
+def test_interval_overlap_join_subsecond(spark):
+    """The exact predicate must compare RAW timestamps, and the end bin
+    must be inclusive of trunc(end): with sub-second timestamps,
+    [10.2s,10.9s) vs [10.5s,11.0s) truly overlap (later start 10.5 is
+    inside both) and [10.2s,10.5s) vs [10.5s,11.0s) only touch (half-
+    open: no overlap). A seconds-truncated predicate or the old
+    floor((trunc(e)-1)/b) end bin silently drops the first pair."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import rangejoin
+
+    left = spark.createDataFrame(
+        [(1, 10.2, 10.9), (2, 10.2, 10.5), (3, 9.0, 10.500001)],
+        "a long, ls_s double, le_s double",
+    ).select("a", F.timestamp_seconds("ls_s").alias("ls"),
+             F.timestamp_seconds("le_s").alias("le"))
+    right = spark.createDataFrame(
+        [(100, 10.5, 11.0)], "b long, rs_s double, re_s double"
+    ).select("b", F.timestamp_seconds("rs_s").alias("rs"),
+             F.timestamp_seconds("re_s").alias("re"))
+
+    for bin_s in (1, 3600):
+        got = {
+            (r.a, r.b)
+            for r in rangejoin.interval_overlap_join(
+                left, right, "ls", "le", "rs", "re", bin_seconds=bin_s
+            ).select("a", "b").collect()
+        }
+        assert got == {(1, 100), (3, 100)}, f"bin_seconds={bin_s}: {got}"
+
+
+def test_interval_join_binned_subsecond(spark):
+    """Point 11.2s inside [10.5s,11.5s) must match: the interval's
+    truncated bin range (10..11 at bin=1) has to cover the point's bin
+    11 — the old exclusive end bin floor((trunc(e)-1)/b)=10 missed it.
+    Point 10.2s (before the interval) must not match."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import rangejoin
+
+    pts = spark.createDataFrame(
+        [(1, 11.2), (2, 10.2)], "p long, ts_s double"
+    ).select("p", F.timestamp_seconds("ts_s").alias("ts"))
+    ivs = spark.createDataFrame(
+        [(100, 10.5, 11.5)], "i long, s_s double, e_s double"
+    ).select("i", F.timestamp_seconds("s_s").alias("s"),
+             F.timestamp_seconds("e_s").alias("e"))
+
+    for bin_s in (1, 60):
+        got = {
+            (r.p, r.i)
+            for r in rangejoin.interval_join_binned(
+                pts, ivs, "ts", "s", "e", bin_seconds=bin_s
+            ).select("p", "i").collect()
+        }
+        assert got == {(1, 100)}, f"bin_seconds={bin_s}: {got}"
+
+
+def test_interval_overlap_join_hot_bin_salted(spark):
+    """Adversarial hot bin: one bin holds 50% of BOTH sides (a
+    quadratic pair task AQE can only split, not shrink). The salted
+    path (salt>1, hot_threshold exceeded) must reproduce the naive
+    inequality join's pair set exactly, and the salted left side must
+    actually spread the hot bin's rows over >1 sub-key."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        rangejoin, skewjoin,
+    )
+
+    H = 3600
+    # hot: 60 left + 60 right intervals all inside hour-bin 5;
+    # cold: 60 left + 60 right spread one per hour-bin 100..159
+    left = spark.createDataFrame(
+        [(i, 5 * H + i, 5 * H + i + 120) for i in range(60)]
+        + [(1000 + i, (100 + i) * H, (100 + i) * H + 120) for i in range(60)],
+        "a long, ls_s long, le_s long",
+    ).select("a", F.timestamp_seconds("ls_s").alias("ls"),
+             F.timestamp_seconds("le_s").alias("le"))
+    right = spark.createDataFrame(
+        [(i, 5 * H + 2 * i, 5 * H + 2 * i + 90) for i in range(60)]
+        + [(1000 + i, (100 + i) * H + 30, (100 + i) * H + 150) for i in range(60)],
+        "b long, rs_s long, re_s long",
+    ).select("b", F.timestamp_seconds("rs_s").alias("rs"),
+             F.timestamp_seconds("re_s").alias("re"))
+
+    naive = {
+        (r.a, r.b)
+        for r in left.crossJoin(right)
+        .where((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .select("a", "b")
+        .collect()
+    }
+    got = {
+        (r.a, r.b)
+        for r in rangejoin.interval_overlap_join(
+            left, right, "ls", "le", "rs", "re",
+            bin_seconds=H, salt=4, hot_threshold=30,
+        ).select("a", "b").collect()
+    }
+    assert got == naive and len(naive) > 100
+
+    # structural check: the hot bin's left rows occupy >1 salt value
+    def _bins(df, s, e):
+        b = F.lit(H).cast("long")
+        return df.withColumn("_bin", F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col(s)) / b).cast("long"),
+            F.floor(F.unix_timestamp(F.col(e)) / b).cast("long"))))
+
+    lsalted, _ = skewjoin.salted_sides(
+        _bins(left, "ls", "le"), _bins(right, "rs", "re"),
+        ["_bin"], 4, 30,
+    )
+    hot_salts = (
+        lsalted.where(F.col("_bin") == 5)
+        .select("_salt").distinct().count()
+    )
+    assert hot_salts > 1
