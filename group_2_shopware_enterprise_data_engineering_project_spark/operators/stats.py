@@ -394,6 +394,112 @@ def hll_distinct(
     )
 
 
+def analyze_columns_hll(
+    df: DataFrame,
+    int_cols: tuple[str, ...],
+    str_cols: tuple[str, ...],
+) -> DataFrame:
+    """ANALYZE-style per-column statistics with sketch NDV — the 100 TB
+    variant of the exact-countDistinct ANALYZE (k29): same output shape
+    (col, n_rows, n_null, min_val, max_val) but ndv comes from the m64
+    HyperLogLog of `hll_distinct` instead of Expand-planned exact
+    countDistinct, plus the sketch's verification columns
+    (n_zero_registers).
+
+    Plan shape — ONE FileScan, NO Expand: each row explodes into one
+    (col, val) pair per analyzed column, then a single map-side-combined
+    groupBy (col, bucket) computes the HLL register max AND bucket-local
+    partial counts/min/max side by side; the per-column rollup that
+    follows runs over at most m+1 rows per column. The shuffle carries
+    (n_cols x (m+1)) x n_partitions partial rows — fixed memory, no
+    per-value Expand replication, no second pass over the table.
+
+    Nulls ride bucket -1 (they have no hash) so n_rows/n_null stay exact;
+    min/max for integer columns aggregate the NUMERIC value (cast to
+    string only at output — lexicographic string min would order
+    '9' > '100'), string columns aggregate the string directly.
+    """
+    pairs = []
+    for c in int_cols:
+        pairs.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(c).cast("string").alias("val_str"),
+                F.col(c).cast("long").alias("val_num"),
+            )
+        )
+    for c in str_cols:
+        pairs.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(c).cast("string").alias("val_str"),
+                F.lit(None).cast("long").alias("val_num"),
+            )
+        )
+    stacked = df.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+    h = F.md5(F.col("val_str"))
+    bucket = F.when(F.col("val_str").isNull(), F.lit(-1)).otherwise(
+        F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(HLL_M))
+    )
+    v48 = F.conv(F.substring(h, 5, 12), 16, 10).cast("long")
+    rho = F.lit(49) - F.length(F.bin(v48))
+    per_bucket = (
+        stacked.select(
+            "col",
+            "val_str",
+            "val_num",
+            bucket.alias("b"),
+            F.when(F.col("val_str").isNotNull(), rho).alias("rho"),
+        )
+        .groupBy("col", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.count("val_str").cast("long").alias("n_nonnull"),
+            F.max("rho").alias("r"),
+            F.min("val_num").alias("min_num"),
+            F.max("val_num").alias("max_num"),
+            F.min("val_str").alias("min_str"),
+            F.max("val_str").alias("max_str"),
+        )
+    )
+    rolled = per_bucket.groupBy("col").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        (F.sum("cnt") - F.sum("n_nonnull")).cast("long").alias("n_null"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("b") >= 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(49 - r as int))"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s_exact"),
+        F.count(F.when(F.col("b") >= 0, F.lit(1))).cast("long").alias("n_regs"),
+        F.min("min_num").alias("min_num"),
+        F.max("max_num").alias("max_num"),
+        F.min("min_str").alias("min_str"),
+        F.max("max_str").alias("max_str"),
+    )
+    const = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 49)
+    zeros = F.lit(HLL_M) - F.col("n_regs")
+    s_full = F.col("s_exact") + zeros.cast("long") * F.lit(1 << 49)
+    return rolled.select(
+        "col",
+        "n_rows",
+        "n_null",
+        zeros.cast("long").alias("n_zero_registers"),
+        (F.lit(const) / s_full.cast("double")).alias("ndv_hll_est"),
+        F.coalesce(F.col("min_num").cast("string"), F.col("min_str")).alias(
+            "min_val"
+        ),
+        F.coalesce(F.col("max_num").cast("string"), F.col("max_str")).alias(
+            "max_val"
+        ),
+    )
+
+
 # --- fixed-bin histogram sketch (mergeable quantiles) ----------------------
 
 

@@ -1157,23 +1157,37 @@ def rake_keywords(
     k: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    classic: bool = False,
 ) -> DataFrame:
     """RAKE keyword extraction (Rose et al. 2010), corpus-level:
     candidate phrases are maximal stopword-free token runs; each word
     accumulates freq (occurrences in candidates) and degree (sum of
     lengths of the phrases it appears in — its co-occurrence degree);
-    a phrase scores by its words' degree and freq totals. This
-    implementation ranks by the RATIO OF SUMS sum(degree)/sum(freq)
-    — ONE exact division of BIGINT totals — rather than classic
-    RAKE's sum of per-word ratios, because a cross-engine float SUM
-    is fold-order-dependent while a single division of exact integers
-    is IEEE-reproducible (the repo-wide float discipline).
+    a phrase scores by its words' degree and freq totals. The DEFAULT
+    ranks by the RATIO OF SUMS sum(degree)/sum(freq) — ONE exact
+    division of BIGINT totals — rather than classic RAKE's sum of
+    per-word ratios, because an unordered cross-engine float SUM is
+    fold-order-dependent (the repo-wide float discipline).
+
+    ``classic=True`` gives textbook RAKE — score(phrase) = SUM over
+    the phrase's token occurrences of degree(w)/freq(w) — and CHANGES
+    RANKINGS vs the default: the ratio of sums is the freq-weighted
+    mean of per-word ratios, so classic boosts phrases containing a
+    rare word of high average-phrase-length while the default damps
+    it by the other words' frequencies. The float sum stays exactly
+    reproducible by construction: each ratio is one exact IEEE
+    division, and both engines LEFT-FOLD the ratios in phrase token
+    order (Spark ``F.aggregate`` over a pos-sorted array; DuckDB
+    ``list_reduce`` over ``list(... ORDER BY pos)``) — same addition
+    tree, bit-identical double.
 
     Scale shape: phrase segmentation is one doc-key window (running
     stopword count) + one (doc, run) groupBy sharing the shuffle;
     word stats are a vocabulary-sized groupBy; the final cut is a
     partial top-k (TakeOrderedAndProject), never a global sort of the
-    phrase space.
+    phrase space. The classic branch adds one phrase-key groupBy over
+    the (distinct-phrase x words) frame — vocabulary-bounded, not
+    corpus-bounded.
     """
     docs = spread(docs)
     pos = docs.select(
@@ -1210,6 +1224,39 @@ def rake_keywords(
     phrase_occ = phrases.groupBy("phrase").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )
+    if classic:
+        tok = phrase_occ.select(
+            "phrase",
+            "n_occurrences",
+            F.posexplode(F.split(F.col("phrase"), " ")).alias("pos", "w"),
+        )
+        ratios = (
+            tok.join(word_stats, "w")
+            .withColumn(
+                "r",
+                F.col("degree").cast("double") / F.col("freq").cast("double"),
+            )
+            .groupBy("phrase", "n_occurrences")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos").alias("p"), F.col("r").alias("r")
+                            )
+                        )
+                    ),
+                    lambda x: x["r"],
+                ).alias("rs"),
+            )
+        )
+        scored = ratios.withColumn(
+            "score", F.aggregate("rs", F.lit(0.0), lambda acc, x: acc + x)
+        ).drop("rs")
+        top = scored.orderBy(F.col("score").desc(), F.col("phrase")).limit(k)
+        wr = Window.orderBy(F.col("score").desc(), F.col("phrase"))
+        return top.withColumn("rank", F.row_number().over(wr).cast("long"))
     scored = (
         phrase_occ.select("phrase", "n_occurrences")
         .withColumn("w", F.explode(F.split(F.col("phrase"), " ")))

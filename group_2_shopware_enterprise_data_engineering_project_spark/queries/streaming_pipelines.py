@@ -1512,10 +1512,12 @@ FROM documents ORDER BY doc_id
     "source reads (path, length, content), and the oracle proves the "
     "byte-level roundtrip (octet length + md5 over the raw bytes, "
     "not characters). The fixture writes file-per-row only because "
-    "the harness must CREATE the blobs; at scale the blobs already "
-    "exist in object storage and this is purely the scan side — "
-    "partition parallelism comes from Spark's file splitting across "
-    "the listing",
+    "the harness must CREATE the blobs — and stages them EXECUTOR-"
+    "side via foreachPartition (r8 verdict item 3: no registered "
+    "query path materializes a full table on the driver; at scale "
+    "each task writes its partition's blobs straight to shared object "
+    "storage). The read side is purely the scan — partition "
+    "parallelism comes from Spark's file splitting across the listing",
 )
 def s10_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1524,9 +1526,15 @@ def s10_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = f"{base}/blobs"
     os.makedirs(blobs)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    for doc_id, text in docs.collect():
-        with open(os.path.join(blobs, f"{doc_id}.bin"), "wb") as f:
-            f.write(text.encode("utf-8"))
+
+    def _stage_partition(rows) -> None:
+        # runs on the executor: local[*] shares the filesystem, a real
+        # cluster would point `blobs` at object storage
+        for r in rows:
+            with open(os.path.join(blobs, f"{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    docs.foreachPartition(_stage_partition)
     back = spark.read.format("binaryFile").load(blobs)
     return back.select(
         F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)

@@ -681,7 +681,10 @@ def t14_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, base), (1, base * 16), (2, "x" * 65536), (3, "".join(rnd_chars))],
         "doc_id long, text string",
     )
-    pr = {r.doc_id: r.ratio for r in text.compression_ratio(probe).collect()}
+    probe_rows = (  # bounded-collect: probe is the 4-row literal frame above
+        text.compression_ratio(probe).collect()
+    )
+    pr = {r.doc_id: r.ratio for r in probe_rows}
     ok = (
         pr[1] < pr[0]
         and pr[2] < 0.02
@@ -2104,3 +2107,77 @@ ORDER BY rank
 )
 def t31_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rake_keywords(table(spark, sf_dir, "documents"), k=_T31_K)
+
+
+# --- t32: classic RAKE (textbook per-word-ratio sum) ------------------------------
+
+T32_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), pos AS (
+  SELECT doc_id, gs.i AS pos, t[gs.i] AS w
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) gs
+), seg AS (
+  SELECT doc_id, pos, w,
+         sum(CASE WHEN w IN {_STOPLIST} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g,
+         w IN {_STOPLIST} AS is_stop
+  FROM pos
+), run_words AS (
+  SELECT doc_id, g, pos, w FROM seg WHERE NOT is_stop
+), phrases AS (
+  SELECT doc_id, g,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM run_words GROUP BY 1, 2
+), word_stats AS (
+  SELECT rw.w,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(p.plen) AS BIGINT) AS degree
+  FROM run_words rw JOIN phrases p USING (doc_id, g)
+  GROUP BY rw.w
+), ratio AS (
+  SELECT w, CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) AS r
+  FROM word_stats
+), phrase_occ AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM phrases
+  GROUP BY 1
+), scored AS (
+  SELECT po.phrase, po.n_occurrences,
+         CAST(count(*) AS BIGINT) AS n_words,
+         list_reduce(list(ratio.r ORDER BY u.p), (x, y) -> x + y) AS score
+  FROM phrase_occ po,
+       LATERAL (SELECT unnest(string_split(po.phrase, ' ')) AS w,
+                       generate_subscripts(string_split(po.phrase, ' '), 1)
+                           AS p) u
+  JOIN ratio ON ratio.w = u.w
+  GROUP BY 1, 2
+)
+SELECT phrase, n_occurrences, n_words, score,
+       CAST(row_number() OVER (ORDER BY score DESC, phrase) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {_T31_K}
+ORDER BY rank
+"""
+
+
+@register(
+    "t32_rake_classic",
+    T32_ORACLE,
+    doc=f"textbook RAKE (Rose et al. 2010), corpus top-{_T31_K}: "
+    "score(phrase) = SUM over the phrase's token occurrences of "
+    "degree(w)/freq(w) — the per-word-ratio form whose rankings "
+    "DIVERGE from t31's ratio-of-sums (classic boosts phrases with a "
+    "rare long-phrase word; ratio-of-sums freq-weights it down). The "
+    "float sum hashes EXACTLY cross-engine anyway: each ratio is one "
+    "exact IEEE division and both engines LEFT-FOLD in phrase token "
+    "order (Spark F.aggregate over a pos-sorted array, DuckDB "
+    "list_reduce over list(ORDER BY pos)) — identical addition tree, "
+    "bit-identical double. Same shuffle shape as t31 plus one "
+    "vocabulary-bounded phrase-key groupBy",
+)
+def t32_rake_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.rake_keywords(
+        table(spark, sf_dir, "documents"), k=_T31_K, classic=True
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
     analytics,
     scd,
+    stats,
     validate,
 )
 from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
@@ -1256,6 +1257,75 @@ def k29_analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col", "n_rows", "n_null", "ndv", "min_val", "max_val")
+
+
+# --- k30: ANALYZE with HLL sketch NDV (the 100 TB scale path of k29) -----------
+
+# CONST interpolated via repr so both engines parse the identical double
+# (module float-literal discipline; same constant as m28's oracle).
+_K30_CONST = repr(
+    stats._HLL_ALPHA * stats.HLL_M * stats.HLL_M * float(1 << 49)
+)
+
+
+def _k30_col_oracle(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col,
+       b.n_rows, b.n_null,
+       CAST(64 - h.n_regs AS BIGINT) AS n_zero_registers,
+       {_K30_CONST} / CAST(h.s_exact + (64 - h.n_regs) * (1::BIGINT << 49)
+                           AS DOUBLE) AS ndv_hll_est,
+       b.min_val, b.max_val
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+         CAST(min({c}) AS VARCHAR) AS min_val,
+         CAST(max({c}) AS VARCHAR) AS max_val
+  FROM orders
+) b CROSS JOIN (
+  SELECT CAST(COALESCE(sum((1::BIGINT << CAST(49 - r AS INT))), 0)
+              AS BIGINT) AS s_exact,
+         CAST(count(*) AS BIGINT) AS n_regs
+  FROM (
+    SELECT bk, max(rho) AS r FROM (
+      SELECT ('0x' || substring(md5(val), 1, 4))::BIGINT % 64 AS bk,
+             49 - length(bin(('0x' || substring(md5(val), 5, 12))::BIGINT))
+                 AS rho
+      FROM (SELECT CAST({c} AS VARCHAR) AS val FROM orders
+            WHERE {c} IS NOT NULL)
+    ) GROUP BY 1
+  )
+) h
+"""
+
+
+_K30_COLS_INT = ("o_orderkey", "o_custkey")
+_K30_COLS_STR = ("o_orderstatus", "o_orderpriority")
+
+K30_ORACLE = "\nUNION ALL\n".join(
+    _k30_col_oracle(c) for c in _K30_COLS_INT + _K30_COLS_STR
+)
+
+
+@register(
+    "k30_analyze_hll_stats",
+    K30_ORACLE,
+    doc="ANALYZE with sketch NDV — the verified 100 TB scale path that "
+    "k29's docstring only promised: same per-column catalog stats "
+    "(row/null counts, min/max) but ndv from the m64 HyperLogLog of "
+    "m28 instead of Expand-planned exact countDistinct. ONE FileScan, "
+    "NO Expand: rows explode into (col, val) pairs, a single "
+    "(col, bucket) groupBy computes HLL register maxima and partial "
+    "counts/min/max side by side (map-side combine; shuffle carries "
+    "at most n_cols x 65 partials per partition), then a 65-row-per-"
+    "column rollup. Oracle is EXACT (m28's integer-harmonic-sum "
+    "discipline): the only float op is one division both engines "
+    "round identically",
+)
+def k30_analyze_hll_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.analyze_columns_hll(
+        table(spark, sf_dir, "orders"), _K30_COLS_INT, _K30_COLS_STR
+    )
 
 
 # --- a33: l-diversity audit ----------------------------------------------------

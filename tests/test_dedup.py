@@ -753,3 +753,37 @@ def test_rake_keywords_toy_corpus(spark):
     assert [p for p, v in sorted(out.items(), key=lambda kv: kv[1].rank)] == [
         "deep learning", "deep", "fast",
     ]
+
+
+def test_rake_classic_diverges_from_ratio_of_sums(spark):
+    """classic=True is textbook RAKE (sum of per-word degree/freq
+    ratios); the default is the ratio of sums — a freq-WEIGHTED mean
+    of the same ratios, always <= the classic sum and capable of
+    FLIPPING rankings. This corpus pins one flip. Stopword: 'a'."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import text
+
+    # doc0 runs: [v],[v],[v],[v w],[w],[w]
+    #   v: freq 4, degree 1+1+1+2=5, ratio 1.25
+    #   w: freq 3, degree 2+1+1=4, ratio 4/3
+    # doc1 runs: [u p q],[u]
+    #   u: freq 2, degree 3+1=4, ratio 2.0 (p, q: freq 1, degree 3)
+    df = spark.createDataFrame(
+        [
+            (0, "v a v a v a v w a w a w"),
+            (1, "u p q a u"),
+        ],
+        "doc_id long, text string",
+    )
+    classic = {
+        r.phrase: r for r in text.rake_keywords(df, k=10, classic=True).collect()
+    }
+    default = {r.phrase: r for r in text.rake_keywords(df, k=10).collect()}
+    # classic: score("v w") = 1.25 + 4/3 = 2.5833... > score("u") = 2.0
+    assert classic["v w"].score == 1.25 + 4 / 3
+    assert classic["u"].score == 2.0
+    assert classic["v w"].rank < classic["u"].rank
+    # default: score("v w") = (5+4)/(4+3) = 9/7 ~ 1.286 < score("u") = 2.0
+    assert default["v w"].score == 9 / 7
+    assert default["u"].rank < default["v w"].rank
+    # single-word phrases agree between variants by construction
+    assert classic["u"].score == default["u"].score

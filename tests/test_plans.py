@@ -224,6 +224,18 @@ def test_analyze_column_stats_single_scan(plans):
     assert "Union" not in plan
 
 
+def test_analyze_hll_stats_single_scan_no_expand(plans):
+    """k30 is the verified 100 TB ANALYZE path (r8 verdict item 2):
+    sketch NDV must keep the single table pass AND drop the Expand
+    operator that exact multi-countDistinct planning inserts — Expand
+    replicates every input row once per distinct-aggregate, which at
+    100 TB multiplies the shuffle write by the column count."""
+    plan = plans("k30_analyze_hll_stats")
+    assert plan.count("FileScan") == 1
+    assert "Expand" not in plan
+    assert "Union" not in plan
+
+
 def test_contrastive_pool_prestage_is_salted(plans):
     """mm6's negative pool must never sort a whole language inside one
     task (r7 verdict item 4): the FIRST row_number window over the

@@ -82,6 +82,51 @@ def test_no_defaulted_lambda_params_in_spark_hofs():
     )
 
 
+def test_no_unbounded_collect_in_query_modules():
+    """No registered query path may materialize an unbounded table on
+    the driver (r8 verdict item 3 — the s10 fixture-staging collect).
+    Every ``.collect()`` in ``queries/`` must be visibly bounded: a
+    global/grouped aggregate (``.agg(`` or an aggregate-only
+    ``F.min``/``F.max`` select), an explicit ``.limit(``, a literal
+    ``createDataFrame`` frame, or a line carrying a
+    ``# bounded-collect:`` justification comment. Anything else is a
+    driver-OOM waiting for the 100 TB table."""
+    qdir = os.path.join(PKG, "queries")
+    bounded_markers = (".agg(", ".limit(", "createDataFrame", "F.min(", "F.max(")
+    offenders = []
+    for name in sorted(os.listdir(qdir)):
+        if not name.endswith(".py"):
+            continue
+        path = os.path.join(qdir, name)
+        with open(path) as fh:
+            src = fh.read()
+        lines = src.splitlines()
+        tree = ast.parse(src, filename=path)
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "collect"
+            ):
+                continue
+            seg = ast.get_source_segment(src, node) or ""
+            if any(m in seg for m in bounded_markers):
+                continue
+            # justification comment anywhere on the call's line span
+            # (or the line above, for wrapped expressions)
+            lo = max(0, node.lineno - 2)
+            hi = (node.end_lineno or node.lineno)
+            if any("# bounded-collect:" in ln for ln in lines[lo:hi]):
+                continue
+            offenders.append(f"queries/{name}:{node.lineno}: {seg[:80]}")
+    assert not offenders, (
+        "unbounded .collect() in a registered query module — stage via "
+        "a distributed write (foreachPartition / .write) or bound it "
+        "(.limit + count assert) and tag the line with "
+        "'# bounded-collect: <reason>':\n" + "\n".join(offenders)
+    )
+
+
 def test_no_nondeterministic_exprs_in_package_source():
     """Nondeterministic Spark expressions (rand, randn,
     monotonically_increasing_id, uuid) are banned from the package:

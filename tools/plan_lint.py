@@ -87,6 +87,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "global_window": "rank over the top-k TakeOrderedAndProject "
         "survivors (text.rake_keywords docstring)"
     },
+    "t32_rake_classic": {
+        "global_window": "rank over the top-k TakeOrderedAndProject "
+        "survivors (same cut as t31; text.rake_keywords docstring)"
+    },
 }
 
 # windowspecdefinition(<first arg> ...: a partitioned spec starts with
