@@ -42,19 +42,70 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: never-driver-checked queries rotate in (r4: e9 in for a5; r5: full
 #: rotation to the never-checked set, see the block comment below).
 CORE_ORDER: tuple[str, ...] = (
-    # r8 rotation (r7 verdict items 1 + 6). m15/pipe_llm_prep/t14 keep
-    # the first three slots for a SECOND consecutive green driver row
-    # (each has exactly one green row after 3-4 red rounds; the r7 fix
-    # was oracle-side CAST AS BIGINT / bounds-audit oracle).
+    # r9 rotation (r8 verdict item 1): the 18 never-driver-checked
+    # queries front the window — the 16 added after the r8 driver run
+    # (sweep-green in CORRECTNESS_LOCAL_r08.json and live-verified
+    # during r8 judging) plus the two added in r9 (t32_rake_classic,
+    # k30_analyze_hll_stats; sweep rows in CORRECTNESS_LOCAL_r09.json):
+    "t28_bigram_repetition_gate",
+    "t29_lm_oov_filter",
+    "m49_loss_mask_spans",
+    "m50_vocab_coverage",
+    "d9_minhash_calibration",
+    "m51_token_accounting",
+    "mm7_frame_dedup",
+    "a34_shuffle_skew_audit",
+    "t30_boilerplate_lines",
+    "e19_two_stage_rerank",
+    "m52_importance_selection",
+    "m53_span_corruption",
+    "a33_l_diversity",
+    "j8_interval_overlap",
+    "t31_rake_keywords",
+    "a32_moving_window",
+    "t32_rake_classic",
+    "k30_analyze_hll_stats",
+    # Remaining 32 slots: the longest-unconfirmed driver-green entries
+    # — the r3 cohort, whose newest driver row is round 3. 32 of its 33
+    # rotate in; m8_dedup_clusters (below) is the single registry entry
+    # left on an r3-only row and fronts the r10 rotation:
+    "a5_alert_count",
+    "a9_rollup_sales",
+    "a10_pivot_events",
+    "j3_customers_without_orders",
+    "d4_cohort_set_ops",
+    "w2_running_totals",
+    "a11_profile_orders",
+    "a12_value_histogram",
+    "e1_embedding_norms",
+    "e2_ann_bruteforce",
+    "e3_ann_lsh",
+    "e5_ann_ivf",
+    "e7_ann_ivf_probe2",
+    "e6_embedding_near_dup",
+    "e4_label_stats",
+    "e8_ann_quantized",
+    "t1_text_stats",
+    "t2_quality_score",
+    "t3_lang_id",
+    "t4_exact_dedup",
+    "t5_winnow_fingerprints",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "t6_token_counts",
+    "t7_repetition_signals",
+    "m1_split_assign",
+    "m3_pii_redact",
+    "m4_topk_per_group",
+    "m5_doc_frequency",
+    "m6_stratified_sample",
+    "m7_asof_join",
+    # --- driver window boundary (first 50 above) ---
+    # rotated out in r9 (each is r8 driver-green + r9 sweep-covered):
     "m15_sequence_pack",
     "pipe_llm_prep",
     "t14_compression_ratio",
-    # The 34 never-driver-checked queries rotate in (verdict item 1):
-    # 32 late-r7 additions sweep-green in CORRECTNESS_LOCAL_r07.json,
-    # plus k29/t27 which were committed after that artifact (verified
-    # live in r7 judging; re-swept in CORRECTNESS_LOCAL_r08.json).
-    # k29 was rewritten single-scan and mm6 de-skewed (verdict items
-    # 3-4) before entering the window; both re-verified green.
     "m37_source_overlap",
     "t23_script_mix",
     "m38_dataset_card",
@@ -89,9 +140,6 @@ CORE_ORDER: tuple[str, ...] = (
     "m48_leakage_free_split",
     "k29_analyze_column_stats",
     "t27_ocr_noise_signal",
-    # Remaining 13 slots: r7-window entries whose ONLY driver row is r7
-    # (second-round confirmation; the rest of the single-green r7 set
-    # rotates back in next round as these confirm):
     "m34_preference_pairs",
     "m35_bigram_coverage",
     "t20_line_quality_filter",
@@ -105,32 +153,9 @@ CORE_ORDER: tuple[str, ...] = (
     "m31_histogram_quantiles",
     "a25_unpivot_metrics",
     "st18_hopping_window",
-    # --- driver window boundary (first 50 above) ---
-    # r9 rotation priority: (a) the new-in-r8 queries, which have never
-    # had a driver row (sweep-green in CORRECTNESS_LOCAL_r08.json):
-    "t28_bigram_repetition_gate",
-    "t29_lm_oov_filter",
-    "m49_loss_mask_spans",
-    "m50_vocab_coverage",
-    "d9_minhash_calibration",
-    "m51_token_accounting",
-    "mm7_frame_dedup",
-    "a34_shuffle_skew_audit",
-    "t30_boilerplate_lines",
-    "e19_two_stage_rerank",
-    "m52_importance_selection",
-    "m53_span_corruption",
-    "a33_l_diversity",
-    "j8_interval_overlap",
-    "t31_rake_keywords",
-    # (b) the remaining single-green r7-window entries
-    # (d8_canonical_selection, pipe_llm_audit, m32_equidepth_bucketize,
-    # st19_late_data_accounting, e14_ann_recall_eval, m33_epoch_shuffle,
-    # k23_partition_evolution, k24_gdpr_purge, st20_stream_ann_index,
-    # s10_binaryfile_scan, s11_logline_parse, a26_window_ranks,
-    # a27_wilson_proportions, e15_ann_matryoshka,
-    # k25_write_audit_publish).
-    # rotated out in r8 (each has a green r7 driver row + r8 sweep):
+    # r10 rotation priority: m8_dedup_clusters (r3 row only), then the
+    # single-green r7/r8 sets as they age. Below keeps sweep order
+    # stable (newest driver rows r4-r8; see CORRECTNESS_r0*.json):
     "d8_canonical_selection",
     "pipe_llm_audit",
     "m32_equidepth_bucketize",
@@ -165,7 +190,6 @@ CORE_ORDER: tuple[str, ...] = (
     "st15_stream_outer_join",
     "k17_zone_map_scan",
     "k20_shard_manifest",
-    # rotated out in r7 (each has green r5 AND r6 driver rows + sweep):
     "e10_ann_lsh_multiprobe",
     "e11_semdedup",
     "e12_ann_pq",
@@ -194,7 +218,6 @@ CORE_ORDER: tuple[str, ...] = (
     "a20_expectations",
     "a21_item_cooccurrence",
     "st10_stream_stream_join",
-    # rotated out in r6 (each has a green r5 driver row):
     "a13_funnel",
     "a14_cohort_retention",
     "k16_scd2_history",
@@ -217,7 +240,6 @@ CORE_ORDER: tuple[str, ...] = (
     "a23_share_of_total",
     "j4_range_join",
     "st11_dedup_within_watermark",
-    # prior-round driver-proven core (keeps sweep order stable)
     "m9_session_window_native",
     "m10_percentiles",
     "m11_json_extract",
