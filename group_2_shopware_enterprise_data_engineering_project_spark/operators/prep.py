@@ -468,6 +468,144 @@ def token_budget_select(
     return full.unionByName(partial)
 
 
+def budget_waterfill(
+    docs: DataFrame,
+    budget_pct: int = 60,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources — the
+    mixture-balancing primitive behind "no source may dominate the
+    corpus": given per-source token totals and a global budget
+    (``budget_pct`` percent of all tokens), find the unique integer cap
+    C such that allocating min(total_s, C) to every source s exhausts
+    the budget; small sources keep everything, over-represented sources
+    are clipped at the common waterline. Equivalent to maximizing the
+    minimum allocation subject to the budget — the fairness objective
+    temperature resampling (m29) approximates smoothly, solved exactly.
+
+    Closed form, no iteration: sort sources ascending by total; the
+    feasibility predicate g(i) = P(i-1) + (n-i+1)*t(i) <= B is monotone
+    in i (g(i+1)-g(i) = (n-i)(t(i+1)-t(i)) >= 0), so the number k of
+    fully-funded sources is one MAX over the ranked frame, and
+    C = (B - P(k)) div (n - k) (all BIGINT; k = n means the budget
+    covers everything and C = max total). Every step is exact integer
+    arithmetic — reproducible across engines.
+
+    Scale shape: one map-side-combined groupBy(source) reduces the
+    corpus to a source-cardinality frame (tens of rows); the ranking
+    window, the 1-row solve, and the broadcast join back all run on
+    that frame — the table itself is scanned once and never re-sorted.
+
+    Output per source: total_tokens, cap_tokens (the waterline),
+    alloc_tokens = min(total, cap), capped flag.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("total_tokens")
+    )
+    w_ord = Window.orderBy("total_tokens", "source")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_src.select(
+        "source",
+        "total_tokens",
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.sum("total_tokens").over(w_run).cast("long").alias("p"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("total_tokens").over(w_all).cast("long").alias("grand"),
+    )
+    budget = F.expr(f"(grand * {int(budget_pct)}) div 100")
+    feasible = (
+        (F.col("p") - F.col("total_tokens"))
+        + (F.col("n") - F.col("i") + 1) * F.col("total_tokens")
+    ) <= budget
+    sol = ranked.agg(
+        F.max(F.when(feasible, F.col("i")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("k"),
+        F.max(F.when(feasible, F.col("p")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("pk"),
+        F.max("n").alias("n_src"),
+        F.max("grand").alias("grand"),
+        F.max("total_tokens").alias("max_total"),
+    )
+    cap = F.when(F.col("k") >= F.col("n_src"), F.col("max_total")).otherwise(
+        F.expr(
+            f"((grand * {int(budget_pct)}) div 100 - pk) div (n_src - k)"
+        )
+    )
+    solved = sol.select(cap.cast("long").alias("cap_tokens"))
+    return ranked.crossJoin(F.broadcast(solved)).select(
+        "source",
+        "total_tokens",
+        "cap_tokens",
+        F.least(F.col("total_tokens"), F.col("cap_tokens")).alias(
+            "alloc_tokens"
+        ),
+        (F.col("total_tokens") > F.col("cap_tokens")).cast("int").alias(
+            "capped"
+        ),
+    )
+
+
+def fim_transform(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle (FIM) training example construction (Bavarian
+    et al. 2022, "Efficient Training of Language Models to Fill in the
+    Middle"): split each document at two deterministic points into
+    (prefix, middle, suffix) and re-serialize in PSM order —
+    sentinel+prefix, sentinel+suffix, sentinel+middle — so a causal LM
+    learns infilling from plain next-token prediction. The span
+    endpoints come from disjoint md5 slices of the doc id (mod len+1,
+    order-normalized), so the transform is a pure deterministic
+    PROJECTION: zero shuffles, zero Python, reproducible across engines
+    and retries — the m53 span-corruption discipline applied to the
+    document-level FIM recipe.
+
+    Output: (doc_id, n_prefix, n_middle, n_suffix, fim_text). Char
+    counts are emitted (not byte counts) because both engines'
+    substring/length are character-based.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(txt)
+    h = F.md5(F.concat(F.lit("fim:"), F.col(id_col).cast("string")))
+    cut_a = F.pmod(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), n + F.lit(1)
+    )
+    cut_b = F.pmod(
+        F.conv(F.substring(h, 5, 4), 16, 10).cast("long"), n + F.lit(1)
+    )
+    lo = F.least(cut_a, cut_b)
+    hi = F.greatest(cut_a, cut_b)
+    prefix = F.substring(txt, F.lit(1), lo)
+    middle = F.substring(txt, lo + 1, hi - lo)
+    suffix = F.substring(txt, hi + 1, n - hi)
+    return docs.select(
+        F.col(id_col),
+        lo.cast("long").alias("n_prefix"),
+        (hi - lo).cast("long").alias("n_middle"),
+        (n - hi).cast("long").alias("n_suffix"),
+        F.concat(
+            F.lit("<|fim_prefix|>"),
+            prefix,
+            F.lit("<|fim_suffix|>"),
+            suffix,
+            F.lit("<|fim_middle|>"),
+            middle,
+        ).alias("fim_text"),
+    )
+
+
 # --- sequence-length bucketing ---------------------------------------------
 
 #: Power-of-two bucket caps for length-bucketed batching. The last cap

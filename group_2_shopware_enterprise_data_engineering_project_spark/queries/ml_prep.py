@@ -2583,3 +2583,108 @@ def m53_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("span_idx") * _M53_CHUNK + slot).cast("long").alias("start_tok"),
         F.lit(_M53_SPAN).cast("long").alias("span_len"),
     )
+
+
+# --- m54: water-filling token-budget allocation across sources --------------
+
+_M54_PCT = 60
+
+M54_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         CAST(sum(len({text_pipeline._TOKS})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY 1
+), ranked AS (
+  SELECT source, total_tokens,
+         CAST(row_number() OVER (ORDER BY total_tokens, source) AS BIGINT)
+             AS i,
+         CAST(sum(total_tokens) OVER (ORDER BY total_tokens, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS p,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(total_tokens) OVER () AS BIGINT) AS grand
+  FROM t
+), sol AS (
+  SELECT max(CASE WHEN (p - total_tokens) + (n - i + 1) * total_tokens
+                       <= (grand * {_M54_PCT}) // 100
+             THEN i ELSE 0 END) AS k,
+         max(CASE WHEN (p - total_tokens) + (n - i + 1) * total_tokens
+                       <= (grand * {_M54_PCT}) // 100
+             THEN p ELSE 0 END) AS pk,
+         max(n) AS n_src,
+         max(grand) AS grand,
+         max(total_tokens) AS max_total
+  FROM ranked
+), capped AS (
+  SELECT CAST(CASE WHEN k >= n_src THEN max_total
+              ELSE ((grand * {_M54_PCT}) // 100 - pk) // (n_src - k)
+              END AS BIGINT) AS cap_tokens
+  FROM sol
+)
+SELECT r.source, r.total_tokens, c.cap_tokens,
+       CAST(least(r.total_tokens, c.cap_tokens) AS BIGINT) AS alloc_tokens,
+       CAST(r.total_tokens > c.cap_tokens AS INT) AS capped
+FROM ranked r CROSS JOIN capped c
+"""
+
+
+@register(
+    "m54_budget_waterfill",
+    M54_ORACLE,
+    doc=f"water-filling token-budget allocation ({_M54_PCT}% of corpus "
+    "tokens): the unique integer cap C with sum(min(total_s, C)) "
+    "exhausting the budget — small sources keep everything, dominant "
+    "sources clip at the common waterline (the exact max-min-fairness "
+    "answer that temperature resampling approximates). Closed form via "
+    "the monotone feasibility predicate: one groupBy(source) reduces "
+    "the corpus to a source-cardinality frame, then rank + one MAX + a "
+    "broadcast join back — all-BIGINT arithmetic, no iteration, table "
+    "scanned once",
+)
+def m54_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.budget_waterfill(
+        table(spark, sf_dir, "documents"), budget_pct=_M54_PCT
+    )
+
+
+# --- m55: fill-in-the-middle (FIM) example construction ---------------------
+
+M55_ORACLE = """
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS txt FROM documents
+), c AS (
+  SELECT doc_id, txt, length(txt) AS n,
+         ('0x' || substring(md5('fim:' || CAST(doc_id AS VARCHAR)), 1, 4))
+             ::BIGINT % (length(txt) + 1) AS ca,
+         ('0x' || substring(md5('fim:' || CAST(doc_id AS VARCHAR)), 5, 4))
+             ::BIGINT % (length(txt) + 1) AS cb
+  FROM d
+), s AS (
+  SELECT doc_id, txt, n, least(ca, cb) AS lo, greatest(ca, cb) AS hi FROM c
+)
+SELECT doc_id,
+       CAST(lo AS BIGINT) AS n_prefix,
+       CAST(hi - lo AS BIGINT) AS n_middle,
+       CAST(n - hi AS BIGINT) AS n_suffix,
+       '<|fim_prefix|>' || substring(txt, 1, CAST(lo AS INT))
+       || '<|fim_suffix|>'
+       || substring(txt, CAST(hi + 1 AS INT), CAST(n - hi AS INT))
+       || '<|fim_middle|>'
+       || substring(txt, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)) AS fim_text
+FROM s
+"""
+
+
+@register(
+    "m55_fim_transform",
+    M55_ORACLE,
+    doc="fill-in-the-middle (FIM, Bavarian et al. 2022) example "
+    "construction: each doc splits at two md5-derived points into "
+    "(prefix, middle, suffix) and re-serializes in PSM sentinel order "
+    "so a causal LM learns infilling from next-token prediction. Pure "
+    "deterministic projection — zero shuffles, zero Python, exact "
+    "cross-engine hash (both engines' substring/length are "
+    "character-based and the cut points are integer md5 slices)",
+)
+def m55_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.fim_transform(table(spark, sf_dir, "documents"))

@@ -654,6 +654,88 @@ def m28_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- M56: HLL register MERGE across shards (the 100 TB sketch path) -------
+
+M56_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         event_type || '|' || CAST(CAST(ts AS DATE) AS VARCHAR) AS g,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(user_id AS VARCHAR) AS val
+  FROM events
+), h AS (
+  SELECT event_type, g,
+         ('0x' || substring(md5(val), 1, 4))::BIGINT % 64 AS b,
+         49 - length(bin(('0x' || substring(md5(val), 5, 12))::BIGINT)) AS rho
+  FROM v
+), day_regs AS (
+  SELECT event_type, g, b, max(rho) AS r FROM h GROUP BY 1, 2, 3
+), merged AS (
+  SELECT event_type, b, max(r) AS r FROM day_regs GROUP BY 1, 2
+), rolled AS (
+  SELECT event_type,
+         CAST(sum((1::BIGINT << CAST(49 - r AS INT))) AS BIGINT) AS s_exact,
+         CAST(count(*) AS BIGINT) AS n_regs
+  FROM merged GROUP BY 1
+), exact AS (
+  SELECT event_type,
+         CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+         CAST(count(DISTINCT val) AS BIGINT) AS exact_distinct
+  FROM v GROUP BY 1
+)
+SELECT e.event_type, e.n_days, e.exact_distinct,
+       CAST(64 - r.n_regs AS BIGINT) AS n_zero_registers,
+       1.6356288818656343e+18
+           / CAST(r.s_exact + (64 - r.n_regs) * (1::BIGINT << 49) AS DOUBLE)
+           AS hll_raw_est
+FROM exact e JOIN rolled r USING (event_type)
+"""
+
+
+@register(
+    "m56_hll_merge_rollup",
+    M56_ORACLE,
+    doc="HLL register MERGE across shards with an EXACT oracle — the "
+    "property that makes the sketch the 100 TB artifact, verified as "
+    "a query rather than assumed: per-(event_type, day) register "
+    "tables (what each daily ingest shard would persist) max-merge "
+    "into per-event_type registers, and the merged estimate is "
+    "IDENTICAL to sketching the union directly (max is commutative/"
+    "associative/idempotent). Both engines recompute the same integer "
+    "register algebra; exact_distinct rides along as the verification "
+    "branch. Shuffles carry register rows only (<= 64 per group-day)",
+)
+def m56_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        "user_id",
+    )
+    sharded = ev.withColumn(
+        "gday", F.concat(F.col("event_type"), F.lit("|"), F.col("day"))
+    )
+    # stage 1: the per-shard (per-day) register tables — the artifact a
+    # daily pipeline would persist instead of raw ids
+    day_regs = stats.hll_registers(sharded, "gday", "user_id").withColumn(
+        "event_type", F.substring_index(F.col("g"), "|", 1)
+    )
+    # stage 2: cross-shard max-merge, then the shared estimate rollup
+    merged = (
+        day_regs.groupBy("event_type", "b")
+        .agg(F.max("r").alias("r"))
+        .withColumnRenamed("event_type", "g")
+    )
+    est = stats.hll_estimate(merged)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("day").cast("long").alias("n_days"),
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+    )
+    return exact.join(est, exact.event_type == est.g).select(
+        "event_type", "n_days", "exact_distinct",
+        "n_zero_registers", "hll_raw_est",
+    )
+
+
 # --- M31: mergeable histogram quantile sketch (EXACT oracle) --------------
 
 _H_LO, _H_HI, _H_BINS = 0, 16_000_000, 64

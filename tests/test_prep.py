@@ -827,3 +827,65 @@ def test_loss_mask_spans_cap_bounds_state(spark):
     r = prep.loss_mask_spans(ev, max_turns=4).collect()[0]
     # only the first 4 turns survive the cap: xx\nxx\nxx\nxx
     assert (r.n_turns, r.n_loss_chars, r.loss_spans) == (4, 4, "3:2,9:2")
+
+
+def test_budget_waterfill_clips_dominant_source(spark):
+    """Hand-solved instance: totals a=10, b=20, c=70, budget 60% of
+    100 = 60. Feasibility g(i)=P(i-1)+(n-i+1)t(i): g(1)=30, g(2)=50
+    (both <= 60), g(3)=100 (> 60) -> k=2 fully funded, waterline
+    C = (60-30)//1 = 30. Only the dominant source is clipped."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+    docs = spark.createDataFrame(
+        [(i, src, "w " * n) for i, (src, n) in enumerate(
+            [("a", 10), ("b", 20), ("c", 35), ("c", 35)]
+        )],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in prep.budget_waterfill(docs, 60).collect()}
+    assert out["a"].total_tokens == 10 and out["a"].alloc_tokens == 10
+    assert out["b"].alloc_tokens == 20
+    assert out["c"].total_tokens == 70 and out["c"].alloc_tokens == 30
+    assert [out[s].cap_tokens for s in "abc"] == [30, 30, 30]
+    assert [out[s].capped for s in "abc"] == [0, 0, 1]
+    # budget sum property: allocations exhaust the budget up to the
+    # integer floor (cap is maximal: raising it by 1 would exceed B)
+    alloc = sum(r.alloc_tokens for r in out.values())
+    assert alloc <= 60 < alloc + sum(
+        1 for r in out.values() if r.capped
+    ) + 1
+
+
+def test_budget_waterfill_no_cap_when_budget_covers_corpus(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+    docs = spark.createDataFrame(
+        [(0, "a", "w " * 10), (1, "b", "w " * 70)],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in prep.budget_waterfill(docs, 100).collect()}
+    assert out["a"].alloc_tokens == 10 and out["b"].alloc_tokens == 70
+    assert all(r.capped == 0 for r in out.values())
+    assert out["b"].cap_tokens == 70  # waterline = max total, k == n
+
+
+def test_fim_transform_is_lossless_permutation(spark):
+    """FIM only PERMUTES content: stitching prefix+middle+suffix back
+    from the PSM serialization must reproduce the original text, and
+    the three span lengths must partition the doc length."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import prep
+
+    texts = ["hello world, fill me in", "", "x", "abc def ghi " * 40]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for r in prep.fim_transform(docs).collect():
+        orig = texts[r.doc_id]
+        assert r.n_prefix + r.n_middle + r.n_suffix == len(orig)
+        body = r.fim_text[len("<|fim_prefix|>"):]
+        pre, rest = body.split("<|fim_suffix|>", 1)
+        suf, mid = rest.split("<|fim_middle|>", 1)
+        assert pre + mid + suf == orig
+        assert (len(pre), len(mid), len(suf)) == (
+            r.n_prefix, r.n_middle, r.n_suffix,
+        )

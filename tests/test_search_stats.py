@@ -538,3 +538,30 @@ def test_shuffle_skew_audit_uniform_key_quiet(spark):
     out = stats.shuffle_skew_audit(df, "k", 8).collect()
     assert sum(r.n_rows for r in out) == 4000
     assert all(r.skew_flag == 0 for r in out)
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """The mergeability invariant m56 relies on: max-merging per-shard
+    register tables yields BIT-IDENTICAL estimates to sketching the
+    union directly — max is commutative, associative, idempotent, so
+    shard boundaries (and overlaps) cannot change the registers."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import stats
+
+    rows = [("g1", f"u{i % 37}") for i in range(200)] + [
+        ("g2", f"v{i % 11}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "g string, val string")
+    # shard by an arbitrary predicate, with overlap (idempotence)
+    s1 = df.filter(F.length("val") <= 2)
+    s2 = df.filter(F.length("val") >= 2)
+    merged = stats.hll_merge(
+        stats.hll_registers(s1, "g", "val"),
+        stats.hll_registers(s2, "g", "val"),
+    )
+    direct = stats.hll_registers(df, "g", "val")
+    est_m = {r.g: r for r in stats.hll_estimate(merged).collect()}
+    est_d = {r.g: r for r in stats.hll_estimate(direct).collect()}
+    assert set(est_m) == set(est_d) == {"g1", "g2"}
+    for g in est_d:
+        assert est_m[g].hll_raw_est == est_d[g].hll_raw_est  # bit-equal
+        assert est_m[g].n_zero_registers == est_d[g].n_zero_registers

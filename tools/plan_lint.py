@@ -91,6 +91,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "global_window": "rank over the top-k TakeOrderedAndProject "
         "survivors (same cut as t31; text.rake_keywords docstring)"
     },
+    "m54_budget_waterfill": {
+        "global_window": "rank/prefix-sum over the source-cardinality "
+        "aggregate frame (tens of rows; prep.budget_waterfill "
+        "docstring — the corpus itself is never windowed)"
+    },
 }
 
 # windowspecdefinition(<first arg> ...: a partitioned spec starts with
