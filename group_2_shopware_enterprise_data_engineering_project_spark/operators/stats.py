@@ -766,3 +766,79 @@ def shuffle_skew_audit(
         .cast("long")
         .alias("skew_flag"),
     )
+
+
+#: Benford first-digit expectations log10(1 + 1/d), computed ONCE in
+#: Python and interpolated as identical double literals into both the
+#: Spark plan and the DuckDB oracle (the module's transcendental-
+#: function discipline: ln/log10 never evaluate engine-side).
+import math as _math
+
+BENFORD_EXPECTED: tuple[float, ...] = tuple(
+    _math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+)
+
+
+def benford_audit(
+    df: DataFrame,
+    amount_col: str,
+    deviation_threshold: float = 0.02,
+) -> DataFrame:
+    """Benford's-law first-digit audit over a monetary column — the
+    classic forensic data-quality screen (fabricated or systematically
+    corrupted amounts drift from the log distribution of naturally
+    occurring ones). Amounts convert to exact integer cents (the repo's
+    floor(x*100+0.5) discipline), the first significant digit is the
+    leading character of the BIGINT's decimal string (identical CAST in
+    both engines — no engine-side log10), and each digit's observed
+    share is one exact division of BIGINTs. Expected shares are Python-
+    interpolated literals (BENFORD_EXPECTED), so deviation = share -
+    expected is a single IEEE subtraction both engines round
+    identically.
+
+    Scale shape: one map-side-combined groupBy over 9 possible digits,
+    then a broadcast join against the 9-row expectation frame — the
+    shuffle carries at most 9 x n_partitions partial counts.
+
+    Output per digit 1-9: n, share, benford_expected, deviation,
+    flagged (|deviation| > threshold).
+    """
+    cents = F.floor(F.col(amount_col) * 100.0 + 0.5).cast("long")
+    digits = (
+        df.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = digits.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, BENFORD_EXPECTED[d - 1]) for d in range(1, 10)],
+        "digit long, benford_expected double",
+    )
+    share = F.col("n").cast("double") / F.col("total").cast("double")
+    dev = share - F.col("benford_expected")
+    return (
+        F.broadcast(expected)
+        .join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(share, F.lit(0.0)).alias("share"),
+            "benford_expected",
+            F.coalesce(dev, -F.col("benford_expected")).alias("deviation"),
+            (
+                F.abs(F.coalesce(dev, -F.col("benford_expected")))
+                > F.lit(deviation_threshold)
+            )
+            .cast("int")
+            .alias("flagged"),
+        )
+    )

@@ -1085,3 +1085,73 @@ def a34_shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = table(spark, sf_dir, "events")
     return stats.shuffle_skew_audit(events, "event_type", _A34_BUCKETS)
+
+
+# --- a35: Benford first-digit audit ------------------------------------------
+
+_A35_THRESHOLD = 0.02
+
+
+def _a35_oracle() -> str:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.stats import (
+        BENFORD_EXPECTED,
+    )
+
+    values = ", ".join(
+        f"({d}, CAST({BENFORD_EXPECTED[d - 1]!r} AS DOUBLE))"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), d AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0
+), counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS total FROM d
+), expected(digit, benford_expected) AS (
+  VALUES {values}
+)
+SELECT e.digit,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       COALESCE(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 0.0) AS share,
+       e.benford_expected,
+       COALESCE(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                - e.benford_expected,
+                -e.benford_expected) AS deviation,
+       CAST(abs(COALESCE(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                         - e.benford_expected,
+                         -e.benford_expected)) > {_A35_THRESHOLD!r}
+            AS INT) AS flagged
+FROM expected e
+LEFT JOIN counts c USING (digit)
+CROSS JOIN tot t
+"""
+
+
+@register(
+    "a35_benford_audit",
+    _a35_oracle(),
+    doc=f"Benford's-law first-digit audit over order totals (deviation "
+    f"threshold {_A35_THRESHOLD}): the forensic screen for fabricated "
+    "or corrupted monetary data. First digits come from the decimal "
+    "string of exact integer cents (no engine-side log10 — the "
+    "expected shares log10(1+1/d) are Python-interpolated literals, "
+    "per the stats-module transcendental discipline), shares and "
+    "deviations are single exact IEEE ops over BIGINT counts. One "
+    "9-bucket map-side-combined groupBy + a broadcast 9-row "
+    "expectation join; the table is scanned once",
+)
+def a35_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        stats,
+    )
+
+    return stats.benford_audit(
+        table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        deviation_threshold=_A35_THRESHOLD,
+    )

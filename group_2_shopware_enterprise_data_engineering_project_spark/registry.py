@@ -65,6 +65,10 @@ CORE_ORDER: tuple[str, ...] = (
     "a32_moving_window",
     "t32_rake_classic",
     "k30_analyze_hll_stats",
+    "m54_budget_waterfill",
+    "m55_fim_transform",
+    "m56_hll_merge_rollup",
+    "a35_benford_audit",
     # Remaining 32 slots: the longest-unconfirmed driver-green entries
     # — the r3 cohort, whose newest driver row is round 3. 32 of its 33
     # rotate in; m8_dedup_clusters (below) is the single registry entry
@@ -97,11 +101,13 @@ CORE_ORDER: tuple[str, ...] = (
     "t7_repetition_signals",
     "m1_split_assign",
     "m3_pii_redact",
+    # --- driver window boundary (first 50 above) ---
+    # r10 rotation priority (with m8_dedup_clusters): the four r3-
+    # cohort entries displaced by the r9 additions above:
     "m4_topk_per_group",
     "m5_doc_frequency",
     "m6_stratified_sample",
     "m7_asof_join",
-    # --- driver window boundary (first 50 above) ---
     # rotated out in r9 (each is r8 driver-green + r9 sweep-covered):
     "m15_sequence_pack",
     "pipe_llm_prep",

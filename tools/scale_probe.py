@@ -72,6 +72,7 @@ from group_2_shopware_enterprise_data_engineering_project_spark.operators import
     minhash,
     prep,
     similarity,
+    stats,
     text,
 )
 from group_2_shopware_enterprise_data_engineering_project_spark.session import get_spark
@@ -304,6 +305,17 @@ def main() -> None:
             )
         ),
         "calib": lambda d, e, p: minhash.calibration(d),
+        # r9 additions: waterfill's scale surface is the corpus-wide
+        # groupBy(source) (source count stays fixed under _docs_k, so
+        # the solve frame must NOT grow); hll_analyze's is the
+        # (col, bucket) register shuffle (fixed 65-row-per-column
+        # output regardless of k); fim is a zero-shuffle projection
+        # and should track the scan linearly.
+        "waterfill": lambda d, e, p: prep.budget_waterfill(d),
+        "fim": lambda d, e, p: prep.fim_transform(d),
+        "hll_analyze": lambda d, e, p: stats.analyze_columns_hll(
+            d, ("doc_id",), ("source", "text")
+        ),
     }
     if only:
         unknown = only - set(ops) - {"incr", "convo"}
