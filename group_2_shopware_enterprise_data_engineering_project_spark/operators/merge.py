@@ -1009,3 +1009,84 @@ def merge_cdc(
     deletes = latest.filter(F.col(op_col) == "D").select(*key_cols)
     merged = merge_replace(target, upserts, key_cols)
     return merged.join(deletes, list(key_cols), "left_anti")
+
+
+class MergeOnReadTable:
+    """Merge-on-read row deletes — the Iceberg v2 delete-file / Delta
+    deletion-vector pattern, reproduced over two manifest-committed
+    ``ParquetUpsertTable``s: deletes APPEND key tombstones to a side
+    table (O(deleted keys) write cost) instead of rewriting data files
+    (``delete_keys``' O(table) copy-on-write), and every read merges by
+    anti-joining the tombstone set. ``compact()`` is the maintenance op
+    that bounds read amplification: apply all accumulated tombstones in
+    ONE base rewrite, then truncate them.
+
+    Tombstones are KEYS, not file positions: engine-portable, stable
+    under base compaction/clustering (a positional delete dies the
+    moment its file is rewritten), idempotent under replay (deleting a
+    deleted key appends a tombstone the anti-join already honors), and
+    small enough to broadcast in the read join. The trade vs positional
+    deletion vectors is one hash join per read instead of a bitmap
+    filter — the right trade for a key-addressed table; both sides
+    inherit the snapshot tables' atomic manifest commits.
+
+    Write amplification: delete = one tombstone append; read = base
+    scan + broadcast anti-join; compact = one table rewrite, amortized
+    over all deletes since the last compact.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: tuple[str, ...],
+    ) -> None:
+        self.spark = spark
+        self.key_cols = tuple(key_cols)
+        self.base = ParquetUpsertTable(spark, os.path.join(path, "base"))
+        self.tombstones = ParquetUpsertTable(
+            spark, os.path.join(path, "tombstones")
+        )
+
+    def create_or_overwrite(self, df: DataFrame) -> None:
+        self.base.create_or_overwrite(df)
+        self.tombstones.create_or_overwrite(
+            df.select(*self.key_cols).limit(0)
+        )
+
+    def delete_keys(
+        self, keys: DataFrame, txn: tuple[str, int] | None = None
+    ) -> None:
+        """Row-level delete WITHOUT touching the base table: append the
+        (distinct, non-null) keys as tombstones. ``txn=`` rides the
+        tombstone table's manifest commit, so a replayed erasure batch
+        is a no-op there — and harmless anyway (idempotent merge)."""
+        cleaned = keys.select(*self.key_cols).na.drop().distinct()
+        if txn is not None:
+            if txn[1] <= self.tombstones.last_txn(txn[0]):
+                return
+            merged = self.tombstones.read().unionByName(cleaned).distinct()
+            self.tombstones._snapshot_write(merged, txn=txn)
+        else:
+            self.tombstones.append(cleaned)
+
+    def read(self) -> DataFrame:
+        return self.base.read().join(
+            F.broadcast(self.tombstones.read().distinct()),
+            list(self.key_cols),
+            "left_anti",
+        )
+
+    def n_tombstones(self) -> int:
+        return self.tombstones.read().distinct().count()
+
+    def compact(self) -> None:
+        """Apply every accumulated tombstone in one base rewrite, then
+        truncate the tombstone table — after this, reads are a plain
+        base scan again (zero read amplification) and vacuum on both
+        tables drops the pre-delete history for a compliance purge."""
+        applied = self.read()
+        self.base.create_or_overwrite(applied)
+        self.tombstones.create_or_overwrite(
+            self.base.read().select(*self.key_cols).limit(0)
+        )

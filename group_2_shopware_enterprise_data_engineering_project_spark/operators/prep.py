@@ -509,6 +509,19 @@ def budget_waterfill(
         .cast("long")
         .alias("total_tokens")
     )
+    return waterfill_from_totals(per_src, budget_pct)
+
+
+def waterfill_from_totals(
+    per_src: DataFrame, budget_pct: int = 60
+) -> DataFrame:
+    """The water-fill solve over a pre-aggregated (source,
+    total_tokens) frame — the entry point for callers that already
+    maintain the totals (e.g. st26's streaming counter table, where
+    per-batch token counts MERGE additively and the waterline is
+    re-solved from accumulated state). See `budget_waterfill` for the
+    algebra and scale argument; this frame is source-cardinality-sized
+    by construction."""
     w_ord = Window.orderBy("total_tokens", "source")
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy()

@@ -2688,3 +2688,84 @@ FROM s
 )
 def m55_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.fim_transform(table(spark, sf_dir, "documents"))
+
+
+# --- m57: effective (post-dedup) mixture weights per source -----------------
+
+M57_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len({text_pipeline._TOKS}) AS BIGINT) AS n_tokens,
+         md5(COALESCE(text, '')) AS fp
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM t
+), per_src AS (
+  SELECT source,
+         CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+         CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS effective_tokens
+  FROM ranked GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(effective_tokens) AS BIGINT) AS total_eff FROM per_src
+)
+SELECT source, raw_tokens, effective_tokens,
+       CAST(raw_tokens - effective_tokens AS DOUBLE)
+           / CAST(raw_tokens AS DOUBLE) AS dup_token_share,
+       CAST(effective_tokens AS DOUBLE)
+           / CAST(t.total_eff AS DOUBLE) AS effective_weight
+FROM per_src CROSS JOIN tot t
+"""
+
+
+@register(
+    "m57_effective_mixture",
+    M57_ORACLE,
+    doc="effective (post-dedup) mixture weights: raw per-source token "
+    "mass vs the mass surviving exact dedup (first doc per content "
+    "fingerprint wins, so a duplicate shared across sources credits "
+    "only the canonical's source — the double-counting that makes "
+    "RAW mixture weights lie about heavily-mirrored sources). "
+    "dup_token_share and effective_weight are single exact divisions "
+    "of BIGINT sums. Two shuffles: the fingerprint window (digest "
+    "keys only) and the source rollup; the 1-row total broadcasts "
+    "back",
+)
+def m57_effective_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    per_src = ranked.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("raw_tokens"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("effective_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("effective_tokens").cast("long").alias("total_eff")
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "raw_tokens",
+        "effective_tokens",
+        (
+            (F.col("raw_tokens") - F.col("effective_tokens")).cast("double")
+            / F.col("raw_tokens").cast("double")
+        ).alias("dup_token_share"),
+        (
+            F.col("effective_tokens").cast("double")
+            / F.col("total_eff").cast("double")
+        ).alias("effective_weight"),
+    )

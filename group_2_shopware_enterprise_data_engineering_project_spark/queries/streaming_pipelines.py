@@ -2139,3 +2139,82 @@ def s14_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_corrupt).cast("long").alias("n_corrupt"),
         F.sum("c_custkey").cast("long").alias("custkey_sum"),
     )
+
+
+# --- ST26: streaming mixture monitor (water-fill over accumulated totals) -----
+
+@register(
+    "st26_stream_waterfill",
+    None,  # placeholder; bound below to m54's oracle (same batch truth)
+    doc="streaming mixture monitor: per micro-batch, per-source token "
+    "counts additively MERGE into a persistent counter table under "
+    "the exactly-once manifest txn, and the water-fill cap is "
+    "re-solved from the ACCUMULATED totals — continuous source-"
+    "balance supervision without re-scanning history (token sums "
+    "commute, so the streamed totals equal the batch totals exactly "
+    "and m54's oracle verifies the full streaming path end-to-end)",
+)
+def st26_stream_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        prep as _prep,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    base = _tmp("st26")
+    src_dir, cnt_path, ckpt = f"{base}/in", f"{base}/counters", f"{base}/ckpt"
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    # three deterministic micro-batch shards (the st21 harness shape)
+    docs.withColumn("bucket", (F.col("doc_id") % 3).cast("int")).repartition(
+        3, "bucket"
+    ).drop("bucket").write.mode("overwrite").json(src_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+    counters = ParquetUpsertTable(spark, cnt_path)
+
+    def _batch_totals(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.sum("n_tokens").cast("long").alias("total_tokens")
+        )
+
+    accumulating_kpi_sink(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        counters,
+        ("source",),
+        ("total_tokens",),
+        _batch_totals,
+        ckpt,
+    )
+    return _prep.waterfill_from_totals(
+        counters.read().select("source", "total_tokens"), budget_pct=60
+    )
+
+
+def _bind_st26_oracle() -> None:
+    """st26's oracle IS m54's (the streamed counter table equals the
+    batch per-source totals exactly — additive commutativity), bound
+    late to avoid importing ml_prep at module-import time."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries import (
+        ml_prep,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.registry import (
+        _REGISTRY,
+    )
+
+    _REGISTRY["st26_stream_waterfill"].oracle = ml_prep.M54_ORACLE
+
+
+_bind_st26_oracle()

@@ -1361,3 +1361,144 @@ def a33_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate.l_diversity(
         cust, ("c_nationkey", "c_mktsegment"), "_band", l=_A33_L
     )
+
+
+# --- k31: referential-integrity audit across the star schema -------------------
+
+_K31_EDGES = (
+    # (edge label, child table, child FK col, parent table, parent PK col)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _k31_edge_oracle(label, child, fk, parent, pk) -> str:
+    return f"""
+SELECT '{label}' AS edge,
+       (SELECT CAST(count({fk}) AS BIGINT) FROM {child}) AS n_child_rows,
+       CAST(count(*) AS BIGINT) AS n_child_keys,
+       CAST(count(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_orphan_keys,
+       CAST(COALESCE(sum(c) FILTER (WHERE NOT ok), 0) AS BIGINT)
+           AS n_orphan_rows
+FROM (
+  SELECT {fk} AS k, CAST(count(*) AS BIGINT) AS c,
+         {fk} IN (SELECT {pk} FROM {parent}) AS ok
+  FROM {child} WHERE {fk} IS NOT NULL GROUP BY 1
+)
+"""
+
+
+K31_ORACLE = "\nUNION ALL\n".join(
+    _k31_edge_oracle(*e) for e in _K31_EDGES
+)
+
+
+@register(
+    "k31_referential_integrity",
+    K31_ORACLE,
+    doc="referential-integrity audit over every FK edge of the star "
+    "schema (5 edges, one result row each): child rows with non-null "
+    "FK, distinct FK keys, orphan keys and orphan rows per edge — the "
+    "multi-table constraint suite a20's single-table expectations "
+    "can't express. Per edge: one map-side-combined groupBy reduces "
+    "the child to (key, count) pairs, then a LEFT ANTI join against "
+    "the parent's key column finds orphans — the shuffle carries key "
+    "digests, never child rows, and small parents (nation/region) "
+    "broadcast",
+)
+def k31_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for label, child, fk, parent, pk in _K31_EDGES:
+        c = table(spark, sf_dir, child).filter(F.col(fk).isNotNull())
+        keys = c.groupBy(F.col(fk).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        p = table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = keys.join(p, "k", "left_anti")
+        stats_row = (
+            keys.agg(
+                F.sum("c").cast("long").alias("n_child_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_child_keys"),
+            )
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphan_keys"),
+                    F.coalesce(F.sum("c"), F.lit(0))
+                    .cast("long")
+                    .alias("n_orphan_rows"),
+                )
+            )
+            .select(
+                F.lit(label).alias("edge"),
+                "n_child_rows",
+                "n_child_keys",
+                "n_orphan_keys",
+                "n_orphan_rows",
+            )
+        )
+        out = stats_row if out is None else out.unionByName(stats_row)
+    return out
+
+
+# --- k32: merge-on-read deletes (deletion-vector pattern) ----------------------
+
+K32_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+FROM orders
+WHERE NOT (o_orderkey % 7 = 0 OR o_orderkey % 11 = 3)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "k32_merge_on_read",
+    K32_ORACLE,
+    doc="merge-on-read row deletes (Iceberg v2 delete-file / Delta "
+    "deletion-vector pattern): two erasure waves append KEY TOMBSTONES "
+    "— O(deleted keys) writes, and the query RAISES unless the base "
+    "table's snapshot version is UNCHANGED across both waves (the "
+    "physical no-rewrite property, asserted in-query like k12/k17) — "
+    "reads merge via a broadcast anti-join, then compact() applies "
+    "all tombstones in one rewrite and truncates them (asserted "
+    "empty). Oracle = orders minus both key sets, proving the "
+    "delete->read->compact->read path end to end",
+)
+def k32_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        MergeOnReadTable,
+    )
+
+    base = _scratch("k32")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    t = MergeOnReadTable(spark, f"{base}/mor", ("o_orderkey",))
+    t.create_or_overwrite(orders)
+    v0 = t.base.versions()[-1]
+    # two erasure waves, tombstones only — base files must not move
+    t.delete_keys(orders.filter(F.col("o_orderkey") % 7 == 0))
+    t.delete_keys(orders.filter(F.col("o_orderkey") % 11 == 3))
+    if t.base.versions()[-1] != v0:
+        raise AssertionError("merge-on-read delete rewrote the base table")
+    merged = t.read()
+    # compact applies the tombstones in ONE rewrite and truncates them
+    t.compact()
+    if t.n_tombstones() != 0:
+        raise AssertionError("compact left tombstones behind")
+    if t.base.versions()[-1] == v0:
+        raise AssertionError("compact did not produce a new base snapshot")
+    compacted = t.read()
+    # the merged (pre-compact) and applied (post-compact) views must be
+    # identical — return the post-compact read, but fail loudly if the
+    # pre-compact anti-join view disagreed on the row count
+    if merged.count() != compacted.count():
+        raise AssertionError("MoR read != compacted read")
+    return compacted

@@ -69,6 +69,10 @@ CORE_ORDER: tuple[str, ...] = (
     "m55_fim_transform",
     "m56_hll_merge_rollup",
     "a35_benford_audit",
+    "m57_effective_mixture",
+    "k31_referential_integrity",
+    "st26_stream_waterfill",
+    "k32_merge_on_read",
     # Remaining 32 slots: the longest-unconfirmed driver-green entries
     # — the r3 cohort, whose newest driver row is round 3. 32 of its 33
     # rotate in; m8_dedup_clusters (below) is the single registry entry
@@ -97,13 +101,13 @@ CORE_ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    # --- driver window boundary (first 50 above) ---
+    # r10 rotation priority (with m8_dedup_clusters): the four r3-
+    # cohort entries displaced by the r9 additions above:
     "t6_token_counts",
     "t7_repetition_signals",
     "m1_split_assign",
     "m3_pii_redact",
-    # --- driver window boundary (first 50 above) ---
-    # r10 rotation priority (with m8_dedup_clusters): the four r3-
-    # cohort entries displaced by the r9 additions above:
     "m4_topk_per_group",
     "m5_doc_frequency",
     "m6_stratified_sample",

@@ -743,3 +743,40 @@ def test_apply_cdc_atomic_and_replayable(spark, tmp_path, monkeypatch):
     v = t.versions()
     t.apply_cdc(feed, ("k",), "seq", txn=("cdc", 0))  # replay: no-op
     assert t.versions() == v
+
+
+def test_merge_on_read_deletes(spark, tmp_path):
+    """MoR contract: deletes append tombstones without a base rewrite,
+    reads anti-join them, replayed deletes are idempotent, and compact
+    applies + truncates. (The k32 query asserts the same physically
+    at sf scale; this pins the semantics on a toy frame.)"""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        MergeOnReadTable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    t = MergeOnReadTable(spark, str(tmp_path / "mor"), ("k",))
+    t.create_or_overwrite(df)
+    v0 = t.base.versions()[-1]
+
+    kill = spark.createDataFrame([(2,), (5,), (None,)], "k long")
+    t.delete_keys(kill)
+    assert t.base.versions()[-1] == v0  # no base rewrite
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+    # replay the same delete: harmless (idempotent), null keys ignored
+    t.delete_keys(kill)
+    assert t.n_tombstones() == 2
+    assert t.read().count() == 8
+
+    # txn-stamped replay is a manifest-checked no-op
+    t.delete_keys(spark.createDataFrame([(7,)], "k long"), txn=("app", 1))
+    t.delete_keys(spark.createDataFrame([(8,)], "k long"), txn=("app", 1))
+    assert t.read().count() == 7  # second batch-1 delete ignored
+    assert t.n_tombstones() == 3
+
+    t.compact()
+    assert t.n_tombstones() == 0
+    assert t.base.versions()[-1] != v0
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 3, 4, 6, 8, 9]

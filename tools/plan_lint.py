@@ -96,6 +96,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "aggregate frame (tens of rows; prep.budget_waterfill "
         "docstring — the corpus itself is never windowed)"
     },
+    "st26_stream_waterfill": {
+        "global_window": "same solve as m54, over the accumulated "
+        "source-cardinality counter table (tens of rows)"
+    },
 }
 
 # windowspecdefinition(<first arg> ...: a partitioned spec starts with
