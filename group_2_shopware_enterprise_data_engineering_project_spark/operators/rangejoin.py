@@ -180,3 +180,69 @@ def interval_overlap_join(
         )
         .drop("_bin", "_salt")
     )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_us: str = "start_us",
+    end_us: str = "end_us",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Sweep-line peak concurrency per time bucket — "max concurrent
+    sessions", the classic capacity-planning aggregate, computed
+    WITHOUT a global ordered window: each interval [start, end) emits
+    +1/-1 boundary events; within a bucket a per-bucket running sum
+    finds the LOCAL prefix maximum, and the bucket's carry-in offset is
+    a prefix sum over the bucket-cardinality frame (the m15 sharded-
+    running-sum decomposition: global prefix at any instant = offset of
+    its bucket + local prefix, because net deltas are associative).
+    The only per-row window partitions by bucket; the unpartitioned
+    window runs over buckets, not rows.
+
+    Half-open semantics: at equal timestamps ends order before starts
+    (delta ascending), so back-to-back intervals never double-count.
+    Equal-(t, delta) permutations cannot change any prefix value, so
+    the maximum is deterministic. All arithmetic is BIGINT over epoch
+    micros.
+
+    Output per occupied bucket: bucket index, n_starts, and
+    peak_concurrency (the bucket's maximum simultaneous intervals).
+    """
+    from pyspark.sql import Window
+
+    starts = intervals.select(
+        F.col(start_us).alias("t"), F.lit(1).cast("long").alias("d")
+    )
+    ends = intervals.select(
+        F.col(end_us).alias("t"), F.lit(-1).cast("long").alias("d")
+    )
+    b = starts.unionByName(ends).withColumn(
+        "bucket", F.floor(F.col("t") / F.lit(bucket_us)).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("run", F.sum("d").over(w_local))
+    per_bucket = local.groupBy("bucket").agg(
+        F.max("run").cast("long").alias("local_peak"),
+        F.sum("d").cast("long").alias("net"),
+        F.count(F.when(F.col("d") == 1, F.lit(1))).cast("long").alias("n_starts"),
+    )
+    w_prev = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # the carry-in level ITSELF is a peak candidate: a bucket whose
+    # only local events are ends (local_peak < 0) still holds
+    # `offset` concurrent intervals at entry — hence greatest(·, 0)
+    return per_bucket.select(
+        "bucket",
+        "n_starts",
+        (
+            F.coalesce(F.sum("net").over(w_prev), F.lit(0))
+            + F.greatest(F.col("local_peak"), F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("peak_concurrency"),
+    )

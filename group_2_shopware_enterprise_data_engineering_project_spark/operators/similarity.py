@@ -1442,3 +1442,47 @@ def two_stage_topk(
             F.col("coarse_rank").cast("long").alias("coarse_rank"),
         )
     )
+
+
+def diversity_coreset(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+) -> DataFrame:
+    """Bucket-stratified diversity coreset: ONE representative per
+    occupied SRP sign-bucket — the geometry-aware counterpart of
+    uniform sampling (uniform keeps duplicates of dense regions;
+    stratifying on the LSH partition guarantees every occupied corner
+    of embedding space is represented once). SemDedup removes near-
+    equal vectors; this SELECTS a spread subset — the shape used for
+    seeding diverse eval sets or k-means-style inits without an
+    iterative pass.
+
+    Representative = min (md5 tiebroken by id) within the bucket:
+    quality-blind, deterministic, and — because struct MIN combines
+    map-side — the whole operator is ONE groupBy whose shuffle carries
+    at most one candidate per (bucket, map task). No window over the
+    corpus, no per-bucket sort.
+    """
+    planes = hyperplane_signs(num_planes)
+    b = emb.select(
+        F.col(id_col),
+        lsh_bucket(_as_double(F.col(vec_col)), planes).alias("bucket"),
+    )
+    pick = F.min(
+        F.struct(
+            F.md5(F.concat(F.lit("div:"), F.col(id_col).cast("string"))).alias(
+                "h"
+            ),
+            F.col(id_col).alias("i"),
+        )
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bucket_size"),
+            pick.alias("m"),
+        )
+        .select("bucket", "bucket_size", F.col("m.i").alias("rep_id"))
+    )

@@ -1155,3 +1155,64 @@ def a35_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         deviation_threshold=_A35_THRESHOLD,
     )
+
+
+# --- a36: sweep-line peak concurrency per hour ----------------------------------
+
+_A36_LEN_US = 300_000_000  # each event opens a 5-minute activity interval
+_A36_HOUR_US = 3_600_000_000
+
+A36_ORACLE = f"""
+WITH iv AS (
+  SELECT epoch_us(ts) AS s, epoch_us(ts) + {_A36_LEN_US} AS e FROM events
+), b AS (
+  SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+  UNION ALL
+  SELECT e AS t, CAST(-1 AS BIGINT) AS d FROM iv
+), bb AS (
+  SELECT t, d, t // {_A36_HOUR_US} AS bucket FROM b
+), run AS (
+  SELECT bucket, d,
+         CAST(sum(d) OVER (PARTITION BY bucket ORDER BY t, d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run
+  FROM bb
+), per_bucket AS (
+  SELECT bucket,
+         CAST(max(run) AS BIGINT) AS local_peak,
+         CAST(sum(d) AS BIGINT) AS net,
+         CAST(count(*) FILTER (WHERE d = 1) AS BIGINT) AS n_starts
+  FROM run GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_starts,
+       CAST(COALESCE(sum(net) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + greatest(local_peak, 0) AS BIGINT) AS peak_concurrency
+FROM per_bucket
+"""
+
+
+@register(
+    "a36_peak_concurrency",
+    A36_ORACLE,
+    doc="sweep-line peak concurrency per hour (max simultaneous "
+    "5-minute activity intervals — the capacity-planning aggregate): "
+    "+1/-1 boundary events, per-HOUR running sum for the local prefix "
+    "max, carry-in offsets from a prefix sum over the hour-cardinality "
+    "frame — the m15 sharded-running-sum decomposition, so no global "
+    "ordered window ever sees row-level data. Half-open tie rule "
+    "(ends before starts at equal t) pinned; all-BIGINT epoch-us "
+    "arithmetic",
+)
+def a36_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        rangejoin,
+    )
+
+    iv = table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts")).alias("start_us"),
+        (F.unix_micros(F.col("ts")) + F.lit(_A36_LEN_US)).alias("end_us"),
+    )
+    return rangejoin.interval_concurrency(
+        iv, "start_us", "end_us", bucket_us=_A36_HOUR_US
+    )

@@ -1281,3 +1281,38 @@ def e19_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.two_stage_topk(
         emb, query_pred=F.col("vec_id") < N_QUERIES, k=TOP_K, pool=_E19_POOL
     )
+
+
+# --- e20: bucket-stratified diversity coreset -------------------------------------
+
+E20_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, {_bucket_sql('embedding')} AS bucket FROM embeddings
+), h AS (
+  SELECT vec_id, bucket,
+         md5('div:' || CAST(vec_id AS VARCHAR)) AS hh
+  FROM b
+), ranked AS (
+  SELECT bucket, vec_id,
+         row_number() OVER (PARTITION BY bucket ORDER BY hh, vec_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+  FROM h
+)
+SELECT bucket, bucket_size, vec_id AS rep_id
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "e20_diversity_coreset",
+    E20_ORACLE,
+    doc="bucket-stratified diversity coreset: one md5-selected "
+    "representative per occupied SRP sign-bucket — every corner of "
+    "embedding space represented once (uniform sampling over-keeps "
+    "dense regions; SemDedup only REMOVES near-equals). Struct-MIN "
+    "combines map-side, so the whole operator is one groupBy whose "
+    "shuffle carries at most one candidate per (bucket, task) — no "
+    "corpus window, no per-bucket sort",
+)
+def e20_diversity_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.diversity_coreset(table(spark, sf_dir, "embeddings"))

@@ -2181,3 +2181,51 @@ def t32_rake_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rake_keywords(
         table(spark, sf_dir, "documents"), k=_T31_K, classic=True
     )
+
+
+# --- m58: fuzzy (near-dup) eval-set decontamination ------------------------------
+
+# Eval set = every 10th doc; the contamination verdict derives from the
+# SAME banded-LSH pair set as d7 (full-union dedup restricted to
+# train x eval pairs), so the oracle reuses _minhash_oracle verbatim.
+M58_ORACLE = f"""
+SELECT CASE WHEN t.doc_a % 10 = 0 THEN t.doc_b ELSE t.doc_a END AS train_id,
+       CAST(count(*) AS BIGINT) AS n_eval_matches,
+       max(t.jaccard) AS best_jaccard
+FROM ({_minhash_oracle()}) t
+WHERE (t.doc_a % 10 = 0) <> (t.doc_b % 10 = 0)
+GROUP BY 1
+"""
+
+
+@register(
+    "m58_fuzzy_contamination",
+    M58_ORACLE,
+    doc="fuzzy eval-set decontamination — the NEAR-DUP strengthening "
+    "of m14's exact n-gram screen (a contaminated doc that was "
+    "lightly paraphrased or re-wrapped defeats exact matching; "
+    "FineWeb/GPT-3-style decontamination is fuzzy for this reason): "
+    "train docs sharing an LSH band bucket with any eval doc verify "
+    "by exact Jaccard >= 0.4 and report match count + best score. "
+    "Rides minhash.incremental_dedup with the EVAL set as the stored "
+    "index — eval is tiny, so the index broadcasts and train text is "
+    "never self-joined; the salted bipartite bucket join bounds any "
+    "boilerplate band. Oracle = the d7 pair algebra restricted to "
+    "train x eval pairs",
+)
+def m58_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    pairs = minhash.incremental_dedup(train, eval_docs, threshold=0.4).filter(
+        F.col("vs_existing") == 1
+    )
+    train_id = F.when(
+        F.col("doc_a") % 10 == 0, F.col("doc_b")
+    ).otherwise(F.col("doc_a"))
+    return pairs.select(train_id.alias("train_id"), "jaccard").groupBy(
+        "train_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )

@@ -42,11 +42,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: never-driver-checked queries rotate in (r4: e9 in for a5; r5: full
 #: rotation to the never-checked set, see the block comment below).
 CORE_ORDER: tuple[str, ...] = (
-    # r9 rotation (r8 verdict item 1): the 18 never-driver-checked
+    # r9 rotation (r8 verdict item 1): all 29 never-driver-checked
     # queries front the window — the 16 added after the r8 driver run
     # (sweep-green in CORRECTNESS_LOCAL_r08.json and live-verified
-    # during r8 judging) plus the two added in r9 (t32_rake_classic,
-    # k30_analyze_hll_stats; sweep rows in CORRECTNESS_LOCAL_r09.json):
+    # during r8 judging) plus the 12 added in r9 (t32, k30, m54-m58,
+    # a35, k31, k32, st26, e20 — every one oracle-green in the r9
+    # sweep AND a bare-session --plain run before entering):
     "t28_bigram_repetition_gate",
     "t29_lm_oov_filter",
     "m49_loss_mask_spans",
@@ -73,10 +74,14 @@ CORE_ORDER: tuple[str, ...] = (
     "k31_referential_integrity",
     "st26_stream_waterfill",
     "k32_merge_on_read",
-    # Remaining 32 slots: the longest-unconfirmed driver-green entries
-    # — the r3 cohort, whose newest driver row is round 3. 32 of its 33
-    # rotate in; m8_dedup_clusters (below) is the single registry entry
-    # left on an r3-only row and fronts the r10 rotation:
+    "m58_fuzzy_contamination",
+    "e20_diversity_coreset",
+    "a36_peak_concurrency",
+    # Remaining 21 slots: the longest-unconfirmed driver-green entries
+    # — the r3 cohort, whose newest driver row is round 3. 21 of its 33
+    # rotate in; the other 12 (m8_dedup_clusters + the eleven displaced by
+    # r9 additions, listed right after the boundary) front the r10
+    # rotation:
     "a5_alert_count",
     "a9_rollup_sales",
     "a10_pivot_events",
@@ -98,12 +103,13 @@ CORE_ORDER: tuple[str, ...] = (
     "t3_lang_id",
     "t4_exact_dedup",
     "t5_winnow_fingerprints",
+    # --- driver window boundary (first 50 above) ---
+    # r10 rotation priority (with m8_dedup_clusters, further below):
+    # the eleven r3-cohort entries displaced by the r9 additions — their
+    # newest driver row is still round 3:
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    # --- driver window boundary (first 50 above) ---
-    # r10 rotation priority (with m8_dedup_clusters): the four r3-
-    # cohort entries displaced by the r9 additions above:
     "t6_token_counts",
     "t7_repetition_signals",
     "m1_split_assign",

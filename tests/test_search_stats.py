@@ -565,3 +565,37 @@ def test_hll_merge_equals_direct_sketch(spark):
     for g in est_d:
         assert est_m[g].hll_raw_est == est_d[g].hll_raw_est  # bit-equal
         assert est_m[g].n_zero_registers == est_d[g].n_zero_registers
+
+
+def test_interval_concurrency_sweep_line(spark):
+    """Hand-solved sweep line incl. the half-open tie rule (an interval
+    ending exactly when another starts never overlaps it) and a
+    cross-bucket carry-in (an interval spanning buckets raises the
+    later bucket's floor via the offset, not via local events)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import rangejoin
+
+    H = 100  # tiny bucket for the test
+    iv = spark.createDataFrame(
+        [
+            (10, 30),   # A: bucket 0
+            (20, 40),   # B: overlaps A -> peak 2 in bucket 0
+            (40, 60),   # C: starts exactly at B's end -> NOT +1 on top of B
+            (90, 250),  # D: spans buckets 0->2; carries +1 into 1 and 2
+            (110, 120), # E: bucket 1; with D active -> peak 2 in bucket 1
+        ],
+        "start_us long, end_us long",
+    )
+    out = {
+        r.bucket: r
+        for r in rangejoin.interval_concurrency(
+            iv, bucket_us=H
+        ).collect()
+    }
+    assert out[0].peak_concurrency == 2  # A+B, never 3 (tie rule at t=40)
+    assert out[0].n_starts == 4
+    # bucket 1 has only E's start locally, but D carries in: peak 2
+    assert out[1].peak_concurrency == 2
+    assert out[1].n_starts == 1
+    # bucket 2 has no starts — only D's end event; concurrency 1 until it
+    assert out[2].peak_concurrency == 1
+    assert out[2].n_starts == 0

@@ -100,6 +100,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "global_window": "same solve as m54, over the accumulated "
         "source-cardinality counter table (tens of rows)"
     },
+    "a36_peak_concurrency": {
+        "global_window": "carry-in prefix sum over the bucket-"
+        "cardinality frame (hours, not rows — the sharded-running-sum "
+        "decomposition; rangejoin.interval_concurrency docstring)"
+    },
 }
 
 # windowspecdefinition(<first arg> ...: a partitioned spec starts with
