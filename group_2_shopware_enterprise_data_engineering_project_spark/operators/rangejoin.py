@@ -229,20 +229,26 @@ def interval_concurrency(
         F.max("run").cast("long").alias("local_peak"),
         F.sum("d").cast("long").alias("net"),
         F.count(F.when(F.col("d") == 1, F.lit(1))).cast("long").alias("n_starts"),
+        F.min("t").cast("long").alias("t_min"),
     )
     w_prev = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    # the carry-in level ITSELF is a peak candidate: a bucket whose
-    # only local events are ends (local_peak < 0) still holds
-    # `offset` concurrent intervals at entry — hence greatest(·, 0)
+    # The carry-in level is a peak candidate ONLY when it is attained
+    # on a nonempty instant range [bucket_start, first_event): a bucket
+    # whose only local events are ends still holds `offset` concurrent
+    # intervals at entry — UNLESS its first event sits exactly at the
+    # bucket boundary (a half-open interval ending there never reaches
+    # this bucket; the property test's [(0, 100)] example). Otherwise
+    # the maximum is offset + the best local prefix.
+    entry_attained = F.col("t_min") > F.col("bucket") * F.lit(bucket_us)
+    best_local = F.when(
+        entry_attained, F.greatest(F.col("local_peak"), F.lit(0).cast("long"))
+    ).otherwise(F.col("local_peak"))
     return per_bucket.select(
         "bucket",
         "n_starts",
-        (
-            F.coalesce(F.sum("net").over(w_prev), F.lit(0))
-            + F.greatest(F.col("local_peak"), F.lit(0).cast("long"))
-        )
+        (F.coalesce(F.sum("net").over(w_prev), F.lit(0)) + best_local)
         .cast("long")
         .alias("peak_concurrency"),
     )

@@ -1172,7 +1172,7 @@ WITH iv AS (
 ), bb AS (
   SELECT t, d, t // {_A36_HOUR_US} AS bucket FROM b
 ), run AS (
-  SELECT bucket, d,
+  SELECT bucket, d, t,
          CAST(sum(d) OVER (PARTITION BY bucket ORDER BY t, d
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS run
@@ -1181,13 +1181,16 @@ WITH iv AS (
   SELECT bucket,
          CAST(max(run) AS BIGINT) AS local_peak,
          CAST(sum(d) AS BIGINT) AS net,
-         CAST(count(*) FILTER (WHERE d = 1) AS BIGINT) AS n_starts
+         CAST(count(*) FILTER (WHERE d = 1) AS BIGINT) AS n_starts,
+         CAST(min(t) AS BIGINT) AS t_min
   FROM run GROUP BY 1
 )
 SELECT CAST(bucket AS BIGINT) AS bucket, n_starts,
        CAST(COALESCE(sum(net) OVER (ORDER BY bucket
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            + greatest(local_peak, 0) AS BIGINT) AS peak_concurrency
+            + CASE WHEN t_min > bucket * {_A36_HOUR_US}
+                   THEN greatest(local_peak, 0) ELSE local_peak END
+            AS BIGINT) AS peak_concurrency
 FROM per_bucket
 """
 

@@ -783,3 +783,85 @@ def test_preference_pairs_match_extremes(spark, rows):
         if hi[1] != lo[1]:
             expect[g] = (hi[1], lo[1], hi[0] - lo[0])
     assert got == expect
+
+
+# --- r9 operators: water-fill, sweep-line concurrency ----------------------
+
+TOTALS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=25), st.integers(min_value=0, max_value=500)),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+PCT = st.integers(min_value=1, max_value=100)
+
+
+@given(totals=TOTALS, pct=PCT)
+@_settings
+def test_waterfill_cap_is_maximal_and_budget_respected(spark, totals, pct):
+    """m54's defining property, checked against the definition rather
+    than the closed form: the allocation never exceeds the budget, and
+    the cap is MAXIMAL — raising it by one token would overshoot
+    (unless nothing is capped, in which case everything is funded)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.prep import (
+        waterfill_from_totals,
+    )
+
+    rows = [(f"s{k}", v) for k, v in totals]
+    df = spark.createDataFrame(rows, "source string, total_tokens long")
+    out = waterfill_from_totals(df, pct).collect()
+    grand = sum(v for _, v in totals)
+    budget = (grand * pct) // 100
+    cap = out[0].cap_tokens
+    alloc = sum(r.alloc_tokens for r in out)
+    assert all(r.cap_tokens == cap for r in out)  # one waterline
+    assert all(r.alloc_tokens == min(r.total_tokens, cap) for r in out)
+    if any(r.capped for r in out):
+        assert alloc <= budget
+        assert sum(min(t, cap + 1) for _, t in totals) > budget  # maximal
+    else:
+        assert alloc == grand  # budget covers everything, cap = max total
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=400),
+        st.integers(min_value=1, max_value=300),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(iv=INTERVALS)
+@_settings
+def test_interval_concurrency_matches_brute_force(spark, iv):
+    """a36's sharded decomposition == the naive per-instant sweep: for
+    every bucket, peak equals the maximum over that bucket's instants
+    of |{intervals containing the instant}| (half-open)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.rangejoin import (
+        interval_concurrency,
+    )
+
+    B = 100
+    rows = [(s, s + l) for s, l in iv]
+    df = spark.createDataFrame(rows, "start_us long, end_us long")
+    got = {
+        r.bucket: r.peak_concurrency
+        for r in interval_concurrency(df, bucket_us=B).collect()
+    }
+    # brute force: the level only changes at event instants, so the
+    # peak within an emitted bucket is the max level over that
+    # bucket's event instants PLUS its entry instant (the carry-in
+    # level holds on [bucket_start, first_event)); half-open
+    # containment s <= t < e evaluates the level at any instant.
+    support = {t // B for s, e in rows for t in (s, e)}
+    expect: dict[int, int] = {}
+    for b in support:
+        instants = {b * B} | {
+            t for s, e in rows for t in (s, e) if t // B == b
+        }
+        expect[b] = max(
+            sum(1 for s, e in rows if s <= t < e) for t in instants
+        )
+    assert got == expect

@@ -318,12 +318,49 @@ def main() -> None:
         ),
     }
     if only:
-        unknown = only - set(ops) - {"incr", "convo"}
+        unknown = only - set(ops) - {"incr", "convo", "concur"}
         if unknown:
             sys.exit(
-                f"unknown ops: {sorted(unknown)} (have {sorted(ops) + ['incr', 'convo']})"
+                f"unknown ops: {sorted(unknown)} "
+                f"(have {sorted(ops) + ['incr', 'convo', 'concur']})"
             )
         ops = {n: f for n, f in ops.items() if n in only}
+
+    if only and "concur" in only:
+        # a36's scale axis: the boundary-event population grows k-fold
+        # while the HOUR-bucket count stays fixed, so each per-bucket
+        # window sorts k x more rows — the probe measures how that
+        # intra-bucket sort tracks width (the bucket_us knob is the
+        # stated mitigation: finer buckets bound per-task rows, the
+        # offset frame stays tiny).
+        from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+            rangejoin,
+        )
+
+        ev1c = table(spark, sf_dir, "events").localCheckpoint(eager=True)
+        evkc = _events_k(ev1c, k).localCheckpoint(eager=True)
+
+        def _concur(ev):
+            iv = ev.select(
+                F.unix_micros(F.col("ts")).alias("start_us"),
+                (F.unix_micros(F.col("ts")) + F.lit(300_000_000)).alias(
+                    "end_us"
+                ),
+            )
+            return lambda: rangejoin.interval_concurrency(iv)
+
+        _concur(ev1c)().count()  # warm
+        t1, rows1 = _run(_concur(ev1c))
+        tk, rowsk = _run(_concur(evkc))
+        results_concur = {
+            "t1": round(t1, 2), "tk": round(tk, 2),
+            "ratio": round(tk / t1, 2) if t1 > 0 else None,
+            "rows1": rows1, "rowsk": rowsk,
+        }
+        only.discard("concur")
+        ops = {n: f for n, f in ops.items() if n in only}
+    else:
+        results_concur = None
 
     if only and "convo" in only:
         ev1 = table(spark, sf_dir, "events").localCheckpoint(eager=True)
@@ -360,6 +397,8 @@ def main() -> None:
         partk = _part_k(part1, k).localCheckpoint(eager=True)
 
     results = {}
+    if results_concur is not None:
+        results["concur"] = results_concur
     if results_convo is not None:
         results["convo"] = results_convo
     if only and "incr" in only:
