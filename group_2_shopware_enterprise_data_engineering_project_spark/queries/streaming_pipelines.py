@@ -2218,3 +2218,83 @@ def _bind_st26_oracle() -> None:
 
 
 _bind_st26_oracle()
+
+
+# --- ST27: streaming purge via merge-on-read tombstones -----------------------
+
+ST27_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderkey % 7 <> 0
+"""
+
+
+@register(
+    "st27_stream_mor_purge",
+    ST27_ORACLE,
+    doc="streaming right-to-be-forgotten at 100 TB write cost: the "
+    "same erasure feed as st22, but each micro-batch appends KEY "
+    "TOMBSTONES (k32's merge-on-read — O(batch keys) per trigger, "
+    "txn-stamped replay no-op) instead of st22's full-table anti-join "
+    "rewrite EVERY batch; the in-query assert proves the base "
+    "snapshot version never moved during the stream, then one "
+    "compact() applies all tombstones and vacuum drops pre-purge "
+    "history on both tables. Oracle = batch truth (orders minus all "
+    "purged keys) — identical result, table-rewrites-per-stream "
+    "reduced from n_batches to 1",
+)
+def st27_stream_mor_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        MergeOnReadTable,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        _stream_app_id,
+        run_available_now,
+    )
+
+    base = _tmp("st27")
+    src_dir, tbl_path, ckpt = f"{base}/in", f"{base}/table", f"{base}/ckpt"
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    t = MergeOnReadTable(spark, tbl_path, ("o_orderkey",))
+    t.create_or_overwrite(orders)
+    v0 = t.base.versions()[-1]
+
+    purge_keys = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey"
+    )
+    purge_keys.withColumn(
+        "bucket", (F.col("o_orderkey") % 3).cast("int")
+    ).repartition(3, "bucket").drop("bucket").write.mode("overwrite").json(
+        src_dir
+    )
+
+    schema = T.StructType([T.StructField("o_orderkey", T.LongType())])
+    app_id = _stream_app_id(ckpt)
+
+    def _batch(df, batch_id):
+        t.delete_keys(df, txn=(app_id, batch_id))
+
+    run_available_now(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        ckpt,
+        _batch,
+    )
+    if t.base.versions()[-1] != v0:
+        raise AssertionError(
+            "MoR purge stream rewrote the base table mid-stream"
+        )
+    # ONE rewrite applies every accumulated tombstone, then hard-purge
+    # the history on both tables (the k24/st22 compliance shape)
+    t.compact()
+    if t.n_tombstones() != 0:
+        raise AssertionError("compact left tombstones behind")
+    t.base.vacuum(keep_last=1)
+    t.tombstones.vacuum(keep_last=1)
+    return t.read()
