@@ -1316,3 +1316,84 @@ FROM ranked WHERE rn = 1
 )
 def e20_diversity_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.diversity_coreset(table(spark, sf_dir, "embeddings"))
+
+
+# --- e21: rank-biased overlap (RBO) index-quality eval ----------------------------
+
+_E21_P = 0.9
+#: truncated-RBO term weights (1-p) * p^(d-1) / d, computed ONCE in
+#: Python and interpolated as identical double literals into both
+#: engines (the k30/a35 transcendental-free discipline — p^(d-1) is a
+#: float power, so it never evaluates engine-side)
+_E21_W = tuple((1.0 - _E21_P) * _E21_P ** (d - 1) / d for d in range(1, TOP_K + 1))
+
+_E21_TERMS_SQL = " + ".join(
+    f"CAST(o{d} AS DOUBLE) * {w!r}" for d, w in enumerate(_E21_W, start=1)
+)
+_E21_O_SQL = ",\n         ".join(
+    f"CAST(count(*) FILTER (WHERE m <= {d}) AS BIGINT) AS o{d}"
+    for d in range(1, TOP_K + 1)
+)
+
+E21_ORACLE = f"""
+WITH bf AS ({E2_ORACLE}), ls AS ({E3_ORACLE}),
+j AS (
+  SELECT bf.query_id, greatest(bf.rank, ls.rank) AS m
+  FROM bf JOIN ls USING (query_id, neighbor_id)
+), o AS (
+  SELECT query_id,
+         {_E21_O_SQL}
+  FROM j GROUP BY 1
+), qs AS (
+  SELECT DISTINCT query_id FROM bf
+)
+SELECT qs.query_id,
+       CAST(COALESCE(o.o{TOP_K}, 0) AS BIGINT) AS n_common,
+       COALESCE({_E21_TERMS_SQL}, CAST(0.0 AS DOUBLE)) AS rbo
+FROM qs LEFT JOIN o USING (query_id)
+"""
+
+
+@register(
+    "e21_rbo_eval",
+    E21_ORACLE,
+    doc=f"rank-biased overlap (Webber et al. 2010, truncated at "
+    f"k={TOP_K}, p={_E21_P}) between the LSH index ranking (e3) and "
+    "exact brute-force ground truth (e2) — the top-weighted rank-"
+    "quality metric recall@k cannot express (recall treats rank 1 and "
+    "rank k alike; RBO discounts geometrically). Exact cross-engine "
+    "float: the (1-p)p^(d-1)/d weights are Python-interpolated "
+    "literals and the score is ONE fixed-shape expression tree over "
+    "integer overlap counts — no engine-side powers, no unordered "
+    "float SUM. One id-equi-join of two k-row-per-query rankings, "
+    "overlap@d via conditional aggregation on max(rank_a, rank_b)",
+)
+def e21_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < N_QUERIES
+    bf = similarity.brute_force_topk(emb, query_pred=pred, k=TOP_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_bf")
+    )
+    ls = similarity.lsh_topk(emb, query_pred=pred, k=TOP_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_ls")
+    )
+    j = bf.join(ls, ["query_id", "neighbor_id"]).select(
+        "query_id", F.greatest("rank_bf", "rank_ls").alias("m")
+    )
+    o_aggs = [
+        F.count(F.when(F.col("m") <= d, F.lit(1)))
+        .cast("long")
+        .alias(f"o{d}")
+        for d in range(1, TOP_K + 1)
+    ]
+    o = j.groupBy("query_id").agg(*o_aggs)
+    score = None
+    for d, w in enumerate(_E21_W, start=1):
+        term = F.col(f"o{d}").cast("double") * F.lit(w)
+        score = term if score is None else score + term
+    qs = bf.select("query_id").distinct()
+    return qs.join(o, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col(f"o{TOP_K}"), F.lit(0)).cast("long").alias("n_common"),
+        F.coalesce(score, F.lit(0.0)).alias("rbo"),
+    )

@@ -42,7 +42,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: never-driver-checked queries rotate in (r4: e9 in for a5; r5: full
 #: rotation to the never-checked set, see the block comment below).
 CORE_ORDER: tuple[str, ...] = (
-    # r9 rotation (r8 verdict item 1): all 30 never-driver-checked
+    # r9 rotation (r8 verdict item 1): all 31 never-driver-checked
     # queries front the window — the 16 added after the r8 driver run
     # (sweep-green in CORRECTNESS_LOCAL_r08.json and live-verified
     # during r8 judging) plus the 12 added in r9 (t32, k30, m54-m58,
@@ -78,9 +78,10 @@ CORE_ORDER: tuple[str, ...] = (
     "e20_diversity_coreset",
     "a36_peak_concurrency",
     "st27_stream_mor_purge",
-    # Remaining 20 slots: the longest-unconfirmed driver-green entries
-    # — the r3 cohort, whose newest driver row is round 3. 20 of its 33
-    # rotate in; the other 13 (m8_dedup_clusters + the twelve displaced by
+    "e21_rbo_eval",
+    # Remaining 19 slots: the longest-unconfirmed driver-green entries
+    # — the r3 cohort, whose newest driver row is round 3. 19 of its 33
+    # rotate in; the other 14 (m8_dedup_clusters + the thirteen displaced by
     # r9 additions, listed right after the boundary) front the r10
     # rotation:
     "a5_alert_count",
@@ -102,11 +103,11 @@ CORE_ORDER: tuple[str, ...] = (
     "t1_text_stats",
     "t2_quality_score",
     "t3_lang_id",
-    "t4_exact_dedup",
     # --- driver window boundary (first 50 above) ---
     # r10 rotation priority (with m8_dedup_clusters, further below):
-    # the twelve r3-cohort entries displaced by the r9 additions — their
+    # the thirteen r3-cohort entries displaced by the r9 additions — their
     # newest driver row is still round 3:
+    "t4_exact_dedup",
     "t5_winnow_fingerprints",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
