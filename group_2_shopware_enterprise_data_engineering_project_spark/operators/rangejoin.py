@@ -199,10 +199,17 @@ def interval_concurrency(
     The only per-row window partitions by bucket; the unpartitioned
     window runs over buckets, not rows.
 
-    Half-open semantics: at equal timestamps ends order before starts
-    (delta ascending), so back-to-back intervals never double-count.
-    Equal-(t, delta) permutations cannot change any prefix value, so
-    the maximum is deterministic. All arithmetic is BIGINT over epoch
+    Half-open semantics: the local running sum uses a RANGE frame on t,
+    so every row in an equal-timestamp event group sees the cumulative
+    sum THROUGH the whole group — exactly the concurrency level attained
+    at that instant (ends at t have already left, starts at t have
+    arrived). Intermediate within-group prefixes are never treated as
+    attained levels; in particular, a group of ends sitting exactly on
+    the bucket boundary cannot leak `offset - 1, ...` as peak
+    candidates (the r9 ADVICE regression: two intervals both ending at
+    the boundary must yield peak 0 in the later bucket, not 1).
+    Back-to-back intervals never double-count, and the result is
+    independent of row order. All arithmetic is BIGINT over epoch
     micros.
 
     Output per occupied bucket: bucket index, n_starts, and
@@ -221,8 +228,8 @@ def interval_concurrency(
     )
     w_local = (
         Window.partitionBy("bucket")
-        .orderBy("t", "d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy("t")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = b.withColumn("run", F.sum("d").over(w_local))
     per_bucket = local.groupBy("bucket").agg(

@@ -1172,9 +1172,13 @@ WITH iv AS (
 ), bb AS (
   SELECT t, d, t // {_A36_HOUR_US} AS bucket FROM b
 ), run AS (
+  -- RANGE frame on t: every row in an equal-instant event group sees
+  -- the cumsum THROUGH the group — the attained level at that instant.
+  -- (ROWS + tie-ordering leaked intermediate prefixes as phantom
+  -- peaks when >=2 ends sat exactly on a bucket boundary; r9 ADVICE.)
   SELECT bucket, d, t,
-         CAST(sum(d) OVER (PARTITION BY bucket ORDER BY t, d
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         CAST(sum(d) OVER (PARTITION BY bucket ORDER BY t
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS run
   FROM bb
 ), per_bucket AS (

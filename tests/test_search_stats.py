@@ -599,3 +599,32 @@ def test_interval_concurrency_sweep_line(spark):
     # bucket 2 has no starts — only D's end event; concurrency 1 until it
     assert out[2].peak_concurrency == 1
     assert out[2].n_starts == 0
+
+
+def test_interval_concurrency_boundary_end_group(spark):
+    """r9 ADVICE regression: >=2 half-open intervals ending exactly on a
+    bucket boundary. The later bucket holds ZERO concurrent intervals at
+    every instant (both ended at entry), so its peak must be 0 — the
+    pre-fix ROWS-frame code leaked the intermediate prefix `offset - 1`
+    (= 1) as a phantom attained level."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import rangejoin
+
+    iv = spark.createDataFrame(
+        [(0, 100), (0, 100)], "start_us long, end_us long"
+    )
+    out = {
+        r.bucket: r.peak_concurrency
+        for r in rangejoin.interval_concurrency(iv, bucket_us=100).collect()
+    }
+    assert out == {0: 2, 1: 0}
+
+    # mixed boundary group: one end + one start at t=100 with carry-in 1
+    # -> level at instant 100 is 1 (the carry leaves, the start arrives)
+    iv2 = spark.createDataFrame(
+        [(0, 100), (100, 150)], "start_us long, end_us long"
+    )
+    out2 = {
+        r.bucket: r.peak_concurrency
+        for r in rangejoin.interval_concurrency(iv2, bucket_us=100).collect()
+    }
+    assert out2 == {0: 1, 1: 1}
