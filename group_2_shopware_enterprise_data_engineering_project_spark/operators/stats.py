@@ -796,9 +796,11 @@ def benford_audit(
     expected is a single IEEE subtraction both engines round
     identically.
 
-    Scale shape: one map-side-combined groupBy over 9 possible digits,
-    then a broadcast join against the 9-row expectation frame — the
-    shuffle carries at most 9 x n_partitions partial counts.
+    Scale shape: ONE scan — a map-side-combined groupBy over 9 possible
+    digits (the shuffle carries at most 9 x n_partitions partial
+    counts); the grand total is a window sum over the resulting <=9-row
+    counts frame, never a second aggregation over the base table. The
+    final step is a broadcast join against the 9-row expectation frame.
 
     Output per digit 1-9: n, share, benford_expected, deviation,
     flagged (|deviation| > threshold).
@@ -813,10 +815,17 @@ def benford_audit(
             .alias("digit")
         )
     )
+    from pyspark.sql import Window
+
+    # total = sum over the <=9-row per-digit counts frame (an
+    # unordered window over a digit-cardinality frame, NOT a second
+    # aggregation over the base table — the table is scanned once)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     counts = digits.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
-    total = digits.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    ).withColumn("total", F.sum("n").over(w_all).cast("long"))
     spark = df.sparkSession
     expected = spark.createDataFrame(
         [(d, BENFORD_EXPECTED[d - 1]) for d in range(1, 10)],
@@ -827,7 +836,6 @@ def benford_audit(
     return (
         F.broadcast(expected)
         .join(counts, "digit", "left")
-        .crossJoin(F.broadcast(total))
         .select(
             "digit",
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),

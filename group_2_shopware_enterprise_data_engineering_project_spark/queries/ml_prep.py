@@ -2711,8 +2711,10 @@ WITH t AS (
   SELECT CAST(sum(effective_tokens) AS BIGINT) AS total_eff FROM per_src
 )
 SELECT source, raw_tokens, effective_tokens,
-       CAST(raw_tokens - effective_tokens AS DOUBLE)
-           / CAST(raw_tokens AS DOUBLE) AS dup_token_share,
+       CASE WHEN raw_tokens > 0
+            THEN CAST(raw_tokens - effective_tokens AS DOUBLE)
+                 / CAST(raw_tokens AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_token_share,
        CAST(effective_tokens AS DOUBLE)
            / CAST(t.total_eff AS DOUBLE) AS effective_weight
 FROM per_src CROSS JOIN tot t
@@ -2760,10 +2762,16 @@ def m57_effective_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "raw_tokens",
         "effective_tokens",
-        (
+        # guard the 0/0 case (a source whose docs are all empty): IEEE
+        # double division would yield NaN while DuckDB yields NULL —
+        # define dup_token_share as 0.0 when there are no raw tokens
+        F.when(
+            F.col("raw_tokens") > 0,
             (F.col("raw_tokens") - F.col("effective_tokens")).cast("double")
-            / F.col("raw_tokens").cast("double")
-        ).alias("dup_token_share"),
+            / F.col("raw_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_share"),
         (
             F.col("effective_tokens").cast("double")
             / F.col("total_eff").cast("double")
