@@ -504,6 +504,23 @@ class ParquetUpsertTable:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self._data_dir())
 
+    def data_bytes(self) -> int:
+        """On-disk bytes of the committed snapshot's data files — a
+        metadata-only size probe (no Spark job, no scan), the same
+        signal Iceberg/Delta keep in their manifests to size-gate
+        broadcast decisions. Local-filesystem walk by design (this
+        table's commit protocol is os.replace); an object-store port
+        would read the sizes from the FS listing it already does."""
+        total = 0
+        for root, _dirs, files in os.walk(self._data_dir()):
+            for name in files:
+                if name.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(root, name))
+                    except OSError:
+                        pass
+        return total
+
     # -- time travel + CDC over retained snapshots -----------------------
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
@@ -1023,15 +1040,30 @@ class MergeOnReadTable:
 
     Tombstones are KEYS, not file positions: engine-portable, stable
     under base compaction/clustering (a positional delete dies the
-    moment its file is rewritten), idempotent under replay (deleting a
-    deleted key appends a tombstone the anti-join already honors), and
-    small enough to broadcast in the read join. The trade vs positional
-    deletion vectors is one hash join per read instead of a bitmap
-    filter — the right trade for a key-addressed table; both sides
-    inherit the snapshot tables' atomic manifest commits.
+    moment its file is rewritten), and idempotent under replay
+    (deleting a deleted key appends a tombstone the anti-join already
+    honors). The trade vs positional deletion vectors is one hash join
+    per read instead of a bitmap filter — the right trade for a
+    key-addressed table; both sides inherit the snapshot tables'
+    atomic manifest commits.
+
+    The read join is SIZE-GATED, not assumed broadcastable: the
+    broadcast hint is applied only while the tombstone snapshot's
+    on-disk bytes (a metadata probe, no scan) stay under
+    ``broadcast_max_bytes`` — the Spark autoBroadcastJoinThreshold
+    default, conservative because parquet-encoded keys inflate several-
+    fold when decoded into a broadcast hash table. Past the gate the
+    anti-join runs unhinted and AQE picks the strategy — a GDPR purge
+    wave that accrues hundreds of millions of tombstones between
+    compactions degrades to a shuffled anti-join instead of a driver
+    OOM. ``auto_compact_bytes`` (opt-in) bounds that regime: after any
+    delete that pushes the tombstone table past it, ``compact()`` folds
+    the tombstones into one base rewrite (txn stamps survive — the
+    manifest carries them forward), so reads return to the broadcast
+    fast path.
 
     Write amplification: delete = one tombstone append; read = base
-    scan + broadcast anti-join; compact = one table rewrite, amortized
+    scan + size-gated anti-join; compact = one table rewrite, amortized
     over all deletes since the last compact.
     """
 
@@ -1040,9 +1072,15 @@ class MergeOnReadTable:
         spark: SparkSession,
         path: str,
         key_cols: tuple[str, ...],
+        broadcast_max_bytes: int = 10 << 20,
+        auto_compact_bytes: int | None = None,
     ) -> None:
         self.spark = spark
         self.key_cols = tuple(key_cols)
+        self.broadcast_max_bytes = int(broadcast_max_bytes)
+        self.auto_compact_bytes = (
+            None if auto_compact_bytes is None else int(auto_compact_bytes)
+        )
         self.base = ParquetUpsertTable(spark, os.path.join(path, "base"))
         self.tombstones = ParquetUpsertTable(
             spark, os.path.join(path, "tombstones")
@@ -1069,12 +1107,22 @@ class MergeOnReadTable:
             self.tombstones._snapshot_write(merged, txn=txn)
         else:
             self.tombstones.append(cleaned)
+        if (
+            self.auto_compact_bytes is not None
+            and self.tombstones.data_bytes() > self.auto_compact_bytes
+        ):
+            self.compact()
 
     def read(self) -> DataFrame:
+        tombs = self.tombstones.read().distinct()
+        # size-gate the hint on the snapshot's on-disk bytes (metadata
+        # probe, no job): below the gate, force the broadcast fast
+        # path; above it, leave the join unhinted and let AQE choose —
+        # never hand a 100-TB purge wave's key set to the driver
+        if self.tombstones.data_bytes() <= self.broadcast_max_bytes:
+            tombs = F.broadcast(tombs)
         return self.base.read().join(
-            F.broadcast(self.tombstones.read().distinct()),
-            list(self.key_cols),
-            "left_anti",
+            tombs, list(self.key_cols), "left_anti"
         )
 
     def n_tombstones(self) -> int:

@@ -780,3 +780,65 @@ def test_merge_on_read_deletes(spark, tmp_path):
     assert t.n_tombstones() == 0
     assert t.base.versions()[-1] != v0
     assert sorted(r.k for r in t.read().collect()) == [0, 1, 3, 4, 6, 8, 9]
+
+
+def test_merge_on_read_broadcast_size_gate(spark, tmp_path):
+    """The read join's broadcast hint is size-gated on the tombstone
+    snapshot's on-disk bytes: below the gate the analyzed plan carries
+    the hint, past it the join is UNhinted (AQE picks the strategy —
+    the 100-TB purge-wave guard). Results are identical either way."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        MergeOnReadTable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k long, v string"
+    )
+    kill = spark.createDataFrame([(i,) for i in range(0, 50, 2)], "k long")
+
+    small = MergeOnReadTable(spark, str(tmp_path / "small"), ("k",))
+    small.create_or_overwrite(df)
+    small.delete_keys(kill)
+    assert small.tombstones.data_bytes() <= small.broadcast_max_bytes
+    plan = small.read()._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan  # fast path: hint applied
+
+    # 1-byte gate: any real tombstone snapshot exceeds it
+    big = MergeOnReadTable(
+        spark, str(tmp_path / "big"), ("k",), broadcast_max_bytes=1
+    )
+    big.create_or_overwrite(df)
+    big.delete_keys(kill)
+    assert big.tombstones.data_bytes() > 1
+    plan = big.read()._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan  # unhinted: AQE decides
+    assert sorted(r.k for r in big.read().collect()) == list(range(1, 50, 2))
+
+
+def test_merge_on_read_auto_compact(spark, tmp_path):
+    """Opt-in auto-compact: a delete that pushes the tombstone table
+    past ``auto_compact_bytes`` folds everything into one base rewrite
+    and truncates the tombstones, returning reads to the broadcast
+    fast path. Txn stamps survive compaction (the manifest carries
+    them forward), so a replayed erasure batch stays a no-op."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        MergeOnReadTable,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    t = MergeOnReadTable(
+        spark, str(tmp_path / "ac"), ("k",), auto_compact_bytes=1
+    )
+    t.create_or_overwrite(df)
+    v0 = t.base.versions()[-1]
+    t.delete_keys(spark.createDataFrame([(3,)], "k long"), txn=("gdpr", 1))
+    assert t.n_tombstones() == 0  # compacted away
+    assert t.base.versions()[-1] != v0  # base rewritten once
+    assert sorted(r.k for r in t.read().collect()) == [
+        i for i in range(20) if i != 3
+    ]
+    # replay after compact: manifest still remembers batch 1
+    t.delete_keys(spark.createDataFrame([(4,)], "k long"), txn=("gdpr", 1))
+    assert t.read().count() == 19  # ignored — k=4 still present
