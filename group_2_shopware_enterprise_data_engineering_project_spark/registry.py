@@ -42,12 +42,90 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: never-driver-checked queries rotate in (r4: e9 in for a5; r5: full
 #: rotation to the never-checked set, see the block comment below).
 CORE_ORDER: tuple[str, ...] = (
-    # r9 rotation (r8 verdict item 1): all 31 never-driver-checked
-    # queries front the window — the 16 added after the r8 driver run
-    # (sweep-green in CORRECTNESS_LOCAL_r08.json and live-verified
-    # during r8 judging) plus the 12 added in r9 (t32, k30, m54-m58,
-    # a35, k31, k32, st26, e20 — every one oracle-green in the r9
-    # sweep AND a bare-session --plain run before entering):
+    # r10 rotation (r9 verdict item 2): the driver window fronts the
+    # FOURTEEN r3-cohort entries (newest driver row = round 3, six
+    # rounds old — the oldest evidence in the registry; includes
+    # m8_dedup_clusters, which had ridden registration order and was
+    # never listed here before):
+    "t4_exact_dedup",
+    "t5_winnow_fingerprints",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "t6_token_counts",
+    "t7_repetition_signals",
+    "m1_split_assign",
+    "m3_pii_redact",
+    "m4_topk_per_group",
+    "m5_doc_frequency",
+    "m6_stratified_sample",
+    "m7_asof_join",
+    "m8_dedup_clusters",
+    # ... then the FIVE queries whose code or plan changed in r10 and
+    # must be re-driver-checked under the new semantics (a36 RANGE-
+    # frame boundary fix, a35 single-scan total, m57 zero-token guard,
+    # k32/st27 size-gated tombstone read):
+    "a36_peak_concurrency",
+    "a35_benford_audit",
+    "m57_effective_mixture",
+    "k32_merge_on_read",
+    "st27_stream_mor_purge",
+    # ... then 31 of the 49 r4-cohort entries (newest driver row =
+    # round 4), in name order:
+    "a1_sales_kpi",
+    "a2_session_metrics",
+    "a3_engagement_score",
+    "a4_loyalty_metrics",
+    "a6_duplicate_keys",
+    "a8_null_counts",
+    "d1_distinct_rows",
+    "e9_ann_ivf_kmeans",
+    "j1_loyalty_join",
+    "k10_archive_lifecycle",
+    "k11_snapshot_diff",
+    "k1_hour_partition_roundtrip",
+    "k4_replace_merge",
+    "k5_additive_merge",
+    "k8_validation_summary",
+    "k9_partition_registration",
+    "m10_percentiles",
+    "m11_json_extract",
+    "m12_text_normalize",
+    "m13_approx_stats",
+    "m14_contamination",
+    "m14b_contamination_bloom",
+    "m16_mixture_weights",
+    "m17_token_budget_select",
+    "m2_sessionize",
+    "m7b_asof_join_bucketed",
+    "m9_session_window_native",
+    "mm1_media_fingerprint",
+    "mm2_frame_sample",
+    "mm3_decode_features",
+    "mm4_resize_plan",
+    # --- driver window boundary (first 50 above) ---
+    # r11 rotation priority: the 18 r4-cohort entries the 50-slot
+    # window could not fit (name order continues from the window):
+    "o1_topk_orders",
+    "p13_regex_extract",
+    "p15_date_range",
+    "p2_extra_column_split",
+    "p3_validation_flags",
+    "p9_transform_pipeline",
+    "pipe_crm",
+    "pipe_inventory",
+    "pipe_llm_curation",
+    "pipe_pos",
+    "pipe_web",
+    "s2_csv_roundtrip",
+    "s3_jsonl_roundtrip",
+    "s5_record_decode",
+    "st2_stateful_dedup",
+    "st5_hourly_alert_counts",
+    "st7_stream_kpi",
+    "w1_keep_latest",
+    # remaining entries keep their prior relative order (newest
+    # driver rows r5-r9; per-query history in CORRECTNESS_r0*.json):
     "t28_bigram_repetition_gate",
     "t29_lm_oov_filter",
     "m49_loss_mask_spans",
@@ -69,21 +147,11 @@ CORE_ORDER: tuple[str, ...] = (
     "m54_budget_waterfill",
     "m55_fim_transform",
     "m56_hll_merge_rollup",
-    "a35_benford_audit",
-    "m57_effective_mixture",
     "k31_referential_integrity",
     "st26_stream_waterfill",
-    "k32_merge_on_read",
     "m58_fuzzy_contamination",
     "e20_diversity_coreset",
-    "a36_peak_concurrency",
-    "st27_stream_mor_purge",
     "e21_rbo_eval",
-    # Remaining 19 slots: the longest-unconfirmed driver-green entries
-    # — the r3 cohort, whose newest driver row is round 3. 19 of its 33
-    # rotate in; the other 14 (m8_dedup_clusters + the thirteen displaced by
-    # r9 additions, listed right after the boundary) front the r10
-    # rotation:
     "a5_alert_count",
     "a9_rollup_sales",
     "a10_pivot_events",
@@ -103,24 +171,6 @@ CORE_ORDER: tuple[str, ...] = (
     "t1_text_stats",
     "t2_quality_score",
     "t3_lang_id",
-    # --- driver window boundary (first 50 above) ---
-    # r10 rotation priority (with m8_dedup_clusters, further below):
-    # the thirteen r3-cohort entries displaced by the r9 additions — their
-    # newest driver row is still round 3:
-    "t4_exact_dedup",
-    "t5_winnow_fingerprints",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "t6_token_counts",
-    "t7_repetition_signals",
-    "m1_split_assign",
-    "m3_pii_redact",
-    "m4_topk_per_group",
-    "m5_doc_frequency",
-    "m6_stratified_sample",
-    "m7_asof_join",
-    # rotated out in r9 (each is r8 driver-green + r9 sweep-covered):
     "m15_sequence_pack",
     "pipe_llm_prep",
     "t14_compression_ratio",
@@ -171,9 +221,6 @@ CORE_ORDER: tuple[str, ...] = (
     "m31_histogram_quantiles",
     "a25_unpivot_metrics",
     "st18_hopping_window",
-    # r10 rotation priority: m8_dedup_clusters (r3 row only), then the
-    # single-green r7/r8 sets as they age. Below keeps sweep order
-    # stable (newest driver rows r4-r8; see CORRECTNESS_r0*.json):
     "d8_canonical_selection",
     "pipe_llm_audit",
     "m32_equidepth_bucketize",
@@ -258,55 +305,6 @@ CORE_ORDER: tuple[str, ...] = (
     "a23_share_of_total",
     "j4_range_join",
     "st11_dedup_within_watermark",
-    "m9_session_window_native",
-    "m10_percentiles",
-    "m11_json_extract",
-    "m12_text_normalize",
-    "m13_approx_stats",
-    "m14_contamination",
-    "m14b_contamination_bloom",
-    "m16_mixture_weights",
-    "m17_token_budget_select",
-    "m7b_asof_join_bucketed",
-    "k11_snapshot_diff",
-    "pipe_llm_curation",
-    "k1_hour_partition_roundtrip",
-    "k4_replace_merge",
-    "k5_additive_merge",
-    "k8_validation_summary",
-    "mm1_media_fingerprint",
-    "mm2_frame_sample",
-    "mm3_decode_features",
-    "mm4_resize_plan",
-    "p3_validation_flags",
-    "p9_transform_pipeline",
-    "p13_regex_extract",
-    "pipe_pos",
-    "pipe_inventory",
-    "pipe_web",
-    "pipe_crm",
-    "s2_csv_roundtrip",
-    "s3_jsonl_roundtrip",
-    "st5_hourly_alert_counts",
-    "st7_stream_kpi",
-    "m2_sessionize",
-    "a1_sales_kpi",
-    "a2_session_metrics",
-    "a3_engagement_score",
-    "a4_loyalty_metrics",
-    "e9_ann_ivf_kmeans",
-    "a6_duplicate_keys",
-    "a8_null_counts",
-    "j1_loyalty_join",
-    "w1_keep_latest",
-    "d1_distinct_rows",
-    "o1_topk_orders",
-    "p2_extra_column_split",
-    "p15_date_range",
-    "k9_partition_registration",
-    "k10_archive_lifecycle",
-    "st2_stateful_dedup",
-    "s5_record_decode",
 )
 
 
