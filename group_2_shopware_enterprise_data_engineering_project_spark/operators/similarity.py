@@ -1486,3 +1486,65 @@ def diversity_coreset(
         )
         .select("bucket", "bucket_size", F.col("m.i").alias("rep_id"))
     )
+
+
+def rbo_weights(k: int, p: float) -> tuple[float, ...]:
+    """Truncated rank-biased-overlap term weights (1-p) * p^(d-1) / d
+    for d = 1..k (Webber et al. 2010, eq. 4 truncated at depth k) —
+    computed ONCE in Python so both the Spark plan and any SQL oracle
+    interpolate the SAME double literals (the k30/a35 transcendental-
+    free discipline: p^(d-1) never evaluates engine-side)."""
+    return tuple((1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1))
+
+
+def rbo_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    p: float,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Truncated rank-biased overlap between two top-k rankings of the
+    same query set: RBO_k = sum_{d=1..k} (1-p) p^(d-1) |A_:d ∩ B_:d|/d.
+
+    The overlap-at-depth trick: an item common to both lists is inside
+    BOTH depth-d prefixes iff max(rank_a, rank_b) <= d, so one
+    id-equi-join of the two k-row-per-query rankings plus k conditional
+    counts replaces any per-depth set intersection. The score is ONE
+    fixed-shape expression tree over integer overlap counts and
+    Python-literal weights — no engine-side powers, no unordered float
+    SUM, so it is bit-reproducible across engines.
+
+    Queries present in ``a`` but sharing no item with ``b`` score 0.0
+    (left join + coalesce). Scale shape: both inputs are k rows per
+    query by construction, so the join and groupBy shuffle O(k x
+    n_queries) rows regardless of corpus size.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not (0.0 < p < 1.0):
+        raise ValueError("p must be in (0, 1)")
+    w = rbo_weights(k, p)
+    qa = [query_col, item_col]
+    j = (
+        a.select(*qa, F.col(rank_col).alias("_ra"))
+        .join(b.select(*qa, F.col(rank_col).alias("_rb")), qa)
+        .select(query_col, F.greatest("_ra", "_rb").alias("m"))
+    )
+    o_aggs = [
+        F.count(F.when(F.col("m") <= d, F.lit(1))).cast("long").alias(f"o{d}")
+        for d in range(1, k + 1)
+    ]
+    o = j.groupBy(query_col).agg(*o_aggs)
+    score = None
+    for d, wd in enumerate(w, start=1):
+        term = F.col(f"o{d}").cast("double") * F.lit(wd)
+        score = term if score is None else score + term
+    qs = a.select(query_col).distinct()
+    return qs.join(o, query_col, "left").select(
+        query_col,
+        F.coalesce(F.col(f"o{k}"), F.lit(0)).cast("long").alias("n_common"),
+        F.coalesce(score, F.lit(0.0)).alias("rbo"),
+    )

@@ -1321,11 +1321,12 @@ def e20_diversity_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- e21: rank-biased overlap (RBO) index-quality eval ----------------------------
 
 _E21_P = 0.9
-#: truncated-RBO term weights (1-p) * p^(d-1) / d, computed ONCE in
-#: Python and interpolated as identical double literals into both
-#: engines (the k30/a35 transcendental-free discipline — p^(d-1) is a
-#: float power, so it never evaluates engine-side)
-_E21_W = tuple((1.0 - _E21_P) * _E21_P ** (d - 1) / d for d in range(1, TOP_K + 1))
+#: truncated-RBO term weights from the shared operator (similarity.
+#: rbo_weights): computed ONCE in Python and interpolated as identical
+#: double literals into both engines (the k30/a35 transcendental-free
+#: discipline — p^(d-1) is a float power, so it never evaluates
+#: engine-side)
+_E21_W = similarity.rbo_weights(TOP_K, _E21_P)
 
 _E21_TERMS_SQL = " + ".join(
     f"CAST(o{d} AS DOUBLE) * {w!r}" for d, w in enumerate(_E21_W, start=1)
@@ -1371,29 +1372,9 @@ FROM qs LEFT JOIN o USING (query_id)
 def e21_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < N_QUERIES
-    bf = similarity.brute_force_topk(emb, query_pred=pred, k=TOP_K).select(
-        "query_id", "neighbor_id", F.col("rank").alias("rank_bf")
-    )
-    ls = similarity.lsh_topk(emb, query_pred=pred, k=TOP_K).select(
-        "query_id", "neighbor_id", F.col("rank").alias("rank_ls")
-    )
-    j = bf.join(ls, ["query_id", "neighbor_id"]).select(
-        "query_id", F.greatest("rank_bf", "rank_ls").alias("m")
-    )
-    o_aggs = [
-        F.count(F.when(F.col("m") <= d, F.lit(1)))
-        .cast("long")
-        .alias(f"o{d}")
-        for d in range(1, TOP_K + 1)
-    ]
-    o = j.groupBy("query_id").agg(*o_aggs)
-    score = None
-    for d, w in enumerate(_E21_W, start=1):
-        term = F.col(f"o{d}").cast("double") * F.lit(w)
-        score = term if score is None else score + term
-    qs = bf.select("query_id").distinct()
-    return qs.join(o, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col(f"o{TOP_K}"), F.lit(0)).cast("long").alias("n_common"),
-        F.coalesce(score, F.lit(0.0)).alias("rbo"),
-    )
+    bf = similarity.brute_force_topk(emb, query_pred=pred, k=TOP_K)
+    ls = similarity.lsh_topk(emb, query_pred=pred, k=TOP_K)
+    # shared operator (hand-solved + brute-force property tested in
+    # tests/test_shared_algebra.py — the oracle shares this
+    # decomposition, so the hash match alone cannot falsify it)
+    return similarity.rbo_overlap(bf, ls, k=TOP_K, p=_E21_P)

@@ -1,0 +1,297 @@
+"""Independent checks for queries whose DuckDB oracle SHARES its
+algebra with the Spark plan (Python-interpolated constants or the same
+decomposition), so the driver's hash match cannot falsify the rule
+itself — the r9 a36 lesson: the Spark query and its oracle carried the
+same wrong carry-in rule and hash-matched green twice; only a
+hand-solved test plus a brute-force hypothesis property caught it.
+
+Every test here computes ground truth through a DIFFERENT path than
+the production decomposition: pure-Python set intersections instead of
+the max-rank join trick (e21), per-doc Python dicts instead of SQL
+joins/aggs over hashed features (m52), direct hashlib arithmetic (m53),
+hand-solved mixtures including the 0/0 guard case (m57), and
+math.log10 + hand-counted digits (a35). Fixtures that exercise the
+registered query end-to-end write a tiny documents.parquet and pass its
+directory as sf_dir — the production read path, not a test double.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_settings = settings(max_examples=25, deadline=None)
+
+
+def _md5_16(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def _toks(text: str) -> list[str]:
+    """Mirror of text.tokens: split on single space, drop empties."""
+    return [t for t in text.split(" ") if t != ""]
+
+
+def _write_documents(spark, path: str, rows: list[tuple]) -> str:
+    """Write (doc_id, text, lang, source) rows in the testdata
+    documents schema and return the sf_dir to pass to a query."""
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+# --- e21: rank-biased overlap ------------------------------------------------
+
+
+def _rbo_python(a: list[int], b: list[int], k: int, p: float) -> float:
+    """Textbook truncated RBO via per-depth SET INTERSECTIONS — no
+    max-rank trick, no conditional aggregation."""
+    return sum(
+        (1.0 - p) * p ** (d - 1) * len(set(a[:d]) & set(b[:d])) / d
+        for d in range(1, k + 1)
+    )
+
+
+def _ranking_df(spark, lists: dict[int, list[int]]):
+    rows = [
+        (q, item, r + 1)
+        for q, items in lists.items()
+        for r, item in enumerate(items)
+    ]
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rank long"
+    )
+
+
+def test_rbo_overlap_hand_solved(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        similarity,
+    )
+
+    k, p = 5, 0.9
+    a = {0: [1, 2, 3, 4, 5], 1: [1, 2, 3], 2: [10, 11]}
+    b = {0: [2, 1, 3, 6, 7], 1: [1, 2, 3], 2: [20, 21]}
+    out = {
+        r.query_id: r
+        for r in similarity.rbo_overlap(
+            _ranking_df(spark, a), _ranking_df(spark, b), k=k, p=p
+        ).collect()
+    }
+    # identical rankings score the truncated-RBO maximum
+    assert out[1].n_common == 3
+    assert out[1].rbo == _rbo_python([1, 2, 3], [1, 2, 3], k, p)
+    # disjoint rankings score exactly zero through the left-join path
+    assert out[2].n_common == 0 and out[2].rbo == 0.0
+    # the general case, hand-checkable: overlaps at depths 1..5 are
+    # 0, 2, 3, 3, 3 -> rbo = sum w_d * |A_:d ∩ B_:d| with w from the
+    # Webber formula
+    assert out[0].n_common == 3  # top-5 intersection {1, 2, 3}
+    assert abs(out[0].rbo - _rbo_python(a[0], b[0], k, p)) == 0.0
+
+
+@given(
+    a=st.lists(
+        st.integers(min_value=0, max_value=15),
+        unique=True, min_size=1, max_size=5,
+    ),
+    b=st.lists(
+        st.integers(min_value=0, max_value=15),
+        unique=True, min_size=1, max_size=5,
+    ),
+)
+@_settings
+def test_rbo_overlap_matches_set_intersections(spark, a, b):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        similarity,
+    )
+
+    k, p = 5, 0.9
+    got = similarity.rbo_overlap(
+        _ranking_df(spark, {7: a}), _ranking_df(spark, {7: b}), k=k, p=p
+    ).collect()[0]
+    assert got.n_common == len(set(a) & set(b))
+    assert math.isclose(
+        got.rbo, _rbo_python(a, b, k, p), rel_tol=0, abs_tol=1e-15
+    )
+
+
+# --- m52: hashed-feature importance selection --------------------------------
+
+
+def test_m52_importance_selection_brute_force(spark, tmp_path):
+    """Reimplement the DSIR-lite selection rule with per-doc Python
+    dicts over hashlib-hashed features — no joins, no SQL — and demand
+    the registered query reproduce it on a crafted corpus where the
+    target (src0) and raw pools share some tokens and not others."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.ml_prep import (
+        _M52_D,
+        m52_importance_selection,
+    )
+
+    rows = [
+        (1, "ml ml ml data", "en", "src0"),       # target
+        (2, "ml data data web", "en", "src0"),    # target
+        (10, "ml ml data cats", "en", "src1"),    # raw, ml-leaning
+        (11, "web web cats dogs", "en", "src1"),  # raw, off-target
+        (12, "ml", "en", "src2"),                 # raw, single token
+        (13, "dogs dogs", "en", "src2"),          # raw, off-target
+    ]
+    sf = _write_documents(spark, str(tmp_path), rows)
+
+    # brute force: feature counts per doc, target/raw totals, leaning
+    # features by exact cross-multiplication, keep when 2*leaning>=all
+    def fidx(tok: str) -> int:
+        return _md5_16(tok) % _M52_D
+
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    per_doc: dict[int, dict[int, int]] = {}
+    for doc_id, text, _lg, source in rows:
+        d = per_doc.setdefault(doc_id, {})
+        for tok in _toks(text):
+            i = fidx(tok)
+            d[i] = d.get(i, 0) + 1
+            tgt = tc if source == "src0" else rc
+            tgt[i] = tgt.get(i, 0) + 1
+    tt, tr = sum(tc.values()), sum(rc.values())
+    lean = {
+        i
+        for i in set(tc) | set(rc)
+        if tc.get(i, 0) * tr > rc.get(i, 0) * tt
+    }
+    expect = {}
+    for doc_id, text, _lg, source in rows:
+        if source == "src0":
+            continue
+        n_tokens = sum(per_doc[doc_id].values())
+        n_leaning = sum(
+            n for i, n in per_doc[doc_id].items() if i in lean
+        )
+        expect[doc_id] = (n_tokens, n_leaning, int(2 * n_leaning >= n_tokens))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_leaning, r.keep_flag)
+        for r in m52_importance_selection(spark, sf).collect()
+    }
+    assert got == expect
+    # the fixture is discriminative: at least one kept, one dropped
+    assert {v[2] for v in expect.values()} == {0, 1}
+
+
+# --- m53: span-corruption layout ----------------------------------------------
+
+
+def test_m53_span_corruption_hand_solved(spark, tmp_path):
+    """Direct hashlib arithmetic for the hash-placed start slots: one
+    3-token span per 20-token chunk, start = chunk_base + md5_16 mod 18.
+    Docs under 20 tokens emit nothing; 45 tokens emit exactly 2 chunks
+    (the 5-token tail is dropped, not a short span)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.ml_prep import (
+        _M53_CHUNK,
+        _M53_SLOTS,
+        _M53_SPAN,
+        m53_span_corruption,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(19)), "en", "src0"),  # too short
+        (2, " ".join(f"w{i}" for i in range(20)), "en", "src0"),  # 1 chunk
+        (3, " ".join(f"w{i}" for i in range(45)), "en", "src1"),  # 2 chunks
+    ]
+    sf = _write_documents(spark, str(tmp_path), rows)
+    expect = set()
+    for doc_id, n_chunks in ((2, 1), (3, 2)):
+        for c in range(n_chunks):
+            slot = _md5_16(f"span:{doc_id}:{c}") % _M53_SLOTS
+            expect.add((doc_id, c, c * _M53_CHUNK + slot, _M53_SPAN))
+    got = {
+        (r.doc_id, r.span_idx, r.start_tok, r.span_len)
+        for r in m53_span_corruption(spark, sf).collect()
+    }
+    assert got == expect
+    # every span stays inside its chunk
+    for _doc, c, start, ln in got:
+        assert c * _M53_CHUNK <= start and start + ln <= (c + 1) * _M53_CHUNK
+
+
+# --- m57: effective-mixture audit ----------------------------------------------
+
+
+def test_m57_effective_mixture_hand_solved(spark, tmp_path):
+    """Hand-solved mixture: an intra-source exact dup, a CROSS-source
+    dup (canonical ownership goes to the min doc_id's source), and an
+    all-empty source exercising the 0/0 guard (dup_token_share must be
+    0.0, not NaN)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.ml_prep import (
+        m57_effective_mixture,
+    )
+
+    rows = [
+        (1, "a b c", "en", "srcA"),
+        (2, "a b c", "en", "srcA"),  # dup of 1 (same source)
+        (3, "x y", "en", "srcA"),
+        (6, "a b c", "en", "srcC"),  # dup of 1 (other source)
+        (4, "", "en", "srcB"),       # empty
+        (5, "", "en", "srcB"),       # empty (dup of 4)
+    ]
+    sf = _write_documents(spark, str(tmp_path), rows)
+    got = {
+        r.source: (
+            r.raw_tokens,
+            r.effective_tokens,
+            r.dup_token_share,
+            r.effective_weight,
+        )
+        for r in m57_effective_mixture(spark, sf).collect()
+    }
+    # srcA: raw 3+3+2=8, effective 3+2=5 (doc 2 deduped), share 3/8
+    assert got["srcA"] == (8, 5, 0.375, 1.0)
+    # srcB: zero raw tokens -> guarded share 0.0 (not NaN), weight 0
+    assert got["srcB"] == (0, 0, 0.0, 0.0)
+    # srcC: its only doc is canonical elsewhere -> all duplicated
+    assert got["srcC"] == (3, 0, 1.0, 0.0)
+
+
+# --- a35: Benford first-digit audit --------------------------------------------
+
+
+def test_benford_audit_hand_solved(spark):
+    """math.log10 ground truth for the expected shares (independently
+    re-deriving the BENFORD_EXPECTED literals) plus hand-counted digits
+    over a crafted amounts column, including the sub-cent rounding edge
+    (0.004 -> 0 cents, filtered) and a negative amount (filtered)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        stats,
+    )
+
+    # independently re-derive the interpolated constants
+    for d in range(1, 10):
+        assert math.isclose(
+            stats.BENFORD_EXPECTED[d - 1],
+            math.log10(1.0 + 1.0 / d),
+            rel_tol=0,
+            abs_tol=1e-15,
+        )
+
+    amounts = [1.00, 19.99, 1234.56, 0.005, 0.004, -5.0, 9.99, 2.50, 25.0]
+    # cents: 100, 1999, 123456, 1, 0(drop), -500(drop), 999, 250, 2500
+    # first digits:  1,  1,  1,  1,        9,  2,  2   -> total 7
+    hand = {1: 4, 2: 2, 9: 1}
+    total = 7
+    df = spark.createDataFrame([(a,) for a in amounts], "amt double")
+    got = {r.digit: r for r in stats.benford_audit(df, "amt").collect()}
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        n = hand.get(d, 0)
+        assert got[d].n == n
+        share = n / total if n else 0.0
+        assert math.isclose(got[d].share, share, rel_tol=0, abs_tol=1e-15)
+        dev = share - math.log10(1.0 + 1.0 / d)
+        assert math.isclose(got[d].deviation, dev, rel_tol=0, abs_tol=1e-12)
+        assert got[d].flagged == int(abs(dev) > 0.02)
