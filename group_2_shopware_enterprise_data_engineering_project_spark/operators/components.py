@@ -198,13 +198,21 @@ def dedup_verdicts(
     id_col: str = "doc_id",
     pair_a: str = "doc_a",
     pair_b: str = "doc_b",
+    use_star: bool = False,
 ) -> DataFrame:
     """Near-dup pairs -> per-document dedup verdict: cluster
     representative (min doc_id in the connected cluster) and a keep
     flag (representative survives, other members drop). Documents in
     no pair keep themselves.
+
+    ``use_star=True`` routes through the alternating large-star/
+    small-star variant (O(log n) rounds on ANY graph) — the switch for
+    graphs whose diameter is not known to be small; the default
+    min-label propagation wins on near-dup graphs (diameter 2-4, fewer
+    shuffles per round). Identical output either way (property-tested).
     """
-    cc = connected_components(
+    algo = connected_components_star if use_star else connected_components
+    cc = algo(
         docs.select(id_col),
         pairs.select(pair_a, pair_b),
         id_col=id_col,

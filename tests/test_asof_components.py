@@ -231,6 +231,58 @@ def test_star_cc_handles_long_chain_in_log_rounds(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_star_cc_round_count_drops_vs_propagation(spark):
+    """The round-count claim itself, not just convergence: under the
+    SAME 12-round cap a 200-node path graph converges for star CC
+    (O(log n): log2(200) ~ 8) while min-label propagation — which
+    needs ~diameter = 199 rounds — must raise its non-convergence
+    error. This is the r9-verdict adversarial-chain proof that the
+    upgrade actually changes the complexity class, not merely passes."""
+    import pytest
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.components import (
+        connected_components_star,
+    )
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r.id: r.cluster_rep
+        for r in connected_components_star(
+            nodes, edges, max_iter=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=12).collect()
+
+
+def test_dedup_verdicts_star_flag(spark):
+    """dedup_verdicts(use_star=True) routes through the O(log n)
+    variant and must produce the identical keep list."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.components import (
+        dedup_verdicts,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    want = {
+        r.doc_id: (r.cluster_rep, r.is_keep)
+        for r in dedup_verdicts(docs, pairs).collect()
+    }
+    got = {
+        r.doc_id: (r.cluster_rep, r.is_keep)
+        for r in dedup_verdicts(docs, pairs, use_star=True).collect()
+    }
+    assert got == want
+    assert want[0] == (0, True) and want[2] == (0, False)
+
+
 def test_asof_tolerance_drops_stale_not_replaces(spark):
     """merge_asof tolerance semantics: the LATEST prior match is
     dropped when stale — an older in-tolerance row must NOT be
