@@ -316,13 +316,29 @@ def main() -> None:
         "hll_analyze": lambda d, e, p: stats.analyze_columns_hll(
             d, ("doc_id",), ("source", "text")
         ),
+        # r10 additions: coreset's ONE groupBy must shuffle at most one
+        # struct-MIN candidate per (bucket, task) — buckets scale in
+        # COUNT under the sign-mask transform, so wall tracks the scan.
+        # decontam (m58's shape): the EVAL index is pinned to replica 0
+        # (fixed) while train grows k-fold — the claim is one corpus
+        # pass over train with candidate volume bounded by true
+        # near-dups (content-decorrelated replicas add no cross pairs).
+        "coreset": lambda d, e, p: similarity.diversity_coreset(e),
+        "decontam": lambda d, e, p: minhash.incremental_dedup(
+            d.filter(F.col("doc_id") % 10 != 0),
+            d.filter(
+                (F.col("doc_id") < 10**9) & (F.col("doc_id") % 10 == 0)
+            ),
+            threshold=0.4,
+        ).filter(F.col("vs_existing") == 1),
     }
+    _special = {"incr", "convo", "concur", "rbo", "mor"}
     if only:
-        unknown = only - set(ops) - {"incr", "convo", "concur"}
+        unknown = only - set(ops) - _special
         if unknown:
             sys.exit(
                 f"unknown ops: {sorted(unknown)} "
-                f"(have {sorted(ops) + ['incr', 'convo', 'concur']})"
+                f"(have {sorted(ops) + sorted(_special)})"
             )
         ops = {n: f for n, f in ops.items() if n in only}
 
@@ -382,6 +398,110 @@ def main() -> None:
     else:
         results_convo = None
 
+    if only and "rbo" in only:
+        # e21's scale surface: the overlap join and groupBy shuffle
+        # O(K x n_queries) rows regardless of corpus size — the probe
+        # grows the QUERY population k-fold (synthetic K-row rankings
+        # keyed by the embeddings ids) and expects near-linear wall
+        # with no corpus-coupled term.
+        K = 10
+
+        def _rank_frames(emb):
+            base = emb.select(F.col("vec_id").alias("query_id"))
+            r = base.select(
+                "query_id",
+                F.explode(F.sequence(F.lit(1), F.lit(K))).alias("rank"),
+            )
+            a = r.select(
+                "query_id",
+                (F.col("query_id") * 100 + F.col("rank")).alias("neighbor_id"),
+                "rank",
+            )
+            # b overlaps a on odd ranks (permuted) and diverges on even
+            b = r.select(
+                "query_id",
+                F.when(
+                    F.col("rank") % 2 == 1,
+                    F.col("query_id") * 100 + F.pmod(F.col("rank") * 3, F.lit(K)) + 1,
+                )
+                .otherwise(F.col("query_id") * 100 + 50 + F.col("rank"))
+                .alias("neighbor_id"),
+                "rank",
+            )
+            return a, b
+
+        emb1r = table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+        embkr = _emb_k(emb1r, k).localCheckpoint(eager=True)
+
+        def _rbo(emb):
+            a, b = _rank_frames(emb)
+            return lambda: similarity.rbo_overlap(a, b, k=K, p=0.9)
+
+        _rbo(emb1r)().count()  # warm
+        t1, rows1 = _run(_rbo(emb1r))
+        tk, rowsk = _run(_rbo(embkr))
+        results_rbo = {
+            "t1": round(t1, 2), "tk": round(tk, 2),
+            "ratio": round(tk / t1, 2) if t1 > 0 else None,
+            "rows1": rows1, "rowsk": rowsk,
+        }
+        only.discard("rbo")
+        ops = {n: f for n, f in ops.items() if n in only}
+    else:
+        results_rbo = None
+
+    if only and "mor" in only:
+        # k32/st27's scale axis: TOMBSTONE VOLUME. Base table fixed
+        # (orders); the accumulated tombstone set grows k-fold. Claim
+        # under test after the r10 size gate: read cost is dominated by
+        # the base scan, not the tombstone count, and past the gate the
+        # plan degrades to a shuffled anti-join instead of a driver
+        # OOM (t_shuffled_k shows that path's cost at the same volume).
+        import shutil
+
+        from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+            MergeOnReadTable,
+        )
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        mor_dir = os.path.join(repo_root, ".probe_mor")
+        shutil.rmtree(mor_dir, ignore_errors=True)
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ).localCheckpoint(eager=True)
+        n_base = orders.count()
+        n_t1 = max(n_base // 100, 1)
+
+        def _mor(name, n_tomb, gate):
+            t = MergeOnReadTable(
+                spark, os.path.join(mor_dir, name), ("o_orderkey",),
+                broadcast_max_bytes=gate,
+            )
+            t.create_or_overwrite(orders)
+            t.delete_keys(
+                orders.select("o_orderkey").limit(int(n_tomb))
+            )
+            t.read().count()  # warm
+            t0 = time.time()
+            n = t.read().count()
+            return time.time() - t0, n
+
+        t1, rows1 = _mor("b1", n_t1, 10 << 20)
+        tk, rowsk = _mor("bk", min(n_t1 * k, n_base // 2), 10 << 20)
+        tks, _ = _mor("sk", min(n_t1 * k, n_base // 2), 1)
+        results_mor = {
+            "t1": round(t1, 2), "tk": round(tk, 2),
+            "ratio": round(tk / t1, 2) if t1 > 0 else None,
+            "rows1": rows1, "rowsk": rowsk,
+            "t_shuffled_k": round(tks, 2),
+            "n_tomb_1": n_t1, "n_tomb_k": min(n_t1 * k, n_base // 2),
+        }
+        shutil.rmtree(mor_dir, ignore_errors=True)
+        only.discard("mor")
+        ops = {n: f for n, f in ops.items() if n in only}
+    else:
+        results_mor = None
+
     docs1 = table(spark, sf_dir, "documents").localCheckpoint(eager=True)
     emb1 = table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
     part1 = table(spark, sf_dir, "part").localCheckpoint(eager=True)
@@ -401,6 +521,10 @@ def main() -> None:
         results["concur"] = results_concur
     if results_convo is not None:
         results["convo"] = results_convo
+    if results_rbo is not None:
+        results["rbo"] = results_rbo
+    if results_mor is not None:
+        results["mor"] = results_mor
     if only and "incr" in only:
         # incremental_dedup has a different scaling axis than the width
         # ops: the SHARD stays fixed and the HISTORY grows k-fold (its
