@@ -1548,3 +1548,157 @@ def rbo_overlap(
         F.coalesce(F.col(f"o{k}"), F.lit(0)).cast("long").alias("n_common"),
         F.coalesce(score, F.lit(0.0)).alias("rbo"),
     )
+
+
+def pq_distortion(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Per-vector product-quantization reconstruction error — the
+    standard codebook-quality eval (Jegou et al. 2011 report it as the
+    curve every PQ design trades against recall): for each subspace
+    the error is the squared L2 to the NEAREST code (exactly what ADC
+    loses vs exact search), and the vector's distortion is the sum
+    over subspaces in ascending-subspace order.
+
+    Float discipline: min over doubles is exact; the cross-subspace
+    sum is a fixed-shape LEFT fold seeded at 0.0 ((((0+d0)+d1)+d2)+d3
+    for m=4), so an oracle writing `0.0 + s0 + s1 + ...` reproduces it
+    bit-for-bit. No cross-ROW float aggregation anywhere — the output
+    is per-vector.
+
+    Scale shape: the codebook is a model (m x k rows) packed and
+    broadcast exactly as ``pq_encode``; the corpus pays one codegen
+    fold per row and never shuffles. Returns (vec_id, sq_err).
+    """
+    packed, m, _k = _packed_codebook(codebook)
+    sub_dim = DIM // m
+
+    def best_d(sub: Column) -> Column:
+        sv = F.slice(F.col("v"), sub * sub_dim + 1, sub_dim)
+        codes_arr = F.element_at(F.col("cb"), (sub + 1).cast("int"))
+
+        def step(acc, cv):
+            d = sq_dist(sv, cv)
+            return F.when(d < acc, d).otherwise(acc)
+
+        return F.aggregate(codes_arr, F.lit(float("inf")), step)
+
+    base = spread(emb).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    total = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: best_d(s.cast("long")),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return base.crossJoin(F.broadcast(packed)).select(
+        "vec_id", total.alias("sq_err")
+    )
+
+
+def ivf_recall_curve(
+    emb: DataFrame,
+    query_pred: Column,
+    probes: tuple[int, ...] = (1, 2, 4),
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """Recall@k of IVF search at several ``n_probe`` settings against
+    brute-force truth, as ONE plan: the corpus is assigned to inverted
+    lists ONCE, candidates are gathered once at max(probes) carrying
+    their probe rank, and each setting's top-k is a rank over the
+    SAME candidate frame filtered to ``_pr <= p`` (probe candidate
+    sets are nested in p, so nothing is recomputed). Contrast with
+    invoking ``ivf_topk`` per setting, which would re-shuffle the
+    corpus per point on the curve.
+
+    Exact float: recall = integer hit count / literal k. Returns
+    (n_probe, query_id, n_hits, recall) for every (setting, query)
+    pair, zero-hit queries included.
+    """
+    p_max = max(probes)
+    centroids = _centroids(emb, n_centroids)
+    assigned = ivf_assign(emb, centroids=centroids).persist()
+    cands = None
+    try:
+        queries = assigned.filter(query_pred).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("p_sim").desc(), F.col("centroid_id")
+        )
+        probe_lists = F.broadcast(
+            queries.crossJoin(centroids)
+            .select(
+                "query_id",
+                "qv",
+                "centroid_id",
+                (
+                    dot(F.col("qv"), F.col("cv"))
+                    / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))
+                ).alias("p_sim"),
+            )
+            .withColumn("_pr", F.row_number().over(wq))
+            .filter(F.col("_pr") <= p_max)
+            .select(
+                "query_id", "qv", F.col("centroid_id").alias("qc"), "_pr"
+            )
+        )
+        cands = (
+            probe_lists.join(assigned, F.col("qc") == assigned["centroid_id"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (
+                    dot(F.col("qv"), F.col("v"))
+                    / (l2_norm(F.col("qv")) * l2_norm(F.col("v")))
+                ).alias("cos_sim"),
+                "_pr",
+            )
+            .persist()
+        )
+        truth = brute_force_topk(emb, query_pred=query_pred, k=k).select(
+            "query_id", "neighbor_id"
+        )
+        appx = None
+        for p in probes:
+            wr = Window.partitionBy("query_id").orderBy(
+                F.col("cos_sim").desc(), F.col("neighbor_id")
+            )
+            ap = (
+                cands.filter(F.col("_pr") <= p)
+                .withColumn("_rk", F.row_number().over(wr))
+                .filter(F.col("_rk") <= k)
+                .select(
+                    F.lit(p).cast("long").alias("n_probe"),
+                    "query_id",
+                    "neighbor_id",
+                )
+            )
+            appx = ap if appx is None else appx.unionByName(ap)
+        hits = (
+            appx.join(truth, ["query_id", "neighbor_id"])
+            .groupBy("n_probe", "query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        settings = appx.select("n_probe").distinct()
+        base = truth.select("query_id").distinct().crossJoin(
+            F.broadcast(settings)
+        )
+        out = base.join(hits, ["n_probe", "query_id"], "left").select(
+            "n_probe",
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
+        # settings x |Q| rows — eager, so both corpus caches release
+        return out.localCheckpoint(eager=True)
+    finally:
+        if cands is not None:
+            cands.unpersist()
+        assigned.unpersist()

@@ -1378,3 +1378,131 @@ def e21_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_shared_algebra.py — the oracle shares this
     # decomposition, so the hash match alone cannot falsify it)
     return similarity.rbo_overlap(bf, ls, k=TOP_K, p=_E21_P)
+
+
+# --- e22: product-quantization distortion eval -------------------------------
+
+_E22_TERMS = " + ".join(
+    f"max(CASE WHEN sub = {s} THEN d END)" for s in range(similarity.PQ_M)
+)
+
+E22_ORACLE = f"""
+WITH cb AS (
+  SELECT s.sub, e.vec_id AS code, e.embedding AS cv
+  FROM embeddings e,
+       (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS sub) s
+  WHERE e.vec_id < {similarity.PQ_CODES}
+), enc_d AS (
+  SELECT v.vec_id, cb.sub,
+         {_pq_subdist_sql('v.embedding', 'cb.cv')} AS d
+  FROM embeddings v, cb
+), md AS (
+  SELECT vec_id, sub, min(d) AS d FROM enc_d GROUP BY 1, 2
+)
+SELECT vec_id, CAST(0.0 AS DOUBLE) + {_E22_TERMS} AS sq_err
+FROM md GROUP BY vec_id
+"""
+
+
+@register(
+    "e22_pq_distortion",
+    E22_ORACLE,
+    doc="per-vector PQ reconstruction error (Jegou et al. 2011's "
+    "codebook-quality curve): squared L2 to the nearest code per "
+    "subspace, summed in ascending-subspace order — exactly the "
+    "error ADC search pays vs exact. Exact cross-engine float: min "
+    "over doubles is order-free and the cross-subspace sum is a "
+    "fixed-shape left fold seeded at 0.0 in BOTH engines; no "
+    "cross-row float aggregation. Codebook broadcasts as in e12; "
+    "the corpus never shuffles (zero-exchange projection)",
+)
+def e22_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.pq_distortion(emb, similarity.pq_seed_codebook(emb))
+
+
+# --- e23: IVF recall-vs-n_probe curve -----------------------------------------
+
+_E23_PROBES = (1, 2, 4)
+
+
+def _e23_probe_sql(p: int) -> str:
+    """(query_id, neighbor_id) pairs of the IVF top-k at n_probe=p —
+    the e5/e7 oracle generalized over the probe count; relies on the
+    `scored`/`assigned` CTEs of the enclosing query."""
+    return f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT cand.query_id, cand.neighbor_id, row_number() OVER (
+        PARTITION BY cand.query_id
+        ORDER BY cand.cos_sim DESC, cand.neighbor_id) AS rank
+    FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_DOT.format(a='p.qv', b='a.v')}
+             / ({_NORM.format(v='p.qv')} * {_NORM.format(v='a.v')}) AS cos_sim
+      FROM (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS qc FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS pr
+          FROM scored WHERE vec_id < {N_QUERIES}
+        ) WHERE pr <= {p}
+      ) p JOIN assigned a
+        ON p.qc = a.centroid_id AND a.vec_id <> p.query_id
+    ) cand
+  ) WHERE rank <= {TOP_K}"""
+
+
+E23_ORACLE = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), scored AS (
+  SELECT e.vec_id, e.embedding AS v, c.centroid_id,
+         {_DOT.format(a='e.embedding', b='c.cv')}
+         / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='c.cv')}) AS c_sim
+  FROM embeddings e CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), truth AS (
+  SELECT query_id, neighbor_id FROM ({E2_ORACLE})
+), appx AS (
+{" UNION ALL ".join(f"SELECT CAST({p} AS BIGINT) AS n_probe, * FROM ({_e23_probe_sql(p)})" for p in _E23_PROBES)}
+), hits AS (
+  SELECT a.n_probe, a.query_id,
+         CAST(count(t.neighbor_id) AS BIGINT) AS n_hits
+  FROM appx a LEFT JOIN truth t
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY 1, 2
+), base AS (
+  SELECT p.n_probe, q.query_id
+  FROM (SELECT DISTINCT query_id FROM truth) q
+  CROSS JOIN (SELECT DISTINCT n_probe FROM appx) p
+)
+SELECT b.n_probe, b.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(TOP_K)!r} AS recall
+FROM base b LEFT JOIN hits h
+  ON b.n_probe = h.n_probe AND b.query_id = h.query_id
+"""
+
+
+@register(
+    "e23_recall_curve",
+    E23_ORACLE,
+    doc=f"IVF recall-vs-n_probe curve (probes {_E23_PROBES}): per "
+    "(n_probe, query) the overlap of the IVF top-k with brute-force "
+    "truth and recall@k — the cost/recall trade every IVF deployment "
+    "tunes, as ONE query instead of per-setting reruns. Exact float: "
+    "recall is an integer count divided by the literal k. Scale: "
+    "truth is k rows/query; each probe setting reuses the broadcast-"
+    "centroid assignment, so the corpus is scanned once per setting "
+    "and raw vectors never shuffle (index-routed candidates only)",
+)
+def e23_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_recall_curve(
+        emb, F.col("vec_id") < N_QUERIES, probes=_E23_PROBES, k=TOP_K
+    )

@@ -423,6 +423,72 @@ def test_pq_encode_shape_and_range(emb):
     assert min(flat) >= 0 and max(flat) < similarity.PQ_CODES
 
 
+def test_pq_distortion_consistent_with_encode(emb):
+    """Distortion ground truth from pq_encode itself: a vector's
+    sq_err must equal the sum of squared L2 to its ASSIGNED codes
+    (computed in python over the collected codebook), and every
+    codebook vector reconstructs itself exactly (sq_err == 0.0)."""
+    df, vecs = emb
+    cb_df = similarity.pq_seed_codebook(df)
+    cb = {(r.sub, r.code): list(r.cv) for r in cb_df.collect()}
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in similarity.pq_encode(df, cb_df).collect()
+    }
+    got = {
+        r.vec_id: r.sq_err
+        for r in similarity.pq_distortion(df, cb_df).collect()
+    }
+    sd = similarity.PQ_SUB_DIM
+    for vid in range(len(vecs)):
+        v = [float(x) for x in vecs[vid]]
+        want = sum(
+            sum(
+                (v[s * sd + i] - cb[(s, codes[vid][s])][i]) ** 2
+                for i in range(sd)
+            )
+            for s in range(similarity.PQ_M)
+        )
+        assert math.isclose(got[vid], want, rel_tol=1e-12, abs_tol=1e-12)
+    for vid in range(similarity.PQ_CODES):
+        if vid in got:
+            assert got[vid] == 0.0
+
+
+def test_ivf_recall_curve_monotone_and_matches_per_setting(emb):
+    """The one-plan curve must (a) be non-decreasing in n_probe, (b)
+    reach recall 1.0 when probing every list (== brute force), and
+    (c) reproduce exactly what separate ivf_topk calls score per
+    setting — the nested-candidate-set shortcut changes the plan, not
+    the answer."""
+    df, _ = emb
+    pred = F.col("vec_id") < 4
+    nc = similarity.N_CENTROIDS
+    curve = similarity.ivf_recall_curve(
+        df, pred, probes=(1, 2, nc), k=5
+    ).collect()
+    by_p = {}
+    for r in curve:
+        by_p.setdefault(r.n_probe, {})[r.query_id] = r.n_hits
+        assert r.recall == r.n_hits / 5.0
+    means = {p: sum(q.values()) for p, q in by_p.items()}
+    assert means[1] <= means[2] <= means[nc]
+    assert all(h == 5 for h in by_p[nc].values())  # probe-all == truth
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(df, query_pred=pred, k=5).collect()
+    }
+    for p in (1, 2):
+        single = similarity.ivf_topk(df, query_pred=pred, k=5, n_probe=p)
+        hits = {}
+        for r in single.collect():
+            hits[r.query_id] = hits.get(r.query_id, 0) + (
+                (r.query_id, r.neighbor_id) in truth
+            )
+        for q, h in by_p[p].items():
+            assert h == hits.get(q, 0)
+
+
 def test_pq_trained_codebook_beats_poisoned_seed(clustered_emb):
     """Seed codebook comes from ids 0..15 — all cluster 0 by
     construction — so its subspace codes can't separate the other 7
