@@ -1223,3 +1223,83 @@ def a36_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rangejoin.interval_concurrency(
         iv, "start_us", "end_us", bucket_us=_A36_HOUR_US
     )
+
+
+# --- a37: EWMA revenue baseline + spike flag ------------------------------------
+
+_A37_L = 7  # lookback depth, current day included
+#: EWMA with alpha = 1/4 over a zero-padded 7-day lookback, as EXACT
+#: INTEGER weights: the renormalized alpha*(1-alpha)^j weights equal
+#: 3^j * 4^(L-1-j) / U with U = 4^L - 3^L — so the smoothed value is
+#: ONE BIGINT weighted sum divided ONCE by the literal U. No float
+#: accumulation exists to diverge: a first float formulation (double
+#: weights in a term chain) hash-missed by 1 ulp because DuckDB
+#: contracts `w*c + acc` into fused multiply-adds while the JVM never
+#: fuses; integer arithmetic removes the FMA surface entirely.
+_A37_U_WEIGHTS = tuple(3**j * 4 ** (_A37_L - 1 - j) for j in range(_A37_L))
+_A37_U = 4**_A37_L - 3**_A37_L  # == sum of the integer weights
+
+_A37_NUM_SQL = " + ".join(
+    f"{u} * lag(cents, {j}, 0) OVER w"
+    for j, u in enumerate(_A37_U_WEIGHTS)
+)
+
+A37_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM events GROUP BY 1, 2
+), n AS (
+  SELECT event_type, day, cents,
+         CAST({_A37_NUM_SQL} AS BIGINT) AS num
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, cents,
+       CAST(num AS DOUBLE) / CAST({_A37_U} AS DOUBLE) AS ewma_7,
+       CAST({_A37_U} * cents > 2 * num AS INT) AS spike_flag
+FROM n
+"""
+
+
+@register(
+    "a37_ewma_revenue",
+    A37_ORACLE,
+    doc=f"EWMA revenue baseline per event type (alpha=1/4, {_A37_L}-day "
+    "zero-padded lookback over the OBSERVED daily series) + spike "
+    "flag (day > 2x its own smoothed baseline) — the ops-dashboard "
+    "anomaly screen a18's global z-score cannot give per-key with "
+    "bounded state. EXACT arithmetic end-to-end: the renormalized "
+    "alpha(1-alpha)^j weights are the integers 3^j*4^(L-1-j) over "
+    f"U=4^L-3^L={_A37_U}, so the smoothed value is one BIGINT lag-"
+    "chain sum divided ONCE by the literal U, and the spike compare "
+    "is pure integers (U*cents > 2*num) — no float accumulation, no "
+    "FMA divergence surface (a double-weight formulation hash-missed "
+    "by 1 ulp: DuckDB fuses w*c+acc, the JVM does not). One key "
+    "shuffle shared by the daily agg and the per-type window; frame "
+    "state is L rows",
+)
+def a37_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = None
+    for j, u in enumerate(_A37_U_WEIGHTS):
+        term = F.lit(u).cast("long") * F.lag("cents", j, 0).over(w)
+        num = term if num is None else num + term
+    num = num.cast("long")
+    return daily.select(
+        "event_type",
+        "day",
+        "cents",
+        (num.cast("double") / F.lit(float(_A37_U))).alias("ewma_7"),
+        (F.lit(_A37_U).cast("long") * F.col("cents") > F.lit(2).cast("long") * num)
+        .cast("int")
+        .alias("spike_flag"),
+    )

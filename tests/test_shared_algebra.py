@@ -295,3 +295,54 @@ def test_benford_audit_hand_solved(spark):
         dev = share - math.log10(1.0 + 1.0 / d)
         assert math.isclose(got[d].deviation, dev, rel_tol=0, abs_tol=1e-12)
         assert got[d].flagged == int(abs(dev) > 0.02)
+
+
+# --- a37: EWMA revenue baseline -------------------------------------------------
+
+
+def test_a37_ewma_hand_solved(spark, tmp_path):
+    """Textbook-float ground truth for the integer-weight EWMA: compute
+    alpha(1-alpha)^j renormalized weights in pure Python and the
+    smoothed series by direct summation, then demand the query's exact
+    dyadic-rational formulation agree to 1e-12 relative — plus an
+    engineered spike day the flag must catch and a quiet day it must
+    not."""
+    from datetime import datetime
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (
+        a37_ewma_revenue,
+    )
+
+    # one "click" event per day; day 4 spikes 10x
+    daily = [100.0, 110.0, 90.0, 105.0, 1000.0, 95.0]
+    rows = [
+        (i, datetime(2024, 3, 1 + i, 12, 0, 0), 7, "click", v, "{}")
+        for i, v in enumerate(daily)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        str(r.day): r
+        for r in a37_ewma_revenue(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == len(daily)
+
+    a, L = 0.25, 7
+    w = [a * (1 - a) ** j for j in range(L)]
+    w = [x / sum(w) for x in w]
+    cents = [round(v * 100) for v in daily]
+    for i, c in enumerate(cents):
+        lags = [cents[i - j] if i - j >= 0 else 0 for j in range(L)]
+        want = sum(wj * cj for wj, cj in zip(w, lags))
+        r = got[f"2024-03-{1 + i:02d}"]
+        assert r.cents == c
+        assert math.isclose(r.ewma_7, want, rel_tol=1e-12)
+        assert r.spike_flag == int(c > 2 * want)
+    assert got["2024-03-05"].spike_flag == 1  # the engineered spike
+    assert got["2024-03-06"].spike_flag == 0  # quiet day after
