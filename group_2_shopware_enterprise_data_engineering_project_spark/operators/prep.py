@@ -350,6 +350,73 @@ def sequence_pack(
     )
 
 
+def chunk_manifest(
+    docs: DataFrame,
+    cap: int = 1024,
+    shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The writer-side complement of ``sequence_pack``: the per-chunk
+    GATHER MANIFEST. ``sequence_pack`` tells each document where it
+    starts; the shard writer needs the inverse view — for every output
+    chunk, which documents contribute which token slices. One row per
+    (document, chunk) overlap: a doc spanning three chunks emits three
+    rows whose (slice_start, slice_len) tile the doc exactly; grouping
+    by (shard, chunk_id) and sorting by slice order IS the gather list
+    a tokenized-shard writer executes.
+
+    Same layout math and ordering contract as ``sequence_pack``
+    (shard = id % shards, per-shard running sum ordered by (id,
+    md5(text)) with a ROWS frame), so the two plans agree row-for-row
+    on pack placement. Zero-token docs occupy no chunk and are
+    dropped. Scale: the only shuffle is the per-shard window; the
+    explode emits ceil(n_tokens/cap)+1 rows per doc at most — output-
+    linear, no joins.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    d = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % F.lit(shards)).alias("shard"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        F.md5(F.col(text_col)).alias("_tie"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    first = F.expr(f"cum_before div {cap}")
+    last = F.expr(f"(cum_before + n_tokens - 1) div {cap}")
+    x = d.select(
+        "shard",
+        id_col,
+        "n_tokens",
+        "cum_before",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    c_start = F.col("chunk_id") * F.lit(cap)
+    c_end = (F.col("chunk_id") + 1) * F.lit(cap)
+    doc_end = F.col("cum_before") + F.col("n_tokens")
+    return x.select(
+        "shard",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        id_col,
+        F.greatest(c_start - F.col("cum_before"), F.lit(0))
+        .cast("long")
+        .alias("slice_start"),
+        (F.least(doc_end, c_end) - F.greatest(F.col("cum_before"), c_start))
+        .cast("long")
+        .alias("slice_len"),
+    )
+
+
 # --- domain mixture weights (temperature sampling) -------------------------
 
 

@@ -2777,3 +2777,58 @@ def m57_effective_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_eff").cast("double")
         ).alias("effective_weight"),
     )
+
+
+# --- m59: per-chunk gather manifest (writer-side inverse of m15) ---------------
+
+_M59_CAP, _M59_SHARDS = 1024, 8
+
+M59_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_M59_SHARDS} AS shard,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             AS n_tokens,
+         md5(text) AS _tie
+  FROM documents
+), c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, _tie
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS cum_before
+  FROM t
+), s AS (
+  SELECT * FROM c WHERE n_tokens > 0
+), x AS (
+  SELECT shard, doc_id, n_tokens, cum_before, gs.ch AS chunk_id
+  FROM s, LATERAL (SELECT unnest(generate_series(
+      CAST(cum_before // {_M59_CAP} AS BIGINT),
+      CAST((cum_before + n_tokens - 1) // {_M59_CAP} AS BIGINT))) AS ch) gs
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       doc_id,
+       CAST(greatest(chunk_id * {_M59_CAP} - cum_before, 0) AS BIGINT)
+           AS slice_start,
+       CAST(least(cum_before + n_tokens, (chunk_id + 1) * {_M59_CAP})
+            - greatest(cum_before, chunk_id * {_M59_CAP}) AS BIGINT)
+           AS slice_len
+FROM x
+"""
+
+
+@register(
+    "m59_chunk_manifest",
+    M59_ORACLE,
+    doc=f"per-chunk gather manifest (cap={_M59_CAP}, {_M59_SHARDS} "
+    "shards) — the writer-side INVERSE of m15's packing plan: one row "
+    "per (doc, chunk) overlap with the exact token slice each doc "
+    "contributes, so a shard writer can gather every output sequence "
+    "without re-deriving offsets. Same sharded-running-sum layout "
+    "contract as m15 (no global window); the explode is output-linear "
+    "(<= ceil(n/cap)+1 rows per doc), zero joins. Slice-tiling "
+    "invariants property-tested in tests/test_prep.py",
+)
+def m59_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.chunk_manifest(
+        table(spark, sf_dir, "documents"), cap=_M59_CAP, shards=_M59_SHARDS
+    )

@@ -889,3 +889,57 @@ def test_fim_transform_is_lossless_permutation(spark):
         assert (len(pre), len(mid), len(suf)) == (
             r.n_prefix, r.n_middle, r.n_suffix,
         )
+
+
+def test_chunk_manifest_tiles_docs_and_matches_sequence_pack(spark):
+    """The gather manifest's invariants, checked against the packing
+    plan it inverts: (a) each doc's slices tile it exactly — lengths
+    sum to n_tokens, starts are contiguous from 0, chunk ids are
+    consecutive; (b) the doc's FIRST manifest row lands at
+    sequence_pack's (pack_id, pack_offset); (c) per (shard, chunk) the
+    gathered slice lengths never exceed the cap, and every interior
+    chunk is exactly full."""
+    docs = spark.createDataFrame(
+        [
+            # shard 0 (ids % 2 == 0): 7 + 5 + 9 tokens, cap 8 ->
+            # doc 0 spans chunks 0-0, doc 2 spans 0-1, doc 4 spans 1-2
+            (0, " ".join(f"a{i}" for i in range(7))),
+            (2, " ".join(f"b{i}" for i in range(5))),
+            (4, " ".join(f"c{i}" for i in range(9))),
+            # shard 1: one zero-token doc (must vanish) and one normal
+            (1, ""),
+            (3, " ".join(f"d{i}" for i in range(3))),
+        ],
+        "doc_id long, text string",
+    )
+    cap = 8
+    man = prep.chunk_manifest(docs, cap=cap, shards=2).collect()
+    pack = {
+        r.doc_id: r for r in prep.sequence_pack(docs, cap=cap, shards=2).collect()
+    }
+    assert not [r for r in man if r.doc_id == 1]  # zero-token doc gone
+    by_doc: dict[int, list] = {}
+    for r in man:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_tokens = {0: 7, 2: 5, 4: 9, 3: 3}
+    for doc, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        assert sum(r.slice_len for r in rows) == n_tokens[doc]
+        assert rows[0].slice_start == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b.chunk_id == a.chunk_id + 1
+            assert b.slice_start == a.slice_start + a.slice_len
+        p = pack[doc]
+        assert rows[0].chunk_id == p.pack_id
+        assert rows[0].shard == p.shard
+        # position inside the first chunk == the packing plan's offset
+        assert all(r.slice_len >= 1 for r in rows)
+    # per-chunk budget: shard 0 carries 21 tokens -> chunks 0,1 full (8)
+    per_chunk: dict[tuple, int] = {}
+    for r in man:
+        per_chunk[(r.shard, r.chunk_id)] = (
+            per_chunk.get((r.shard, r.chunk_id), 0) + r.slice_len
+        )
+    assert all(v <= cap for v in per_chunk.values())
+    assert per_chunk[(0, 0)] == cap and per_chunk[(0, 1)] == cap
+    assert per_chunk[(0, 2)] == 21 - 2 * cap
