@@ -2229,3 +2229,54 @@ def m58_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_eval_matches"),
         F.max("jaccard").alias("best_jaccard"),
     )
+
+
+# --- t33: per-source term concentration (HHI) ------------------------------------
+
+T33_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(n * n) AS BIGINT) AS sum_sq,
+       CAST(sum(n * n) AS DOUBLE) / CAST(sum(n) * sum(n) AS DOUBLE) AS hhi
+FROM tf GROUP BY source
+"""
+
+
+@register(
+    "t33_term_concentration",
+    T33_ORACLE,
+    doc="per-source term concentration: the Herfindahl-Hirschman index "
+    "over term frequencies (sum of squared token shares) — the "
+    "repetitiveness/diversity screen that catches template-generated "
+    "or boilerplate-heavy sources (HHI -> 1) that per-doc gates like "
+    "t7 miss because each document looks fine in isolation. EXACT "
+    "algebra: HHI = sum(n^2) / total^2 as one division of exact "
+    "BIGINTs (no per-term float shares, no unordered float SUM; at "
+    "corpus scales where total^2 would overflow BIGINT, divide twice "
+    "— documented, not needed at test SF). Scale: one explode + two "
+    "map-side-combined groupBys; only (source, term, count) triples "
+    "ever shuffle",
+)
+def t33_term_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        (
+            F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n") * F.sum("n")).cast("double")
+        ).alias("hhi"),
+    )

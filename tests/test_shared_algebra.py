@@ -346,3 +346,29 @@ def test_a37_ewma_hand_solved(spark, tmp_path):
         assert r.spike_flag == int(c > 2 * want)
     assert got["2024-03-05"].spike_flag == 1  # the engineered spike
     assert got["2024-03-06"].spike_flag == 0  # quiet day after
+
+
+# --- t33: per-source term concentration (HHI) -----------------------------------
+
+
+def test_t33_hhi_hand_solved(spark, tmp_path):
+    """Hand-counted HHI: 'x x x y' -> (9+1)/16 = 0.625; a single
+    repeated term -> exactly 1.0; a uniform vocabulary -> 1/n_terms."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.text_pipeline import (
+        t33_term_concentration,
+    )
+
+    rows = [
+        (1, "x x x y", "en", "srcA"),
+        (2, "z z z", "en", "srcB"),
+        (3, "a b", "en", "srcC"),
+        (4, "c d", "en", "srcC"),
+    ]
+    sf = _write_documents(spark, str(tmp_path), rows)
+    got = {
+        r.source: (r.n_terms, r.total_tokens, r.sum_sq, r.hhi)
+        for r in t33_term_concentration(spark, sf).collect()
+    }
+    assert got["srcA"] == (2, 4, 10, 0.625)
+    assert got["srcB"] == (1, 3, 9, 1.0)
+    assert got["srcC"] == (4, 4, 4, 0.25)
