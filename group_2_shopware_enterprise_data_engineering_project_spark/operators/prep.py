@@ -1275,3 +1275,57 @@ def loss_mask_spans(
         .alias("n_loss_chars"),
         F.array_join(ordered, ",").alias("loss_spans"),
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    budget_pct: int = 60,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc-level realization of ``budget_waterfill``: the allocation
+    says how many tokens each source may keep; this picks WHICH
+    documents — the greedy id-ordered prefix whose cumulative token
+    count stays within the source's cap (deterministic, replayable:
+    re-running on the same corpus keeps the same docs, and appending
+    docs never un-keeps earlier ones). Emits every doc with its
+    running total and keep verdict, so the drop set is auditable
+    rather than silently filtered.
+
+    Scale: the waterfill solve runs on the source-cardinality frame
+    and broadcasts back; the only corpus shuffle is the per-source
+    window (partitioned by source — no global ordering anywhere).
+    Ordering contract: ``id_col`` must be unique (the testdata
+    doc_id); callers with duplicate ids should pre-dedup or add a
+    tiebreak column.
+    """
+    caps = budget_waterfill(
+        docs, budget_pct=budget_pct, text_col=text_col, source_col=source_col
+    ).select("source", "cap_tokens")
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    d = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        token_count(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    return d.join(F.broadcast(caps), "source").select(
+        id_col,
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= F.col("cap_tokens"))
+        .cast("int")
+        .alias("keep_flag"),
+    )

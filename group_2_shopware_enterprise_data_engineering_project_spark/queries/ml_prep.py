@@ -2832,3 +2832,42 @@ def m59_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.chunk_manifest(
         table(spark, sf_dir, "documents"), cap=_M59_CAP, shards=_M59_SHARDS
     )
+
+
+# --- m60: doc-level budget selection under the m54 waterline -------------------
+
+M60_ORACLE = f"""
+WITH alloc AS (
+  {M54_ORACLE}
+), d AS (
+  SELECT doc_id, source,
+         CAST(len({text_pipeline._TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+  FROM d
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
+       CAST(c.cum_tokens <= a.cap_tokens AS INT) AS keep_flag
+FROM c JOIN alloc a USING (source)
+"""
+
+
+@register(
+    "m60_budget_select",
+    M60_ORACLE,
+    doc="doc-level realization of m54's waterfill allocation: per "
+    "source, keep the greedy id-ordered prefix of documents whose "
+    "cumulative tokens fit the source's cap — deterministic and "
+    "append-stable (new docs never un-keep old ones), with every doc "
+    "emitted alongside its running total so drops are auditable. The "
+    "solve runs on the source-cardinality frame and broadcasts back; "
+    "the only corpus shuffle is the per-source window. All-BIGINT",
+)
+def m60_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.budget_select(
+        table(spark, sf_dir, "documents"), budget_pct=_M54_PCT
+    )

@@ -943,3 +943,32 @@ def test_chunk_manifest_tiles_docs_and_matches_sequence_pack(spark):
     assert all(v <= cap for v in per_chunk.values())
     assert per_chunk[(0, 0)] == cap and per_chunk[(0, 1)] == cap
     assert per_chunk[(0, 2)] == 21 - 2 * cap
+
+
+def test_budget_select_greedy_prefix_under_cap(spark):
+    """Hand-solved waterfill + selection: totals {A:30, B:5} at 60%
+    budget -> budget 21, cap 16 (B fully funded, A clipped); A's
+    greedy id-ordered prefix keeps only its first 10-token doc
+    (cum 10 <= 16 < cum 20), B keeps everything."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 10), "A"),
+            (2, " ".join(["w"] * 10), "A"),
+            (3, " ".join(["w"] * 10), "A"),
+            (4, " ".join(["w"] * 5), "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.cum_tokens, r.keep_flag)
+        for r in prep.budget_select(docs, budget_pct=60).collect()
+    }
+    assert got == {1: (10, 1), 2: (20, 0), 3: (30, 0), 4: (5, 1)}
+    # kept tokens never exceed the allocation the waterfill promised
+    alloc = {
+        r.source: r.alloc_tokens
+        for r in prep.budget_waterfill(docs, budget_pct=60).collect()
+    }
+    kept = {"A": 10, "B": 5}
+    for s in kept:
+        assert kept[s] <= alloc[s]
