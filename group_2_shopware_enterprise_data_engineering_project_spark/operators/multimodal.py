@@ -27,7 +27,7 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -249,3 +249,42 @@ def media_near_dup(
         "id_b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def scene_segments(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    fp_col: str = "frame_fp",
+) -> DataFrame:
+    """Scene segmentation from a per-frame fingerprint stream: a scene
+    boundary is any frame whose fingerprint differs from its
+    predecessor (the shot-cut detector's output shape — a real
+    deployment feeds a phash of the decoded frame, mm1/mm5's
+    fingerprint path; equal-fp runs collapse into one scene). The
+    scene id is the running count of boundaries, so segmentation is
+    lag + prefix sum + groupBy — no self-join over frames.
+
+    Scale: both windows partition by the video key, so per-task state
+    is one video's frame count; fingerprints ride the shuffle, frame
+    payloads never do. Output per scene: (media_id, scene_id,
+    start_frame, end_frame, n_frames, frame_fp).
+    """
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    is_cut = F.when(
+        F.lag(fp_col).over(w).isNull()
+        | (F.lag(fp_col).over(w) != F.col(fp_col)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = frames.withColumn(
+        "scene_id",
+        F.sum(is_cut)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return run.groupBy(id_col, "scene_id").agg(
+        F.min(idx_col).cast("long").alias("start_frame"),
+        F.max(idx_col).cast("long").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.min(fp_col).alias("frame_fp"),
+    )

@@ -384,3 +384,74 @@ def mm7_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_frames") - F.col("n_unique")).cast("long").alias("n_dropped"),
         "kept_digest",
     )
+
+
+# --- mm8: scene segmentation from frame fingerprints ----------------------------
+
+MM8_ORACLE = """
+WITH frames AS (
+  SELECT doc_id AS media_id, md5(text) AS media_fp, gs.f AS frame_idx,
+         doc_id % 4 + 2 AS period
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0,
+           CAST(floor((n_chars * 40 - 1) / 1000.0) AS BIGINT))) AS f) gs
+  WHERE n_chars > 0 AND doc_id % 3 = 2
+), fp AS (
+  SELECT media_id, frame_idx,
+         md5(media_fp || ':' || CAST(frame_idx // period AS VARCHAR))
+             AS frame_fp
+  FROM frames
+), cut AS (
+  SELECT media_id, frame_idx, frame_fp,
+         CASE WHEN lag(frame_fp) OVER w IS NULL
+                   OR lag(frame_fp) OVER w <> frame_fp
+              THEN 1 ELSE 0 END AS is_cut
+  FROM fp
+  WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)
+), seg AS (
+  SELECT media_id, frame_idx, frame_fp,
+         CAST(sum(is_cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS scene_id
+  FROM cut
+)
+SELECT media_id, scene_id,
+       CAST(min(frame_idx) AS BIGINT) AS start_frame,
+       CAST(max(frame_idx) AS BIGINT) AS end_frame,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       min(frame_fp) AS frame_fp
+FROM seg GROUP BY 1, 2
+"""
+
+
+@register(
+    "mm8_scene_segments",
+    MM8_ORACLE,
+    doc="scene segmentation over per-frame fingerprint streams (the "
+    "shot-cut detector shape): a boundary is any frame whose "
+    "fingerprint differs from its predecessor; scene id = running cut "
+    "count; one row per scene with frame span. lag + prefix sum + "
+    "groupBy, all partitioned by the video key — per-task state is "
+    "one video's frames, payloads never shuffle (fingerprints only). "
+    "Synthetic fps here carry a per-video scene period (media_id%4+2) "
+    "so runs and cuts both occur; a real deployment feeds phash of "
+    "the decoded frame (mm1/mm5 path)",
+)
+def mm8_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir).filter(F.col("kind") == "video")
+    frames = multimodal.frame_sample_plan(media)
+    media_fp = multimodal.media_fingerprint(media).select(
+        "media_id", F.col("fingerprint").alias("media_fp")
+    )
+    f = frames.join(media_fp, "media_id").select(
+        "media_id",
+        "frame_idx",
+        F.md5(
+            F.concat(
+                F.col("media_fp"),
+                F.lit(":"),
+                F.expr("frame_idx div (media_id % 4 + 2)").cast("string"),
+            )
+        ).alias("frame_fp"),
+    )
+    return multimodal.scene_segments(f)

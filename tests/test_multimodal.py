@@ -94,3 +94,32 @@ def test_media_near_dup_finds_exact_payload_pairs_only(spark):
     # phash is 60-bit sign-safe
     h = mm.media_phash(media).agg(F.min("phash"), F.max("phash")).first()
     assert h[0] >= 0 and h[1] < (1 << 60)
+
+
+def test_scene_segments_hand_solved(spark):
+    """Literal fingerprint stream: runs AAA BB A C -> four scenes with
+    the exact spans; a single-frame video is one scene; two videos
+    never merge."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import multimodal
+
+    rows = [
+        (1, 0, "A"), (1, 1, "A"), (1, 2, "A"),
+        (1, 3, "B"), (1, 4, "B"),
+        (1, 5, "A"),           # returning fp starts a NEW scene
+        (1, 6, "C"),
+        (2, 0, "A"),           # other video, same fp — independent
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx long, frame_fp string"
+    )
+    got = {
+        (r.media_id, r.scene_id): (r.start_frame, r.end_frame, r.n_frames, r.frame_fp)
+        for r in multimodal.scene_segments(df).collect()
+    }
+    assert got == {
+        (1, 1): (0, 2, 3, "A"),
+        (1, 2): (3, 4, 2, "B"),
+        (1, 3): (5, 5, 1, "A"),
+        (1, 4): (6, 6, 1, "C"),
+        (2, 1): (0, 0, 1, "A"),
+    }
