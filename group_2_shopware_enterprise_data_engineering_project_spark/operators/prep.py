@@ -356,6 +356,7 @@ def chunk_manifest(
     shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    base_offsets: DataFrame | None = None,
 ) -> DataFrame:
     """The writer-side complement of ``sequence_pack``: the per-chunk
     GATHER MANIFEST. ``sequence_pack`` tells each document where it
@@ -373,6 +374,13 @@ def chunk_manifest(
     dropped. Scale: the only shuffle is the per-shard window; the
     explode emits ceil(n_tokens/cap)+1 rows per doc at most — output-
     linear, no joins.
+
+    ``base_offsets`` (shard, base_offset) shifts every shard's stream
+    position — the INCREMENTAL form: a streaming chunker passes the
+    token counts accumulated by earlier micro-batches, so this batch's
+    docs continue the token stream instead of restarting chunk 0
+    (st28). Missing shards start at 0; the frame is shard-cardinality,
+    broadcast.
     """
     from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
         token_count,
@@ -392,6 +400,16 @@ def chunk_manifest(
     d = d.withColumn(
         "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
     ).filter(F.col("n_tokens") > 0)
+    if base_offsets is not None:
+        d = d.join(
+            F.broadcast(base_offsets.select("shard", "base_offset")),
+            "shard",
+            "left",
+        ).withColumn(
+            "cum_before",
+            F.col("cum_before")
+            + F.coalesce(F.col("base_offset"), F.lit(0)).cast("long"),
+        ).drop("base_offset")
     first = F.expr(f"cum_before div {cap}")
     last = F.expr(f"(cum_before + n_tokens - 1) div {cap}")
     x = d.select(

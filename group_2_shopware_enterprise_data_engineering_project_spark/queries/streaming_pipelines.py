@@ -2298,3 +2298,114 @@ def st27_stream_mor_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.base.vacuum(keep_last=1)
     t.tombstones.vacuum(keep_last=1)
     return t.read()
+
+
+# --- ST28: streaming chunk manifest with carried offsets -----------------------
+
+
+@register(
+    "st28_stream_chunk_manifest",
+    None,  # bound to M59_ORACLE below — the stream reproduces m59 exactly
+    doc="streaming concat-and-chunk: documents arrive in doc_id-range "
+    "micro-batches and each batch extends the per-shard token stream "
+    "from OFFSET COUNTERS accumulated by earlier batches (prep."
+    "chunk_manifest's base_offsets form) — chunk placement continues "
+    "instead of restarting at chunk 0, with no history re-scan. "
+    "Replay-safe: the batch is recomputed from UNCHANGED counters and "
+    "key-replace-merged (content-idempotent), and the counter advance "
+    "is txn-stamped on the atomic snapshot path, so a replayed batch "
+    "is a manifest-checked no-op. Because range-batches preserve "
+    "per-shard doc_id order, the drained stream equals m59's batch "
+    "manifest row-for-row — the oracle IS M59's",
+)
+def st28_stream_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        prep as _prep,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        _stream_app_id,
+        run_available_now,
+        stage_ordered_batches,
+    )
+
+    cap, shards = 1024, 8
+    base = _tmp("st28")
+    src_dir = f"{base}/in"
+    man_path, off_path, ckpt = f"{base}/manifest", f"{base}/offsets", f"{base}/ckpt"
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    stage_ordered_batches(
+        docs, src_dir, 3, F.floor(F.col("doc_id") * 3 / F.lit(n)).cast("long")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    manifest = ParquetUpsertTable(spark, man_path)
+    offsets = ParquetUpsertTable(spark, off_path)
+    app_id = _stream_app_id(ckpt)
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        if batch_id <= offsets.last_txn(app_id):
+            return  # replayed batch: already folded into the counters
+        cur = (
+            offsets.read().select("shard", "base_offset")
+            if offsets.exists()
+            else None
+        )
+        rows = _prep.chunk_manifest(
+            bdf, cap=cap, shards=shards, base_offsets=cur
+        )
+        # content-idempotent: a replay recomputes the SAME rows from
+        # the same (un-advanced) counters and replaces them in place
+        manifest.upsert_replace(rows, ("doc_id", "chunk_id"))
+        sums = bdf.select(
+            (F.col("doc_id") % F.lit(shards)).alias("shard"),
+            token_count(F.coalesce(F.col("text"), F.lit("")))
+            .cast("long")
+            .alias("base_offset"),
+        ).groupBy("shard").agg(
+            F.sum("base_offset").cast("long").alias("base_offset")
+        )
+        # counter advance rides the atomic manifest commit (data +
+        # batch id in ONE os.replace -> exactly-once)
+        offsets.upsert_additive(
+            sums,
+            ("shard",),
+            ("base_offset",),
+            txn=(app_id, batch_id),
+            force_snapshot=True,
+        )
+
+    run_available_now(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        ckpt,
+        _batch,
+    )
+    return manifest.read().select(
+        "shard", "chunk_id", "doc_id", "slice_start", "slice_len"
+    )
+
+
+def _bind_st28_oracle() -> None:
+    """st28's oracle IS m59's: range-batches preserve per-shard doc_id
+    order, so the carried-offset stream reproduces the batch manifest
+    row-for-row. Bound late to avoid importing ml_prep at module
+    import."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries import (
+        ml_prep,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.registry import (
+        _REGISTRY,
+    )
+
+    _REGISTRY["st28_stream_chunk_manifest"].oracle = ml_prep.M59_ORACLE
+
+
+_bind_st28_oracle()

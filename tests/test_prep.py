@@ -972,3 +972,43 @@ def test_budget_select_greedy_prefix_under_cap(spark):
     kept = {"A": 10, "B": 5}
     for s in kept:
         assert kept[s] <= alloc[s]
+
+
+def test_chunk_manifest_carried_offsets_equal_one_shot(spark):
+    """The streaming invariant behind st28: chunking a corpus in two
+    id-range batches with carried per-shard offsets produces EXACTLY
+    the one-shot manifest — chunk ids continue across the batch
+    boundary instead of restarting, and mid-chunk splice points line
+    up."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    cap, shards = 8, 2
+    want = {
+        (r.doc_id, r.chunk_id): (r.shard, r.slice_start, r.slice_len)
+        for r in prep.chunk_manifest(docs, cap=cap, shards=shards).collect()
+    }
+    first = docs.filter(F.col("doc_id") < 20)
+    second = docs.filter(F.col("doc_id") >= 20)
+    got = {
+        (r.doc_id, r.chunk_id): (r.shard, r.slice_start, r.slice_len)
+        for r in prep.chunk_manifest(first, cap=cap, shards=shards).collect()
+    }
+    offsets = (
+        first.select(
+            (F.col("doc_id") % shards).alias("shard"),
+            F.size(F.split("text", " ")).cast("long").alias("base_offset"),
+        )
+        .groupBy("shard")
+        .agg(F.sum("base_offset").cast("long").alias("base_offset"))
+    )
+    got.update(
+        {
+            (r.doc_id, r.chunk_id): (r.shard, r.slice_start, r.slice_len)
+            for r in prep.chunk_manifest(
+                second, cap=cap, shards=shards, base_offsets=offsets
+            ).collect()
+        }
+    )
+    assert got == want
