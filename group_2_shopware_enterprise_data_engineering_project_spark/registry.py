@@ -45,8 +45,10 @@ CORE_ORDER: tuple[str, ...] = (
     # r10 rotation (r9 verdict item 2): the driver window fronts the
     # FOURTEEN r3-cohort entries (newest driver row = round 3, six
     # rounds old — the oldest evidence in the registry; includes
-    # m8_dedup_clusters, which had ridden registration order and was
-    # never listed here before):
+    # m8_dedup_clusters, which had never been listed here before),
+    # then the FIVE queries whose code or plan changed in r10 (a36
+    # RANGE-frame boundary fix, a35 single-scan total, m57 zero-token
+    # guard, k32/st27 size-gated tombstone read):
     "t4_exact_dedup",
     "t5_winnow_fingerprints",
     "dedup_minhash_lsh",
@@ -61,16 +63,22 @@ CORE_ORDER: tuple[str, ...] = (
     "m6_stratified_sample",
     "m7_asof_join",
     "m8_dedup_clusters",
-    # ... then the FIVE queries whose code or plan changed in r10 and
-    # must be re-driver-checked under the new semantics (a36 RANGE-
-    # frame boundary fix, a35 single-scan total, m57 zero-token guard,
-    # k32/st27 size-gated tombstone read):
     "a36_peak_concurrency",
     "a35_benford_audit",
     "m57_effective_mixture",
     "k32_merge_on_read",
     "st27_stream_mor_purge",
-    # ... then 31 of the 49 r4-cohort entries (newest driver row =
+    # ... the EIGHT queries new in r10, never driver-checked (each
+    # oracle-green in a bare-session verify before entering):
+    "e22_pq_distortion",
+    "e23_recall_curve",
+    "a37_ewma_revenue",
+    "m59_chunk_manifest",
+    "m60_budget_select",
+    "t33_term_concentration",
+    "mm8_scene_segments",
+    "st28_stream_chunk_manifest",
+    # ... and 23 of the 49 r4-cohort entries (newest driver row =
     # round 4), in name order:
     "a1_sales_kpi",
     "a2_session_metrics",
@@ -95,6 +103,9 @@ CORE_ORDER: tuple[str, ...] = (
     "m14_contamination",
     "m14b_contamination_bloom",
     "m16_mixture_weights",
+    # --- driver window boundary (first 50 above) ---
+    # r11 rotation priority: the 26 r4-cohort entries the 50-slot
+    # window could not fit (name order continues from the window):
     "m17_token_budget_select",
     "m2_sessionize",
     "m7b_asof_join_bucketed",
@@ -103,9 +114,6 @@ CORE_ORDER: tuple[str, ...] = (
     "mm2_frame_sample",
     "mm3_decode_features",
     "mm4_resize_plan",
-    # --- driver window boundary (first 50 above) ---
-    # r11 rotation priority: the 18 r4-cohort entries the 50-slot
-    # window could not fit (name order continues from the window):
     "o1_topk_orders",
     "p13_regex_extract",
     "p15_date_range",

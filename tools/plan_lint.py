@@ -100,6 +100,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "global_window": "same solve as m54, over the accumulated "
         "source-cardinality counter table (tens of rows)"
     },
+    "m60_budget_select": {
+        "global_window": "inherits m54's waterfill solve — rank/prefix "
+        "sum over the source-cardinality aggregate frame (tens of "
+        "rows); the doc-level window is partitioned by source"
+    },
     "a36_peak_concurrency": {
         "global_window": "carry-in prefix sum over the bucket-"
         "cardinality frame (hours, not rows — the sharded-running-sum "

@@ -228,6 +228,52 @@ def _turns(events: DataFrame) -> DataFrame:
     )
 
 
+def _t33_shape(docs: DataFrame) -> DataFrame:
+    """t33's plan shape over an arbitrary docs frame (the registered
+    query binds the documents table; the probe re-binds the replicas)."""
+    tf = (
+        docs.select("source", F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        (
+            F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n") * F.sum("n")).cast("double")
+        ).alias("hhi"),
+    )
+
+
+def _scene_shape(docs: DataFrame) -> DataFrame:
+    """mm8's operator over frame streams synthesized from docs: one
+    video per doc, frames = token_count capped at 60, per-video scene
+    period from the id — the video POPULATION grows k-fold while each
+    video's frame count stays fixed (the per-key window axis)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        multimodal,
+    )
+
+    frames = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.least(text.token_count("text"), F.lit(60))
+            )
+        ).alias("frame_idx"),
+    )
+    fp = F.md5(
+        F.concat(
+            F.col("media_id").cast("string"),
+            F.lit(":"),
+            F.expr("frame_idx div (media_id % 4 + 2)").cast("string"),
+        )
+    )
+    return multimodal.scene_segments(frames.withColumn("frame_fp", fp))
+
+
 def _run(make) -> tuple[float, int]:
     # time CONSTRUCTION + count: several operators materialize eagerly
     # inside construction (localCheckpoint cache-release pattern), so
@@ -324,6 +370,22 @@ def main() -> None:
         # pass over train with candidate volume bounded by true
         # near-dups (content-decorrelated replicas add no cross pairs).
         "coreset": lambda d, e, p: similarity.diversity_coreset(e),
+        # r10 query additions. hhi: one explode + two map-side-combined
+        # groupBys — (source, term, count) triples are the only shuffle
+        # and the suffix transform decorrelates term keys across
+        # replicas, so the tf frame scales in COUNT. manifest: per-shard
+        # window + output-linear explode. select: waterfill solve on
+        # the fixed source frame + per-source window. recall_curve:
+        # candidates per probed list grow with the corpus (N/C per
+        # list); queries pinned to replica 0. scene: per-video window
+        # over synthesized frame streams — videos grow k-fold wide.
+        "hhi": lambda d, e, p: _t33_shape(d),
+        "manifest": lambda d, e, p: prep.chunk_manifest(d),
+        "select": lambda d, e, p: prep.budget_select(d),
+        "recall_curve": lambda d, e, p: similarity.ivf_recall_curve(
+            e, F.col("vec_id") < 10
+        ),
+        "scene": lambda d, e, p: _scene_shape(d),
         "decontam": lambda d, e, p: minhash.incremental_dedup(
             d.filter(F.col("doc_id") % 10 != 0),
             d.filter(
