@@ -259,3 +259,51 @@ def interval_concurrency(
         .cast("long")
         .alias("peak_concurrency"),
     )
+
+
+def interval_union(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_us: str = "start_us",
+    end_us: str = "end_us",
+) -> DataFrame:
+    """Per-key interval union (merge-overlaps): collapse overlapping or
+    touching half-open intervals into coverage ISLANDS — the classic
+    complement of the sweep-line concurrency count (a36 answers "how
+    many at once", this answers "when covered at all", and the space
+    between consecutive islands is exactly the coverage gap an uptime/
+    SLA audit wants).
+
+    Algebra: per key, order intervals by (start, end); an interval
+    starts a NEW island iff its start strictly exceeds the running max
+    of all PRIOR ends (touching intervals merge — [a,b) + [b,c) is
+    contiguous coverage under half-open semantics); the island id is
+    the running count of starts. Both windows partition by the key, so
+    per-task state is one key's interval count; the running max uses a
+    ROWS frame ending at -1 (the current row must not see its own
+    end). Equal-(start, end) duplicates cannot split an island, so the
+    output is permutation-deterministic. All-BIGINT epoch micros.
+
+    Output per island: key, island_id (1-based per key), island
+    start/end, n_intervals merged.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(start_us, end_us)
+    prev_max_end = F.max(end_us).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_us) > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    marked = intervals.withColumn(
+        "island_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return marked.groupBy(key_col, "island_id").agg(
+        F.min(start_us).cast("long").alias("island_start_us"),
+        F.max(end_us).cast("long").alias("island_end_us"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )

@@ -1702,3 +1702,89 @@ def ivf_recall_curve(
         if cands is not None:
             cands.unpersist()
         assigned.unpersist()
+
+
+def prefix_recall_curve(
+    emb: DataFrame,
+    query_pred: Column,
+    dims: tuple[int, ...] = (8, 16, 32),
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k of BRUTE-FORCE cosine over embedding PREFIXES vs the
+    full-dimension truth — the Matryoshka (MRL) truncation-quality
+    curve: how much ranking quality each prefix length retains decides
+    the serve-time dim/cost point. ONE plan: a single query-broadcast
+    corpus pass computes every prefix cosine side by side (slices of
+    the same row — no per-dim rescan), each dim's top-k ranks its own
+    column, and all settings share one brute-force truth.
+
+    Exact float: per-pair cosines are fixed-shape ascending-dim folds
+    (same discipline as brute_force_topk); recall = integer hit count
+    / literal k. Returns (dim, query_id, n_hits, recall).
+    """
+    queries = F.broadcast(
+        emb.filter(query_pred).select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    corpus = spread(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("nv"),
+    )
+    sims_cols = [
+        (
+            dot(F.slice("qv", 1, d), F.slice("nv", 1, d))
+            / (
+                l2_norm(F.slice("qv", 1, d))
+                * l2_norm(F.slice("nv", 1, d))
+            )
+        ).alias(f"cos_{d}")
+        for d in dims
+    ]
+    pairs = (
+        queries.crossJoin(corpus)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", *sims_cols)
+        .persist()
+    )
+    try:
+        truth = brute_force_topk(emb, query_pred=query_pred, k=k).select(
+            "query_id", "neighbor_id"
+        )
+        appx = None
+        for d in dims:
+            wr = Window.partitionBy("query_id").orderBy(
+                F.col(f"cos_{d}").desc(), F.col("neighbor_id")
+            )
+            ap = (
+                pairs.withColumn("_rk", F.row_number().over(wr))
+                .filter(F.col("_rk") <= k)
+                .select(
+                    F.lit(d).cast("long").alias("dim"),
+                    "query_id",
+                    "neighbor_id",
+                )
+            )
+            appx = ap if appx is None else appx.unionByName(ap)
+        hits = (
+            appx.join(truth, ["query_id", "neighbor_id"])
+            .groupBy("dim", "query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        settings = appx.select("dim").distinct()
+        base = truth.select("query_id").distinct().crossJoin(
+            F.broadcast(settings)
+        )
+        out = base.join(hits, ["dim", "query_id"], "left").select(
+            "dim",
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()

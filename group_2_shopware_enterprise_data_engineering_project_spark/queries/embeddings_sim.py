@@ -1506,3 +1506,80 @@ def e23_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_recall_curve(
         emb, F.col("vec_id") < N_QUERIES, probes=_E23_PROBES, k=TOP_K
     )
+
+
+# --- e24: Matryoshka prefix-dim recall curve ------------------------------------
+
+_E24_DIMS = (8, 16, 32)
+
+
+def _e24_dim_sql(d: int) -> str:
+    """(query_id, neighbor_id) of the brute-force top-k under the
+    d-dim PREFIX cosine; relies on the enclosing q/c CTEs."""
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.nv[i] AS DOUBLE)))"
+    )
+    nq = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))"
+    )
+    nc = (
+        f"sqrt(list_sum(list_transform(generate_series(1, {d}), "
+        f"i -> CAST(c.nv[i] AS DOUBLE) * CAST(c.nv[i] AS DOUBLE))))"
+    )
+    return f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id, row_number() OVER (
+        PARTITION BY s.query_id ORDER BY s.sim DESC, s.neighbor_id) AS rank
+    FROM (
+      SELECT q.query_id, c.neighbor_id, {dot} / ({nq} * {nc}) AS sim
+      FROM q, c WHERE c.neighbor_id <> q.query_id
+    ) s
+  ) WHERE rank <= {TOP_K}"""
+
+
+E24_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings
+), truth AS (
+  SELECT query_id, neighbor_id FROM ({E2_ORACLE})
+), appx AS (
+{" UNION ALL ".join(f"SELECT CAST({d} AS BIGINT) AS dim, * FROM ({_e24_dim_sql(d)})" for d in _E24_DIMS)}
+), hits AS (
+  SELECT a.dim, a.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_hits
+  FROM appx a LEFT JOIN truth t
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY 1, 2
+), base AS (
+  SELECT d.dim, qq.query_id
+  FROM (SELECT DISTINCT query_id FROM truth) qq
+  CROSS JOIN (SELECT DISTINCT dim FROM appx) d
+)
+SELECT b.dim, b.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(TOP_K)!r} AS recall
+FROM base b LEFT JOIN hits h ON b.dim = h.dim AND b.query_id = h.query_id
+"""
+
+
+@register(
+    "e24_matryoshka_recall_curve",
+    E24_ORACLE,
+    doc=f"Matryoshka truncation-quality curve (prefix dims "
+    f"{_E24_DIMS} vs full-{similarity.DIM} truth): recall@k of brute-"
+    "force cosine over each embedding PREFIX — the measurement behind "
+    "choosing e15's serve-time truncation point. ONE corpus pass "
+    "computes every prefix cosine side by side (slices of the same "
+    "row); each dim ranks its own column and all settings share one "
+    "brute-force truth. Exact float: fixed-shape ascending-dim folds, "
+    "recall = integer hits / literal k",
+)
+def e24_matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.prefix_recall_curve(
+        emb, F.col("vec_id") < N_QUERIES, dims=_E24_DIMS, k=TOP_K
+    )

@@ -1015,3 +1015,60 @@ def j8_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b").cast("long").alias("min_overlap_key"),
         F.max("b").cast("long").alias("max_overlap_key"),
     )
+
+
+# --- j9: per-key interval union (coverage islands) ----------------------------
+
+_J9_LEN_US = 300_000_000  # each event opens a 5-minute activity interval
+
+J9_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_J9_LEN_US} AS e
+  FROM events
+), m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+), marked AS (
+  SELECT user_id, s, e,
+         CAST(sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island_id
+  FROM m
+)
+SELECT user_id, island_id,
+       CAST(min(s) AS BIGINT) AS island_start_us,
+       CAST(max(e) AS BIGINT) AS island_end_us,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM marked GROUP BY 1, 2
+"""
+
+
+@register(
+    "j9_interval_union",
+    J9_ORACLE,
+    doc="per-user interval union: overlapping/touching 5-minute "
+    "activity intervals collapse into coverage ISLANDS (min start, "
+    "max end, n merged) — the complement of a36's concurrency count, "
+    "and the primitive behind uptime/SLA gap audits (gaps are the "
+    "space between consecutive islands). An interval opens a new "
+    "island iff its start strictly exceeds the running max of PRIOR "
+    "ends (ROWS frame ending at -1 — the row must not see its own "
+    "end); touching intervals merge under half-open semantics. Both "
+    "windows partition by user; all-BIGINT epoch micros; "
+    "permutation-deterministic under duplicate intervals. Hand-solved "
+    "+ brute-force property tests in tests/test_search_stats.py",
+)
+def j9_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        rangejoin,
+    )
+
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("start_us"),
+        (F.unix_micros(F.col("ts")) + F.lit(_J9_LEN_US)).alias("end_us"),
+    )
+    return rangejoin.interval_union(iv, "user_id", "start_us", "end_us")

@@ -1502,3 +1502,74 @@ def k32_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     if merged.count() != compacted.count():
         raise AssertionError("MoR read != compacted read")
     return compacted
+
+
+# --- a38: order-total reconciliation audit -------------------------------------
+
+A38_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS recomputed_cents,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey,
+       CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
+       CAST(COALESCE(li.recomputed_cents, 0) AS BIGINT) AS recomputed_cents,
+       CAST(COALESCE(li.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(li.recomputed_cents, 0)
+            - CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+            AS BIGINT) AS diff_cents,
+       CAST(COALESCE(li.recomputed_cents, 0)
+            = CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+            AS INT) AS reconciled
+FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+"""
+
+
+@register(
+    "a38_totalprice_reconciliation",
+    A38_ORACLE,
+    doc="denormalization-consistency audit: recompute each order's "
+    "total from its line items (the TPC-H charge formula "
+    "extendedprice * (1-discount) * (1+tax), summed in exact integer "
+    "cents) and reconcile against the stored o_totalprice — the "
+    "fact-vs-rollup drift check every warehouse runs after backfills. "
+    "Every order is emitted with its diff so the audit is row-"
+    "auditable, not just a count; orders with no line items reconcile "
+    "only if their stored total is zero. One key shuffle (lineitem "
+    "groupBy), orders side joins on the grouped frame; exact-cents "
+    "discipline keeps the float product a fixed-shape mul chain with "
+    "no FMA surface (no add inside, then one floor)",
+)
+def a38_totalprice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    charge_cents = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(charge_cents).cast("long").alias("recomputed_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    total_cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return orders.join(per_order, "o_orderkey", "left").select(
+        "o_orderkey",
+        total_cents.alias("total_cents"),
+        F.coalesce(F.col("recomputed_cents"), F.lit(0))
+        .cast("long")
+        .alias("recomputed_cents"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        (F.coalesce(F.col("recomputed_cents"), F.lit(0)) - total_cents)
+        .cast("long")
+        .alias("diff_cents"),
+        (F.coalesce(F.col("recomputed_cents"), F.lit(0)) == total_cents)
+        .cast("int")
+        .alias("reconciled"),
+    )

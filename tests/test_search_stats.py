@@ -5,7 +5,11 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+_hyp_settings = settings(max_examples=25, deadline=None)
 
 from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
     rangejoin,
@@ -628,3 +632,65 @@ def test_interval_concurrency_boundary_end_group(spark):
         for r in rangejoin.interval_concurrency(iv2, bucket_us=100).collect()
     }
     assert out2 == {0: 1, 1: 1}
+
+
+def test_interval_union_hand_solved(spark):
+    """Hand-solved coverage islands: overlap merges, touching merges
+    (half-open contiguity), a strict gap splits, duplicate intervals
+    don't split, and keys never mix."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import rangejoin
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 10),
+            (1, 5, 20),    # overlaps -> same island
+            (1, 20, 30),   # touches [., 20) -> still same island
+            (1, 40, 50),   # strict gap -> new island
+            (1, 40, 50),   # exact duplicate -> merged, counted
+            (2, 0, 5),     # other key
+        ],
+        "user_id long, start_us long, end_us long",
+    )
+    got = {
+        (r.user_id, r.island_id): (
+            r.island_start_us, r.island_end_us, r.n_intervals
+        )
+        for r in rangejoin.interval_union(iv).collect()
+    }
+    assert got == {
+        (1, 1): (0, 30, 3),
+        (1, 2): (40, 50, 2),
+        (2, 1): (0, 5, 1),
+    }
+
+
+INTERVALS_U = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),
+        st.integers(min_value=1, max_value=60),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(iv=INTERVALS_U)
+@_hyp_settings
+def test_interval_union_matches_brute_force(spark, iv):
+    """Property: islands == the textbook sort-and-merge of the same
+    intervals (merge when next start <= current island end)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import rangejoin
+
+    rows = [(0, s, s + l) for s, l in iv]
+    df = spark.createDataFrame(rows, "user_id long, start_us long, end_us long")
+    got = sorted(
+        (r.island_start_us, r.island_end_us, r.n_intervals)
+        for r in rangejoin.interval_union(df).collect()
+    )
+    expect = []
+    for s, e in sorted((s, s + l) for s, l in iv):
+        if expect and s <= expect[-1][1]:
+            expect[-1] = (expect[-1][0], max(expect[-1][1], e), expect[-1][2] + 1)
+        else:
+            expect.append((s, e, 1))
+    assert got == [tuple(x) for x in expect]

@@ -372,3 +372,48 @@ def test_t33_hhi_hand_solved(spark, tmp_path):
     assert got["srcA"] == (2, 4, 10, 0.625)
     assert got["srcB"] == (1, 3, 9, 1.0)
     assert got["srcC"] == (4, 4, 4, 0.25)
+
+
+# --- a38: order-total reconciliation ---------------------------------------------
+
+
+def test_a38_reconciliation_hand_solved(spark, tmp_path):
+    """Hand-built star fixture: an order whose stored total equals the
+    exact-cents recomputed charge (reconciled), one off by a cent
+    (flagged with diff +1), a line-less zero-total order (reconciled),
+    and a line-less nonzero order (diff = -total)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.warehouse_q import (
+        a38_totalprice_reconciliation,
+    )
+
+    def charge(p, d, t):
+        return math.floor(p * (1 - d) * (1 + t) * 100.0 + 0.5)
+
+    lines = [
+        (1, 100.00, 0.05, 0.08),
+        (1, 250.50, 0.00, 0.04),
+        (2, 10.00, 0.10, 0.00),
+    ]
+    ok_total = (charge(100.00, 0.05, 0.08) + charge(250.50, 0.00, 0.04)) / 100.0
+    off_total = (charge(10.00, 0.10, 0.00) - 1) / 100.0  # one cent short
+    orders = [(1, ok_total), (2, off_total), (3, 0.0), (4, 42.00)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    got = {
+        r.o_orderkey: (r.n_lines, r.diff_cents, r.reconciled)
+        for r in a38_totalprice_reconciliation(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (2, 0, 1),
+        2: (1, 1, 0),    # recomputed is one cent MORE than stored
+        3: (0, 0, 1),    # no lines, zero total: vacuously consistent
+        4: (0, -4200, 0),
+    }

@@ -622,3 +622,35 @@ def test_two_stage_rerank_pool_all_is_brute_force(emb):
     small = similarity.two_stage_topk(df, query_ids=qids, k=k, pool=8).collect()
     assert all(r.coarse_rank <= 8 for r in small)
     assert {r.query_id for r in small} == set(qids)
+
+
+def test_prefix_recall_curve_matches_numpy(emb):
+    """Ground truth from numpy: per prefix dim, rank corpus by prefix
+    cosine (ties by id) and count overlap with the full-dim top-5 —
+    the one-plan curve must reproduce it exactly, and including the
+    full dim as a curve point must score recall 1.0 everywhere."""
+    df, vecs = emb
+    k = 5
+    dims = (8, 16, DIM)
+    got = {
+        (r.dim, r.query_id): r.n_hits
+        for r in similarity.prefix_recall_curve(
+            df, F.col("vec_id") < 4, dims=dims, k=k
+        ).collect()
+    }
+    v = np.asarray([[float(x) for x in row] for row in vecs], dtype=np.float64)
+
+    def topk(q, d):
+        qv, cv = v[q, :d], v[:, :d]
+        sims = cv @ qv / (np.linalg.norm(cv, axis=1) * np.linalg.norm(qv))
+        order = sorted(
+            (i for i in range(len(v)) if i != q),
+            key=lambda i: (-sims[i], i),
+        )
+        return set(order[:k])
+
+    for q in range(4):
+        truth = topk(q, DIM)
+        for d in dims:
+            assert got[(d, q)] == len(topk(q, d) & truth)
+        assert got[(DIM, q)] == k  # full dim == truth
