@@ -68,7 +68,7 @@ CORE_ORDER: tuple[str, ...] = (
     "m57_effective_mixture",
     "k32_merge_on_read",
     "st27_stream_mor_purge",
-    # ... the EIGHT queries new in r10, never driver-checked (each
+    # ... the ELEVEN queries new in r10, never driver-checked (each
     # oracle-green in a bare-session verify before entering):
     "e22_pq_distortion",
     "e23_recall_curve",
@@ -78,7 +78,10 @@ CORE_ORDER: tuple[str, ...] = (
     "t33_term_concentration",
     "mm8_scene_segments",
     "st28_stream_chunk_manifest",
-    # ... and 23 of the 49 r4-cohort entries (newest driver row =
+    "j9_interval_union",
+    "a38_totalprice_reconciliation",
+    "e24_matryoshka_recall_curve",
+    # ... and 20 of the 49 r4-cohort entries (newest driver row =
     # round 4), in name order:
     "a1_sales_kpi",
     "a2_session_metrics",
@@ -100,12 +103,12 @@ CORE_ORDER: tuple[str, ...] = (
     "m11_json_extract",
     "m12_text_normalize",
     "m13_approx_stats",
+    # --- driver window boundary (first 50 above) ---
+    # r11 rotation priority: the 29 r4-cohort entries the 50-slot
+    # window could not fit (name order continues from the window):
     "m14_contamination",
     "m14b_contamination_bloom",
     "m16_mixture_weights",
-    # --- driver window boundary (first 50 above) ---
-    # r11 rotation priority: the 26 r4-cohort entries the 50-slot
-    # window could not fit (name order continues from the window):
     "m17_token_budget_select",
     "m2_sessionize",
     "m7b_asof_join_bucketed",

@@ -394,7 +394,7 @@ def main() -> None:
             threshold=0.4,
         ).filter(F.col("vs_existing") == 1),
     }
-    _special = {"incr", "convo", "concur", "rbo", "mor"}
+    _special = {"incr", "convo", "concur", "rbo", "mor", "union"}
     if only:
         unknown = only - set(ops) - _special
         if unknown:
@@ -459,6 +459,41 @@ def main() -> None:
         ops = {n: f for n, f in ops.items() if n in only}
     else:
         results_convo = None
+
+    if only and "union" in only:
+        # j9's scale axis: the USER population grows k-fold while each
+        # user's interval count stays fixed — both windows partition by
+        # the key, so per-task state tracks per-user activity, not
+        # corpus size.
+        from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+            rangejoin,
+        )
+
+        ev1u = table(spark, sf_dir, "events").localCheckpoint(eager=True)
+        evku = _events_k(ev1u, k).localCheckpoint(eager=True)
+
+        def _union(ev):
+            iv = ev.select(
+                "user_id",
+                F.unix_micros(F.col("ts")).alias("start_us"),
+                (F.unix_micros(F.col("ts")) + F.lit(300_000_000)).alias(
+                    "end_us"
+                ),
+            )
+            return lambda: rangejoin.interval_union(iv)
+
+        _union(ev1u)().count()  # warm
+        t1, rows1 = _run(_union(ev1u))
+        tk, rowsk = _run(_union(evku))
+        results_union = {
+            "t1": round(t1, 2), "tk": round(tk, 2),
+            "ratio": round(tk / t1, 2) if t1 > 0 else None,
+            "rows1": rows1, "rowsk": rowsk,
+        }
+        only.discard("union")
+        ops = {n: f for n, f in ops.items() if n in only}
+    else:
+        results_union = None
 
     if only and "rbo" in only:
         # e21's scale surface: the overlap join and groupBy shuffle
@@ -583,6 +618,8 @@ def main() -> None:
         results["concur"] = results_concur
     if results_convo is not None:
         results["convo"] = results_convo
+    if results_union is not None:
+        results["union"] = results_union
     if results_rbo is not None:
         results["rbo"] = results_rbo
     if results_mor is not None:
