@@ -1263,6 +1263,29 @@ FROM n
 """
 
 
+def ewma_from_daily(daily: DataFrame) -> DataFrame:
+    """a37's exact-integer EWMA + spike flag over a (event_type, day,
+    cents) daily frame — shared with st29, whose streamed counter
+    table equals the batch daily aggregate (additive commutativity)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = None
+    for j, u in enumerate(_A37_U_WEIGHTS):
+        term = F.lit(u).cast("long") * F.lag("cents", j, 0).over(w)
+        num = term if num is None else num + term
+    num = num.cast("long")
+    return daily.select(
+        "event_type",
+        "day",
+        "cents",
+        (num.cast("double") / F.lit(float(_A37_U))).alias("ewma_7"),
+        (F.lit(_A37_U).cast("long") * F.col("cents") > F.lit(2).cast("long") * num)
+        .cast("int")
+        .alias("spike_flag"),
+    )
+
+
 @register(
     "a37_ewma_revenue",
     A37_ORACLE,
@@ -1281,25 +1304,9 @@ FROM n
     "state is L rows",
 )
 def a37_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.sum(cents).cast("long").alias("cents"))
-    w = Window.partitionBy("event_type").orderBy("day")
-    num = None
-    for j, u in enumerate(_A37_U_WEIGHTS):
-        term = F.lit(u).cast("long") * F.lag("cents", j, 0).over(w)
-        num = term if num is None else num + term
-    num = num.cast("long")
-    return daily.select(
-        "event_type",
-        "day",
-        "cents",
-        (num.cast("double") / F.lit(float(_A37_U))).alias("ewma_7"),
-        (F.lit(_A37_U).cast("long") * F.col("cents") > F.lit(2).cast("long") * num)
-        .cast("int")
-        .alias("spike_flag"),
-    )
+    return ewma_from_daily(daily)

@@ -2409,3 +2409,79 @@ def _bind_st28_oracle() -> None:
 
 
 _bind_st28_oracle()
+
+
+# --- ST29: streaming EWMA spike alerts over accumulated daily counters ---------
+
+
+@register(
+    "st29_stream_ewma_alerts",
+    None,  # bound to A37_ORACLE below — the counter table equals the batch daily agg
+    doc="streaming anomaly detection with bounded state: micro-batches "
+    "additive-MERGE per-(event_type, day) revenue cents into a counter "
+    "table (exactly-once — batch id rides the atomic manifest commit), "
+    "and the a37 exact-integer EWMA + spike flag is computed over the "
+    "ACCUMULATED counters on read — no raw-event history is ever "
+    "re-scanned, state is one row per (type, day). Because integer "
+    "addition commutes, the drained counter table equals the batch "
+    "daily aggregate exactly, so the oracle IS a37's",
+)
+def st29_stream_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (
+        ewma_from_daily,
+    )
+
+    base = _tmp("st29")
+    src_dir, cnt_path, ckpt = f"{base}/in", f"{base}/counters", f"{base}/ckpt"
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    # three deterministic micro-batch shards — additive merges are
+    # order-free, so hash bucketing (not time ranges) is fine here
+    ev.withColumn("bucket", (F.xxhash64("event_type", "day") % 3).cast("int")) \
+        .repartition(3, "bucket").drop("bucket") \
+        .write.mode("overwrite").json(src_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("day", T.StringType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    counters = ParquetUpsertTable(spark, cnt_path)
+
+    def _batch_totals(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.to_date("day").alias("day")
+        ).agg(F.sum("cents").cast("long").alias("cents"))
+
+    accumulating_kpi_sink(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        counters,
+        ("event_type", "day"),
+        ("cents",),
+        _batch_totals,
+        ckpt,
+    )
+    return ewma_from_daily(
+        counters.read().select("event_type", "day", "cents")
+    )
+
+
+def _bind_st29_oracle() -> None:
+    """st29's oracle IS a37's (streamed counters == batch daily agg by
+    additive commutativity); bound late to avoid a module import cycle."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries import (
+        batch_analytics,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.registry import (
+        _REGISTRY,
+    )
+
+    _REGISTRY["st29_stream_ewma_alerts"].oracle = batch_analytics.A37_ORACLE
+
+
+_bind_st29_oracle()

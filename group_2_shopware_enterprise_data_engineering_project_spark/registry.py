@@ -68,7 +68,7 @@ CORE_ORDER: tuple[str, ...] = (
     "m57_effective_mixture",
     "k32_merge_on_read",
     "st27_stream_mor_purge",
-    # ... the ELEVEN queries new in r10, never driver-checked (each
+    # ... the TWELVE queries new in r10, never driver-checked (each
     # oracle-green in a bare-session verify before entering):
     "e22_pq_distortion",
     "e23_recall_curve",
@@ -81,7 +81,8 @@ CORE_ORDER: tuple[str, ...] = (
     "j9_interval_union",
     "a38_totalprice_reconciliation",
     "e24_matryoshka_recall_curve",
-    # ... and 20 of the 49 r4-cohort entries (newest driver row =
+    "st29_stream_ewma_alerts",
+    # ... and 19 of the 49 r4-cohort entries (newest driver row =
     # round 4), in name order:
     "a1_sales_kpi",
     "a2_session_metrics",
@@ -102,10 +103,10 @@ CORE_ORDER: tuple[str, ...] = (
     "m10_percentiles",
     "m11_json_extract",
     "m12_text_normalize",
-    "m13_approx_stats",
     # --- driver window boundary (first 50 above) ---
-    # r11 rotation priority: the 29 r4-cohort entries the 50-slot
+    # r11 rotation priority: the 30 r4-cohort entries the 50-slot
     # window could not fit (name order continues from the window):
+    "m13_approx_stats",
     "m14_contamination",
     "m14b_contamination_bloom",
     "m16_mixture_weights",
