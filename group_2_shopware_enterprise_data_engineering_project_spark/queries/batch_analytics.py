@@ -1310,3 +1310,75 @@ def a37_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.sum(cents).cast("long").alias("cents"))
     return ewma_from_daily(daily)
+
+
+# --- a39: day-of-week seasonality index -----------------------------------------
+
+A39_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM events GROUP BY 1, 2
+), dw AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', day) % 7 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM daily GROUP BY 1, 2
+), tot AS (
+  SELECT event_type,
+         CAST(sum(n_days) AS BIGINT) AS n_all,
+         CAST(sum(cents) AS BIGINT) AS cents_all
+  FROM dw GROUP BY 1
+)
+SELECT dw.event_type, dw.dow, dw.n_days, dw.cents,
+       CAST(dw.cents * t.n_all AS DOUBLE)
+           / CAST(dw.n_days * t.cents_all AS DOUBLE) AS seasonality_index
+FROM dw JOIN tot t USING (event_type)
+"""
+
+
+@register(
+    "a39_seasonality_index",
+    A39_ORACLE,
+    doc="day-of-week seasonality index per event type: average daily "
+    "revenue on each weekday relative to the type's overall daily "
+    "average — the retail staffing/promo-planning ratio. dow is the "
+    "engine-portable epoch-day mod 7 (0 = Thursday; native dayofweek "
+    "bases differ between engines). EXACT algebra: the index "
+    "(s_d/n_d)/(s/n) is cross-multiplied to (s_d*n)/(n_d*s) — one "
+    "division of exact BIGINT products. Two map-side-combined "
+    "groupBys; the per-type totals frame is type-cardinality and "
+    "joins back broadcast-small",
+)
+def a39_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    dw = daily.groupBy(
+        "event_type",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            % 7
+        ).cast("long").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    tot = dw.groupBy("event_type").agg(
+        F.sum("n_days").cast("long").alias("n_all"),
+        F.sum("cents").cast("long").alias("cents_all"),
+    )
+    return dw.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n_days",
+        "cents",
+        (
+            (F.col("cents") * F.col("n_all")).cast("double")
+            / (F.col("n_days") * F.col("cents_all")).cast("double")
+        ).alias("seasonality_index"),
+    )

@@ -2871,3 +2871,58 @@ def m60_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.budget_select(
         table(spark, sf_dir, "documents"), budget_pct=_M54_PCT
     )
+
+
+# --- m61: soft-dedup training weights ------------------------------------------
+
+M61_ORACLE = f"""
+WITH RECURSIVE pairs AS ({text_pipeline._minhash_oracle()}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.id
+), cc AS (
+  SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_rep
+  FROM reach GROUP BY id
+), sz AS (
+  SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cc GROUP BY 1
+)
+SELECT cc.doc_id, cc.cluster_rep, sz.cluster_size,
+       CAST(1.0 AS DOUBLE) / CAST(sz.cluster_size AS DOUBLE) AS weight
+FROM cc JOIN sz USING (cluster_rep)
+"""
+
+
+@register(
+    "m61_softdedup_weights",
+    M61_ORACLE,
+    doc="soft dedup: instead of DROPPING near-duplicates (m8's keep "
+    "list), every document stays with training weight 1/cluster_size "
+    "— each near-dup cluster contributes one document's worth of "
+    "gradient mass however many copies exist (the downweighting "
+    "alternative the SlimPajama/D4 line of work measures against hard "
+    "dedup). Weight = one exact division per row; cluster sizes come "
+    "from ONE groupBy over the (doc, rep) verdict frame joined back "
+    "on the rep key. Oracle = m8's recursive-CTE clustering extended "
+    "with the size join",
+)
+def m61_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash.minhash_lsh_dedup(docs, threshold=0.4).select(
+        "doc_a", "doc_b"
+    )
+    cc = dedup_verdicts(docs, pairs).select("doc_id", "cluster_rep")
+    sz = cc.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return cc.join(sz, "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+    )

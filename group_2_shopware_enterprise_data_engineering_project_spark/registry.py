@@ -68,7 +68,7 @@ CORE_ORDER: tuple[str, ...] = (
     "m57_effective_mixture",
     "k32_merge_on_read",
     "st27_stream_mor_purge",
-    # ... the TWELVE queries new in r10, never driver-checked (each
+    # ... the FOURTEEN queries new in r10, never driver-checked (each
     # oracle-green in a bare-session verify before entering):
     "e22_pq_distortion",
     "e23_recall_curve",
@@ -82,7 +82,9 @@ CORE_ORDER: tuple[str, ...] = (
     "a38_totalprice_reconciliation",
     "e24_matryoshka_recall_curve",
     "st29_stream_ewma_alerts",
-    # ... and 19 of the 49 r4-cohort entries (newest driver row =
+    "m61_softdedup_weights",
+    "a39_seasonality_index",
+    # ... and 17 of the 49 r4-cohort entries (newest driver row =
     # round 4), in name order:
     "a1_sales_kpi",
     "a2_session_metrics",
@@ -101,11 +103,11 @@ CORE_ORDER: tuple[str, ...] = (
     "k8_validation_summary",
     "k9_partition_registration",
     "m10_percentiles",
+    # --- driver window boundary (first 50 above) ---
+    # r11 rotation priority: the 32 r4-cohort entries the 50-slot
+    # window could not fit (name order continues from the window):
     "m11_json_extract",
     "m12_text_normalize",
-    # --- driver window boundary (first 50 above) ---
-    # r11 rotation priority: the 30 r4-cohort entries the 50-slot
-    # window could not fit (name order continues from the window):
     "m13_approx_stats",
     "m14_contamination",
     "m14b_contamination_bloom",

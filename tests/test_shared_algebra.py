@@ -417,3 +417,73 @@ def test_a38_reconciliation_hand_solved(spark, tmp_path):
         3: (0, 0, 1),    # no lines, zero total: vacuously consistent
         4: (0, -4200, 0),
     }
+
+
+# --- m61: soft-dedup weights ------------------------------------------------------
+
+
+def test_m61_softdedup_weights_hand_solved(spark, tmp_path):
+    """Planted clusters: three identical docs form one cluster (each
+    weighted 1/3), two other docs are singletons (weight 1.0); every
+    cluster's weights sum to exactly one document's worth of mass."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.ml_prep import (
+        m61_softdedup_weights,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, dup, "en", "srcA"),
+        (2, dup, "en", "srcA"),
+        (3, dup, "en", "srcB"),
+        (4, "completely different text about spark partitions and shuffles", "en", "srcA"),
+        (5, "yet another unrelated document mentioning parquet footers", "en", "srcB"),
+    ]
+    sf = _write_documents(spark, str(tmp_path), rows)
+    got = {
+        r.doc_id: (r.cluster_rep, r.cluster_size, r.weight)
+        for r in m61_softdedup_weights(spark, sf).collect()
+    }
+    assert got[1] == (1, 3, 1.0 / 3.0)
+    assert got[2] == (1, 3, 1.0 / 3.0)
+    assert got[3] == (1, 3, 1.0 / 3.0)
+    assert got[4] == (4, 1, 1.0)
+    assert got[5] == (5, 1, 1.0)
+    # gradient-mass conservation: per-cluster weights sum to 1
+    mass: dict[int, float] = {}
+    for rep, _n, w in got.values():
+        mass[rep] = mass.get(rep, 0.0) + w
+    assert all(abs(m - 1.0) < 1e-12 for m in mass.values())
+
+
+# --- a39: day-of-week seasonality -------------------------------------------------
+
+
+def test_a39_seasonality_hand_solved(spark, tmp_path):
+    """Hand-computed index on a crafted fortnight: one event type with
+    double revenue every epoch-dow 0 (Thursdays). Two Thursdays at 200
+    cents, twelve other days at 100: overall avg = 1600/14, Thursday
+    index = 200/(1600/14) = 1.75, other days 0.875."""
+    from datetime import datetime
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (
+        a39_seasonality_index,
+    )
+
+    rows = []
+    for i in range(14):  # 1970-01-01 was a Thursday; use 2024-01-04 (also Thu)
+        day = datetime(2024, 1, 4 + i, 9, 0, 0)
+        dow = (day.date() - datetime(1970, 1, 1).date()).days % 7
+        v = 2.0 if dow == 0 else 1.0
+        rows.append((i, day, 1, "sale", v, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.dow: (r.n_days, r.cents, r.seasonality_index)
+        for r in a39_seasonality_index(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (2, 400, (400 * 14) / (2 * 1600))
+    for d in range(1, 7):
+        assert got[d] == (2, 200, (200 * 14) / (2 * 1600))
