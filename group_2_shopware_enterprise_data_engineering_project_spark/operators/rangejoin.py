@@ -58,6 +58,7 @@ def interval_join_binned(
     start_col: str,
     end_col: str,
     bin_seconds: int,
+    equi_keys: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """INNER-join each point row to every interval row with
     ``start <= point_ts < end``, via an equi-join on time bins.
@@ -67,6 +68,15 @@ def interval_join_binned(
     rows (and the replicated bin key would duplicate unmatched rows
     per bin) — outer semantics need anti-join recombination, not a
     ``how=`` passthrough.
+
+    ``equi_keys`` — (point_col, interval_col) pairs included IN the
+    join condition alongside the bin. When the business join is
+    per-entity ("this user's purchases against this user's view
+    windows"), putting the entity key in the equi-join makes each
+    candidate group (entity, bin)-sized instead of bin-sized across
+    ALL entities — the difference between per-key work and a per-bin
+    cross product at corpus scale. Filtering the key after a bin-only
+    join is the scale bug this parameter exists to prevent.
 
     Column name collisions between the two inputs are the caller's
     responsibility (select/alias before calling).
@@ -93,8 +103,11 @@ def interval_join_binned(
             )
         ),
     )
+    cond = pts["_bin"] == ivs["_bin"]
+    for pk, ik in equi_keys or []:
+        cond = cond & (pts[pk] == ivs[ik])
     # exact predicate over the RAW columns — full timestamp precision
-    joined = pts.join(ivs, "_bin", "inner").where(
+    joined = pts.join(ivs, cond, "inner").drop(ivs["_bin"]).where(
         (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
     )
     return joined.drop("_bin")

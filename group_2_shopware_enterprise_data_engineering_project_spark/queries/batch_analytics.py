@@ -1382,3 +1382,94 @@ def a39_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_days") * F.col("cents_all")).cast("double")
         ).alias("seasonality_index"),
     )
+
+
+# --- a40: time-bound conversion rate ---------------------------------------------
+
+_A40_WINDOW_SEC = 3600  # a view converts if a purchase follows within 1h
+
+
+@register(
+    "a40_timebound_conversion",
+    f"""
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts,
+         ts + INTERVAL {_A40_WINDOW_SEC} SECOND AS te
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+), conv AS (
+  SELECT DISTINCT v.view_id, CAST(v.ts AS DATE) AS day
+  FROM v JOIN p ON v.user_id = p.user_id
+       AND v.ts <= p.pts AND p.pts < v.te
+), days AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_views
+  FROM events WHERE event_type = 'view' GROUP BY 1
+)
+SELECT d.day, d.n_views,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_converted,
+       CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(d.n_views AS DOUBLE)
+           AS conversion_rate
+FROM days d LEFT JOIN (
+  SELECT day, CAST(count(*) AS BIGINT) AS n FROM conv GROUP BY 1
+) c USING (day)
+""",
+    doc=f"time-bound conversion rate: a view converts iff the SAME "
+    f"user purchases within {_A40_WINDOW_SEC}s (half-open window) — "
+    "the attribution question a13's unordered funnel cannot answer. "
+    "The view->purchase match is the bin-exploded interval join "
+    "(rangejoin.interval_join_binned + user pre-key), never a "
+    "nested loop: views become [ts, ts+T) intervals keyed by user, "
+    "purchases are points, the equi-join runs on (user, time-bin). "
+    "Rate = integer counts, one division. Per-day output",
+)
+def a40_timebound_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        rangejoin,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("vts"),
+        (
+            F.col("ts")
+            + F.make_dt_interval(secs=F.lit(float(_A40_WINDOW_SEC)))
+        ).alias("vte"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    # the user key rides INSIDE the equi-join (not as a post-filter):
+    # each candidate group is (user, bin)-sized, so a hot bin never
+    # becomes a cross-user pair blowup
+    matched = rangejoin.interval_join_binned(
+        purchases,
+        views,
+        point_ts="pts",
+        start_col="vts",
+        end_col="vte",
+        bin_seconds=_A40_WINDOW_SEC,
+        equi_keys=[("p_user", "v_user")],
+    )
+    conv = (
+        matched.select("view_id", F.to_date("vts").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    )
+    days = views.groupBy(F.to_date("vts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_views")
+    )
+    return days.join(conv, "day", "left").select(
+        "day",
+        "n_views",
+        F.coalesce(F.col("n_converted"), F.lit(0))
+        .cast("long")
+        .alias("n_converted"),
+        (
+            F.coalesce(F.col("n_converted"), F.lit(0)).cast("double")
+            / F.col("n_views").cast("double")
+        ).alias("conversion_rate"),
+    )

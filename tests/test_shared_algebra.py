@@ -487,3 +487,42 @@ def test_a39_seasonality_hand_solved(spark, tmp_path):
     assert got[0] == (2, 400, (400 * 14) / (2 * 1600))
     for d in range(1, 7):
         assert got[d] == (2, 200, (200 * 14) / (2 * 1600))
+
+
+# --- a40: time-bound conversion ---------------------------------------------------
+
+
+def test_a40_timebound_conversion_hand_solved(spark, tmp_path):
+    """Window-edge semantics pinned by hand: a purchase exactly at the
+    view instant converts (closed start), exactly at view+1h does NOT
+    (open end), another user's purchase never converts a view, and a
+    view with two in-window purchases counts once."""
+    from datetime import datetime, timedelta
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (
+        a40_timebound_conversion,
+    )
+
+    t0 = datetime(2024, 5, 1, 10, 0, 0)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, t0, 1, "view", 1.0, "{}"),                                  # converts (instant purchase)
+        (2, t0, 1, "purchase", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),                                  # does NOT (purchase at +1h exactly)
+        (4, t0 + timedelta(hours=1), 2, "purchase", 1.0, "{}"),
+        (5, t0, 3, "view", 1.0, "{}"),                                  # does NOT (other user's purchase)
+        (6, t0 + timedelta(minutes=5), 4, "purchase", 1.0, "{}"),
+        (7, t0, 5, "view", 1.0, "{}"),                                  # converts once despite 2 purchases
+        (8, t0 + timedelta(minutes=1), 5, "purchase", 1.0, "{}"),
+        (9, t0 + timedelta(minutes=2), 5, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = a40_timebound_conversion(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_views, r.n_converted) == (4, 2)
+    assert r.conversion_rate == 0.5
