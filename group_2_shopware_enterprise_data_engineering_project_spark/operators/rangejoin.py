@@ -279,6 +279,7 @@ def interval_union(
     key_col: str = "user_id",
     start_us: str = "start_us",
     end_us: str = "end_us",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Per-key interval union (merge-overlaps): collapse overlapping or
     touching half-open intervals into coverage ISLANDS — the classic
@@ -299,6 +300,13 @@ def interval_union(
 
     Output per island: key, island_id (1-based per key), island
     start/end, n_intervals merged.
+
+    ``count_col``: each input row's weight toward n_intervals (default
+    1). The INCREMENTAL form passes already-merged islands alongside
+    new raw intervals, weighting stored islands by the raw count they
+    absorbed — union is associative and idempotent over coverage, so
+    re-unioning stored islands with a new batch equals the one-shot
+    union of all raw intervals, counts included (st30).
     """
     from pyspark.sql import Window
 
@@ -315,8 +323,11 @@ def interval_union(
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("long"),
     )
+    n = (
+        F.sum(count_col) if count_col is not None else F.count(F.lit(1))
+    )
     return marked.groupBy(key_col, "island_id").agg(
         F.min(start_us).cast("long").alias("island_start_us"),
         F.max(end_us).cast("long").alias("island_end_us"),
-        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        n.cast("long").alias("n_intervals"),
     )

@@ -2485,3 +2485,111 @@ def _bind_st29_oracle() -> None:
 
 
 _bind_st29_oracle()
+
+
+# --- ST30: incrementally maintained coverage islands ---------------------------
+
+
+@register(
+    "st30_stream_interval_union",
+    None,  # bound to J9_ORACLE below — union is associative over coverage
+    doc="streaming coverage-island maintenance: each micro-batch "
+    "re-unions ONLY the touched users' stored islands (weighted by "
+    "the raw-interval counts they absorbed) with the batch's new "
+    "intervals — untouched users' rows pass through untouched, and "
+    "because interval union is associative and idempotent over "
+    "coverage the drained table equals j9's one-shot union exactly, "
+    "counts included. Exactly-once: the rewritten islands table and "
+    "the batch id commit in ONE atomic manifest swap, so a replayed "
+    "batch is a manifest-checked no-op and a crash mid-batch replays "
+    "from unchanged state deterministically",
+)
+def st30_stream_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        rangejoin,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        _stream_app_id,
+        run_available_now,
+    )
+
+    base = _tmp("st30")
+    src_dir, isl_path, ckpt = f"{base}/in", f"{base}/islands", f"{base}/ckpt"
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("start_us"),
+        (F.unix_micros(F.col("ts")) + F.lit(300_000_000)).alias("end_us"),
+    )
+    # hash batches BY EVENT (not by user): a user's intervals span
+    # micro-batches, so later batches genuinely re-union stored islands
+    # with new intervals — the incremental path under test. Union is
+    # order-free, so batch composition is otherwise free.
+    iv.withColumn(
+        "bucket", F.pmod(F.xxhash64("start_us", "user_id"), F.lit(3)).cast("int")
+    ).repartition(3, "bucket").drop("bucket").write.mode(
+        "overwrite"
+    ).json(src_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("end_us", T.LongType()),
+        ]
+    )
+    islands = ParquetUpsertTable(spark, isl_path)
+    app_id = _stream_app_id(ckpt)
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        if islands.exists() and batch_id <= islands.last_txn(app_id):
+            return
+        new_iv = bdf.withColumn("n", F.lit(1).cast("long"))
+        if islands.exists():
+            cur = islands.read()
+            users = bdf.select("user_id").distinct()
+            touched = cur.join(F.broadcast(users), "user_id").select(
+                "user_id",
+                F.col("island_start_us").alias("start_us"),
+                F.col("island_end_us").alias("end_us"),
+                F.col("n_intervals").alias("n"),
+            )
+            untouched = cur.join(F.broadcast(users), "user_id", "left_anti")
+            cand = touched.unionByName(new_iv)
+        else:
+            untouched = None
+            cand = new_iv
+        merged = rangejoin.interval_union(
+            cand, "user_id", "start_us", "end_us", count_col="n"
+        )
+        out = (
+            merged
+            if untouched is None
+            else untouched.unionByName(merged)
+        )
+        # data + batch id in one atomic manifest swap (exactly-once)
+        islands._snapshot_write(out, txn=(app_id, batch_id))
+
+    run_available_now(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        ckpt,
+        _batch,
+    )
+    return islands.read().select(
+        "user_id", "island_id", "island_start_us", "island_end_us", "n_intervals"
+    )
+
+
+def _bind_st30_oracle() -> None:
+    """st30's oracle IS j9's (associativity of interval union); bound
+    late to avoid importing search_stats at module import."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries import (
+        search_stats,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.registry import (
+        _REGISTRY,
+    )
+
+    _REGISTRY["st30_stream_interval_union"].oracle = search_stats.J9_ORACLE
+
+
+_bind_st30_oracle()

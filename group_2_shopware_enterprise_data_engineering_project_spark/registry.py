@@ -68,7 +68,7 @@ CORE_ORDER: tuple[str, ...] = (
     "m57_effective_mixture",
     "k32_merge_on_read",
     "st27_stream_mor_purge",
-    # ... the FOURTEEN queries new in r10, never driver-checked (each
+    # ... the SIXTEEN queries new in r10, never driver-checked (each
     # oracle-green in a bare-session verify before entering):
     "e22_pq_distortion",
     "e23_recall_curve",
@@ -84,7 +84,9 @@ CORE_ORDER: tuple[str, ...] = (
     "st29_stream_ewma_alerts",
     "m61_softdedup_weights",
     "a39_seasonality_index",
-    # ... and 17 of the 49 r4-cohort entries (newest driver row =
+    "a40_timebound_conversion",
+    "st30_stream_interval_union",
+    # ... and 15 of the 49 r4-cohort entries (newest driver row =
     # round 4), in name order:
     "a1_sales_kpi",
     "a2_session_metrics",
@@ -101,11 +103,11 @@ CORE_ORDER: tuple[str, ...] = (
     "k4_replace_merge",
     "k5_additive_merge",
     "k8_validation_summary",
+    # --- driver window boundary (first 50 above) ---
+    # r11 rotation priority: the 34 r4-cohort entries the 50-slot
+    # window could not fit (name order continues from the window):
     "k9_partition_registration",
     "m10_percentiles",
-    # --- driver window boundary (first 50 above) ---
-    # r11 rotation priority: the 32 r4-cohort entries the 50-slot
-    # window could not fit (name order continues from the window):
     "m11_json_extract",
     "m12_text_normalize",
     "m13_approx_stats",

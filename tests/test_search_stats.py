@@ -694,3 +694,45 @@ def test_interval_union_matches_brute_force(spark, iv):
         else:
             expect.append((s, e, 1))
     assert got == [tuple(x) for x in expect]
+
+
+def test_interval_union_incremental_equals_one_shot(spark):
+    """The st30 invariant: unioning a first batch, then re-unioning the
+    resulting islands (weighted by their absorbed counts) with a second
+    batch, equals the one-shot union of all intervals — ids, spans, and
+    n_intervals all identical."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import rangejoin
+
+    all_iv = [
+        (1, 0, 10), (1, 5, 20), (1, 30, 40), (1, 18, 32),  # 18-32 bridges!
+        (2, 0, 5), (2, 100, 110),
+    ]
+    first = spark.createDataFrame(
+        [r for r in all_iv[:2] + all_iv[4:5]],
+        "user_id long, start_us long, end_us long",
+    )
+    second = spark.createDataFrame(
+        [r for r in all_iv[2:4] + all_iv[5:]],
+        "user_id long, start_us long, end_us long",
+    )
+    both = spark.createDataFrame(all_iv, "user_id long, start_us long, end_us long")
+
+    want = sorted(
+        tuple(r) for r in rangejoin.interval_union(both).collect()
+    )
+    stage1 = rangejoin.interval_union(first).select(
+        "user_id",
+        F.col("island_start_us").alias("start_us"),
+        F.col("island_end_us").alias("end_us"),
+        F.col("n_intervals").alias("n"),
+    )
+    cand = stage1.unionByName(
+        second.withColumn("n", F.lit(1).cast("long"))
+    )
+    got = sorted(
+        tuple(r)
+        for r in rangejoin.interval_union(cand, count_col="n").collect()
+    )
+    assert got == want
+    # the bridge case really merged: user 1 ends with ONE island of 4
+    assert (1, 1, 0, 40, 4) in got
