@@ -1301,19 +1301,31 @@ def budget_select(
     text_col: str = "text",
     source_col: str = "source",
     id_col: str = "doc_id",
+    bucket_width: int = 1 << 16,
 ) -> DataFrame:
     """Doc-level realization of ``budget_waterfill``: the allocation
     says how many tokens each source may keep; this picks WHICH
     documents — the greedy id-ordered prefix whose cumulative token
     count stays within the source's cap (deterministic, replayable:
     re-running on the same corpus keeps the same docs, and appending
-    docs never un-keeps earlier ones). Emits every doc with its
-    running total and keep verdict, so the drop set is auditable
-    rather than silently filtered.
+    docs never un-keeps earlier ones). EVERY input doc is emitted with
+    its running total and keep verdict (docs whose source got no
+    allocation — absent from the waterfill frame — surface with
+    cap 0 and keep_flag 0), so the drop set is auditable rather than
+    silently filtered.
 
     Scale: the waterfill solve runs on the source-cardinality frame
-    and broadcasts back; the only corpus shuffle is the per-source
-    window (partitioned by source — no global ordering anywhere).
+    and broadcasts back. The per-source running sum is SHARDED, not a
+    single per-source window: docs are range-bucketed by id
+    (``bucket = id div bucket_width`` — monotone in id, so bucket
+    order IS id order), a window per (source, bucket) computes the
+    partial sum, and per-bucket totals — a (source x bucket)-
+    cardinality frame — are prefix-summed and broadcast back as each
+    bucket's carry-in. Semantics are bit-identical to the naive
+    per-source window (greedy prefix in id order) but no task ever
+    sorts more than one bucket's rows, so a hot source (30%+ of a
+    crawl corpus) can no longer become one straggler task's sort/OOM.
+    Same carried-offset idiom as ``chunk_manifest``'s base_offsets.
     Ordering contract: ``id_col`` must be unique (the testdata
     doc_id); callers with duplicate ids should pre-dedup or add a
     tiebreak column.
@@ -1331,19 +1343,53 @@ def budget_select(
         token_count(F.coalesce(F.col(text_col), F.lit("")))
         .cast("long")
         .alias("n_tokens"),
+        F.expr(f"{id_col} div {int(bucket_width)}").alias("_bkt"),
     )
-    w = (
-        Window.partitionBy("source")
+    w_part = (
+        Window.partitionBy("source", "_bkt")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = d.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-    return d.join(F.broadcast(caps), "source").select(
+    d = d.withColumn("_part_cum", F.sum("n_tokens").over(w_part).cast("long"))
+    # Bucket-cardinality carry frame: total tokens of every EARLIER
+    # bucket of the same source (exclusive prefix over the tiny
+    # per-bucket-totals frame), broadcast back on (source, bucket).
+    w_carry = (
+        Window.partitionBy("source")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        d.groupBy("source", "_bkt")
+        .agg(F.sum("n_tokens").cast("long").alias("_bkt_tot"))
+        .select(
+            "source",
+            "_bkt",
+            F.coalesce(F.sum("_bkt_tot").over(w_carry), F.lit(0))
+            .cast("long")
+            .alias("_carry"),
+        )
+    )
+    # Null-safe on source: a null-source group still needs its carry
+    # row (the audit contract is TOTAL — see the null-source test).
+    c = carry.select(
+        F.col("source").alias("_c_src"),
+        F.col("_bkt").alias("_c_bkt"),
+        "_carry",
+    )
+    d = d.join(
+        F.broadcast(c),
+        F.col("source").eqNullSafe(F.col("_c_src"))
+        & (F.col("_bkt") == F.col("_c_bkt")),
+    ).withColumn(
+        "cum_tokens", (F.col("_part_cum") + F.col("_carry")).cast("long")
+    )
+    return d.join(F.broadcast(caps), "source", "left").select(
         id_col,
         "source",
         "n_tokens",
         "cum_tokens",
-        (F.col("cum_tokens") <= F.col("cap_tokens"))
+        (F.col("cum_tokens") <= F.coalesce(F.col("cap_tokens"), F.lit(0)))
         .cast("int")
         .alias("keep_flag"),
     )

@@ -78,8 +78,14 @@ def interval_join_binned(
     cross product at corpus scale. Filtering the key after a bin-only
     join is the scale bug this parameter exists to prevent.
 
-    Column name collisions between the two inputs are the caller's
-    responsibility (select/alias before calling).
+    When an equi-key pair uses the SAME name on both sides (the
+    natural per-entity case), the interval side's copy is dropped
+    from the output — the values are equal by the join condition, and
+    keeping both would leave two ambiguous columns that break any
+    downstream select-by-name (ADVICE r10). Differently-named pairs
+    keep both columns. All OTHER column name collisions between the
+    two inputs remain the caller's responsibility (select/alias
+    before calling).
     """
     if bin_seconds <= 0:
         raise ValueError("bin_seconds must be positive")
@@ -107,7 +113,11 @@ def interval_join_binned(
     for pk, ik in equi_keys or []:
         cond = cond & (pts[pk] == ivs[ik])
     # exact predicate over the RAW columns — full timestamp precision
-    joined = pts.join(ivs, cond, "inner").drop(ivs["_bin"]).where(
+    joined = pts.join(ivs, cond, "inner").drop(ivs["_bin"])
+    for pk, ik in equi_keys or []:
+        if pk == ik:
+            joined = joined.drop(ivs[ik])
+    joined = joined.where(
         (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
     )
     return joined.drop("_bin")

@@ -2851,8 +2851,8 @@ WITH alloc AS (
   FROM d
 )
 SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
-       CAST(c.cum_tokens <= a.cap_tokens AS INT) AS keep_flag
-FROM c JOIN alloc a USING (source)
+       CAST(c.cum_tokens <= coalesce(a.cap_tokens, 0) AS INT) AS keep_flag
+FROM c LEFT JOIN alloc a USING (source)
 """
 
 
@@ -2862,14 +2862,23 @@ FROM c JOIN alloc a USING (source)
     doc="doc-level realization of m54's waterfill allocation: per "
     "source, keep the greedy id-ordered prefix of documents whose "
     "cumulative tokens fit the source's cap — deterministic and "
-    "append-stable (new docs never un-keep old ones), with every doc "
-    "emitted alongside its running total so drops are auditable. The "
-    "solve runs on the source-cardinality frame and broadcasts back; "
-    "the only corpus shuffle is the per-source window. All-BIGINT",
+    "append-stable (new docs never un-keep old ones), with EVERY doc "
+    "emitted alongside its running total so drops are auditable "
+    "(left join: a source with no allocation surfaces as keep_flag 0, "
+    "never silently vanishes). The solve runs on the source-"
+    "cardinality frame and broadcasts back; the corpus running sum is "
+    "SHARDED — per-(source, id-range-bucket) windows plus a broadcast "
+    "bucket-cardinality carry frame (chunk_manifest's carried-offset "
+    "idiom), so a hot source never becomes one task's sort. The "
+    "oracle keeps the single-window form (same algebra, oracle-scale "
+    "data); bucket_width=128 makes sf0.01 exercise ~4 buckets/source. "
+    "All-BIGINT",
 )
 def m60_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.budget_select(
-        table(spark, sf_dir, "documents"), budget_pct=_M54_PCT
+        table(spark, sf_dir, "documents"),
+        budget_pct=_M54_PCT,
+        bucket_width=128,
     )
 
 

@@ -2244,7 +2244,8 @@ SELECT source,
        CAST(count(*) AS BIGINT) AS n_terms,
        CAST(sum(n) AS BIGINT) AS total_tokens,
        CAST(sum(n * n) AS BIGINT) AS sum_sq,
-       CAST(sum(n * n) AS DOUBLE) / CAST(sum(n) * sum(n) AS DOUBLE) AS hhi
+       CAST(sum(n * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+           / CAST(sum(n) AS DOUBLE) AS hhi
 FROM tf GROUP BY source
 """
 
@@ -2257,12 +2258,17 @@ FROM tf GROUP BY source
     "repetitiveness/diversity screen that catches template-generated "
     "or boilerplate-heavy sources (HHI -> 1) that per-doc gates like "
     "t7 miss because each document looks fine in isolation. EXACT "
-    "algebra: HHI = sum(n^2) / total^2 as one division of exact "
-    "BIGINTs (no per-term float shares, no unordered float SUM; at "
-    "corpus scales where total^2 would overflow BIGINT, divide twice "
-    "— documented, not needed at test SF). Scale: one explode + two "
-    "map-side-combined groupBys; only (source, term, count) triples "
-    "ever shuffle",
+    "algebra, overflow-LOUD (ADVICE r10): sum(n^2) accumulates in "
+    "DECIMAL(38,0) — exact like BIGINT, but Spark's silent long "
+    "wraparound is impossible — and assert_true raises if it exceeds "
+    "the BIGINT output column, exactly where DuckDB's HUGEINT->BIGINT "
+    "cast raises; hhi divides by total TWICE (never forms total^2), "
+    "so the ratio has no overflow surface at any corpus size. Both "
+    "engines round the same exact integers to double then divide in "
+    "the same order — bit parity preserved. total_tokens itself "
+    "cannot overflow (2^63 tokens is a yottabyte-scale corpus). "
+    "Scale: one explode + two map-side-combined groupBys; only "
+    "(source, term, count) triples ever shuffle",
 )
 def t33_term_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -2271,12 +2277,29 @@ def t33_term_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    sum_sq_dec = F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+    fits_bigint = sum_sq_dec.isNotNull() & (
+        sum_sq_dec <= F.lit(2**63 - 1).cast("decimal(38,0)")
+    )
     return tf.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         F.sum("n").cast("long").alias("total_tokens"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.when(
+            F.assert_true(
+                fits_bigint,
+                F.lit(
+                    "t33: sum(n^2) overflows BIGINT — widen the output "
+                    "column to DECIMAL(38,0) (DuckDB raises on the same "
+                    "cast)"
+                ),
+            ).isNull(),
+            sum_sq_dec,
+        )
+        .cast("long")
+        .alias("sum_sq"),
         (
-            F.sum(F.col("n") * F.col("n")).cast("double")
-            / (F.sum("n") * F.sum("n")).cast("double")
+            sum_sq_dec.cast("double")
+            / F.sum("n").cast("double")
+            / F.sum("n").cast("double")
         ).alias("hhi"),
     )

@@ -974,6 +974,100 @@ def test_budget_select_greedy_prefix_under_cap(spark):
         assert kept[s] <= alloc[s]
 
 
+def test_budget_select_sharded_equals_single_window(spark):
+    """The r11 sharding rewrite must be bit-identical to the naive
+    per-source window: bucket_width=1 (every doc its own bucket — all
+    carry, no partial), width=3 (mixed), and width=10**9 (one bucket —
+    all partial, no carry) agree row-for-row on a corpus with skewed
+    per-source sizes and non-contiguous ids."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    ids = rng.sample(range(10_000), 120)
+    for i, doc_id in enumerate(ids):
+        src = "hot" if i % 3 else f"s{i % 7}"
+        rows.append((doc_id, " ".join(["w"] * rng.randint(0, 9)), src))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    outs = []
+    for width in (1, 3, 10**9):
+        outs.append(
+            sorted(
+                (r.doc_id, r.source, r.n_tokens, r.cum_tokens, r.keep_flag)
+                for r in prep.budget_select(
+                    docs, budget_pct=60, bucket_width=width
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 120  # every doc audited
+    # independent brute force: greedy prefix in id order per source
+    import collections
+
+    toks = {doc_id: len(t.split()) for doc_id, t, _ in rows}
+    by_src = collections.defaultdict(list)
+    for doc_id, _, src in rows:
+        by_src[src].append(doc_id)
+    caps = {
+        r.source: r.cap_tokens
+        for r in prep.budget_waterfill(docs, budget_pct=60).collect()
+    }
+    want = {}
+    for src, dids in by_src.items():
+        cum = 0
+        for d in sorted(dids):
+            cum += toks[d]
+            want[d] = (cum, int(cum <= caps[src]))
+    got = {r[0]: (r[3], r[4]) for r in outs[0]}
+    assert got == want
+
+
+def test_budget_select_plan_has_no_whole_source_corpus_window(spark):
+    """Pin the scale fix: the only doc-ordered window (the corpus
+    running sum) is partitioned by (source, bucket), never by source
+    alone — a hot source can no longer become one task's sort. The
+    source-only window that remains orders by _bkt and runs on the
+    bucket-cardinality carry frame."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, "w w w", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    plan = re.sub(
+        r"#\d+L?",
+        "",
+        prep.budget_select(docs, bucket_width=4)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString(),
+    )
+    doc_ordered = [
+        m
+        for m in re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        if "doc_id ASC" in m
+    ]
+    assert doc_ordered, plan
+    assert all("_bkt" in m.split("doc_id")[0] for m in doc_ordered), doc_ordered
+
+
+def test_budget_select_audits_null_source_docs(spark):
+    """ADVICE r10: the audit contract is TOTAL — a doc whose source
+    matches no waterfill row (null source never equi-joins) must
+    surface with keep_flag 0, not vanish from the frame."""
+    docs = spark.createDataFrame(
+        [(1, "w w", "A"), (2, "w w w", None), (3, "w", "A")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.cum_tokens, r.keep_flag)
+        for r in prep.budget_select(docs, budget_pct=100).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (3, 0)  # audited, never kept (no allocation row)
+    assert got[1][1] == 1 and got[3][1] == 1
+
+
 def test_chunk_manifest_carried_offsets_equal_one_shot(spark):
     """The streaming invariant behind st28: chunking a corpus in two
     id-range batches with carried per-shard offsets produces EXACTLY

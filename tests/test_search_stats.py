@@ -64,6 +64,36 @@ def test_interval_spanning_many_bins_matches_once(spark):
     assert len(rows) == len({r.pid for r in rows}) == 6
 
 
+def test_interval_join_same_name_equi_key_unambiguous(spark):
+    """ADVICE r10: when both sides call the entity key by the same
+    name, the output keeps ONE unambiguous copy — select-by-name and
+    downstream groupBy must work without alias gymnastics."""
+    points = spark.createDataFrame(
+        [
+            (7, 1, _ts("2024-01-01 00:30:00")),
+            (2, 2, _ts("2024-01-01 00:30:00")),  # other user, same ts
+        ],
+        "user_id long, pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(7, 10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"))],
+        "user_id long, iid long, start timestamp, end timestamp",
+    )
+    out = rangejoin.interval_join_binned(
+        points,
+        intervals,
+        "ts",
+        "start",
+        "end",
+        bin_seconds=3600,
+        equi_keys=[("user_id", "user_id")],
+    )
+    assert out.columns.count("user_id") == 1
+    rows = out.select("user_id", "pid", "iid").collect()  # by-name works
+    assert {(r.user_id, r.pid, r.iid) for r in rows} == {(7, 1, 10)}
+    assert out.groupBy("user_id").count().collect()[0][1] == 1
+
+
 def test_interval_join_rejects_bad_bin(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):

@@ -103,7 +103,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "m60_budget_select": {
         "global_window": "inherits m54's waterfill solve — rank/prefix "
         "sum over the source-cardinality aggregate frame (tens of "
-        "rows); the doc-level window is partitioned by source"
+        "rows); the doc-level window is SHARDED by (source, id-range "
+        "bucket) with a broadcast bucket-cardinality carry frame "
+        "(r10 verdict item 1), pinned by the plan test in test_prep.py"
     },
     "a36_peak_concurrency": {
         "global_window": "carry-in prefix sum over the bucket-"
