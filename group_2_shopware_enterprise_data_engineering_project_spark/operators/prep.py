@@ -1393,3 +1393,43 @@ def budget_select(
         .cast("int")
         .alias("keep_flag"),
     )
+
+
+def head_tail_truncate(
+    docs: DataFrame,
+    head_tokens: int = 512,
+    tail_tokens: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-document truncation PLAN keeping the head and the tail —
+    the standard long-context policy (lead paragraphs carry topic,
+    trailing ones carry conclusions; middles are the cheapest cut,
+    cf. middle-truncation in long-doc LM eval). Emits token-slice
+    coordinates, not rewritten text, so the (cheap) plan can feed the
+    (expensive) tokenizer exactly once downstream: head = [0,
+    head_len), tail = [tail_start, n) with the two spans guaranteed
+    disjoint and tiling min(n, H+T) tokens — a doc shorter than H+T
+    keeps everything in the head span (tail_len 0, tail_start = n).
+
+    Every column is closed-form BIGINT arithmetic on the token count:
+    zero shuffles, zero joins — scan-linear at any corpus size.
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    h = F.lit(int(head_tokens)).cast("long")
+    t = F.lit(int(tail_tokens)).cast("long")
+    n = token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+    head_len = F.least(n, h)
+    tail_len = F.greatest(F.least(t, n - h), F.lit(0).cast("long"))
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        head_len.alias("head_len"),
+        (n - tail_len).alias("tail_start"),
+        tail_len.alias("tail_len"),
+        (head_len + tail_len).alias("kept_tokens"),
+        (n - head_len - tail_len).alias("dropped_tokens"),
+    )

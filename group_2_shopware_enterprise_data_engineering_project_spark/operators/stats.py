@@ -850,3 +850,90 @@ def benford_audit(
             .alias("flagged"),
         )
     )
+
+
+def length_gini(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source Gini coefficient over document TOKEN COUNTS — the
+    length-inequality screen that complements t33's term-HHI: a source
+    whose token mass sits in a handful of mega-documents (G -> 1)
+    skews packing (m15), budget selection (m60), and any per-doc
+    quality gate, even when its HHI looks healthy.
+
+    Rank-based Gini, G = (2*S1 - (N+1)*S0) / (N*S0) with S1 = sum of
+    i*x_(i) over the ascending sort and S0 = sum x — computed WITHOUT
+    ever sorting the corpus: per (source, length) frequencies first
+    (the only corpus shuffle — (source, n, count) triples), then each
+    distinct value v with count c and B smaller-valued docs before it
+    contributes v*(c*B + c*(c+1)/2) to S1 in closed form (the sum of
+    its block's ranks — tie-invariant, so no tiebreak column is ever
+    needed). The prefix window runs over the VALUE-cardinality frame
+    (distinct lengths per source, bounded by the max document length,
+    not the corpus), never over documents — the m60/a36 sharded-frame
+    discipline.
+
+    Exactness: every term accumulates in DECIMAL(38,0) (S1 is order
+    N^2*v and overflows BIGINT at ~1e9 docs; decimal keeps it exact
+    and a silent wrap impossible), with ONE final double division.
+    DuckDB mirrors with HUGEINT sums — both engines correctly round
+    the same exact integers, so the quotient matches bit-for-bit.
+    All-zero-token sources emit G = 0.0 (CASE-guarded 0/0).
+    """
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    dec = "decimal(38,0)"
+    freq = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            token_count(F.coalesce(F.col(text_col), F.lit("")))
+            .cast("long")
+            .alias("n"),
+        )
+        .groupBy("source", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_b = (
+        Window.partitionBy("source")
+        .orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_val = freq.select(
+        "source",
+        "n",
+        "c",
+        F.coalesce(F.sum("c").over(w_b), F.lit(0)).cast("long").alias("b"),
+    ).select(
+        "source",
+        F.col("c"),
+        (F.col("n") * F.col("c")).cast(dec).alias("s0_v"),
+        (
+            F.col("n").cast(dec)
+            * (
+                F.col("c").cast(dec) * F.col("b")
+                + F.expr("(c * (c + 1)) div 2").cast(dec)
+            )
+        ).alias("s1_v"),
+    )
+    agg = per_val.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum("s0_v").alias("_s0"),
+        F.sum("s1_v").alias("_s1"),
+    )
+    num = (
+        F.lit(2).cast(dec) * F.col("_s1")
+        - (F.col("n_docs") + F.lit(1)).cast(dec) * F.col("_s0")
+    )
+    den = F.col("n_docs").cast(dec) * F.col("_s0")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.col("_s0").cast("long").alias("total_tokens"),
+        F.when(den == F.lit(0).cast(dec), F.lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("gini"),
+    )

@@ -1473,3 +1473,135 @@ def a40_timebound_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_views").cast("double")
         ).alias("conversion_rate"),
     )
+
+
+# --- a41: unshipped-revenue ship priority (TPC-H Q3 shape) -------------------
+
+_A41_SEG = "BUILDING"
+_A41_DATE = "1998-06-01"
+_A41_TOPN = 10
+
+A41_ORACLE = f"""
+SELECT l.l_orderkey AS orderkey,
+       o.o_orderdate AS orderdate,
+       o.o_orderpriority AS orderpriority,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                           + 0.5) AS BIGINT)) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{_A41_SEG}'
+  AND o.o_orderdate < TIMESTAMP '{_A41_DATE} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{_A41_DATE} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, orderkey
+LIMIT {_A41_TOPN}
+"""
+
+
+@register(
+    "a41_ship_priority",
+    A41_ORACLE,
+    doc="unshipped-revenue shipping priority — the TPC-H Q3 shape "
+    "(segment-filtered customers x pre-cutoff orders x post-cutoff "
+    "lineitems, revenue-ranked top-N): the classic three-way star "
+    "join every warehouse benchmark leads with. Plan: the filtered "
+    "customer keys BROADCAST into orders (dim-sized side), the "
+    "orders->lineitem join shuffles on orderkey with partial aggs "
+    "map-side; top-N is TakeOrdered (no global window). Exact cents "
+    "per row -> BIGINT sum; ranking and ties resolved on the exact "
+    "cents + unique orderkey, so LIMIT contents are deterministic",
+)
+def a41_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _A41_SEG)
+        .select("c_custkey")
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_A41_DATE).cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_A41_DATE).cast("timestamp")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(cents).cast("long").alias("revenue_cents"))
+        .withColumn(
+            "revenue",
+            F.col("revenue_cents").cast("double") / F.lit(100.0),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("orderkey"))
+        .limit(_A41_TOPN)
+    )
+
+
+# --- a42: repeat-purchase latency -------------------------------------------
+
+A42_ORACLE = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey AS customer_id,
+       CAST(count(*) + 1 AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+       CAST(sum(gap_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS avg_gap_days
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "a42_reorder_latency",
+    A42_ORACLE,
+    doc="repeat-purchase latency: per customer, the day gaps between "
+    "consecutive orders (lag over (orderdate, orderkey) — the unique "
+    "key makes same-day sequences deterministic) reduced to "
+    "min/max/avg; customers with a single order emit nothing (no "
+    "gaps). Exact: gaps are integer day counts, avg is one "
+    "BIGINT/BIGINT double division. Scale: one per-customer window "
+    "(per-key state = that customer's order count) + one "
+    "map-side-combined groupBy; no global ordering anywhere",
+)
+def a42_reorder_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        F.col("o_custkey"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return g.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        (F.count(F.lit(1)) + F.lit(1)).cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        (
+            F.sum("gap_days").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_gap_days"),
+    )

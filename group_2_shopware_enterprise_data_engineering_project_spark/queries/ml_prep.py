@@ -2935,3 +2935,44 @@ def m61_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
     )
+
+
+# --- m62: head+tail truncation plan ---------------------------------------------
+
+_M62_HEAD, _M62_TAIL = 48, 16
+
+M62_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({text_pipeline._TOKS}) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id,
+       n AS n_tokens,
+       least(n, {_M62_HEAD}) AS head_len,
+       n - greatest(least(CAST({_M62_TAIL} AS BIGINT), n - {_M62_HEAD}), 0)
+           AS tail_start,
+       greatest(least(CAST({_M62_TAIL} AS BIGINT), n - {_M62_HEAD}), 0)
+           AS tail_len,
+       least(n, {_M62_HEAD} + {_M62_TAIL}) AS kept_tokens,
+       n - least(n, {_M62_HEAD} + {_M62_TAIL}) AS dropped_tokens
+FROM d
+"""
+
+
+@register(
+    "m62_head_tail_truncate",
+    M62_ORACLE,
+    doc="head+tail truncation plan for long documents (keep the lead "
+    f"{_M62_HEAD} and trailing {_M62_TAIL} tokens, cut the middle — "
+    "the standard long-context policy): emits disjoint token-slice "
+    "coordinates that tile min(n, H+T), so the tokenizer runs once "
+    "downstream on exactly the kept spans. Closed-form BIGINT "
+    "arithmetic per row — zero shuffles, zero joins, scan-linear",
+)
+def m62_head_tail_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.head_tail_truncate(
+        table(spark, sf_dir, "documents"),
+        head_tokens=_M62_HEAD,
+        tail_tokens=_M62_TAIL,
+    )

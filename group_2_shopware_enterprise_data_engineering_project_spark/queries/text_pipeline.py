@@ -2303,3 +2303,62 @@ def t33_term_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").cast("double")
         ).alias("hhi"),
     )
+
+
+# --- t34: per-source document-length Gini -----------------------------------
+
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (  # noqa: E402
+    stats as _stats,
+)
+
+# Independent formulation on purpose: the oracle ranks every document
+# with row_number() and sums i*n directly (the textbook definition),
+# while the operator never sorts the corpus — it reconstructs the same
+# S1 from per-(source, length) frequency blocks in closed form. The
+# rank sum is tie-invariant (equal lengths contribute v * [sum of the
+# block's ranks] under ANY tie order), so the oracle's nondeterministic
+# tie order cannot diverge. HUGEINT sums mirror the operator's
+# DECIMAL(38,0) accumulation; one final double division each side.
+T34_ORACLE = f"""
+WITH d AS (
+  SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+), r AS (
+  SELECT source, n,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n) AS HUGEINT)
+             AS i
+  FROM d
+), a AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         sum(i * n) AS s1
+  FROM r GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       CASE WHEN n_docs * total_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(2 * s1 - (CAST(n_docs AS HUGEINT) + 1) * total_tokens
+                      AS DOUBLE)
+                 / CAST(CAST(n_docs AS HUGEINT) * total_tokens AS DOUBLE)
+       END AS gini
+FROM a
+"""
+
+
+@register(
+    "t34_length_gini",
+    T34_ORACLE,
+    doc="per-source Gini over document token counts — the length-"
+    "inequality screen t33's term-HHI misses (a source whose mass "
+    "sits in a few mega-docs skews packing, budget selection, and "
+    "per-doc gates while its term mix looks fine). Sort-free: "
+    "(source, length) frequencies are the only corpus shuffle; S1 "
+    "is reconstructed from frequency blocks in closed form and the "
+    "prefix window runs over the value-cardinality frame (bounded by "
+    "max doc length, never corpus size). DECIMAL(38,0) accumulation "
+    "(S1 ~ N^2*v overflows BIGINT at ~1e9 docs), one double division; "
+    "oracle uses the independent row_number() textbook formulation "
+    "(rank sums are tie-invariant). Hand-solved + brute-force tests "
+    "in tests/test_shared_algebra.py",
+)
+def t34_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stats.length_gini(table(spark, sf_dir, "documents"))

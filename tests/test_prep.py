@@ -1106,3 +1106,32 @@ def test_chunk_manifest_carried_offsets_equal_one_shot(spark):
         }
     )
     assert got == want
+
+
+def test_head_tail_truncate_spans_tile_and_stay_disjoint(spark):
+    """Three regimes by hand: shorter than H (all head, empty tail at
+    position n), between H and H+T (head full, tail = remainder), and
+    longer than H+T (both full, middle dropped). Spans must be
+    disjoint and tile exactly kept_tokens."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 3)),   # n=3  < H
+            (2, " ".join(["w"] * 6)),   # H <= n=6 < H+T
+            (3, " ".join(["w"] * 20)),  # n=20 > H+T
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in prep.head_tail_truncate(
+            docs, head_tokens=5, tail_tokens=2
+        ).collect()
+    }
+    assert (got[1].head_len, got[1].tail_start, got[1].tail_len) == (3, 3, 0)
+    assert (got[2].head_len, got[2].tail_start, got[2].tail_len) == (5, 5, 1)
+    assert (got[3].head_len, got[3].tail_start, got[3].tail_len) == (5, 18, 2)
+    for r in got.values():
+        assert r.head_len + r.tail_len == r.kept_tokens
+        assert r.kept_tokens + r.dropped_tokens == r.n_tokens
+        assert r.tail_start >= r.head_len  # disjoint
+        assert r.tail_start + r.tail_len == r.n_tokens

@@ -526,3 +526,221 @@ def test_a40_timebound_conversion_hand_solved(spark, tmp_path):
     r = got[0]
     assert (r.n_views, r.n_converted) == (4, 2)
     assert r.conversion_rate == 0.5
+
+
+# --- e22/e23/e24: PQ distortion + recall curves (r10 verdict item 5) ----------
+#
+# The oracles share the one-plan decomposition with the Spark operators
+# (same CTE structure interpolated from the same constants), so the
+# driver hash cannot catch a shared wrong rule. Ground truth here is
+# pure numpy over INTEGER-valued vectors: every dot product and squared
+# norm is an exact integer in float64 (no accumulation-order ambiguity),
+# sqrt and division are IEEE-correctly-rounded, so cosines — and hence
+# rankings — are bit-identical no matter which engine or fold order
+# computed them.
+
+
+def _int_vectors(n: int, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [float(rng.randint(-4, 4)) for _ in range(dim)] for _ in range(n)
+    ]
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _cos(a, b, d=None):
+    d = d or len(a)
+    dot = sum(x * y for x, y in zip(a[:d], b[:d]))
+    na = math.sqrt(sum(x * x for x in a[:d]))
+    nb = math.sqrt(sum(x * x for x in b[:d]))
+    return dot / (na * nb)
+
+
+def _topk(vecs, q, k, d=None):
+    """Brute-force top-k neighbor ids for query index q (cos desc,
+    id asc), excluding self."""
+    sims = [
+        (-_cos(vecs[q], v, d), i)
+        for i, v in enumerate(vecs)
+        if i != q
+    ]
+    sims.sort()
+    return [i for _, i in sims[:k]]
+
+
+def test_e22_pq_distortion_matches_numpy(spark):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        similarity,
+    )
+
+    vecs = _int_vectors(40)
+    emb = _emb_df(spark, vecs)
+    got = {
+        r.vec_id: r.sq_err
+        for r in similarity.pq_distortion(
+            emb, similarity.pq_seed_codebook(emb)
+        ).collect()
+    }
+    m, k_codes, sub = similarity.PQ_M, similarity.PQ_CODES, similarity.PQ_SUB_DIM
+    for vid, v in enumerate(vecs):
+        want = 0.0
+        for s in range(m):
+            sl = v[s * sub : (s + 1) * sub]
+            want += min(
+                sum((x - y) * (x - y) for x, y in zip(sl, vecs[c][s * sub : (s + 1) * sub]))
+                for c in range(k_codes)
+            )
+        # integer arithmetic throughout -> exact equality
+        assert got[vid] == want, (vid, got[vid], want)
+    # sanity: the first k_codes vectors ARE codes -> zero distortion
+    for vid in range(k_codes):
+        assert got[vid] == 0.0
+
+
+def test_e23_ivf_recall_curve_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        similarity,
+    )
+
+    vecs = _int_vectors(36, seed=23)
+    emb = _emb_df(spark, vecs)
+    n_cent, probes, k, n_q = 4, (1, 2), 3, 5
+    got = {
+        (r.n_probe, r.query_id): (r.n_hits, r.recall)
+        for r in similarity.ivf_recall_curve(
+            emb, F.col("vec_id") < n_q, probes=probes, k=k, n_centroids=n_cent
+        ).collect()
+    }
+    # python reimplementation: centroids = first n_cent vectors by id
+    cents = list(range(n_cent))
+    assign = {}
+    for i, v in enumerate(vecs):
+        best = max(cents, key=lambda c: (_cos(v, vecs[c]), -c))
+        assign[i] = best
+    want = {}
+    for q in range(n_q):
+        probe_order = sorted(
+            cents, key=lambda c: (-_cos(vecs[q], vecs[c]), c)
+        )
+        truth = set(_topk(vecs, q, k))
+        for p in probes:
+            probed = set(probe_order[:p])
+            cand = [
+                i for i in range(len(vecs))
+                if i != q and assign[i] in probed
+            ]
+            cand.sort(key=lambda i: (-_cos(vecs[q], vecs[i]), i))
+            hits = len(set(cand[:k]) & truth)
+            want[(p, q)] = (hits, hits / k)
+    assert got == want
+    # the curve must be monotone in n_probe per query (nested candidates)
+    for q in range(n_q):
+        assert got[(2, q)][0] >= got[(1, q)][0]
+
+
+def test_e24_prefix_recall_curve_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        similarity,
+    )
+
+    vecs = _int_vectors(30, seed=24)
+    emb = _emb_df(spark, vecs)
+    dims, k, n_q = (8, 16), 3, 4
+    got = {
+        (r.dim, r.query_id): (r.n_hits, r.recall)
+        for r in similarity.prefix_recall_curve(
+            emb, F.col("vec_id") < n_q, dims=dims, k=k
+        ).collect()
+    }
+    want = {}
+    for q in range(n_q):
+        truth = set(_topk(vecs, q, k))  # full-dim truth
+        for d in dims:
+            hits = len(set(_topk(vecs, q, k, d)) & truth)
+            want[(d, q)] = (hits, hits / k)
+    assert got == want
+
+
+# --- t34: length Gini ----------------------------------------------------------
+
+
+def _gini_python(xs: list[int]) -> float:
+    """Textbook rank-based Gini over a sorted copy — the direct
+    definition, no frequency-block algebra."""
+    xs = sorted(xs)
+    n = len(xs)
+    s0 = sum(xs)
+    if n * s0 == 0:
+        return 0.0
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    return (2 * s1 - (n + 1) * s0) / (n * s0)
+
+
+def test_t34_length_gini_hand_solved(spark, tmp_path):
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.text_pipeline import (
+        t34_length_gini,
+    )
+
+    rows = []
+    # A: lengths 1,2,3,4 -> G = (2*30 - 5*10)/(4*10) = 0.25
+    for i, ln in enumerate((1, 2, 3, 4)):
+        rows.append((10 + i, " ".join(["w"] * ln), "en", "A"))
+    # B: equal lengths -> G = 0 (ties exercise the block algebra)
+    rows.append((20, "w w w w w", "en", "B"))
+    rows.append((21, "x x x x x", "en", "B"))
+    # C: all-empty docs -> guarded 0/0 -> 0.0
+    rows.append((30, "", "en", "C"))
+    rows.append((31, "", "en", "C"))
+    # D: single doc -> 0
+    rows.append((40, "w w w w w w w", "en", "D"))
+    sf = _write_documents(spark, str(tmp_path), rows)
+    got = {r.source: r for r in t34_length_gini(spark, sf).collect()}
+    assert got["A"].gini == 0.25
+    assert (got["A"].n_docs, got["A"].total_tokens) == (4, 10)
+    assert got["B"].gini == 0.0
+    assert got["C"].gini == 0.0 and got["C"].total_tokens == 0
+    assert got["D"].gini == 0.0
+
+
+@_settings
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=12),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_t34_length_gini_matches_brute_force(spark, lengths_per_source):
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        stats,
+    )
+
+    rows, want = [], {}
+    did = 0
+    for s, lens in enumerate(lengths_per_source):
+        src = f"s{s}"
+        want[src] = _gini_python(lens)
+        for ln in lens:
+            rows.append((did, " ".join(["w"] * ln), src))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = {r.source: r.gini for r in stats.length_gini(docs).collect()}
+    assert set(got) == set(want)
+    for src in want:
+        assert math.isclose(got[src], want[src], rel_tol=0, abs_tol=1e-12), (
+            src, got[src], want[src],
+        )
