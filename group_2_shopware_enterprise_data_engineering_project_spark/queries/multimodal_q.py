@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from group_2_shopware_enterprise_data_engineering_project_spark.operators import multimodal
+from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+    multimodal,
+    rangejoin,
+)
 from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
 from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
 
@@ -455,3 +458,97 @@ def mm8_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frame_fp"),
     )
     return multimodal.scene_segments(f)
+
+
+# --- mm9: frame-to-caption alignment --------------------------------------------
+
+_MM9_CAP_S = 5  # caption length in seconds; caption j = [j*5 - 1, (j+1)*5)
+
+MM9_ORACLE = f"""
+WITH frames AS (
+  SELECT doc_id AS media_id, gs.f AS frame_idx
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0,
+           CAST(floor((n_chars * 40 - 1) / 1000.0) AS BIGINT))) AS f) gs
+  WHERE n_chars > 0 AND doc_id % 3 = 2
+), nf AS (
+  SELECT media_id, max(frame_idx) + 1 AS n FROM frames GROUP BY media_id
+), caps AS (
+  SELECT media_id, gs.j AS cap_id,
+         CAST(gs.j * {_MM9_CAP_S} - 1 AS BIGINT) AS cs,
+         CAST((gs.j + 1) * {_MM9_CAP_S} AS BIGINT) AS ce
+  FROM nf,
+       LATERAL (SELECT unnest(generate_series(0,
+           CAST((n + {_MM9_CAP_S} - 1) // {_MM9_CAP_S} AS BIGINT) - 1)) AS j)
+           gs
+), m AS (
+  SELECT f.media_id, f.frame_idx, c.cap_id
+  FROM frames f JOIN caps c
+    ON f.media_id = c.media_id
+   AND c.cs <= f.frame_idx AND f.frame_idx < c.ce
+)
+SELECT media_id, frame_idx,
+       CAST(count(*) AS BIGINT) AS n_captions,
+       CAST(min(cap_id) AS BIGINT) AS first_caption,
+       CAST(max(cap_id) AS BIGINT) AS last_caption
+FROM m GROUP BY 1, 2
+"""
+
+
+@register(
+    "mm9_caption_align",
+    MM9_ORACLE,
+    doc="frame-to-caption alignment: every sampled video frame (mm2's "
+    "plan, 1 fps) is matched to the subtitle/caption interval(s) "
+    "covering its timestamp — the pairing step of any video-text "
+    "contrastive or captioning corpus build. Captions deliberately "
+    "OVERLAP one second (subtitle cross-fade), so boundary frames "
+    "match two — the half-open interval join must get both. Runs on "
+    "rangejoin.interval_join_binned with the media key INSIDE the "
+    "equi-join and the SAME column name on both sides (the ADVICE-r10 "
+    "dedup path: one unambiguous media_id out). Oracle is the direct "
+    "inequality join on integer frame seconds. Scale: captions per "
+    "video ~ duration/5s ride a (media, time-bin) equi-join; no "
+    "cross-video pairs exist anywhere in the plan",
+)
+def mm9_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir).filter(F.col("kind") == "video")
+    frames = multimodal.frame_sample_plan(media).select(
+        "media_id",
+        "frame_idx",
+        F.timestamp_seconds(F.col("frame_idx")).alias("fts"),
+    )
+    L = _MM9_CAP_S
+    caps = (
+        frames.groupBy("media_id")
+        .agg((F.max("frame_idx") + 1).alias("n"))
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr(f"(n + {L} - 1) div {L}").cast("long") - 1,
+                )
+            ).alias("cap_id"),
+        )
+        .select(
+            "media_id",
+            "cap_id",
+            F.timestamp_seconds(F.col("cap_id") * L - 1).alias("cs"),
+            F.timestamp_seconds((F.col("cap_id") + 1) * L).alias("ce"),
+        )
+    )
+    aligned = rangejoin.interval_join_binned(
+        frames,
+        caps,
+        point_ts="fts",
+        start_col="cs",
+        end_col="ce",
+        bin_seconds=L,
+        equi_keys=[("media_id", "media_id")],
+    )
+    return aligned.groupBy("media_id", "frame_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_captions"),
+        F.min("cap_id").cast("long").alias("first_caption"),
+        F.max("cap_id").cast("long").alias("last_caption"),
+    )

@@ -1072,3 +1072,101 @@ def j9_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts")) + F.lit(_J9_LEN_US)).alias("end_us"),
     )
     return rangejoin.interval_union(iv, "user_id", "start_us", "end_us")
+
+
+# --- j10: coverage fraction of an audit window ----------------------------------
+
+import datetime as _dt  # noqa: E402
+
+_J10_T0_US = int(
+    _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+)
+_J10_T1_US = int(
+    _dt.datetime(2024, 2, 1, tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+)
+_J10_WIN_US = _J10_T1_US - _J10_T0_US
+
+# Independent formulation ON PURPOSE (the r9 a36 lesson): the operator
+# merges islands via the running-max-of-prior-ends algebra; the oracle
+# never forms islands — it sweeps +1/-1 boundary events and integrates
+# the stretches where the active count is positive (union length =
+# measure of {active >= 1}), counting an island whenever active rises
+# from zero. Same numbers, disjoint algorithms.
+J10_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id,
+         greatest(epoch_us(ts), {_J10_T0_US}) AS s,
+         least(epoch_us(ts) + {300_000_000}, {_J10_T1_US}) AS e
+  FROM events
+), c AS (
+  SELECT * FROM iv WHERE s < e
+), pts AS (
+  SELECT user_id, s AS t, 1 AS d FROM c
+  UNION ALL
+  SELECT user_id, e AS t, -1 AS d FROM c
+), sw AS (
+  SELECT user_id, t, CAST(sum(d) AS BIGINT) AS delta
+  FROM pts GROUP BY 1, 2
+), run AS (
+  SELECT user_id, t, delta,
+         CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY t)
+              AS BIGINT) AS active,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+  FROM sw
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN active > 0 AND active - delta = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_islands,
+       CAST(sum(CASE WHEN active > 0 THEN nxt - t ELSE 0 END) AS BIGINT)
+           AS covered_us,
+       CAST(sum(CASE WHEN active > 0 THEN nxt - t ELSE 0 END) AS DOUBLE)
+           / CAST({_J10_WIN_US} AS DOUBLE) AS coverage
+FROM run GROUP BY user_id
+"""
+
+
+@register(
+    "j10_interval_coverage",
+    J10_ORACLE,
+    doc="per-user coverage fraction of a fixed audit window (January "
+    "2024): activity intervals are clipped to the window, merged into "
+    "islands (rangejoin.interval_union — the j9 primitive), and the "
+    "island lengths sum to the covered time; coverage = covered_us / "
+    "window_us as ONE BIGINT/BIGINT double division. The uptime/SLA "
+    "number gap audits report. Oracle is the INDEPENDENT sweep-line "
+    "formulation (+1/-1 boundary integration of {{active>0}} "
+    "stretches) — disjoint algorithm, same integers. Scale: per-user "
+    "windows only (per-task state = one user's clipped intervals), "
+    "one map-side-combined groupBy",
+)
+def j10_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        rangejoin,
+    )
+
+    iv = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.greatest(
+                F.unix_micros(F.col("ts")), F.lit(_J10_T0_US)
+            ).alias("start_us"),
+            F.least(
+                F.unix_micros(F.col("ts")) + F.lit(300_000_000),
+                F.lit(_J10_T1_US),
+            ).alias("end_us"),
+        )
+        .filter(F.col("start_us") < F.col("end_us"))
+    )
+    islands = rangejoin.interval_union(iv, "user_id", "start_us", "end_us")
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("island_end_us") - F.col("island_start_us"))
+        .cast("long")
+        .alias("covered_us"),
+        (
+            F.sum(F.col("island_end_us") - F.col("island_start_us"))
+            .cast("double")
+            / F.lit(float(_J10_WIN_US))
+        ).alias("coverage"),
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2593,3 +2593,142 @@ def _bind_st30_oracle() -> None:
 
 
 _bind_st30_oracle()
+
+
+# --- ST31: streaming doc-level budget selection ---------------------------------
+
+
+@register(
+    "st31_stream_budget_select",
+    None,  # bound to M60_ORACLE below — the drained stream equals m60 exactly
+    doc="streaming doc-level budget selection: documents arrive in "
+    "doc_id-range micro-batches; each batch extends every source's "
+    "running token total from PER-SOURCE OFFSET COUNTERS accumulated "
+    "by earlier batches (the m60/chunk_manifest carried-offset idiom "
+    "— cum_tokens is prefix-stable, so it can be streamed even though "
+    "the waterline can't) and appends the audited rows to a doc "
+    "ledger. The keep verdict is decided at READ time: the waterfill "
+    "cap is re-solved from the ACCUMULATED totals (st26's solve) and "
+    "joined against the ledger — one broadcast join, no history "
+    "re-scan, and verdicts always reflect the budget over everything "
+    "seen so far. Replay-safe: a replayed batch recomputes the SAME "
+    "rows from un-advanced counters and key-replace-merges them "
+    "(content-idempotent); the counter advance is txn-stamped on the "
+    "atomic snapshot commit. Range-batches preserve per-source id "
+    "order, so the drained stream equals m60's batch output "
+    "row-for-row — the oracle IS m60's",
+)
+def st31_stream_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        prep as _prep,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        _stream_app_id,
+        run_available_now,
+        stage_ordered_batches,
+    )
+
+    base = _tmp("st31")
+    src_dir = f"{base}/in"
+    led_path, off_path, ckpt = f"{base}/ledger", f"{base}/offsets", f"{base}/ckpt"
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n = docs.count()
+    stage_ordered_batches(
+        docs, src_dir, 3, F.floor(F.col("doc_id") * 3 / F.lit(n)).cast("long")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    ledger = ParquetUpsertTable(spark, led_path)
+    offsets = ParquetUpsertTable(spark, off_path)
+    app_id = _stream_app_id(ckpt)
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        if batch_id <= offsets.last_txn(app_id):
+            return  # replayed batch: already folded into the counters
+        d = bdf.select(
+            "doc_id",
+            "source",
+            token_count(F.coalesce(F.col("text"), F.lit("")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        d = d.withColumn("_in_batch", F.sum("n_tokens").over(w).cast("long"))
+        if offsets.exists():
+            cur = offsets.read().select(
+                "source", F.col("total_tokens").alias("_base")
+            )
+            d = d.join(F.broadcast(cur), "source", "left")
+        else:
+            d = d.withColumn("_base", F.lit(None).cast("long"))
+        rows = d.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("_in_batch") + F.coalesce(F.col("_base"), F.lit(0)))
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+        # content-idempotent: a replay recomputes the SAME rows from
+        # the same (un-advanced) counters and replaces them in place
+        ledger.upsert_replace(rows, ("doc_id",))
+        sums = d.groupBy("source").agg(
+            F.sum("n_tokens").cast("long").alias("total_tokens")
+        )
+        offsets.upsert_additive(
+            sums,
+            ("source",),
+            ("total_tokens",),
+            txn=(app_id, batch_id),
+            force_snapshot=True,
+        )
+
+    run_available_now(
+        stream_json_source(spark, src_dir, schema, max_files_per_trigger=1),
+        ckpt,
+        _batch,
+    )
+    caps = _prep.waterfill_from_totals(
+        offsets.read().select("source", "total_tokens"), budget_pct=60
+    ).select("source", "cap_tokens")
+    return ledger.read().join(F.broadcast(caps), "source", "left").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= F.coalesce(F.col("cap_tokens"), F.lit(0)))
+        .cast("int")
+        .alias("keep_flag"),
+    )
+
+
+def _bind_st31_oracle() -> None:
+    """st31's oracle IS m60's: carried per-source offsets over
+    id-range batches reproduce the batch cum_tokens exactly, and the
+    read-time waterline over accumulated totals equals the batch
+    solve (token sums commute). Bound late to avoid importing ml_prep
+    at module import time."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries import (
+        ml_prep,
+    )
+    from group_2_shopware_enterprise_data_engineering_project_spark.registry import (
+        _REGISTRY,
+    )
+
+    _REGISTRY["st31_stream_budget_select"].oracle = ml_prep.M60_ORACLE
+
+
+_bind_st31_oracle()

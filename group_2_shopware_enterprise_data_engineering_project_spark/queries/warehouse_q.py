@@ -1573,3 +1573,80 @@ def a38_totalprice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("int")
         .alias("reconciled"),
     )
+
+
+# --- k33: snapshot retention plan -------------------------------------------
+
+_K33_KEEP_LAST = 7
+
+K33_ORACLE = f"""
+WITH v AS (
+  SELECT DISTINCT o_orderdate AS version_ts FROM orders
+), r AS (
+  SELECT version_ts,
+         CAST(row_number() OVER (ORDER BY version_ts DESC) AS BIGINT) AS rn,
+         date_trunc('week', version_ts) AS wk
+  FROM v
+), older AS (
+  SELECT * FROM r WHERE rn > {_K33_KEEP_LAST}
+), wmax AS (
+  SELECT wk, max(version_ts) AS wlatest FROM older GROUP BY wk
+)
+SELECT r.version_ts, r.rn,
+       CASE WHEN r.rn <= {_K33_KEEP_LAST} THEN 'recent'
+            WHEN r.version_ts = w.wlatest THEN 'weekly'
+            ELSE 'expire' END AS keep_reason,
+       CAST(CASE WHEN r.rn <= {_K33_KEEP_LAST} THEN 1
+                 WHEN r.version_ts = w.wlatest THEN 1
+                 ELSE 0 END AS INT) AS keep_flag
+FROM r LEFT JOIN wmax w ON r.wk = w.wk
+"""
+
+
+@register(
+    "k33_retention_plan",
+    K33_ORACLE,
+    doc="snapshot retention plan — the expire-snapshots policy every "
+    "table format ships (keep the newest N, thin everything older to "
+    "one snapshot per calendar week, expire the rest), computed as a "
+    "PLAN (version, keep_reason, keep_flag) a vacuum job executes. "
+    "Versions here are the distinct order dates standing in for a "
+    "snapshot catalog. All ranking/thinning runs on the version-"
+    "cardinality frame (a catalog is thousands of rows at any table "
+    "size — whitelisted bounded global window, the k30/a35 class); "
+    "the ISO Monday week boundary agrees between Spark and DuckDB "
+    "date_trunc. Hand-solved boundary test in tests/test_warehouse.py",
+)
+def k33_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").alias("version_ts"))
+        .distinct()
+    )
+    r = v.select(
+        "version_ts",
+        F.row_number()
+        .over(Window.orderBy(F.col("version_ts").desc()))
+        .cast("long")
+        .alias("rn"),
+        F.date_trunc("week", F.col("version_ts")).alias("wk"),
+    )
+    older = r.filter(F.col("rn") > _K33_KEEP_LAST)
+    wmax = older.groupBy("wk").agg(F.max("version_ts").alias("wlatest"))
+    keep_reason = (
+        F.when(F.col("rn") <= _K33_KEEP_LAST, F.lit("recent"))
+        .when(F.col("version_ts") == F.col("wlatest"), F.lit("weekly"))
+        .otherwise(F.lit("expire"))
+    )
+    return r.join(F.broadcast(wmax), "wk", "left").select(
+        "version_ts",
+        "rn",
+        keep_reason.alias("keep_reason"),
+        F.when(F.col("rn") <= _K33_KEEP_LAST, F.lit(1))
+        .when(F.col("version_ts") == F.col("wlatest"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("keep_flag"),
+    )

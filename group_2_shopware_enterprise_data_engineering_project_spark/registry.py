@@ -42,70 +42,29 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: never-driver-checked queries rotate in (r4: e9 in for a5; r5: full
 #: rotation to the never-checked set, see the block comment below).
 CORE_ORDER: tuple[str, ...] = (
-    # r10 rotation (r9 verdict item 2): the driver window fronts the
-    # FOURTEEN r3-cohort entries (newest driver row = round 3, six
-    # rounds old — the oldest evidence in the registry; includes
-    # m8_dedup_clusters, which had never been listed here before),
-    # then the FIVE queries whose code or plan changed in r10 (a36
-    # RANGE-frame boundary fix, a35 single-scan total, m57 zero-token
-    # guard, k32/st27 size-gated tombstone read):
-    "t4_exact_dedup",
-    "t5_winnow_fingerprints",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "t6_token_counts",
-    "t7_repetition_signals",
-    "m1_split_assign",
-    "m3_pii_redact",
-    "m4_topk_per_group",
-    "m5_doc_frequency",
-    "m6_stratified_sample",
-    "m7_asof_join",
-    "m8_dedup_clusters",
-    "a36_peak_concurrency",
-    "a35_benford_audit",
-    "m57_effective_mixture",
-    "k32_merge_on_read",
-    "st27_stream_mor_purge",
-    # ... the SIXTEEN queries new in r10, never driver-checked (each
-    # oracle-green in a bare-session verify before entering):
-    "e22_pq_distortion",
-    "e23_recall_curve",
-    "a37_ewma_revenue",
-    "m59_chunk_manifest",
+    # r11 rotation (r10 verdict item 2): the window fronts the EIGHT
+    # queries new in r11 (never driver-checked; each oracle-green in a
+    # bare-session verify before entering), then the THREE queries
+    # whose code changed in r11 (m60 sharded running sum + left-join
+    # audit, t33 overflow-loud decimal algebra, a40 via the
+    # interval_join_binned same-name equi-key dedup), then the full
+    # THIRTY-FOUR-entry r4 cohort (newest driver row = round 4, six
+    # rounds old — the oldest evidence in the registry, verdict item
+    # 2's exact list), and the five OLDEST r5-cohort entries in name
+    # order to fill the window:
+    "t34_length_gini",
+    "a41_ship_priority",
+    "a42_reorder_latency",
+    "m62_head_tail_truncate",
+    "j10_interval_coverage",
+    "mm9_caption_align",
+    "st31_stream_budget_select",
+    "k33_retention_plan",
+    # ... changed-code queries (r11):
     "m60_budget_select",
     "t33_term_concentration",
-    "mm8_scene_segments",
-    "st28_stream_chunk_manifest",
-    "j9_interval_union",
-    "a38_totalprice_reconciliation",
-    "e24_matryoshka_recall_curve",
-    "st29_stream_ewma_alerts",
-    "m61_softdedup_weights",
-    "a39_seasonality_index",
     "a40_timebound_conversion",
-    "st30_stream_interval_union",
-    # ... and 15 of the 49 r4-cohort entries (newest driver row =
-    # round 4), in name order:
-    "a1_sales_kpi",
-    "a2_session_metrics",
-    "a3_engagement_score",
-    "a4_loyalty_metrics",
-    "a6_duplicate_keys",
-    "a8_null_counts",
-    "d1_distinct_rows",
-    "e9_ann_ivf_kmeans",
-    "j1_loyalty_join",
-    "k10_archive_lifecycle",
-    "k11_snapshot_diff",
-    "k1_hour_partition_roundtrip",
-    "k4_replace_merge",
-    "k5_additive_merge",
-    "k8_validation_summary",
-    # --- driver window boundary (first 50 above) ---
-    # r11 rotation priority: the 34 r4-cohort entries the 50-slot
-    # window could not fit (name order continues from the window):
+    # ... the r4 cohort (name order):
     "k9_partition_registration",
     "m10_percentiles",
     "m11_json_extract",
@@ -140,8 +99,65 @@ CORE_ORDER: tuple[str, ...] = (
     "st5_hourly_alert_counts",
     "st7_stream_kpi",
     "w1_keep_latest",
-    # remaining entries keep their prior relative order (newest
-    # driver rows r5-r9; per-query history in CORRECTNESS_r0*.json):
+    # ... oldest r5-cohort entries (name order):
+    "a13_funnel",
+    "a14_cohort_retention",
+    "a19_regional_revenue",
+    "a22_grouping_sets",
+    "a23_share_of_total",
+    # --- driver window boundary (first 50 above) ---
+    # r12 rotation priority: the 17 remaining r5-cohort
+    # entries (a13-class list minus the five fronted above),
+    # then the r6 cohort (28 entries). Remaining entries keep
+    # their prior relative order; per-query driver history in
+    # CORRECTNESS_r0*.json:
+    "t4_exact_dedup",
+    "t5_winnow_fingerprints",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "t6_token_counts",
+    "t7_repetition_signals",
+    "m1_split_assign",
+    "m3_pii_redact",
+    "m4_topk_per_group",
+    "m5_doc_frequency",
+    "m6_stratified_sample",
+    "m7_asof_join",
+    "m8_dedup_clusters",
+    "a36_peak_concurrency",
+    "a35_benford_audit",
+    "m57_effective_mixture",
+    "k32_merge_on_read",
+    "st27_stream_mor_purge",
+    "e22_pq_distortion",
+    "e23_recall_curve",
+    "a37_ewma_revenue",
+    "m59_chunk_manifest",
+    "mm8_scene_segments",
+    "st28_stream_chunk_manifest",
+    "j9_interval_union",
+    "a38_totalprice_reconciliation",
+    "e24_matryoshka_recall_curve",
+    "st29_stream_ewma_alerts",
+    "m61_softdedup_weights",
+    "a39_seasonality_index",
+    "st30_stream_interval_union",
+    "a1_sales_kpi",
+    "a2_session_metrics",
+    "a3_engagement_score",
+    "a4_loyalty_metrics",
+    "a6_duplicate_keys",
+    "a8_null_counts",
+    "d1_distinct_rows",
+    "e9_ann_ivf_kmeans",
+    "j1_loyalty_join",
+    "k10_archive_lifecycle",
+    "k11_snapshot_diff",
+    "k1_hour_partition_roundtrip",
+    "k4_replace_merge",
+    "k5_additive_merge",
+    "k8_validation_summary",
     "t28_bigram_repetition_gate",
     "t29_lm_oov_filter",
     "m49_loss_mask_spans",
@@ -299,8 +315,6 @@ CORE_ORDER: tuple[str, ...] = (
     "a20_expectations",
     "a21_item_cooccurrence",
     "st10_stream_stream_join",
-    "a13_funnel",
-    "a14_cohort_retention",
     "k16_scd2_history",
     "k19_bloom_point_lookup",
     "st12_stream_dim_replace",
@@ -313,12 +327,9 @@ CORE_ORDER: tuple[str, ...] = (
     "t12_inverted_index",
     "t13_nb_classifier",
     "m18_length_buckets",
-    "a19_regional_revenue",
     "k12_compaction",
     "k13_incremental_agg",
     "k18_bucketed_join",
-    "a22_grouping_sets",
-    "a23_share_of_total",
     "j4_range_join",
     "st11_dedup_within_watermark",
 )

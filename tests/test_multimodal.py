@@ -123,3 +123,31 @@ def test_scene_segments_hand_solved(spark):
         (1, 4): (6, 6, 1, "C"),
         (2, 1): (0, 0, 1, "A"),
     }
+
+
+def test_mm9_caption_align_boundary_frames_match_two(spark):
+    """Caption j covers [5j-1, 5j+5): frames at second 5j-1 (f % 5 == 4)
+    sit in the one-second cross-fade and must match BOTH captions;
+    every other frame matches exactly one. Checked against the full
+    sf0.001 output, plus the first video hand-walked."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.multimodal_q import (
+        mm9_caption_align,
+    )
+
+    rows = mm9_caption_align(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n_frames: dict[int, int] = {}
+    for r in rows:
+        n_frames[r.media_id] = max(n_frames.get(r.media_id, 0), r.frame_idx + 1)
+    saw_double = False
+    for r in rows:
+        n_caps = -(-n_frames[r.media_id] // 5)
+        j = r.frame_idx // 5
+        if r.frame_idx % 5 == 4 and j + 1 <= n_caps - 1:
+            saw_double = True
+            assert r.n_captions == 2, r
+            assert (r.first_caption, r.last_caption) == (j, j + 1)
+        else:
+            assert r.n_captions == 1, r
+            assert r.first_caption == r.last_caption == j
+    assert saw_double  # the cross-fade case genuinely occurred

@@ -766,3 +766,38 @@ def test_interval_union_incremental_equals_one_shot(spark):
     assert got == want
     # the bridge case really merged: user 1 ends with ONE island of 4
     assert (1, 1, 0, 40, 4) in got
+
+
+def test_j10_coverage_hand_solved_with_window_clipping(spark, tmp_path):
+    """Hand-solved coverage: overlapping intervals merge before
+    measuring, an interval straddling the window END is clipped, one
+    straddling the window START contributes only its inside part, and
+    coverage is the exact integer ratio."""
+    import datetime as dt
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.search_stats import (
+        _J10_WIN_US,
+        j10_interval_coverage,
+    )
+
+    def ev(eid, y, mo, d, h, mi, s):
+        return (eid, dt.datetime(y, mo, d, h, mi, s), 1, "view", 1.0, "{}")
+
+    rows = [
+        ev(1, 2024, 1, 15, 0, 0, 0),    # [00:00, 00:05)
+        ev(2, 2024, 1, 15, 0, 2, 0),    # overlaps -> island [00:00, 00:07) = 420s
+        ev(3, 2024, 1, 31, 23, 58, 0),  # clipped at Feb 1 -> 120s
+        ev(4, 2023, 12, 31, 23, 59, 0), # straddles start -> 240s inside
+        ev(5, 2023, 12, 1, 0, 0, 0),    # fully before the window -> dropped
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = j10_interval_coverage(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    want_us = (420 + 120 + 240) * 1_000_000
+    assert (r.user_id, r.n_islands, r.covered_us) == (1, 3, want_us)
+    assert r.coverage == want_us / _J10_WIN_US

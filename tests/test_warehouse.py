@@ -237,3 +237,51 @@ def test_zorder_morton_interleave_and_rectangle_bound(spark):
     assert len(stats) == 64
     for r in stats:
         assert r.x_max - r.x_min <= 31 and r.y_max - r.y_min <= 31
+
+
+def test_k33_retention_plan_hand_solved(spark, tmp_path):
+    """Retention boundaries by hand on a 12-version catalog with
+    keep_last=7: versions 1-7 (newest first) are 'recent'; among the
+    older five, exactly the newest of each ISO week survives as
+    'weekly'; the rest expire. Two older versions share a week to
+    force a real thinning decision."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.warehouse_q import (
+        k33_retention_plan,
+    )
+
+    # Mon 2024-01-01 anchors ISO weeks. Older set (ranks 8-12):
+    # Jan 2 (Tue) + Jan 3 (Wed) share week 1; Jan 8 (Mon) week 2;
+    # Jan 16 + Jan 17 share week 3. Recent set: Jan 22..Jan 28.
+    older = [
+        dt.datetime(2024, 1, 2),
+        dt.datetime(2024, 1, 3),
+        dt.datetime(2024, 1, 8),
+        dt.datetime(2024, 1, 16),
+        dt.datetime(2024, 1, 17),
+    ]
+    recent = [dt.datetime(2024, 1, 22 + i) for i in range(7)]
+    rows = [
+        (i, 1, "O", 10.0, ts, "1-URGENT")
+        for i, ts in enumerate(older + recent)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r.version_ts: (r.rn, r.keep_reason, r.keep_flag)
+        for r in k33_retention_plan(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 12
+    for ts in recent:
+        assert got[ts][1] == "recent" and got[ts][2] == 1
+    assert got[dt.datetime(2024, 1, 3)] == (11, "weekly", 1)   # wk1 latest
+    assert got[dt.datetime(2024, 1, 2)] == (12, "expire", 0)
+    assert got[dt.datetime(2024, 1, 8)] == (10, "weekly", 1)   # wk2 alone
+    assert got[dt.datetime(2024, 1, 17)] == (8, "weekly", 1)   # wk3 latest
+    assert got[dt.datetime(2024, 1, 16)] == (9, "expire", 0)

@@ -107,6 +107,17 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bucket) with a broadcast bucket-cardinality carry frame "
         "(r10 verdict item 1), pinned by the plan test in test_prep.py"
     },
+    "k33_retention_plan": {
+        "global_window": "version ranking over the snapshot-catalog-"
+        "cardinality frame (distinct order dates here; a real catalog "
+        "is thousands of rows at any table size — k33 docstring)"
+    },
+    "st31_stream_budget_select": {
+        "global_window": "inherits m54's waterfill solve over the "
+        "accumulated source-cardinality counter table (tens of rows); "
+        "per-batch running sums are per-source windows over one "
+        "micro-batch"
+    },
     "a36_peak_concurrency": {
         "global_window": "carry-in prefix sum over the bucket-"
         "cardinality frame (hours, not rows — the sharded-running-sum "
