@@ -381,6 +381,13 @@ def chunk_manifest(
     docs continue the token stream instead of restarting chunk 0
     (st28). Missing shards start at 0; the frame is shard-cardinality,
     broadcast.
+
+    Skew note (r11 manifest_hot probe): shard = id % shards, so a
+    STRIDED id pattern (every id ≡ 0 mod 8 collapsed shards=8 to ONE
+    live shard holding the whole corpus; shards=64 re-spread it 8
+    ways, 625 vs 5000 max rows/shard at sf0.1). Callers facing
+    residue-correlated ids raise ``shards`` or pre-mix ids; per-task
+    window state is bounded by the largest shard either way.
     """
     from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
         token_count,

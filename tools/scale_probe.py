@@ -380,6 +380,11 @@ def main() -> None:
         # list); queries pinned to replica 0. scene: per-video window
         # over synthesized frame streams — videos grow k-fold wide.
         "hhi": lambda d, e, p: _t33_shape(d),
+        # r11: t34's corpus shuffle is (source, length, count) triples;
+        # the suffix transform preserves every token count, so the
+        # frequency frame keeps its row count and only the counts grow
+        # — wall must track the scan.
+        "gini": lambda d, e, p: stats.length_gini(d),
         "manifest": lambda d, e, p: prep.chunk_manifest(d),
         "select": lambda d, e, p: prep.budget_select(d),
         "recall_curve": lambda d, e, p: similarity.ivf_recall_curve(
