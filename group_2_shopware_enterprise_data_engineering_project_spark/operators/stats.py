@@ -932,8 +932,34 @@ def length_gini(
     return agg.select(
         "source",
         "n_docs",
-        F.col("_s0").cast("long").alias("total_tokens"),
+        guarded_bigint(F.col("_s0"), "length_gini: total_tokens").alias(
+            "total_tokens"
+        ),
         F.when(den == F.lit(0).cast(dec), F.lit(0.0))
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("gini"),
     )
+
+
+def guarded_bigint(dec_col: Column, what: str) -> Column:
+    """Cast an exact DECIMAL(38,0) aggregate to BIGINT, raising LOUDLY
+    if it does not fit — the Spark-side twin of DuckDB's
+    HUGEINT->BIGINT cast error. Spark non-ANSI arithmetic WRAPS silently
+    on long overflow (and decimal overflow degrades to null), so
+    without this gate the two engines diverge instead of failing
+    together (ADVICE r10, t33). Null input (decimal-sum overflow) also
+    raises — an exact aggregate that lost exactness must never pass.
+    """
+    fits = dec_col.isNotNull() & (
+        dec_col <= F.lit(2**63 - 1).cast("decimal(38,0)")
+    ) & (dec_col >= F.lit(-(2**63)).cast("decimal(38,0)"))
+    return F.when(
+        F.assert_true(
+            fits,
+            F.lit(
+                f"{what} overflows BIGINT — widen the output column to "
+                "DECIMAL(38,0) (DuckDB raises on the same cast)"
+            ),
+        ).isNull(),
+        dec_col,
+    ).cast("long")

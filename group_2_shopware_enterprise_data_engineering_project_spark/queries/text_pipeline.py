@@ -2278,25 +2278,10 @@ def t33_term_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     sum_sq_dec = F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
-    fits_bigint = sum_sq_dec.isNotNull() & (
-        sum_sq_dec <= F.lit(2**63 - 1).cast("decimal(38,0)")
-    )
     return tf.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         F.sum("n").cast("long").alias("total_tokens"),
-        F.when(
-            F.assert_true(
-                fits_bigint,
-                F.lit(
-                    "t33: sum(n^2) overflows BIGINT — widen the output "
-                    "column to DECIMAL(38,0) (DuckDB raises on the same "
-                    "cast)"
-                ),
-            ).isNull(),
-            sum_sq_dec,
-        )
-        .cast("long")
-        .alias("sum_sq"),
+        _stats.guarded_bigint(sum_sq_dec, "t33: sum(n^2)").alias("sum_sq"),
         (
             sum_sq_dec.cast("double")
             / F.sum("n").cast("double")

@@ -801,3 +801,23 @@ def test_j10_coverage_hand_solved_with_window_clipping(spark, tmp_path):
     want_us = (420 + 120 + 240) * 1_000_000
     assert (r.user_id, r.n_islands, r.covered_us) == (1, 3, want_us)
     assert r.coverage == want_us / _J10_WIN_US
+
+
+def test_guarded_bigint_raises_on_overflow_and_passes_below(spark):
+    """The overflow gate behind t33/t34 (ADVICE r10): a DECIMAL(38,0)
+    aggregate that fits BIGINT casts through untouched; one that
+    exceeds 2^63-1 RAISES (where non-ANSI Spark would silently wrap
+    and DuckDB would error) — the engines fail together or agree."""
+    big = spark.createDataFrame(
+        [(1, 2**62), (1, 2**62)], "g long, v long"
+    )
+    dec_sum = F.sum(F.col("v").cast("decimal(38,0)"))  # = 2^63
+    ok = big.groupBy("g").agg(
+        stats.guarded_bigint(
+            dec_sum - F.lit(1).cast("decimal(38,0)"), "t"
+        ).alias("s")
+    )
+    assert ok.collect()[0].s == 2**63 - 1  # exact boundary fits
+    boom = big.groupBy("g").agg(stats.guarded_bigint(dec_sum, "t").alias("s"))
+    with pytest.raises(Exception, match="overflows BIGINT"):
+        boom.collect()
