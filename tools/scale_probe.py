@@ -401,7 +401,7 @@ def main() -> None:
     }
     _special = {
         "incr", "convo", "concur", "rbo", "mor", "union",
-        "select_hot", "manifest_hot", "union_hot",
+        "select_hot", "manifest_hot", "union_hot", "reorder_hot",
     }
     if only:
         unknown = only - set(ops) - _special
@@ -608,7 +608,9 @@ def main() -> None:
         results_mor = None
 
     results_hot: dict[str, dict] = {}
-    if only and ({"select_hot", "manifest_hot", "union_hot"} & only):
+    if only and (
+        {"select_hot", "manifest_hot", "union_hot", "reorder_hot"} & only
+    ):
         # r11 hot-KEY probes (r10 verdict item 4): every width probe in
         # this file grows the POPULATION (more keys, same per-key
         # density); these grow ONE key k-fold and report the per-task
@@ -695,6 +697,70 @@ def main() -> None:
                 "max_rows_per_shard_64": mx64,
             }
 
+        if "reorder_hot" in only:
+            # a42's per-customer window under one hot key: replicas
+            # all belong to customer -1 with week-shifted dates, so the
+            # hot task sorts k x one customer's orders while everyone
+            # else is untouched.
+            ord_h = table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_orderdate", "o_orderkey"
+            )
+            rparts = [ord_h]
+            for i in range(1, k):
+                rparts.append(
+                    ord_h.select(
+                        F.lit(-1).cast("long").alias("o_custkey"),
+                        (
+                            F.col("o_orderdate")
+                            + F.expr(f"INTERVAL {7 * i} DAYS")
+                        ).alias("o_orderdate"),
+                        (F.col("o_orderkey") + F.lit(i * 10**9)).alias(
+                            "o_orderkey"
+                        ),
+                    )
+                )
+            hot_o = rparts[0]
+            for pdf in rparts[1:]:
+                hot_o = hot_o.unionByName(pdf)
+            hot_o = hot_o.localCheckpoint(eager=True)
+            ord_c = ord_h.localCheckpoint(eager=True)
+
+            def _gaps(frame):
+                from pyspark.sql import Window as W
+
+                w = W.partitionBy("o_custkey").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+                def run():
+                    g = frame.select(
+                        "o_custkey",
+                        F.datediff(
+                            F.col("o_orderdate"),
+                            F.lag("o_orderdate").over(w),
+                        ).alias("gap"),
+                    ).filter(F.col("gap").isNotNull())
+                    return g.groupBy("o_custkey").agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.avg("gap").alias("avg_gap"),
+                    )
+                return run
+
+            _gaps(ord_c)().count()  # warm
+            t1r, rows1r = _run(_gaps(ord_c))
+            tkr, rowskr = _run(_gaps(hot_o))
+            mx_cust = (
+                hot_o.groupBy("o_custkey").count()
+                .agg(F.max("count")).first()[0]
+            )
+            results_hot["reorder_hot"] = {
+                "t1": round(t1r, 2),
+                "t_hot": round(tkr, 2),
+                "ratio": round(tkr / t1r, 2) if t1r > 0 else None,
+                "rows1": rows1r,
+                "rows_hot": rowskr,
+                "max_orders_per_customer": mx_cust,
+            }
+
         if "union_hot" in only:
             # one user owns k-fold the intervals of anyone else
             # (replicas time-shifted a week apart so islands never
@@ -746,7 +812,7 @@ def main() -> None:
                 "max_intervals_per_user": mx_user,
             }
 
-        only -= {"select_hot", "manifest_hot", "union_hot"}
+        only -= {"select_hot", "manifest_hot", "union_hot", "reorder_hot"}
         ops = {n: f for n, f in ops.items() if n in only}
 
     docs1 = table(spark, sf_dir, "documents").localCheckpoint(eager=True)
