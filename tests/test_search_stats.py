@@ -821,3 +821,39 @@ def test_guarded_bigint_raises_on_overflow_and_passes_below(spark):
     boom = big.groupBy("g").agg(stats.guarded_bigint(dec_sum, "t").alias("s"))
     with pytest.raises(Exception, match="overflows BIGINT"):
         boom.collect()
+
+
+@_hyp_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # start offset (s)
+            st.integers(min_value=1, max_value=15),   # length (s)
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_j10_coverage_matches_set_measure(spark, iv):
+    """Property vs a set-theoretic brute force: coverage of the clipped
+    union == |union of integer microsecond sets| computed by literally
+    unioning Python ranges (seconds granularity here, so the range sets
+    are small). Exercises merging, containment, and duplicates."""
+    import datetime as dt
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        rangejoin,
+    )
+
+    t0 = 1_000_000_000  # epoch seconds base (integer-second intervals)
+    rows = [
+        (1, (t0 + s) * 1_000_000, (t0 + s + ln) * 1_000_000)
+        for s, ln in iv
+    ]
+    df = spark.createDataFrame(rows, "user_id long, start_us long, end_us long")
+    islands = rangejoin.interval_union(df).collect()
+    covered_us = sum(r.island_end_us - r.island_start_us for r in islands)
+    want_secs = set()
+    for s, ln in iv:
+        want_secs.update(range(t0 + s, t0 + s + ln))
+    assert covered_us == len(want_secs) * 1_000_000

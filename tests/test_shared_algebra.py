@@ -744,3 +744,112 @@ def test_t34_length_gini_matches_brute_force(spark, lengths_per_source):
         assert math.isclose(got[src], want[src], rel_tol=0, abs_tol=1e-12), (
             src, got[src], want[src],
         )
+
+
+# --- a42 / k33: brute-force properties over random order histories ------------
+
+
+def _write_orders(spark, path: str, rows: list[tuple]) -> str:
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    return path
+
+
+@_settings
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=10),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_a42_reorder_latency_matches_brute_force(spark, tmp_path_factory, day_lists):
+    """Brute force: sort each customer's (date, key) pairs, diff
+    consecutive days, reduce by hand. Duplicate dates exercise the
+    unique-key tiebreak; single-order customers must emit nothing."""
+    import datetime as dt
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (
+        a42_reorder_latency,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows, key = [], 0
+    per_cust = {}
+    for c, days in enumerate(day_lists):
+        per_cust[c] = []
+        for d in days:
+            per_cust[c].append((base + dt.timedelta(days=d), key))
+            rows.append(
+                (key, c, "O", 1.0, base + dt.timedelta(days=d), "1-URGENT")
+            )
+            key += 1
+    sf = _write_orders(spark, str(tmp_path_factory.mktemp("a42")), rows)
+    got = {
+        r.customer_id: (r.n_orders, r.n_gaps, r.min_gap_days, r.max_gap_days, r.avg_gap_days)
+        for r in a42_reorder_latency(spark, sf).collect()
+    }
+    want = {}
+    for c, pairs in per_cust.items():
+        pairs.sort()
+        gaps = [
+            (b[0] - a[0]).days for a, b in zip(pairs, pairs[1:])
+        ]
+        if gaps:
+            want[c] = (
+                len(gaps) + 1,
+                len(gaps),
+                min(gaps),
+                max(gaps),
+                sum(gaps) / len(gaps),
+            )
+    assert got == want
+
+
+@_settings
+@given(
+    st.sets(st.integers(min_value=0, max_value=120), min_size=1, max_size=25)
+)
+def test_k33_retention_matches_brute_force(spark, tmp_path_factory, day_set):
+    """Brute force the retention policy over random version-date sets:
+    newest 7 are recent; among the rest, keep exactly the max date of
+    each ISO week; everything else expires. Weeks computed with
+    Python's isocalendar — independent of either engine's
+    date_trunc."""
+    import datetime as dt
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.warehouse_q import (
+        k33_retention_plan,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    dates = sorted(base + dt.timedelta(days=d) for d in day_set)
+    rows = [
+        (i, 1, "O", 1.0, ts, "1-URGENT") for i, ts in enumerate(dates)
+    ]
+    sf = _write_orders(spark, str(tmp_path_factory.mktemp("k33")), rows)
+    got = {
+        r.version_ts: (r.rn, r.keep_reason, r.keep_flag)
+        for r in k33_retention_plan(spark, sf).collect()
+    }
+    desc = sorted(dates, reverse=True)
+    recent = set(desc[:7])
+    older = desc[7:]
+    week_latest = {}
+    for ts in older:
+        wk = ts.isocalendar()[:2]
+        if wk not in week_latest or ts > week_latest[wk]:
+            week_latest[wk] = ts
+    keep_weekly = set(week_latest.values())
+    want = {}
+    for i, ts in enumerate(desc):
+        if ts in recent:
+            want[ts] = (i + 1, "recent", 1)
+        elif ts in keep_weekly:
+            want[ts] = (i + 1, "weekly", 1)
+        else:
+            want[ts] = (i + 1, "expire", 0)
+    assert got == want
