@@ -853,3 +853,67 @@ def test_k33_retention_matches_brute_force(spark, tmp_path_factory, day_set):
         else:
             want[ts] = (i + 1, "expire", 0)
     assert got == want
+
+
+# --- a41: ship priority boundary semantics ------------------------------------
+
+
+def test_a41_ship_priority_cutoff_boundaries(spark, tmp_path):
+    """The two classic off-by-ones by hand: an order dated EXACTLY at
+    the cutoff is excluded (strict <), a lineitem shipped EXACTLY at
+    the cutoff is excluded (strict >), wrong-segment customers drop,
+    and revenue is the exact-cents sum over surviving lines only."""
+    import datetime as dt
+    import math as m
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (
+        _A41_DATE,
+        _A41_SEG,
+        a41_ship_priority,
+    )
+
+    cut = dt.datetime.fromisoformat(_A41_DATE)
+    day = dt.timedelta(days=1)
+    custs = [
+        (1, "c1", 0, 0.0, _A41_SEG),
+        (2, "c2", 0, 0.0, "MACHINERY"),  # wrong segment
+    ]
+    orders = [
+        # (key, cust, status, total, date, prio)
+        (10, 1, "O", 0.0, cut - day, "1-URGENT"),   # in
+        (11, 1, "O", 0.0, cut, "2-HIGH"),           # AT cutoff: excluded
+        (12, 2, "O", 0.0, cut - day, "3-MEDIUM"),   # wrong segment
+    ]
+    lines = [
+        # (orderkey, partkey, suppkey, lineno, qty, extprice, disc, tax,
+        #  rflag, lstatus, shipdate)
+        (10, 1, 1, 1, 1.0, 100.00, 0.10, 0.0, "N", "O", cut + day),  # in
+        (10, 1, 1, 2, 1.0, 50.00, 0.00, 0.0, "N", "O", cut),  # AT cutoff: out
+        (10, 1, 1, 3, 1.0, 70.00, 0.50, 0.0, "N", "O", cut - day),  # shipped
+        (11, 1, 1, 1, 1.0, 999.0, 0.00, 0.0, "N", "O", cut + day),
+        (12, 1, 1, 1, 1.0, 999.0, 0.00, 0.0, "N", "O", cut + day),
+    ]
+    spark.createDataFrame(
+        custs,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = a41_ship_priority(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    want_cents = m.floor(100.00 * 0.90 * 100.0 + 0.5)  # only the post-cutoff line
+    assert (r.orderkey, r.orderpriority) == (10, "1-URGENT")
+    assert r.revenue_cents == want_cents
+    assert r.revenue == want_cents / 100.0
