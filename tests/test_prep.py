@@ -1135,3 +1135,44 @@ def test_head_tail_truncate_spans_tile_and_stay_disjoint(spark):
         assert r.kept_tokens + r.dropped_tokens == r.n_tokens
         assert r.tail_start >= r.head_len  # disjoint
         assert r.tail_start + r.tail_len == r.n_tokens
+
+
+def test_budget_select_cum_is_prefix_stable_across_id_batches(spark):
+    """The invariant st31's streaming form rides: cum_tokens from
+    budget_select over an id-ordered FIRST batch, plus that batch's
+    per-source totals carried as offsets into the SECOND batch's
+    within-batch running sum, reproduces the one-shot cum_tokens
+    exactly — cum is prefix-stable even though the waterline is not."""
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, " ".join(["w"] * rng.randint(0, 7)), f"s{i % 5}")
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    want = {
+        r.doc_id: r.cum_tokens
+        for r in prep.budget_select(docs, budget_pct=100).collect()
+    }
+    first = docs.filter(F.col("doc_id") < 40)
+    second = docs.filter(F.col("doc_id") >= 40)
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in prep.budget_select(first, budget_pct=100).collect()
+    }
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.text import (
+        token_count,
+    )
+
+    carried = {
+        r.source: r.total
+        for r in first.groupBy("source")
+        .agg(F.sum(token_count("text")).alias("total"))
+        .collect()
+    }
+    # second batch: within-batch cum + carried per-source base
+    for r in prep.budget_select(second, budget_pct=100).collect():
+        src = f"s{r.doc_id % 5}"
+        got[r.doc_id] = r.cum_tokens + carried.get(src, 0)
+    assert got == want
