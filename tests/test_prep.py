@@ -1176,3 +1176,20 @@ def test_budget_select_cum_is_prefix_stable_across_id_batches(spark):
         src = f"s{r.doc_id % 5}"
         got[r.doc_id] = r.cum_tokens + carried.get(src, 0)
     assert got == want
+
+
+def test_head_tail_truncate_degenerate_budgets(spark):
+    """Knob edges: T=0 keeps a pure head (tail span empty AT n); H=0
+    keeps a pure tail (head empty, tail_start = n-T); both zero keeps
+    nothing but still audits the doc."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 10))], "doc_id long, text string"
+    )
+    head_only = prep.head_tail_truncate(docs, head_tokens=4, tail_tokens=0).collect()[0]
+    assert (head_only.head_len, head_only.tail_len, head_only.kept_tokens) == (4, 0, 4)
+    assert head_only.tail_start == 10
+    tail_only = prep.head_tail_truncate(docs, head_tokens=0, tail_tokens=3).collect()[0]
+    assert (tail_only.head_len, tail_only.tail_len, tail_only.kept_tokens) == (0, 3, 3)
+    assert tail_only.tail_start == 7
+    nothing = prep.head_tail_truncate(docs, head_tokens=0, tail_tokens=0).collect()[0]
+    assert (nothing.kept_tokens, nothing.dropped_tokens) == (0, 10)

@@ -285,3 +285,26 @@ def test_k33_retention_plan_hand_solved(spark, tmp_path):
     assert got[dt.datetime(2024, 1, 8)] == (10, "weekly", 1)   # wk2 alone
     assert got[dt.datetime(2024, 1, 17)] == (8, "weekly", 1)   # wk3 latest
     assert got[dt.datetime(2024, 1, 16)] == (9, "expire", 0)
+
+
+def test_k33_retention_all_recent_when_catalog_small(spark, tmp_path):
+    """Fewer versions than keep_last: everything is 'recent', nothing
+    expires, and no 'weekly' row exists (the older set is empty)."""
+    import datetime as dt
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.warehouse_q import (
+        k33_retention_plan,
+    )
+
+    rows = [
+        (i, 1, "O", 1.0, dt.datetime(2024, 3, 1 + i), "1-URGENT")
+        for i in range(4)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = k33_retention_plan(spark, str(tmp_path)).collect()
+    assert len(got) == 4
+    assert all(r.keep_reason == "recent" and r.keep_flag == 1 for r in got)
