@@ -857,3 +857,26 @@ def test_j10_coverage_matches_set_measure(spark, iv):
     for s, ln in iv:
         want_secs.update(range(t0 + s, t0 + s + ln))
     assert covered_us == len(want_secs) * 1_000_000
+
+
+def test_interval_join_pre_epoch_negative_bins(spark):
+    """Pre-epoch timestamps make unix seconds negative; the bin must be
+    FLOOR division (bin -1), not truncation toward zero (bin 0), or
+    every pre-epoch point silently misses its interval — the mm9
+    caption-0 case ([-1 s, 5 s)) and any historical-data backfill."""
+    points = spark.createDataFrame(
+        [
+            (1, _ts("1969-12-31 23:30:00")),  # -1800 s -> bin -1
+            (2, _ts("1970-01-01 00:30:00")),  # +1800 s -> bin 0
+            (3, _ts("1969-12-31 22:30:00")),  # -5400 s -> bin -2, no interval
+        ],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, _ts("1969-12-31 23:00:00"), _ts("1970-01-01 01:00:00"))],
+        "iid long, start timestamp, end timestamp",
+    )
+    out = rangejoin.interval_join_binned(
+        points, intervals, "ts", "start", "end", bin_seconds=3600
+    )
+    assert {(r.pid, r.iid) for r in out.collect()} == {(1, 10), (2, 10)}
