@@ -880,3 +880,23 @@ def test_interval_join_pre_epoch_negative_bins(spark):
         points, intervals, "ts", "start", "end", bin_seconds=3600
     )
     assert {(r.pid, r.iid) for r in out.collect()} == {(1, 10), (2, 10)}
+
+
+def test_length_gini_null_source_group_survives(spark):
+    """A null source is a real group (groupBy and window both treat
+    null as its own key): it must emit a row rather than vanish, with
+    the same exact algebra as any named source."""
+    docs = spark.createDataFrame(
+        [
+            (1, "w w", None),
+            (2, "w w", None),
+            (3, "w", "A"),
+            (4, "w w w", "A"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in stats.length_gini(docs).collect()}
+    assert set(got) == {None, "A"}
+    assert got[None].gini == 0.0 and got[None].total_tokens == 4
+    # A: lengths [1,3]: S1 = 1 + 6 = 7, S0 = 4, N = 2 -> (14-12)/8 = 0.25
+    assert got["A"].gini == 0.25
