@@ -900,3 +900,28 @@ def test_length_gini_null_source_group_survives(spark):
     assert got[None].gini == 0.0 and got[None].total_tokens == 4
     # A: lengths [1,3]: S1 = 1 + 6 = 7, S0 = 4, N = 2 -> (14-12)/8 = 0.25
     assert got["A"].gini == 0.25
+
+
+def test_j10_user_entirely_outside_window_absent(spark, tmp_path):
+    """A user whose every interval clips to empty must be ABSENT from
+    the coverage frame (not present with zero) — matching the oracle's
+    sweep, which has no boundary events for them either."""
+    import datetime as dt
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.search_stats import (
+        j10_interval_coverage,
+    )
+
+    rows = [
+        (1, dt.datetime(2023, 11, 1), 1, "view", 1.0, "{}"),   # way before
+        (2, dt.datetime(2024, 3, 1), 1, "view", 1.0, "{}"),    # way after
+        (3, dt.datetime(2024, 1, 10), 2, "view", 1.0, "{}"),   # inside
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r.user_id: r for r in j10_interval_coverage(spark, str(tmp_path)).collect()}
+    assert set(got) == {2}
+    assert got[2].covered_us == 300_000_000
