@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hints import broadcast_if_small
+
 
 def session_metrics(
     events: DataFrame,
@@ -216,10 +218,13 @@ def loyalty_join(
     session_id DESC is display-only and stays in the oracle SQL / top_k
     — not a range exchange in the plan.
 
-    The customer side is a dimension — explicitly broadcast so the join
-    is shuffle-free on the (large) fact side at any scale.
+    The customer side is a dimension, but its cardinality grows with
+    the dataset — so the broadcast hint is SIZE-GATED
+    (``broadcast_if_small``): shuffle-free fast path while the dim
+    fits, shuffle join (or AQE runtime broadcast) once it doesn't.
+    A forced hint here would OOM at the 100 TB design point.
     """
-    right = F.broadcast(
+    right = broadcast_if_small(
         customers.select(
             F.col(cust_key_col).alias("_ck"),
             F.col("c_name"),

@@ -22,6 +22,8 @@ from fractions import Fraction
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .hints import broadcast_if_small
+
 # --- deterministic split assignment ---------------------------------------
 
 #: 16-bit bucket space: md5-hex prefix length 4 -> 65536 lexicographic
@@ -1335,7 +1337,16 @@ def budget_select(
     Same carried-offset idiom as ``chunk_manifest``'s base_offsets.
     Ordering contract: ``id_col`` must be unique (the testdata
     doc_id); callers with duplicate ids should pre-dedup or add a
-    tiebreak column.
+    tiebreak column. The carry frame's cardinality is the number of
+    distinct (source, id div bucket_width) pairs — bucket-cardinality
+    ONLY when ids are reasonably dense. With sparse/hashed ids
+    (snowflake-style) nearly every doc lands in its own bucket and
+    the carry frame approaches corpus cardinality, so its broadcast
+    is SIZE-GATED (``broadcast_if_small``): dense ids keep the
+    broadcast fast path, sparse ids fall back to a shuffle join on
+    (source, bucket) — still sharded, still correct, never a driver
+    OOM. Callers with sparse ids should widen ``bucket_width`` (or
+    re-key) to recover the broadcast path.
     """
     caps = budget_waterfill(
         docs, budget_pct=budget_pct, text_col=text_col, source_col=source_col
@@ -1385,18 +1396,22 @@ def budget_select(
         "_carry",
     )
     d = d.join(
-        F.broadcast(c),
+        broadcast_if_small(c),
         F.col("source").eqNullSafe(F.col("_c_src"))
         & (F.col("_bkt") == F.col("_c_bkt")),
     ).withColumn(
         "cum_tokens", (F.col("_part_cum") + F.col("_carry")).cast("long")
     )
+    # A source absent from the waterfill frame (no allocation — the
+    # null-source group, or a zero-budget solve) keeps NOTHING: a
+    # zero-token doc must not slip through `0 <= coalesce(null, 0)`.
     return d.join(F.broadcast(caps), "source", "left").select(
         id_col,
         "source",
         "n_tokens",
         "cum_tokens",
-        (F.col("cum_tokens") <= F.coalesce(F.col("cap_tokens"), F.lit(0)))
+        F.when(F.col("cap_tokens").isNull(), F.lit(0))
+        .otherwise((F.col("cum_tokens") <= F.col("cap_tokens")).cast("int"))
         .cast("int")
         .alias("keep_flag"),
     )

@@ -852,6 +852,16 @@ def benford_audit(
     )
 
 
+def triangular_exact(col_name: str) -> Column:
+    """c*(c+1)/2 with EVERY operation in DECIMAL(38,0): as raw
+    BIGINTs the product blows up at c ~ 3.04e9 (ANSI Spark raises,
+    non-ANSI wraps) while a HUGEINT oracle stays exact — the engines
+    must agree instead. c*(c+1) is always even, so the decimal /2 is
+    integral and the cast back to scale 0 is lossless."""
+    cdec = f"CAST({col_name} AS DECIMAL(38,0))"
+    return F.expr(f"CAST({cdec} * ({cdec} + 1) / 2 AS DECIMAL(38,0))")
+
+
 def length_gini(
     docs: DataFrame,
     text_col: str = "text",
@@ -875,9 +885,12 @@ def length_gini(
     not the corpus), never over documents — the m60/a36 sharded-frame
     discipline.
 
-    Exactness: every term accumulates in DECIMAL(38,0) (S1 is order
-    N^2*v and overflows BIGINT at ~1e9 docs; decimal keeps it exact
-    and a silent wrap impossible), with ONE final double division.
+    Exactness: every term — including the per-cell products n*c and
+    c*(c+1)/2, which as raw BIGINTs blow up at ~3e9 docs per cell —
+    forms in DECIMAL(38,0) (S1 is order N^2*v and overflows BIGINT at
+    ~1e9 docs; decimal keeps it exact where ANSI-BIGINT would raise
+    and the DuckDB oracle's HUGEINT would sail on), with ONE final
+    double division.
     DuckDB mirrors with HUGEINT sums — both engines correctly round
     the same exact integers, so the quotient matches bit-for-bit.
     All-zero-token sources emit G = 0.0 (CASE-guarded 0/0).
@@ -910,12 +923,18 @@ def length_gini(
     ).select(
         "source",
         F.col("c"),
-        (F.col("n") * F.col("c")).cast(dec).alias("s0_v"),
+        # Every product forms AFTER the DECIMAL(38,0) cast: n*c and
+        # c*(c+1) as raw BIGINTs overflow at ~3e9 docs per (source,
+        # length) cell — ANSI Spark raises there while the DuckDB
+        # oracle's HUGEINT stays exact, diverging instead of agreeing
+        # (ADVICE r11). c*(c+1) is always even, so the decimal /2 is
+        # exact and the cast back to scale 0 loses nothing.
+        (F.col("n").cast(dec) * F.col("c")).alias("s0_v"),
         (
             F.col("n").cast(dec)
             * (
                 F.col("c").cast(dec) * F.col("b")
-                + F.expr("(c * (c + 1)) div 2").cast(dec)
+                + triangular_exact("c")
             )
         ).alias("s1_v"),
     )

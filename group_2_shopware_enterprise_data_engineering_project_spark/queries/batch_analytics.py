@@ -11,6 +11,9 @@ from group_2_shopware_enterprise_data_engineering_project_spark.operators import
     analytics,
     dedup,
 )
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.hints import (
+    broadcast_if_small,
+)
 from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
 from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
 
@@ -1509,7 +1512,9 @@ LIMIT {_A41_TOPN}
     "(segment-filtered customers x pre-cutoff orders x post-cutoff "
     "lineitems, revenue-ranked top-N): the classic three-way star "
     "join every warehouse benchmark leads with. Plan: the filtered "
-    "customer keys BROADCAST into orders (dim-sized side), the "
+    "customer keys broadcast into orders when they fit (size-gated "
+    "via broadcast_if_small — the segment slice is still ~1/5 of an "
+    "sf-proportional dim, so the hint must not be forced), the "
     "orders->lineitem join shuffles on orderkey with partial aggs "
     "map-side; top-N is TakeOrdered (no global window). Exact cents "
     "per row -> BIGINT sum; ranking and ties resolved on the exact "
@@ -1532,7 +1537,9 @@ def a41_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     return (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(
+            broadcast_if_small(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),

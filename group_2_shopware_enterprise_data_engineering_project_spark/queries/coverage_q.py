@@ -26,6 +26,9 @@ from group_2_shopware_enterprise_data_engineering_project_spark.operators.transf
 from group_2_shopware_enterprise_data_engineering_project_spark.pipelines.lifecycle import (
     archive_processed,
 )
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.hints import (
+    broadcast_if_small,
+)
 from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
 from group_2_shopware_enterprise_data_engineering_project_spark.sinks import (
     register_partitions,
@@ -432,8 +435,9 @@ GROUP BY 1
     ST17_ORACLE,
     doc="stream-static enrichment join: an event stream (3 ordered "
     "micro-batches) joined PER BATCH against the static customer dim "
-    "— Spark re-plans the join each micro-batch with the dim "
-    "broadcast, the standard enrich-on-ingest shape (no state, no "
+    "— Spark re-plans the join each micro-batch; the sf-proportional "
+    "dim's broadcast is size-gated (broadcast_if_small), the "
+    "standard enrich-on-ingest shape (no state, no "
     "watermark: the static side is not a stream). Enriched rows land "
     "append-only; the final per-segment exact-cents rollup must "
     "equal the batch join — the oracle proves per-batch enrichment "
@@ -463,7 +467,7 @@ def st17_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = stream_json_source(
         spark, src, schema, max_files_per_trigger=1
-    ).join(F.broadcast(dim), "user_id")
+    ).join(broadcast_if_small(dim), "user_id")
     run_available_now(
         enriched, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
     )

@@ -2851,7 +2851,9 @@ WITH alloc AS (
   FROM d
 )
 SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
-       CAST(c.cum_tokens <= coalesce(a.cap_tokens, 0) AS INT) AS keep_flag
+       CAST(CASE WHEN a.cap_tokens IS NULL THEN 0
+                 ELSE CAST(c.cum_tokens <= a.cap_tokens AS INT)
+            END AS INT) AS keep_flag
 FROM c LEFT JOIN alloc a USING (source)
 """
 

@@ -20,6 +20,9 @@ from group_2_shopware_enterprise_data_engineering_project_spark.operators import
     search,
     stats,
 )
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.hints import (
+    broadcast_if_small,
+)
 from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
 from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
 
@@ -152,7 +155,7 @@ def a16_regression_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     joined = lineitem.join(
-        F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"]
+        broadcast_if_small(part), lineitem["l_partkey"] == part["p_partkey"]
     )
     cents = F.floor(
         F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
@@ -437,9 +440,11 @@ ORDER BY n_name, order_year
     A19_ORACLE,
     doc="TPC-H Q5-shape 6-table join (local-supplier revenue by nation "
     "and year, region-filtered): big-big joins shuffle on their keys, "
-    "nation/region dims broadcast with the region filter applied "
-    "BEFORE the broadcast so pruning cascades through the join; "
-    "revenue in exact cents",
+    "bounded nation/region dims broadcast with the region filter "
+    "applied BEFORE the broadcast so pruning cascades through the "
+    "join; the sf-proportional supplier dim is size-gated "
+    "(broadcast_if_small) instead of hint-forced; revenue in exact "
+    "cents",
 )
 def a19_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
@@ -458,7 +463,10 @@ def a19_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(orders, customer["c_custkey"] == orders["o_custkey"])
         .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .join(
+            broadcast_if_small(supplier),
+            lineitem["l_suppkey"] == supplier["s_suppkey"],
+        )
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.year("o_orderdate").cast("long").alias("order_year"))

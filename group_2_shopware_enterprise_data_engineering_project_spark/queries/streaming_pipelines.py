@@ -2704,12 +2704,15 @@ def st31_stream_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = _prep.waterfill_from_totals(
         offsets.read().select("source", "total_tokens"), budget_pct=60
     ).select("source", "cap_tokens")
+    # Mirror budget_select's unfunded-source rule: a null cap (source
+    # absent from the solve) keeps nothing, even zero-token docs.
     return ledger.read().join(F.broadcast(caps), "source", "left").select(
         "doc_id",
         "source",
         "n_tokens",
         "cum_tokens",
-        (F.col("cum_tokens") <= F.coalesce(F.col("cap_tokens"), F.lit(0)))
+        F.when(F.col("cap_tokens").isNull(), F.lit(0))
+        .otherwise((F.col("cum_tokens") <= F.col("cap_tokens")).cast("int"))
         .cast("int")
         .alias("keep_flag"),
     )

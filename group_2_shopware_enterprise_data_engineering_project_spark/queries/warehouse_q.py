@@ -12,6 +12,9 @@ from group_2_shopware_enterprise_data_engineering_project_spark.operators import
     stats,
     validate,
 )
+from group_2_shopware_enterprise_data_engineering_project_spark.operators.hints import (
+    broadcast_if_small,
+)
 from group_2_shopware_enterprise_data_engineering_project_spark.registry import register
 from group_2_shopware_enterprise_data_engineering_project_spark.sources import table
 
@@ -1078,13 +1081,24 @@ def a31_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
     )
+    # item-support cardinality = distinct parts, which grows with the
+    # dataset: size-gate the hint (forced broadcast OOMs at 100 TB);
+    # the single-row n_baskets scalar stays unconditionally broadcast.
     return (
         pairs.join(
-            F.broadcast(isup.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))),
+            broadcast_if_small(
+                isup.select(
+                    F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+                )
+            ),
             "item_a",
         )
         .join(
-            F.broadcast(isup.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))),
+            broadcast_if_small(
+                isup.select(
+                    F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+                )
+            ),
             "item_b",
         )
         .crossJoin(F.broadcast(n_baskets))

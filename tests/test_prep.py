@@ -1068,6 +1068,27 @@ def test_budget_select_audits_null_source_docs(spark):
     assert got[1][1] == 1 and got[3][1] == 1
 
 
+def test_budget_select_zero_token_doc_of_unfunded_source_not_kept(spark):
+    """ADVICE r11: a ZERO-token doc whose source has no allocation row
+    (null source never equi-joins the waterfill frame) must get
+    keep_flag 0 — `0 <= coalesce(null, 0)` used to sneak it through.
+    A zero-token doc of a FUNDED source costs nothing and stays
+    kept."""
+    docs = spark.createDataFrame(
+        [(1, "", None), (2, "w w", "A"), (3, "", "A"), (4, None, None)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens, r.keep_flag)
+        for r in prep.budget_select(docs, budget_pct=100).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == (0, 0, 0)  # zero tokens, unfunded -> NOT kept
+    assert got[4] == (0, 0, 0)  # null text, unfunded -> NOT kept
+    assert got[2][2] == 1
+    assert got[3] == (0, 2, 1)  # zero tokens, funded -> kept (free; cum carries doc 2)
+
+
 def test_chunk_manifest_carried_offsets_equal_one_shot(spark):
     """The streaming invariant behind st28: chunking a corpus in two
     id-range batches with carried per-shard offsets produces EXACTLY

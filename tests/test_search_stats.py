@@ -902,6 +902,22 @@ def test_length_gini_null_source_group_survives(spark):
     assert got["A"].gini == 0.25
 
 
+def test_triangular_exact_past_bigint_wrap(spark):
+    """ADVICE r11: length_gini's tie-block term c*(c+1)/2 must form in
+    DECIMAL(38,0) — as raw BIGINTs the product raises (ANSI) or wraps
+    (non-ANSI) at c ~ 3.04e9 while the DuckDB oracle's HUGEINT stays
+    exact. The decimal form is exact at and far past that point, and
+    the /2 is always integral."""
+    cs = [1, 2, 7, 3_037_000_500, 4_000_000_000, 9_999_999_999_999]
+    df = spark.createDataFrame([(c,) for c in cs], "c long")
+    got = {
+        r.c: int(r.t)
+        for r in df.select("c", stats.triangular_exact("c").alias("t")).collect()
+    }
+    for c in cs:
+        assert got[c] == c * (c + 1) // 2
+
+
 def test_j10_user_entirely_outside_window_absent(spark, tmp_path):
     """A user whose every interval clips to empty must be ABSENT from
     the coverage frame (not present with zero) — matching the oracle's
