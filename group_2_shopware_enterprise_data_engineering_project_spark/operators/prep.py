@@ -1455,3 +1455,62 @@ def head_tail_truncate(
         (head_len + tail_len).alias("kept_tokens"),
         (n - head_len - tail_len).alias("dropped_tokens"),
     )
+
+
+def deterministic_downsample(
+    docs: DataFrame,
+    cap_per_source: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source downsampling to ~``cap_per_source`` EXPECTED rows,
+    fully deterministic and engine-portable: keep iff
+    ``hash(id) < (M * cap) div n_source``.
+
+    The hash is Knuth multiplicative in pure modular BIGINT arithmetic
+    — ``h = (id mod M) * (A mod M) mod M`` with M = 2^31 - 1 (prime)
+    and A = 2654435761 — so ANY engine computes the identical keep
+    set from the same ids: no rand() (irreproducible), no engine hash
+    builtin (murmur3 vs md5 mismatch), no floats anywhere. The
+    per-source threshold ``t = (M*cap) div n`` is one integer
+    division on the source-cardinality count frame (t >= M when
+    n <= cap, so small sources keep everything); the kept count is
+    Binomial(n, t/M) around cap — a sampling rate, not an exact-k
+    quota (exact-k needs a per-source ORDER BY — the corpus sort this
+    operator exists to avoid). Overflow audit: (id mod M) and A are
+    both < 2^31, so their product < 2^62 stays in BIGINT; M*cap fits
+    while cap < 2^32.
+
+    EVERY row is emitted with its keep_flag (the budget_select audit
+    contract); a null source is a real group (null-safe count join).
+    Scale: one map-side-combined count per source, the broadcast of a
+    source-cardinality frame, then a scan-linear filter — no shuffle
+    of the corpus itself.
+    """
+    M = (1 << 31) - 1
+    A = 2654435761 % M
+    n_per = docs.groupBy(F.col(source_col).alias("_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    thresh = n_per.select(
+        "_s",
+        F.expr(f"({M} * CAST({int(cap_per_source)} AS BIGINT)) div _n").alias(
+            "_t"
+        ),
+    )
+    h = (
+        (F.col(id_col) % F.lit(M)) * F.lit(A) % F.lit(M)
+    ).cast("long")
+    return (
+        docs.select(F.col(id_col), F.col(source_col).alias("source"))
+        .withColumn("_h", h)
+        .join(
+            F.broadcast(thresh),
+            F.col("source").eqNullSafe(F.col("_s")),
+        )
+        .select(
+            id_col,
+            "source",
+            (F.col("_h") < F.col("_t")).cast("int").alias("keep_flag"),
+        )
+    )

@@ -1619,3 +1619,158 @@ def a42_reorder_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_gap_days"),
     )
+
+
+# --- a43: small-quantity-order revenue (TPC-H Q17 shape) ---------------------
+
+_A43_BRAND = "Brand#23"
+
+A43_ORACLE = f"""
+WITH bp AS (
+  SELECT p_partkey FROM part WHERE p_brand = '{_A43_BRAND}'
+), st AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem JOIN bp ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total_revenue,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / CAST(700.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN st ON l.l_partkey = st.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * st.n < st.sum_qty
+"""
+
+
+@register(
+    "a43_small_qty_revenue",
+    A43_ORACLE,
+    doc="small-quantity-order revenue — the TPC-H Q17 shape (per-part "
+    "average quantity joined BACK against the same lineitems; revenue "
+    "of rows under 20% of their part's average): the canonical "
+    "aggregate-then-self-join pattern. The fractional-average compare "
+    "is pure integers (5*qty*n < sum_qty — quantity is integral in "
+    "TPC-H, cross-multiplied so no float average ever forms). Scale: "
+    "the per-part (n, sum_qty) frame is the filtered brand's part "
+    "slice — sf-proportional, so its join-back hint is size-gated "
+    "(broadcast_if_small), the r12 idiom; revenue in exact cents",
+)
+def a43_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.hints import (
+        broadcast_if_small,
+    )
+
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == _A43_BRAND
+    ).select("p_partkey")
+    li = table(spark, sf_dir, "lineitem")
+    brand_li = li.join(
+        broadcast_if_small(part), li["l_partkey"] == part["p_partkey"]
+    )
+    st = brand_li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+    stats_side = broadcast_if_small(
+        st.select(F.col("l_partkey").alias("_pk"), "n", "sum_qty")
+    )
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    small = li.join(stats_side, li["l_partkey"] == F.col("_pk")).filter(
+        F.lit(5) * F.col("l_quantity").cast("long") * F.col("n")
+        < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_revenue"),
+        (F.sum(cents).cast("double") / F.lit(700.0)).alias("avg_yearly"),
+    )
+
+
+# --- a44: event funnel conversion --------------------------------------------
+
+A44_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS vmin FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS cmin
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.vmin
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS pmin
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.cmin
+  GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click,
+       CAST((SELECT count(*) FROM c) AS DOUBLE)
+           / CAST((SELECT count(*) FROM v) AS DOUBLE) AS view_to_click,
+       CAST((SELECT count(*) FROM p) AS DOUBLE)
+           / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase
+"""
+
+
+@register(
+    "a44_funnel_conversion",
+    A44_ORACLE,
+    doc="strict-order event funnel (first view -> first click AFTER "
+    "that view -> first purchase AFTER that click) with stage "
+    "conversion rates — the product-analytics query sessionless "
+    "engines fake with same-day joins. Ordering is enforced by "
+    "conditional mins, not windows: stage N is a per-user min over "
+    "events strictly later than stage N-1's min. Scale: three "
+    "per-user aggregations and two equi-joins, ALL on user_id — one "
+    "co-partitioned key end to end, map-side combined, no corpus "
+    "window, per-key state = one timestamp. Rates are single "
+    "BIGINT/BIGINT double divisions",
+)
+def a44_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vmin"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vmin"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cmin"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("cmin"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pmin"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after_click"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            (
+                F.col("n_click_after_view").cast("double")
+                / F.col("n_view").cast("double")
+            ).alias("view_to_click"),
+            (
+                F.col("n_purchase_after_click").cast("double")
+                / F.col("n_click_after_view").cast("double")
+            ).alias("click_to_purchase"),
+        )
+    )

@@ -2978,3 +2978,43 @@ def m62_head_tail_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         head_tokens=_M62_HEAD,
         tail_tokens=_M62_TAIL,
     )
+
+
+# --- m64: deterministic per-source downsample ---------------------------------
+
+_M64_CAP = 10
+_M64_M = (1 << 31) - 1
+_M64_A = 2654435761 % _M64_M
+
+M64_ORACLE = f"""
+WITH n AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, ({_M64_M} * CAST({_M64_CAP} AS BIGINT)) // n_src AS thr
+  FROM n
+)
+SELECT d.doc_id, d.source,
+       CAST(((d.doc_id % {_M64_M}) * {_M64_A}) % {_M64_M} < t.thr AS INT)
+           AS keep_flag
+FROM documents d JOIN t ON d.source IS NOT DISTINCT FROM t.source
+"""
+
+
+@register(
+    "m64_deterministic_downsample",
+    M64_ORACLE,
+    doc=f"per-source downsample to ~{_M64_CAP} expected docs via pure "
+    "modular-BIGINT Knuth multiplicative hashing (keep iff "
+    "hash(id) < (M*cap) div n_source) — deterministic across runs, "
+    "engines, and partitionings with NO rand(), NO engine hash "
+    "builtin, NO floats; small sources (n <= cap) keep everything. "
+    "Every doc emits its keep_flag (audit contract). Scale: one "
+    "map-side count per source + a broadcast source-cardinality "
+    "threshold frame + a scan-linear filter — the corpus never "
+    "shuffles",
+)
+def m64_deterministic_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.deterministic_downsample(
+        table(spark, sf_dir, "documents"), cap_per_source=_M64_CAP
+    )

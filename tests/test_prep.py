@@ -1214,3 +1214,30 @@ def test_head_tail_truncate_degenerate_budgets(spark):
     assert tail_only.tail_start == 7
     nothing = prep.head_tail_truncate(docs, head_tokens=0, tail_tokens=0).collect()[0]
     assert (nothing.kept_tokens, nothing.dropped_tokens) == (0, 10)
+
+
+def test_deterministic_downsample_hand_solved(spark):
+    """m64's keep set recomputed in plain Python with the same modular
+    arithmetic — the oracle shares the formula, so only an
+    independent reimplementation pins it. Also: a small source
+    (n <= cap) keeps everything, and a null source is a real group."""
+    M = (1 << 31) - 1
+    A = 2654435761 % M
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(3)]
+    rows += [(777, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    cap = 5
+    got = {
+        r.doc_id: r.keep_flag
+        for r in prep.deterministic_downsample(docs, cap_per_source=cap).collect()
+    }
+    assert len(got) == 44  # audit contract: every row emitted
+    thr_big = (M * cap) // 40
+    for i in range(40):
+        assert got[i] == int(((i % M) * A) % M < thr_big)
+    for i in range(3):
+        assert got[100 + i] == 1  # n=3 <= cap -> threshold >= M
+    assert got[777] == 1  # null source: n=1 <= cap, still a group
+    # sanity: the big source actually drops a nontrivial subset
+    kept_big = sum(got[i] for i in range(40))
+    assert 0 < kept_big < 40

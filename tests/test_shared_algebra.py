@@ -917,3 +917,110 @@ def test_a41_ship_priority_cutoff_boundaries(spark, tmp_path):
     assert (r.orderkey, r.orderpriority) == (10, "1-URGENT")
     assert r.revenue_cents == want_cents
     assert r.revenue == want_cents / 100.0
+
+
+# --- a43: small-quantity revenue (Q17 shape) -----------------------------------
+
+
+def test_a43_small_qty_revenue_hand_solved(spark, tmp_path):
+    """The integer cross-multiplied average compare by hand: a line
+    with 5*qty*n == sum_qty sits EXACTLY at 20% of the average and is
+    excluded (strict <); only brand parts participate in the stats
+    AND the revenue; revenue is exact cents over surviving lines."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (
+        _A43_BRAND,
+        a43_small_qty_revenue,
+    )
+
+    parts = [(1, _A43_BRAND), (2, "Brand#99")]
+    spark.createDataFrame(
+        parts, "p_partkey long, p_brand string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    import datetime as dt
+
+    d = dt.datetime(2024, 1, 1)
+    # part 1: quantities 1, 4, 10, 25 -> n=4, sum=40, avg=10.
+    # 5*qty*n < 40 <=> qty < 2 <=> only qty=1 survives.
+    # qty=2 would give 5*2*4=40 == sum_qty: test the boundary too.
+    lines = [
+        (100, 1, 1, 1, 1.0, 100.00, 0.0, 0.0, "N", "O", d),   # in (qty 1)
+        (100, 1, 1, 2, 4.0, 999.0, 0.0, 0.0, "N", "O", d),
+        (101, 1, 1, 1, 10.0, 999.0, 0.0, 0.0, "N", "O", d),
+        (101, 1, 1, 2, 25.0, 999.0, 0.0, 0.0, "N", "O", d),
+        (102, 2, 1, 1, 1.0, 555.0, 0.0, 0.0, "N", "O", d),    # wrong brand
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    r = a43_small_qty_revenue(spark, str(tmp_path)).collect()[0]
+    assert r.n_lineitems == 1
+    assert r.total_revenue == 100.0
+    assert abs(r.avg_yearly - 100.0 / 7.0) < 1e-12
+
+    # boundary: adding a qty-2 line changes n and sum (n=5, sum=42):
+    # 5*2*5 = 50 >= 42 -> still excluded; qty-1 line: 5*1*5=25 < 42 in.
+    lines.append((103, 1, 1, 1, 2.0, 777.0, 0.0, 0.0, "N", "O", d))
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    r2 = a43_small_qty_revenue(spark, str(tmp_path)).collect()[0]
+    assert r2.n_lineitems == 1 and r2.total_revenue == 100.0
+
+
+# --- a44: funnel ordering semantics --------------------------------------------
+
+
+def test_a44_funnel_strict_ordering(spark, tmp_path):
+    """Sequencing by hand: a click BEFORE the first view does not
+    count; a click AT the same timestamp as the view does not count
+    (strict >); a purchase between view and click does not count;
+    users missing a stage drop out of later stages."""
+    import datetime as dt
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (
+        a44_funnel_conversion,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # u1: full funnel in order -> counts everywhere
+        (1, ts(0), 1, "view", 0.0, None),
+        (2, ts(10), 1, "click", 0.0, None),
+        (3, ts(20), 1, "purchase", 0.0, None),
+        # u2: click BEFORE view, purchase before click-after-view -> view only
+        (4, ts(5), 2, "click", 0.0, None),
+        (5, ts(10), 2, "view", 0.0, None),
+        (6, ts(8), 2, "purchase", 0.0, None),
+        # u3: click AT view ts (strict >) -> view only
+        (7, ts(0), 3, "view", 0.0, None),
+        (8, ts(0), 3, "click", 0.0, None),
+        # u4: view + later click, purchase BEFORE the click -> two stages
+        (9, ts(0), 4, "view", 0.0, None),
+        (10, ts(30), 4, "click", 0.0, None),
+        (11, ts(15), 4, "purchase", 0.0, None),
+        # u5: never views -> invisible to the funnel
+        (12, ts(0), 5, "purchase", 0.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = a44_funnel_conversion(spark, str(tmp_path)).collect()[0]
+    assert r.n_view == 4
+    assert r.n_click_after_view == 2  # u1, u4
+    assert r.n_purchase_after_click == 1  # u1 only
+    assert r.view_to_click == 0.5
+    assert r.click_to_purchase == 0.5
