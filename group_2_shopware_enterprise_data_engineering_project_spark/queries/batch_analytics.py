@@ -1692,85 +1692,50 @@ def a43_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- a44: event funnel conversion --------------------------------------------
+# --- a44: late-shipment order screening (TPC-H Q4 shape / EXISTS semi-join) ---
 
-A44_ORACLE = """
-WITH v AS (
-  SELECT user_id, min(ts) AS vmin FROM events
-  WHERE event_type = 'view' GROUP BY 1
-), c AS (
-  SELECT e.user_id, min(e.ts) AS cmin
-  FROM events e JOIN v ON e.user_id = v.user_id
-  WHERE e.event_type = 'click' AND e.ts > v.vmin
-  GROUP BY 1
-), p AS (
-  SELECT e.user_id, min(e.ts) AS pmin
-  FROM events e JOIN c ON e.user_id = c.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > c.cmin
-  GROUP BY 1
+_A44_LATE_DAYS = 60
+
+A44_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {_A44_LATE_DAYS} DAY
 )
-SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
-       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
-       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click,
-       CAST((SELECT count(*) FROM c) AS DOUBLE)
-           / CAST((SELECT count(*) FROM v) AS DOUBLE) AS view_to_click,
-       CAST((SELECT count(*) FROM p) AS DOUBLE)
-           / CAST((SELECT count(*) FROM c) AS DOUBLE) AS click_to_purchase
+GROUP BY 1
+ORDER BY 1
 """
 
 
 @register(
-    "a44_funnel_conversion",
+    "a44_late_ship_semijoin",
     A44_ORACLE,
-    doc="strict-order event funnel (first view -> first click AFTER "
-    "that view -> first purchase AFTER that click) with stage "
-    "conversion rates — the product-analytics query sessionless "
-    "engines fake with same-day joins. Ordering is enforced by "
-    "conditional mins, not windows: stage N is a per-user min over "
-    "events strictly later than stage N-1's min. Scale: three "
-    "per-user aggregations and two equi-joins, ALL on user_id — one "
-    "co-partitioned key end to end, map-side combined, no corpus "
-    "window, per-key state = one timestamp. Rates are single "
-    "BIGINT/BIGINT double divisions",
+    doc="orders with at least one lineitem shipped more than "
+    f"{_A44_LATE_DAYS} days after the order date, counted by "
+    "priority — the TPC-H Q4 EXISTS shape. The Spark plan is a LEFT "
+    "SEMI join (existence check, never row multiplication: an order "
+    "with 7 late lines counts once WITHOUT a distinct), which at "
+    "100 TB is the difference between shuffling matches and "
+    "shuffling the lineitem x orders product. The date compare sits "
+    "in the join condition so the semi join short-circuits per "
+    "probe; j3 covers the anti-join twin",
 )
-def a44_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("vmin"))
+def a44_late_ship_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (
+            li["l_shipdate"]
+            > F.timestamp_add("DAY", F.lit(_A44_LATE_DAYS), orders["o_orderdate"])
+        ),
+        "left_semi",
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("vmin"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("cmin"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("cmin"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("pmin"))
-    )
-    nv = v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
-    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_click_after_view"))
-    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after_click"))
     return (
-        nv.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(np_))
-        .select(
-            "n_view",
-            "n_click_after_view",
-            "n_purchase_after_click",
-            (
-                F.col("n_click_after_view").cast("double")
-                / F.col("n_view").cast("double")
-            ).alias("view_to_click"),
-            (
-                F.col("n_purchase_after_click").cast("double")
-                / F.col("n_click_after_view").cast("double")
-            ).alias("click_to_purchase"),
-        )
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
     )

@@ -975,52 +975,52 @@ def test_a43_small_qty_revenue_hand_solved(spark, tmp_path):
     assert r2.n_lineitems == 1 and r2.total_revenue == 100.0
 
 
-# --- a44: funnel ordering semantics --------------------------------------------
+# --- a44: semi-join existence semantics ----------------------------------------
 
 
-def test_a44_funnel_strict_ordering(spark, tmp_path):
-    """Sequencing by hand: a click BEFORE the first view does not
-    count; a click AT the same timestamp as the view does not count
-    (strict >); a purchase between view and click does not count;
-    users missing a stage drop out of later stages."""
+def test_a44_semijoin_counts_once_and_boundary(spark, tmp_path):
+    """Existence, not multiplication: an order with THREE late lines
+    counts once without any distinct; a line shipped EXACTLY at
+    orderdate + 60 days is not late (strict >); an order with only
+    on-time lines is absent."""
     import datetime as dt
 
     from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (
-        a44_funnel_conversion,
+        _A44_LATE_DAYS,
+        a44_late_ship_semijoin,
     )
 
-    t0 = dt.datetime(2025, 1, 1)
-
-    def ts(s):
-        return t0 + dt.timedelta(seconds=s)
-
-    rows = [
-        # u1: full funnel in order -> counts everywhere
-        (1, ts(0), 1, "view", 0.0, None),
-        (2, ts(10), 1, "click", 0.0, None),
-        (3, ts(20), 1, "purchase", 0.0, None),
-        # u2: click BEFORE view, purchase before click-after-view -> view only
-        (4, ts(5), 2, "click", 0.0, None),
-        (5, ts(10), 2, "view", 0.0, None),
-        (6, ts(8), 2, "purchase", 0.0, None),
-        # u3: click AT view ts (strict >) -> view only
-        (7, ts(0), 3, "view", 0.0, None),
-        (8, ts(0), 3, "click", 0.0, None),
-        # u4: view + later click, purchase BEFORE the click -> two stages
-        (9, ts(0), 4, "view", 0.0, None),
-        (10, ts(30), 4, "click", 0.0, None),
-        (11, ts(15), 4, "purchase", 0.0, None),
-        # u5: never views -> invisible to the funnel
-        (12, ts(0), 5, "purchase", 0.0, None),
+    d0 = dt.datetime(2024, 1, 1)
+    late = d0 + dt.timedelta(days=_A44_LATE_DAYS, seconds=1)
+    at_cut = d0 + dt.timedelta(days=_A44_LATE_DAYS)
+    orders = [
+        (10, 1, "O", 0.0, d0, "1-URGENT"),   # three late lines -> once
+        (11, 1, "O", 0.0, d0, "1-URGENT"),   # only at-cutoff line -> out
+        (12, 1, "O", 0.0, d0, "2-HIGH"),     # one late line -> once
+        (13, 1, "O", 0.0, d0, "3-MEDIUM"),   # on-time only -> out
+    ]
+    lines = [
+        (10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (10, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (10, 1, 1, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (11, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", at_cut),
+        (12, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (13, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0),
     ]
     spark.createDataFrame(
-        rows,
-        "event_id long, ts timestamp, user_id long, event_type string,"
-        " value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
-    r = a44_funnel_conversion(spark, str(tmp_path)).collect()[0]
-    assert r.n_view == 4
-    assert r.n_click_after_view == 2  # u1, u4
-    assert r.n_purchase_after_click == 1  # u1 only
-    assert r.view_to_click == 0.5
-    assert r.click_to_purchase == 0.5
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    q = a44_late_ship_semijoin(spark, str(tmp_path))
+    got = {r.o_orderpriority: r.n_late_orders for r in q.collect()}
+    assert got == {"1-URGENT": 1, "2-HIGH": 1}
+    # plan is a semi join, not inner+distinct
+    assert "LeftSemi" in q._jdf.queryExecution().optimizedPlan().toString()
