@@ -42,29 +42,79 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: never-driver-checked queries rotate in (r4: e9 in for a5; r5: full
 #: rotation to the never-checked set, see the block comment below).
 CORE_ORDER: tuple[str, ...] = (
-    # r11 rotation (r10 verdict item 2): the window fronts the EIGHT
-    # queries new in r11 (never driver-checked; each oracle-green in a
-    # bare-session verify before entering), then the THREE queries
-    # whose code changed in r11 (m60 sharded running sum + left-join
-    # audit, t33 overflow-loud decimal algebra, a40 via the
-    # interval_join_binned same-name equi-key dedup), then the full
-    # THIRTY-FOUR-entry r4 cohort (newest driver row = round 4, six
-    # rounds old — the oldest evidence in the registry, verdict item
-    # 2's exact list), and the five OLDEST r5-cohort entries in name
-    # order to fill the window:
-    "t34_length_gini",
+    # r12 rotation (r11 verdict item 2): the window fronts the THREE
+    # queries new in r12 (never driver-checked; each oracle-green in a
+    # bare-session verify before entering), then the NINE queries
+    # whose code changed in r12 (the six size-gated dimension
+    # broadcasts j1/a16/a19/a31/a41/st17, the m60/st31 unfunded-source
+    # keep_flag rule, and t34's all-decimal tie-block products), then
+    # the FULL 17-entry r5 cohort (newest driver row = round 5 — the
+    # oldest evidence in the registry, verdict item 2's exact list),
+    # and the first 21 of the 27 remaining r6-cohort entries in name
+    # order to fill the window (leftover r6 queue for r13: mm5_media_near_dup, st10_stream_stream_join, st13_stream_count_min, t15_bpe_train, t8_corpus_dup_ngrams, t9_dedup_spans):
+    "m64_deterministic_downsample",
+    "a43_small_qty_revenue",
+    "a44_late_ship_semijoin",
+    # ... changed-code queries (r12):
+    "j1_loyalty_join",
+    "a16_regression_trends",
+    "a19_regional_revenue",
+    "a31_basket_lift",
     "a41_ship_priority",
+    "st17_stream_static_join",
+    "m60_budget_select",
+    "st31_stream_budget_select",
+    "t34_length_gini",
+    # ... the r5 cohort (name order):
+    "j4_range_join",
+    "k12_compaction",
+    "k13_incremental_agg",
+    "k14_rollup_cascade",
+    "k16_scd2_history",
+    "k18_bucketed_join",
+    "k19_bloom_point_lookup",
+    "m18_length_buckets",
+    "m22_sequence_examples",
+    "m26_resample_ffill",
+    "st11_dedup_within_watermark",
+    "st12_stream_dim_replace",
+    "st9_stream_sessions",
+    "t10_tfidf_top_terms",
+    "t11_bm25_topk",
+    "t12_inverted_index",
+    "t13_nb_classifier",
+    # ... oldest r6-cohort entries (name order):
+    "a15_key_skew_profile",
+    "a17_winsorize",
+    "a18_anomaly_zscore",
+    "a20_expectations",
+    "a21_item_cooccurrence",
+    "d5_er_blocked_pairs",
+    "d6_qgram_pairs",
+    "e10_ann_lsh_multiprobe",
+    "e11_semdedup",
+    "e12_ann_pq",
+    "e13_ann_ivfpq",
+    "g1_pagerank",
+    "g2_triangle_counts",
+    "m19_chunk_documents",
+    "m20_shard_assign",
+    "m21_source_quantile_filter",
+    "m23_negative_sample",
+    "m24_dense_ids",
+    "m25_transition_matrix",
+    "m27_count_min",
+    "m28_hll_distinct",
+    # --- driver window boundary (first 50 above) ---
+    # Remaining entries keep their prior relative order; per-query
+    # driver history in CORRECTNESS_r0*.json:
     "a42_reorder_latency",
     "m62_head_tail_truncate",
     "j10_interval_coverage",
     "mm9_caption_align",
-    "st31_stream_budget_select",
     "k33_retention_plan",
-    # ... changed-code queries (r11):
-    "m60_budget_select",
     "t33_term_concentration",
     "a40_timebound_conversion",
-    # ... the r4 cohort (name order):
     "k9_partition_registration",
     "m10_percentiles",
     "m11_json_extract",
@@ -99,18 +149,10 @@ CORE_ORDER: tuple[str, ...] = (
     "st5_hourly_alert_counts",
     "st7_stream_kpi",
     "w1_keep_latest",
-    # ... oldest r5-cohort entries (name order):
     "a13_funnel",
     "a14_cohort_retention",
-    "a19_regional_revenue",
     "a22_grouping_sets",
     "a23_share_of_total",
-    # --- driver window boundary (first 50 above) ---
-    # r12 rotation priority: the 17 remaining r5-cohort
-    # entries (a13-class list minus the five fronted above),
-    # then the r6 cohort (28 entries). Remaining entries keep
-    # their prior relative order; per-query driver history in
-    # CORRECTNESS_r0*.json:
     "t4_exact_dedup",
     "t5_winnow_fingerprints",
     "dedup_minhash_lsh",
@@ -151,7 +193,6 @@ CORE_ORDER: tuple[str, ...] = (
     "a8_null_counts",
     "d1_distinct_rows",
     "e9_ann_ivf_kmeans",
-    "j1_loyalty_join",
     "k10_archive_lifecycle",
     "k11_snapshot_diff",
     "k1_hour_partition_roundtrip",
@@ -231,7 +272,6 @@ CORE_ORDER: tuple[str, ...] = (
     "m46_fixed_k_sample",
     "t26_normalized_dedup",
     "mm6_contrastive_pairs",
-    "a31_basket_lift",
     "k28_hidden_partitioning",
     "m47_pack_attention_spans",
     "e18_lsh_bucket_stats",
@@ -249,7 +289,6 @@ CORE_ORDER: tuple[str, ...] = (
     "m36_conversation_linearize",
     "t22_tokenizer_fertility",
     "st21_stream_drift",
-    "st17_stream_static_join",
     "m31_histogram_quantiles",
     "a25_unpivot_metrics",
     "st18_hopping_window",
@@ -287,51 +326,12 @@ CORE_ORDER: tuple[str, ...] = (
     "st15_stream_outer_join",
     "k17_zone_map_scan",
     "k20_shard_manifest",
-    "e10_ann_lsh_multiprobe",
-    "e11_semdedup",
-    "e12_ann_pq",
-    "e13_ann_ivfpq",
-    "g1_pagerank",
-    "g2_triangle_counts",
-    "d5_er_blocked_pairs",
-    "d6_qgram_pairs",
     "mm5_media_near_dup",
     "t8_corpus_dup_ngrams",
     "t9_dedup_spans",
     "t15_bpe_train",
-    "m27_count_min",
     "st13_stream_count_min",
-    "m28_hll_distinct",
-    "m19_chunk_documents",
-    "m20_shard_assign",
-    "m21_source_quantile_filter",
-    "m23_negative_sample",
-    "m24_dense_ids",
-    "m25_transition_matrix",
-    "a15_key_skew_profile",
-    "a16_regression_trends",
-    "a17_winsorize",
-    "a18_anomaly_zscore",
-    "a20_expectations",
-    "a21_item_cooccurrence",
     "st10_stream_stream_join",
-    "k16_scd2_history",
-    "k19_bloom_point_lookup",
-    "st12_stream_dim_replace",
-    "m26_resample_ffill",
-    "k14_rollup_cascade",
-    "m22_sequence_examples",
-    "st9_stream_sessions",
-    "t10_tfidf_top_terms",
-    "t11_bm25_topk",
-    "t12_inverted_index",
-    "t13_nb_classifier",
-    "m18_length_buckets",
-    "k12_compaction",
-    "k13_incremental_agg",
-    "k18_bucketed_join",
-    "j4_range_join",
-    "st11_dedup_within_watermark",
 )
 
 
