@@ -210,7 +210,9 @@ ORDER BY s.user_id DESC
     "j1_loyalty_join",
     J1_ORACLE,
     doc="J1 LEFT JOIN on cast key + J2 COALESCE defaults + O1 ORDER BY "
-    "key DESC (reference script.sql:93-103); dim side broadcast",
+    "key DESC (reference script.sql:93-103); dim side size-gated "
+    "broadcast (broadcast_if_small — the customer dim is "
+    "sf-proportional)",
 )
 def j1_loyalty_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = analytics.session_metrics(
