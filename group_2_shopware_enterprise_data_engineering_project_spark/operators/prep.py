@@ -866,14 +866,27 @@ def group_quantile_filter(
     percentile matches SQL quantile_cont bit-for-bit (see m10);
     sketch-based `percentile_approx` is the drop-in at extreme group
     cardinality.
+
+    The flag frame is TOTAL (the budget_select audit contract): a
+    null group is a real group — groupBy gives it its own threshold
+    row and the join-back is null-safe, so its rows flag against
+    their own percentile instead of silently vanishing from the
+    output through a null-unsafe equi-join.
     """
-    th = df.groupBy(group_col).agg(
+    th = df.groupBy(F.col(group_col).alias("_g")).agg(
         F.percentile(value_col, F.lit(q)).alias("q_threshold")
     )
-    return df.join(F.broadcast(th), group_col).select(
-        *df.columns,
-        "q_threshold",
-        (F.col(value_col).cast("double") >= F.col("q_threshold")).alias("keep"),
+    return (
+        df.join(
+            F.broadcast(th), F.col(group_col).eqNullSafe(F.col("_g"))
+        )
+        .select(
+            *df.columns,
+            "q_threshold",
+            (F.col(value_col).cast("double") >= F.col("q_threshold")).alias(
+                "keep"
+            ),
+        )
     )
 
 

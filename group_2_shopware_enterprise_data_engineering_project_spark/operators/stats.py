@@ -160,6 +160,11 @@ def winsorized_summary(
     hot for that need pre-aggregation by (group, value) first, which
     this operator does: ranks are computed over (group, value, count)
     run-length pairs, not raw rows.
+
+    Group-key contract (same as ``equidepth_bucketize``): the
+    threshold join-back is null-UNSAFE, so a NULL group is absent
+    from the summary; pre-coalesce to a sentinel if null is a real
+    category. This is a per-group SUMMARY, not a TOTAL audit frame.
     """
     if not (0.0 < q_lo <= q_hi <= 1.0):
         raise ValueError(f"need 0 < q_lo <= q_hi <= 1, got ({q_lo}, {q_hi})")
@@ -615,6 +620,14 @@ def equidepth_bucketize(
     computed over run-length (group, value, count) pairs, not raw
     rows; the boundary table is one row of B-1 values per group and
     broadcasts into the bucket-assignment join.
+
+    Group-key contract: the bucket-assignment join is a plain
+    null-UNSAFE equi-join, so rows with a NULL group are absent from
+    the output (like their NULL values, excluded above). Callers for
+    whom null is a real category must pre-coalesce the group column
+    to a sentinel — unlike the TOTAL audit frames (budget_select,
+    group_quantile_filter, deterministic_downsample), this operator
+    summarizes named groups.
     """
     if n_buckets < 2:
         raise ValueError(f"need n_buckets >= 2, got {n_buckets}")

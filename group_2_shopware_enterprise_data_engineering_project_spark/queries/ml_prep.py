@@ -1070,7 +1070,7 @@ WITH th AS (
 )
 SELECT d.doc_id, d.source, d.n_chars, th.q_threshold,
        CAST(d.n_chars AS DOUBLE) >= th.q_threshold AS keep
-FROM documents d JOIN th USING (source)
+FROM documents d JOIN th ON d.source IS NOT DISTINCT FROM th.source
 """
 
 

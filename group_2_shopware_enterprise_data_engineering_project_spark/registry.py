@@ -99,7 +99,7 @@ CORE_ORDER: tuple[str, ...] = (
     "g2_triangle_counts",
     "m19_chunk_documents",
     "m20_shard_assign",
-    "m21_source_quantile_filter",
+    "m21_source_quantile_filter",  # also changed-code in r12 (null-safe join-back)
     "m23_negative_sample",
     "m24_dense_ids",
     "m25_transition_matrix",

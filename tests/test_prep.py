@@ -1241,3 +1241,23 @@ def test_deterministic_downsample_hand_solved(spark):
     # sanity: the big source actually drops a nontrivial subset
     kept_big = sum(got[i] for i in range(40))
     assert 0 < kept_big < 40
+
+
+def test_group_quantile_filter_null_group_is_total(spark):
+    """m21's audit contract: a null group must not vanish through the
+    threshold join-back — it gets its OWN percentile row. Named
+    groups keep the documented at-or-above-P25 semantics."""
+    docs = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 20), (3, "A", 30), (4, "A", 40),
+         (5, None, 7), (6, None, 9)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = {
+        r.doc_id: (r.keep, r.q_threshold)
+        for r in prep.group_quantile_filter(docs, "n_chars", "source", q=0.25).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}  # TOTAL, null group included
+    # A: exact P25 of (10,20,30,40) = 17.5 -> keeps 20,30,40
+    assert [got[i][0] for i in (1, 2, 3, 4)] == [False, True, True, True]
+    # null group: P25 of (7,9) = 7.5 -> 9 keeps, 7 does not
+    assert got[5][0] is False and got[6][0] is True
