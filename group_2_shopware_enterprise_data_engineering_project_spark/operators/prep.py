@@ -1092,6 +1092,13 @@ def temperature_resample(
     per-source hash-ordered row_number, whose per-task memory is
     bounded by the largest source (salt-split the rank via a
     two-level hash prefix if one source dominates).
+
+    Group-key contract: the quota join-back is null-UNSAFE, so docs
+    with a NULL group never enter the sample (their group's quota row
+    exists but is unreachable). This is a SELECTION — absent means
+    not selected, unlike the TOTAL audit frames (budget_select,
+    group_quantile_filter); pre-coalesce null to a sentinel source if
+    those docs should compete for quota.
     """
     per = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     wall = Window.partitionBy()

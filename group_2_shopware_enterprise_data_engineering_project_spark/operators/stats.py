@@ -728,10 +728,17 @@ def drift_from_histogram(hist: DataFrame) -> DataFrame:
         F.sum("n_base").cast("long").alias("total_base"),
         F.sum("n_cur").cast("long").alias("total_cur"),
     )
-    expected = (
+    # Empty-baseline guard: total_base = 0 is PLAUSIBLE data (first
+    # run of a new metric, baseline window not yet populated). ANSI
+    # Spark would raise DIVIDE_BY_ZERO on the double division where
+    # DuckDB yields NULL — guard to the same NULL so both engines
+    # report "expected undefined" and the chi2 CASE falls through to
+    # NULL identically.
+    expected = F.when(
+        F.col("total_base") > 0,
         F.col("n_base").cast("double")
         * F.col("total_cur").cast("double")
-        / F.col("total_base").cast("double")
+        / F.col("total_base").cast("double"),
     )
     diff = F.col("n_cur").cast("double") - F.col("expected_cur")
     return (

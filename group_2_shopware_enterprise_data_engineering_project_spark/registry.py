@@ -44,14 +44,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 CORE_ORDER: tuple[str, ...] = (
     # r12 rotation (r11 verdict item 2): the window fronts the THREE
     # queries new in r12 (never driver-checked; each oracle-green in a
-    # bare-session verify before entering), then the NINE queries
+    # bare-session verify before entering), then the ELEVEN queries
     # whose code changed in r12 (the six size-gated dimension
     # broadcasts j1/a16/a19/a31/a41/st17, the m60/st31 unfunded-source
-    # keep_flag rule, and t34's all-decimal tie-block products), then
+    # keep_flag rule, t34's all-decimal tie-block products, and the
+    # a28/st21 empty-baseline NULL guard; m21's null-safe join-back is
+    # the twelfth change and sits in its rotation slot below), then
     # the FULL 17-entry r5 cohort (newest driver row = round 5 — the
     # oldest evidence in the registry, verdict item 2's exact list),
-    # and the first 21 of the 27 remaining r6-cohort entries in name
-    # order to fill the window (leftover r6 queue for r13: mm5_media_near_dup, st10_stream_stream_join, st13_stream_count_min, t15_bpe_train, t8_corpus_dup_ngrams, t9_dedup_spans):
+    # and the first 19 of the 27 remaining r6-cohort entries in name
+    # order to fill the window (r13 queue: m27_count_min,
+    # m28_hll_distinct, mm5_media_near_dup, st10_stream_stream_join,
+    # st13_stream_count_min, t15_bpe_train, t8_corpus_dup_ngrams,
+    # t9_dedup_spans):
     "m64_deterministic_downsample",
     "a43_small_qty_revenue",
     "a44_late_ship_semijoin",
@@ -65,6 +70,8 @@ CORE_ORDER: tuple[str, ...] = (
     "m60_budget_select",
     "st31_stream_budget_select",
     "t34_length_gini",
+    "a28_drift_buckets",   # changed r12: empty-baseline NULL guard
+    "st21_stream_drift",   # same change (shared drift_from_histogram)
     # ... the r5 cohort (name order):
     "j4_range_join",
     "k12_compaction",
@@ -103,9 +110,11 @@ CORE_ORDER: tuple[str, ...] = (
     "m23_negative_sample",
     "m24_dense_ids",
     "m25_transition_matrix",
+    # --- driver window boundary (first 50 above) ---
+    # (m27_count_min / m28_hll_distinct displaced to the r13 queue by
+    # the two late changed-code entries above)
     "m27_count_min",
     "m28_hll_distinct",
-    # --- driver window boundary (first 50 above) ---
     # Remaining entries keep their prior relative order; per-query
     # driver history in CORRECTNESS_r0*.json:
     "a42_reorder_latency",

@@ -941,3 +941,26 @@ def test_j10_user_entirely_outside_window_absent(spark, tmp_path):
     got = {r.user_id: r for r in j10_interval_coverage(spark, str(tmp_path)).collect()}
     assert set(got) == {2}
     assert got[2].covered_us == 300_000_000
+
+
+def test_drift_empty_baseline_yields_null_not_error(spark):
+    """Empty baseline is plausible (first run of a new metric): the
+    expected-count division must yield NULL — matching DuckDB's
+    double/0 — instead of an ANSI DIVIDE_BY_ZERO error, and the chi2
+    CASE must fall through to NULL the same way in both engines."""
+    cur_only = spark.createDataFrame(
+        [(1, 0, 5), (1, 1, 7)], "g int, b long, c long"
+    )
+    rows = {r.bin: r for r in stats.drift_from_histogram(cur_only).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r.n_base == 0
+        assert r.expected_cur is None and r.chi2_contrib is None
+    # sanity: a populated baseline still computes real numbers
+    both = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 10), (1, 0, 5), (1, 1, 15)],
+        "g int, b long, c long",
+    )
+    got = {r.bin: r for r in stats.drift_from_histogram(both).collect()}
+    assert got[0].expected_cur == 10.0  # 10 * 20 / 20
+    assert got[0].chi2_contrib == 2.5  # (5-10)^2/10
