@@ -1024,3 +1024,163 @@ def test_a44_semijoin_counts_once_and_boundary(spark, tmp_path):
     assert got == {"1-URGENT": 1, "2-HIGH": 1}
     # plan is a semi join, not inner+distinct
     assert "LeftSemi" in q._jdf.queryExecution().optimizedPlan().toString()
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # partkey
+            st.integers(min_value=1, max_value=12),   # quantity
+            st.integers(min_value=1, max_value=500),  # price dollars
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_a43_matches_brute_force(spark, tmp_path_factory, lines):
+    """Property vs a literal Python Q17: per-part average from raw
+    floats, keep rows with qty < 0.2*avg, sum prices — built WITHOUT
+    the cross-multiply trick, so a wrong inequality rewrite (>= vs <,
+    n vs n+1, sum vs avg) diverges. All parts are the filtered brand
+    so the whole fixture participates."""
+    import collections
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (
+        _A43_BRAND,
+        a43_small_qty_revenue,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("a43")
+    import datetime as dt
+
+    d = dt.datetime(2024, 1, 1)
+    parts = [(pk, _A43_BRAND) for pk in {pk for pk, _, _ in lines}]
+    spark.createDataFrame(
+        parts, "p_partkey long, p_brand string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    rows = [
+        (i, pk, 1, 1, float(q), float(p), 0.0, 0.0, "N", "O", d)
+        for i, (pk, q, p) in enumerate(lines)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    per_part = collections.defaultdict(list)
+    for pk, q, p in lines:
+        per_part[pk].append((q, p))
+    want_n, want_cents = 0, 0
+    for pk, qs in per_part.items():
+        avg = sum(q for q, _ in qs) / len(qs)
+        for q, p in qs:
+            if q < 0.2 * avg:
+                want_n += 1
+                want_cents += p * 100
+    r = a43_small_qty_revenue(spark, str(tmp_path)).collect()[0]
+    assert r.n_lineitems == want_n
+    if want_n:
+        assert r.total_revenue == want_cents / 100.0
+    else:
+        assert r.total_revenue is None  # SUM over empty -> NULL, both engines
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),    # custkey -> orderkey base
+            st.integers(min_value=-3, max_value=120),  # ship offset days
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_a44_matches_brute_force(spark, tmp_path_factory, lines):
+    """Property vs a literal Python EXISTS: an order counts once iff
+    ANY of its lines ships strictly more than the cutoff days after
+    the order date — a wrong join type (inner without distinct) or a
+    >= boundary diverges."""
+    import datetime as dt
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.queries.batch_analytics import (
+        _A44_LATE_DAYS,
+        a44_late_ship_semijoin,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("a44")
+    d0 = dt.datetime(2024, 1, 1)
+    okeys = sorted({ok for ok, _ in lines})
+    orders = [(ok, 1, "O", 0.0, d0, f"P{ok % 3}") for ok in okeys]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    li = [
+        (ok, 1, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         d0 + dt.timedelta(days=off))
+        for i, (ok, off) in enumerate(lines)
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    late_orders = {ok for ok, off in lines if off > _A44_LATE_DAYS}
+    want = {}
+    for ok in okeys:
+        if ok in late_orders:
+            prio = f"P{ok % 3}"
+            want[prio] = want.get(prio, 0) + 1
+    got = {
+        r.o_orderpriority: r.n_late_orders
+        for r in a44_late_ship_semijoin(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+
+
+@_settings
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),  # doc_id (sparse ok)
+            st.sampled_from(["a", "b", None]),           # source
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),  # cap
+)
+def test_m64_matches_brute_force(spark, ids_sources, cap):
+    """Property vs plain-Python modular arithmetic over arbitrary
+    (sparse) ids and a varying cap — catches a wrong modulus, a
+    truncating threshold rewrite, or a null-source drop."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        prep,
+    )
+
+    M = (1 << 31) - 1
+    A = 2654435761 % M
+    docs = spark.createDataFrame(ids_sources, "doc_id long, source string")
+    got = {
+        r.doc_id: r.keep_flag
+        for r in prep.deterministic_downsample(
+            docs, cap_per_source=cap
+        ).collect()
+    }
+    from collections import Counter
+
+    n_per = Counter(s for _, s in ids_sources)
+    assert set(got) == {i for i, _ in ids_sources}  # total
+    for i, s in ids_sources:
+        t = (M * cap) // n_per[s]
+        assert got[i] == int(((i % M) * A) % M < t)
