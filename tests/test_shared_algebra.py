@@ -1026,7 +1026,7 @@ def test_a44_semijoin_counts_once_and_boundary(spark, tmp_path):
     assert "LeftSemi" in q._jdf.queryExecution().optimizedPlan().toString()
 
 
-@_settings
+@settings(max_examples=8, deadline=None)  # parquet round-trip per example
 @given(
     st.lists(
         st.tuples(
@@ -1089,7 +1089,7 @@ def test_a43_matches_brute_force(spark, tmp_path_factory, lines):
         assert r.total_revenue is None  # SUM over empty -> NULL, both engines
 
 
-@_settings
+@settings(max_examples=8, deadline=None)  # parquet round-trip per example
 @given(
     st.lists(
         st.tuples(
@@ -1147,7 +1147,7 @@ def test_a44_matches_brute_force(spark, tmp_path_factory, lines):
     assert got == want
 
 
-@_settings
+@settings(max_examples=15, deadline=None)
 @given(
     st.lists(
         st.tuples(
