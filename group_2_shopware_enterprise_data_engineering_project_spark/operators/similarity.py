@@ -87,6 +87,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with PRE-COMPUTED norms: bit-identical to
+    ``dot(a,b) / (l2_norm(a) * l2_norm(b))`` — ``na``/``nb`` are the
+    same ``sqrt(dot(v,v))`` doubles and the ``na * nb`` product keeps
+    the same operand order — but the two self-fold norms are evaluated
+    once per VECTOR instead of once per PAIR. In every pair/candidate
+    stage the norm folds were 2/3 of the per-row array work (r12 stage
+    profile: the e2/e5/e6 verify stages are pure executor compute on
+    these expressions), so carrying an 8-byte norm per row buys a ~3x
+    cut in that stage's arithmetic at any scale."""
+    return dot(a, b) / (na * nb)
+
+
 def _topk_per_query(sims: DataFrame, k: int, sim_col: str = "cos_sim") -> DataFrame:
     """Exact distributed top-k per query WITHOUT shuffling every scored
     row. A window over partitionBy(query_id) ships |Q| x N scored rows
@@ -155,11 +168,13 @@ def brute_force_topk(
         emb.filter(query_pred).select(
             F.col("vec_id").alias("query_id"),
             _as_double(F.col("embedding")).alias("qv"),
+            l2_norm(_as_double(F.col("embedding"))).alias("_qn"),
         )
     )
     corpus = spread(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("nv"),
+        l2_norm(_as_double(F.col("embedding"))).alias("_nn"),
     )
     sims = (
         queries.crossJoin(corpus)
@@ -167,9 +182,8 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("qv"), F.col("nv"))
-                / (l2_norm(F.col("qv")) * l2_norm(F.col("nv")))
+            cosine_pre(
+                F.col("qv"), F.col("nv"), F.col("_qn"), F.col("_nn")
             ).alias("cos_sim"),
         )
     )
@@ -221,6 +235,7 @@ def _lsh_search(
     bucketed = spread(emb).select(
         F.col("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
+        l2_norm(_as_double(F.col("embedding"))).alias("_vn"),
         lsh_bucket(_as_double(F.col("embedding")), planes).alias("bucket"),
     )
     if query_pred is None:
@@ -237,11 +252,13 @@ def _lsh_search(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
+            F.col("_vn").alias("_qn"),
             F.col("bucket").alias("qbucket"),
         )
         .select(
             "query_id",
             "qv",
+            "_qn",
             F.explode(
                 F.array(
                     F.col("qbucket"), *[flip(i) for i in range(1, n_flip_bits + 1)]
@@ -255,9 +272,8 @@ def _lsh_search(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (
-                dot(F.col("qv"), F.col("v"))
-                / (l2_norm(F.col("qv")) * l2_norm(F.col("v")))
+            cosine_pre(
+                F.col("qv"), F.col("v"), F.col("_qn"), F.col("_vn")
             ).alias("cos_sim"),
         )
     )
@@ -363,16 +379,25 @@ def _assign_nearest(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     (zero-norm vector or centroid) rank LARGEST — matching the
     window / DuckDB ORDER BY DESC semantics the oracles use: the
     first (lowest-id) NaN-sim centroid wins and is never displaced.
-    vectors: (vec_id, v) -> (vec_id, v, centroid_id)."""
+    vectors: (vec_id, v) -> (vec_id, v, nv, centroid_id) — ``nv`` is
+    the vector's l2 norm, computed ONCE here (the fold previously
+    re-derived it per centroid, C norm-folds per row) and carried so
+    downstream candidate scoring never re-folds it either."""
     packed = centroids.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("centroid_id", "cv"))).alias("_cents")
+        # centroid_id leads the struct and is unique, so array_sort
+        # orders identically with the precomputed norm field appended
+        F.array_sort(
+            F.collect_list(
+                F.struct("centroid_id", "cv", l2_norm(F.col("cv")).alias("ncv"))
+            )
+        ).alias("_cents")
     )
     init = F.struct(
         F.lit(-2.0).cast("double").alias("sim"), F.lit(-1).cast("long").alias("id")
     )
 
     def step(acc, c):
-        s = dot(F.col("v"), c["cv"]) / (l2_norm(F.col("v")) * l2_norm(c["cv"]))
+        s = cosine_pre(F.col("v"), c["cv"], F.col("nv"), c["ncv"])
         take = (~F.isnan(acc["sim"])) & (F.isnan(s) | (s > acc["sim"]))
         return F.when(
             take,
@@ -380,8 +405,10 @@ def _assign_nearest(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         ).otherwise(acc)
 
     best = F.aggregate(F.col("_cents"), init, step)
-    return vectors.crossJoin(F.broadcast(packed)).select(
-        "vec_id", "v", best["id"].alias("centroid_id")
+    return (
+        vectors.withColumn("nv", l2_norm(F.col("v")))
+        .crossJoin(F.broadcast(packed))
+        .select("vec_id", "v", "nv", best["id"].alias("centroid_id"))
     )
 
 
@@ -537,6 +564,7 @@ def _ivf_topk_body(
     queries = assigned.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("_qn"),
     )
     # Per-query probe list: rank all centroids by cosine (|Q| x C rows,
     # both sides driver-small) and keep the n_probe nearest.
@@ -548,25 +576,31 @@ def _ivf_topk_body(
         .select(
             "query_id",
             "qv",
+            "_qn",
             "centroid_id",
+            # |Q| x C probe-scoring rows — driver-small, so only the
+            # query-side norm is worth carrying here
             (
                 dot(F.col("qv"), F.col("cv"))
-                / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))
+                / (F.col("_qn") * l2_norm(F.col("cv")))
             ).alias("p_sim"),
         )
         .withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qv", F.col("centroid_id").alias("qc"))
+        .select("query_id", "qv", "_qn", F.col("centroid_id").alias("qc"))
     )
+    # the corpus side is aliased: probes derives from the same
+    # `assigned` frame, so bare column refs to its attributes would be
+    # ambiguous under self-join lineage
+    corp = assigned.alias("_corp")
     cands = (
-        probes.join(assigned, F.col("qc") == assigned["centroid_id"])
-        .filter(F.col("vec_id") != F.col("query_id"))
+        probes.join(corp, F.col("qc") == F.col("_corp.centroid_id"))
+        .filter(F.col("_corp.vec_id") != F.col("query_id"))
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                dot(F.col("qv"), F.col("v"))
-                / (l2_norm(F.col("qv")) * l2_norm(F.col("v")))
+            F.col("_corp.vec_id").alias("neighbor_id"),
+            cosine_pre(
+                F.col("qv"), F.col("_corp.v"), F.col("_qn"), F.col("_corp.nv")
             ).alias("cos_sim"),
         )
     )
@@ -605,6 +639,7 @@ def embedding_near_dup_pairs(
     bucketed = spread(emb).select(
         F.col("vec_id"),
         _as_double(F.col("embedding")).alias("v"),
+        l2_norm(_as_double(F.col("embedding"))).alias("_vn"),
         lsh_bucket(_as_double(F.col("embedding")), planes).alias("bucket"),
     )
     # persisted so the salt-split's oversized-bucket sizing agg and the
@@ -630,9 +665,8 @@ def _near_dup_pairs_body(tasks: DataFrame, threshold: float) -> DataFrame:
         .select(
             F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
             F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
-            (
-                dot(F.col("a.v"), F.col("b.v"))
-                / (l2_norm(F.col("a.v")) * l2_norm(F.col("b.v")))
+            cosine_pre(
+                F.col("a.v"), F.col("b.v"), F.col("a._vn"), F.col("b._vn")
             ).alias("cos_sim"),
         )
     )
@@ -719,7 +753,7 @@ def _semdedup_body(
     assigned: DataFrame, threshold: float, bucket_cap: int
 ) -> DataFrame:
     bucketed = assigned.select(
-        "vec_id", "v", F.col("centroid_id").alias("bucket")
+        "vec_id", "v", "nv", F.col("centroid_id").alias("bucket")
     )
     from group_2_shopware_enterprise_data_engineering_project_spark.operators.saltjoin import (
         salted_pair_join,
@@ -731,9 +765,8 @@ def _semdedup_body(
     # candidate, so attribute the similarity to greatest(vec_id).
     pair_sims = salted_pair_join(tasks, ("bucket",), "vec_id").select(
         F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_id"),
-        (
-            dot(F.col("a.v"), F.col("b.v"))
-            / (l2_norm(F.col("a.v")) * l2_norm(F.col("b.v")))
+        cosine_pre(
+            F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")
         ).alias("sim"),
     )
     # max() is order-free, so the reduced column is exactly
