@@ -32,6 +32,35 @@ def test_norms_match_numpy(emb):
         assert math.isclose(out[i], float(np.linalg.norm(vecs[i].astype(np.float64))), rel_tol=1e-9)
 
 
+def test_cosine_pre_bit_identical_to_cosine(emb):
+    """The r12 norm-precompute optimization scores pairs with
+    dot/(na*nb) where na/nb are carried sqrt(dot(v,v)) doubles. Pin the
+    claim that this is BIT-identical to the inline form — not merely
+    close: same doubles, same operand order, so == must hold for every
+    pair. (Zero-norm vectors raise DIVIDE_BY_ZERO under ANSI in BOTH
+    forms — same na*nb divisor — so the scorable domain is identical
+    and the equality check covers all of it.)"""
+    df, _ = emb
+    a = df.select(
+        F.col("vec_id").alias("ida"),
+        similarity._as_double(F.col("embedding")).alias("va"),
+        similarity.l2_norm(similarity._as_double(F.col("embedding"))).alias("na"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("idb"),
+        similarity._as_double(F.col("embedding")).alias("vb"),
+        similarity.l2_norm(similarity._as_double(F.col("embedding"))).alias("nb"),
+    )
+    pairs = a.crossJoin(b).select(
+        similarity.cosine(F.col("va"), F.col("vb")).alias("inline"),
+        similarity.cosine_pre(
+            F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+        ).alias("pre"),
+    )
+    bad = pairs.filter(~(F.col("inline") == F.col("pre"))).count()
+    assert bad == 0
+
+
 def test_bruteforce_topk_matches_numpy(emb):
     df, vecs = emb
     v = vecs.astype(np.float64)
