@@ -367,7 +367,9 @@ def incremental_dedup(
 
     new_ss = shingle_sets(new_docs, text_col, id_col, k).persist()
     own_buckets = new_buckets is None
+    own_index = index is None
     cross = None
+    ex_ss = None
     try:
         if own_buckets:
             new_sigs = new_ss.select(
@@ -375,8 +377,19 @@ def incremental_dedup(
                 minhash_signature(F.col("shingles"), num_perm).alias("signature"),
             )
             new_buckets = band_buckets(new_sigs, num_perm, band_rows).persist()
-        if index is None:
-            index = bucket_index(existing_docs, text_col, id_col, k, num_perm, band_rows)
+        if own_index:
+            # Persisted for the same reason candidate_pairs persists its
+            # bucket frame (r7 bisect, PERF.md): the bipartite salt
+            # evaluates the index TWICE — the oversized-bucket sizing
+            # agg and the task frame — and when the index is derived
+            # here its lineage is the full `num_perm`-permutation md5
+            # signature pipeline over the HISTORY (measured at sf0.1:
+            # ~5 s of d7's 14 s wall was this second evaluation). A
+            # caller-passed index is a stored artifact (parquet read),
+            # which the two branches re-scan cheaply — not persisted.
+            index = bucket_index(
+                existing_docs, text_col, id_col, k, num_perm, band_rows
+            ).persist()
 
         # new x existing: bipartite bucket join, hot buckets salted.
         # Persisted because it feeds BOTH the verify join and the
@@ -400,7 +413,13 @@ def incremental_dedup(
             id_col,
             "semi",
         )
-        ex_ss = shingle_sets(ex_cand, text_col, id_col, k)
+        # Persisted: exact_jaccard explodes its shingle frame on both
+        # join sides and scans it twice more for sizes, so an
+        # unpersisted ex_ss would re-run the documents scan + semi-join
+        # + shingle projection up to 4x. Candidate-history shingles are
+        # LSH-selected — a small fraction of the history by
+        # construction — so the cache is shard-scale, not corpus-scale.
+        ex_ss = shingle_sets(ex_cand, text_col, id_col, k).persist()
 
         cross_pairs = cross.select(
             F.least("new_id", "ex_id").alias("doc_a"),
@@ -423,8 +442,12 @@ def incremental_dedup(
         new_ss.unpersist()
         if own_buckets and new_buckets is not None:
             new_buckets.unpersist()
+        if own_index and index is not None:
+            index.unpersist()
         if cross is not None:
             cross.unpersist()
+        if ex_ss is not None:
+            ex_ss.unpersist()
 
 
 def pair_evidence(

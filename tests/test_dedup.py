@@ -787,3 +787,32 @@ def test_rake_classic_diverges_from_ratio_of_sums(spark):
     assert default["u"].rank < default["v w"].rank
     # single-word phrases agree between variants by construction
     assert classic["u"].score == default["u"].score
+
+
+def test_incremental_dedup_releases_all_caches(spark, docs):
+    """r12 optimization: incremental_dedup persists the derived history
+    index (the bipartite salt's sizing agg and task frame would
+    otherwise each re-run the history's full md5 signature pipeline —
+    measured ~2.4x on d7) plus the candidate-history shingle frame.
+    Pin the cache-release discipline: every persist taken inside the
+    call is released by the time it returns. The only storage that may
+    outlive the call is the two EAGER localCheckpoint pair frames
+    (candidate_pairs' cands and the returned output — narrow id/score
+    rows, released when the frames are garbage collected), exactly as
+    in minhash_lsh_dedup; the five corpus-derived caches (new shingle
+    sets, new buckets, history index, cross candidates, candidate
+    shingles) must all be gone."""
+    before = {k for k in spark.sparkContext._jsc.getPersistentRDDs().keys()}
+    out = minhash.incremental_dedup(
+        docs.filter("doc_id % 2 = 1"),
+        docs.filter("doc_id % 2 = 0"),
+        threshold=0.4,
+    )
+    after = {k for k in spark.sparkContext._jsc.getPersistentRDDs().keys()}
+    leaked = after - before
+    assert len(leaked) <= 2, (
+        f"incremental_dedup left {len(leaked)} persisted RDDs; only the "
+        f"two eager pair checkpoints may survive the call"
+    )
+    # result still materializes after release (eager checkpoint)
+    assert out.count() >= 1  # doc 3 duplicates doc 0 across the split
