@@ -40,7 +40,9 @@ from group_2_shopware_enterprise_data_engineering_project_spark.sources.readers 
 )
 from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
     run_available_now,
+    source_bytes,
     stage_ordered_batches,
+    state_shuffle_partitions,
     stream_json_source,
 )
 from group_2_shopware_enterprise_data_engineering_project_spark.streaming.stateful import (
@@ -249,7 +251,10 @@ def st2_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema,
     )
     run_available_now(
-        deduped, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
+        deduped,
+        ckpt,
+        lambda df, _bid: df.write.mode("append").parquet(out),
+        state_partitions=state_shuffle_partitions(spark, source_bytes(src)),
     )
     return spark.read.parquet(out)
 
@@ -414,6 +419,7 @@ def st16_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             df, ("user_id",), txn=(app_id, bid)
         ),
         output_mode="update",
+        state_partitions=state_shuffle_partitions(spark, source_bytes(src)),
     )
     return table_out.read().select("user_id", "n_events", "n_types", "total_value")
 

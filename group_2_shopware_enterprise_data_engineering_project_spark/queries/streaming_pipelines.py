@@ -526,6 +526,8 @@ def st9_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
         run_available_now,
+        source_bytes,
+        state_shuffle_partitions,
     )
     from group_2_shopware_enterprise_data_engineering_project_spark.streaming.sessions import (
         stream_session_metrics,
@@ -570,7 +572,10 @@ def st9_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.withColumn("ts", F.timestamp_micros("ts_us"))
     )
     run_available_now(
-        sessions, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
+        sessions,
+        ckpt,
+        lambda df, _bid: df.write.mode("append").parquet(out),
+        state_partitions=state_shuffle_partitions(spark, source_bytes(src)),
     )
     return spark.read.parquet(out)
 
@@ -645,6 +650,8 @@ def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
         run_available_now,
+        source_bytes,
+        state_shuffle_partitions,
     )
 
     base = _tmp("st10")
@@ -701,7 +708,12 @@ def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(out, exist_ok=True)
     run_available_now(
-        joined, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
+        joined,
+        ckpt,
+        lambda df, _bid: df.write.mode("append").parquet(out),
+        state_partitions=state_shuffle_partitions(
+            spark, source_bytes(cdir) + source_bytes(pdir)
+        ),
     )
     return spark.read.parquet(out).select(
         "user_id", "click_id", "buy_id", "click_ts", "buy_ts"
@@ -736,6 +748,8 @@ def st11_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
         run_available_now,
+        source_bytes,
+        state_shuffle_partitions,
     )
 
     base = _tmp("st11")
@@ -763,7 +777,10 @@ def st11_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
     os.makedirs(out, exist_ok=True)
     run_available_now(
-        deduped, ckpt, lambda df, _bid: df.write.mode("append").parquet(out)
+        deduped,
+        ckpt,
+        lambda df, _bid: df.write.mode("append").parquet(out),
+        state_partitions=state_shuffle_partitions(spark, source_bytes(src)),
     )
     return spark.read.parquet(out).select("event_id", "user_id", "ts", "event_type")
 
@@ -1034,6 +1051,8 @@ def st15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
         run_available_now,
+        source_bytes,
+        state_shuffle_partitions,
     )
 
     base = _tmp("st15")
@@ -1092,7 +1111,8 @@ def st15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(out, exist_ok=True)
     sink = lambda df, _bid: df.write.mode("append").parquet(out)  # noqa: E731
-    run_available_now(joined, ckpt, sink)
+    sp = state_shuffle_partitions(spark, source_bytes(cdir) + source_bytes(pdir))
+    run_available_now(joined, ckpt, sink, state_partitions=sp)
     # Sentinel round: one far-future row on each stream (user_id=-1,
     # +10 days) advances BOTH watermarks past every real click's
     # no-match horizon; the flushed outer rows land in this run.
@@ -1101,7 +1121,7 @@ def st15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(json.dumps({"user_id": -1, "click_id": -1, "c_us": max_us + 10 * day_us}))
     with open(f"{pdir}/zz_sentinel.json", "w") as f:
         f.write(json.dumps({"user_id": -1, "buy_id": -1, "b_us": max_us + 10 * day_us}))
-    run_available_now(joined, ckpt, sink)
+    run_available_now(joined, ckpt, sink, state_partitions=sp)
     # drop exactly the sentinel (null-safe: a NULL-user click is real
     # data — it flushes null-padded here AND survives the oracle's
     # LEFT JOIN, so it must be kept)
@@ -1199,7 +1219,9 @@ def st18_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
         run_available_now,
+        source_bytes,
         stage_ordered_batches,
+        state_shuffle_partitions,
     )
 
     base = _tmp("st18")
@@ -1241,7 +1263,8 @@ def st18_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(out, exist_ok=True)
     sink = lambda df, _bid: df.write.mode("append").parquet(out)  # noqa: E731
-    run_available_now(stream, ckpt, sink)
+    sp = state_shuffle_partitions(spark, source_bytes(src))
+    run_available_now(stream, ckpt, sink, state_partitions=sp)
     # Sentinel: one far-future event advances the watermark past every
     # real window's end so Append mode flushes the trailing windows;
     # its own (still-open) windows are dropped by event_type below.
@@ -1250,7 +1273,7 @@ def st18_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(
             json.dumps({"event_type": "__sentinel__", "ts_us": max_us + 10 * day_us})
         )
-    run_available_now(stream, ckpt, sink)
+    run_available_now(stream, ckpt, sink, state_partitions=sp)
     return (
         spark.read.parquet(out)
         .filter(F.col("event_type") != F.lit("__sentinel__"))
@@ -1315,7 +1338,9 @@ def st19_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
         run_available_now,
+        source_bytes,
         stage_ordered_batches,
+        state_shuffle_partitions,
     )
 
     base = _tmp("st19")
@@ -1357,14 +1382,15 @@ def st19_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(out, exist_ok=True)
     sink = lambda df, _bid: df.write.mode("append").parquet(out)  # noqa: E731
-    run_available_now(stream, ckpt, sink)
+    sp = state_shuffle_partitions(spark, source_bytes(src))
+    run_available_now(stream, ckpt, sink, state_partitions=sp)
     # sentinel cutoffs derive from the GLOBAL max ts (delayed events
     # can sit past the on-time max; a cutoff at the on-time max would
     # wrongly drop their accepted windows and diverge from the oracle)
     day_us = 86_400_000_000
     with open(f"{src}/zz_sentinel.json", "w") as f:
         f.write(json.dumps({"event_id": -1, "ts_us": gmax + 10 * day_us}))
-    run_available_now(stream, ckpt, sink)
+    run_available_now(stream, ckpt, sink, state_partitions=sp)
 
     accepted = spark.read.parquet(out).filter(
         F.col("window_start") < F.timestamp_micros(F.lit(gmax + day_us))

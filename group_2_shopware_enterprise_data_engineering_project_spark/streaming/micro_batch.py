@@ -125,11 +125,65 @@ def stream_kafka_source(
     ).select("_rec.*")
 
 
+def source_bytes(path: str) -> int:
+    """Total bytes staged under a file-stream source dir (local FS —
+    the staging harness writes locally). Drives
+    `state_shuffle_partitions` below."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def state_shuffle_partitions(
+    spark: SparkSession,
+    src_bytes: int,
+    target_bytes: int = 2 << 20,
+    floor: int = 4,
+) -> int:
+    """Scale-adaptive partition count for STATEFUL streaming shuffles.
+
+    A stateful operator (stream-stream join, windowed agg,
+    dropDuplicates, applyInPandasWithState) instantiates one state
+    store per shuffle partition — a stream-stream join keeps FOUR per
+    partition per side — and every micro-batch pays an open + commit
+    (delta-file write) per store instance, data or no data. AQE
+    coalesces post-shuffle partitions for batch plans but NOT for
+    stateful streaming exchanges (the count is pinned into the
+    checkpoint at the first batch), so a core-count-sized default
+    means megabyte-scale streams pay hundreds of empty state-store
+    commits per batch; that fixed cost dominates small-stream wall
+    time.
+
+    Sizing rule: one partition per ``target_bytes`` of staged input,
+    never fewer than ``floor``, never more than the session's
+    configured ``spark.sql.shuffle.partitions`` (which scales with
+    the deployment, so the cap binds — and this becomes a no-op — for
+    any input past ``default * target_bytes``; the rule only shrinks
+    the state-store count for small streams). The defaults are
+    MEASURED, not guessed: a 5-point partition sweep at sf0.1
+    (PERF.md r12) put every stateful headline query's optimum at 4-8
+    partitions — below 4 the per-batch state commits stop dominating
+    but real per-batch work serializes (worst for Python stateful
+    functions); above ~8 the empty-store commits dominate again.
+    Results are partition-count invariant; only the state-store
+    instance count changes.
+    """
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    derived = max(floor, -(-src_bytes // max(1, target_bytes)))
+    return min(default, derived)
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint: str,
     batch_fn,
     output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> StreamingQuery:
     """Drain everything currently available through `batch_fn(df, batch_id)`
     and stop — the finite-run harness for tests and backfills.
@@ -138,16 +192,35 @@ def run_available_now(
     `stateful.running_user_stats`) are rejected by the default Append
     writer — pass "update" for those; with a foreachBatch sink the
     mode only gates which plans Spark accepts, the sink sees the same
-    per-batch frames either way."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .foreachBatch(batch_fn)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return q
+    per-batch frames either way.
+
+    ``state_partitions``: scoped override of
+    ``spark.sql.shuffle.partitions`` for the duration of the run —
+    pass `state_shuffle_partitions(...)` for stateful streams so the
+    state-store instance count tracks the data, not the core count.
+    The first run's value is pinned into the checkpoint's offset log,
+    so Spark keeps it for later runs against the same checkpoint
+    regardless of the session conf; passing the same derived value on
+    every run keeps intent explicit. Restored in a finally, so the
+    session default is untouched for everything else."""
+    spark = stream_df.sparkSession
+    prev: str | None = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .foreachBatch(batch_fn)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def hour_partitioned_sink(

@@ -1100,3 +1100,42 @@ def test_streaming_ann_index_is_fresh_after_each_batch(spark, tmp_path):
     assert {(r.vec_id, r.bucket) for r in got.select("vec_id", "bucket").collect()} == {
         (r.vec_id, r.bucket) for r in want.collect()
     }
+
+
+def test_state_shuffle_partitions_sizing(spark):
+    """Scale-adaptive stateful-shuffle sizing: floor for tiny inputs,
+    linear in bytes, capped at the session default (the cap is what
+    makes the rule a no-op at cluster scale)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.streaming.micro_batch import (
+        state_shuffle_partitions,
+    )
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert state_shuffle_partitions(spark, 0) == min(default, 4)
+    assert state_shuffle_partitions(spark, 1) == min(default, 4)
+    # 10 * target -> 10 partitions (unless the session default is lower)
+    assert state_shuffle_partitions(spark, 10 * (2 << 20)) == min(default, 10)
+    # huge input -> capped at the deployment default, never above
+    assert state_shuffle_partitions(spark, 1 << 50) == default
+
+
+def test_run_available_now_scopes_state_partitions(spark, tmp_path):
+    """state_partitions overrides spark.sql.shuffle.partitions ONLY for
+    the duration of the run (restored even though the stream's own
+    checkpoint pins its value), and the stateful plan actually runs
+    with the scoped count (observed via the batch frames)."""
+    src_dir = tmp_path / "in"
+    _write_jsonl(src_dir / "f1.jsonl", _crm_rows(3))
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    seen: list[int] = []
+
+    def sink(df, _bid):
+        seen.append(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+
+    stream = stream_json_source(spark, str(src_dir), CRM_INTERACTION_SCHEMA)
+    run_available_now(
+        stream, str(tmp_path / "ckpt"), sink, state_partitions=3
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert seen and all(n == 3 for n in seen)
