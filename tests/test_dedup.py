@@ -816,3 +816,83 @@ def test_incremental_dedup_releases_all_caches(spark, docs):
     )
     # result still materializes after release (eager checkpoint)
     assert out.count() >= 1  # doc 3 duplicates doc 0 across the split
+
+
+def test_merge_fold_matches_sequential_scan(spark):
+    """The native `_merge_fold` must equal the reference Python scan
+    `_merge_series` on every adversarial shape: overlap runs with
+    a == b, merged-token-equals-prefix chains (a, a+b), empty arrays,
+    and single symbols."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        bpe,
+    )
+
+    cases = [
+        ["x", "x", "x"],          # odd overlap run, a == b
+        ["x", "x", "x", "x"],     # even overlap run
+        ["a", "b", "b"],          # merged token then stray right symbol
+        ["a", "a", "b"],          # left run into a merge
+        ["a", "ab"],              # pair (a, ab): merged token "aab"
+        ["a", "b", "a", "b"],     # two disjoint merges
+        ["b", "a"],               # reversed — no merge
+        ["a"],                    # single symbol
+        [],                       # empty
+        ["q", "a", "b", "q", "a"],  # merge mid-array, dangling left
+    ]
+    rules = [("x", "x"), ("a", "b"), ("a", "ab"), ("a", "a")]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, symbols array<string>"
+    )
+    for a, b in rules:
+        got = {
+            r["i"]: r["out"]
+            for r in df.select(
+                "i", bpe._merge_fold(F.col("symbols"), a, b).alias("out")
+            ).collect()
+        }
+        want = bpe._merge_series(pd.Series(cases), a, b)
+        for i, c in enumerate(cases):
+            assert got[i] == want[i], (a, b, c, got[i], want[i])
+
+
+def test_bpe_encode_memo_identical_to_direct(spark):
+    """The per-task distinct-word memo must be invisible: encoding a
+    corpus with heavy word repetition equals encoding each occurrence
+    independently (memo hits and misses produce the same tokens)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "low low lower"), (1, "lower low"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    merges = bpe.bpe_train(docs, n_merges=3)
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["tokens"])
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+
+    def direct(text):
+        toks = []
+        for w in [w for w in (text or "").split(" ") if w]:
+            syms = list(w) + [bpe.END]
+            for a, b, _ in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            toks.extend(syms)
+        return len(toks), ",".join(toks)
+
+    for did, text in [(0, "low low lower"), (1, "lower low"), (2, ""), (3, None)]:
+        assert rows[did] == direct(text)
