@@ -896,3 +896,41 @@ def test_bpe_encode_memo_identical_to_direct(spark):
 
     for did, text in [(0, "low low lower"), (1, "lower low"), (2, ""), (3, None)]:
         assert rows[did] == direct(text)
+
+
+def test_winnow_fingerprints_shifted_min_matches_definition(spark):
+    """winnow minima must equal the definitional per-window
+    min(hash[i..i+w-1]) — incl. docs with fewer shingles than the
+    window (empty fingerprint list) and exactly one window."""
+    import hashlib
+
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
+        text as text_ops,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),   # several windows
+            (1, "a b c"),             # one shingle -> fewer than window
+            (2, ""),                  # no tokens
+            (3, "a b c d e f"),       # exactly one window (4 shingles)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["fingerprints"]
+        for r in text_ops.winnow_fingerprints(docs, k=3, window=4).collect()
+    }
+
+    def ref(text, k=3, window=4):
+        toks = [t for t in text.lower().split() if t]
+        sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+        if len(hs) < window:
+            return []
+        mins = [min(hs[i : i + window]) for i in range(len(hs) - window + 1)]
+        return sorted(set(mins))
+
+    # tokens() lowercases/splits; mirror just enough for these inputs
+    for did, t in [(0, "a b c d e f g h"), (1, "a b c"), (2, ""), (3, "a b c d e f")]:
+        assert got[did] == ref(t), (did, got[did], ref(t))
