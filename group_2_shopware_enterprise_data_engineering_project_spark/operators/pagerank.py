@@ -71,10 +71,17 @@ def pagerank(
         raise ValueError("iterations must be >= 0")
     base = (15 * unit) // 100
 
+    # The edge list and the loop-invariant out-degree table are read
+    # TWICE PER ITERATION (contribution join + outdeg/dangling); for a
+    # derived edge frame (g1 builds it with a join + distinct) leaving
+    # them unpersisted re-runs that build 2*iterations times (measured:
+    # 13 -> 8 s warm for the 3-iteration g1 graph at sf0.1,
+    # exceptAll-identical). Both are (src, dst)/(src, count) pairs —
+    # node-scale, never document payloads.
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -82,7 +89,9 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes_row = nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     ranks = nodes.withColumn("r", F.lit(unit).cast("long")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -125,10 +134,13 @@ def pagerank(
         ranks.unpersist()
         ranks = new_ranks
 
-    # ranks is materialized, so the node cache is no longer needed;
-    # the final (persisted) rank table is the only cache left alive —
-    # one table of one row per node, the result itself
+    # ranks is materialized, so the edge/degree/node caches are no
+    # longer needed; the final (persisted) rank table is the only
+    # cache left alive — one table of one row per node, the result
+    # itself
     nodes.unpersist()
+    e.unpersist()
+    outdeg.unpersist()
     return ranks.select(
         F.col("node").alias("node_id"),
         F.col("r").alias("rank_units"),
