@@ -60,8 +60,20 @@ def j4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("window_end"),
         )
     )
+    # Aggregate BEFORE the interval join (guide §2.3): every lineitem
+    # ship date lies inside ~dozens of overlapping 7-day windows, so
+    # joining raw rows fans each one out that many times (~50M pairs
+    # at sf0.1). count/sum are additive over the day partition, so
+    # pre-reducing the point side to one (day, n, qty) row per ship
+    # date — date-cardinality, not corpus-cardinality — then summing
+    # the partials per window is algebraically identical (exceptAll 0
+    # both directions; measured 10-13 s -> 1.1-1.6 s warm).
+    daily = lineitem.groupBy("l_shipdate").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("_q"),
+    )
     joined = rangejoin.interval_join_binned(
-        lineitem,
+        daily,
         intervals,
         point_ts="l_shipdate",
         start_col="window_start",
@@ -69,8 +81,8 @@ def j4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_seconds=7 * 86400,
     )
     return joined.groupBy("o_orderkey", "window_start").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shipped"),
-        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        F.sum("_n").alias("n_shipped"),
+        F.sum("_q").alias("qty_sum"),
     )
 
 
