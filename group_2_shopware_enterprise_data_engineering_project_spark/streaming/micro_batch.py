@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -178,6 +179,11 @@ def state_shuffle_partitions(
     return min(default, derived)
 
 
+# Serializes scoped shuffle-partition overrides across driver threads
+# (see run_available_now docstring).
+_STATE_PARTITIONS_LOCK = threading.Lock()
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint: str,
@@ -201,14 +207,20 @@ def run_available_now(
     The first run's value is pinned into the checkpoint's offset log,
     so Spark keeps it for later runs against the same checkpoint
     regardless of the session conf; passing the same derived value on
-    every run keeps intent explicit. Restored in a finally, so the
-    session default is untouched for everything else."""
+    every run keeps intent explicit. Restored in a finally, and the
+    set/run/restore triple holds a module lock: without it, two
+    overlapping scoped runs in a shared-session thread pool (the
+    driver's concurrent harness) could capture each other's override
+    as "prev" and leave the session default drifted after both
+    restore. Spark.sql.shuffle.partitions has no per-plan override
+    for stateful streams (the count is pinned from the conf into the
+    checkpoint), so a scoped-and-locked session mutation is the only
+    lever; every query's VALUES are partition-count invariant, so a
+    concurrent batch query observing the transient override can only
+    change plan width, never results (guarded by
+    tools/concurrency_hash_check.py)."""
     spark = stream_df.sparkSession
-    prev: str | None = None
-    if state_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    if state_partitions is None:
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .foreachBatch(batch_fn)
@@ -218,8 +230,20 @@ def run_available_now(
         )
         q.awaitTermination()
         return q
-    finally:
-        if prev is not None:
+    with _STATE_PARTITIONS_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                stream_df.writeStream.outputMode(output_mode)
+                .foreachBatch(batch_fn)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return q
+        finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 

@@ -1139,3 +1139,28 @@ def test_run_available_now_scopes_state_partitions(spark, tmp_path):
     )
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     assert seen and all(n == 3 for n in seen)
+
+
+def test_scoped_state_partitions_serialize_across_threads(spark, tmp_path):
+    """Two overlapping scoped runs from different driver threads must
+    never leave the session default drifted (the shared-session
+    concurrent-harness hazard: each capturing the other's override as
+    its restore value)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    src_dir = tmp_path / "in"
+    _write_jsonl(src_dir / "f1.jsonl", _crm_rows(3))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run(i):
+        stream = stream_json_source(spark, str(src_dir), CRM_INTERACTION_SCHEMA)
+        run_available_now(
+            stream,
+            str(tmp_path / f"ckpt{i}"),
+            lambda df, _bid: df.count(),
+            state_partitions=2 + i,
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(run, range(3)))
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
