@@ -605,6 +605,17 @@ class ParquetUpsertTable:
         dest: str | None = None,
         options: dict[str, str] | None = None,
     ) -> None:
+        if self.partition_by:
+            # Cluster rows by the partition columns before a partitioned
+            # write: without this every write task holds rows of many
+            # partition values and emits one file per (task, value) —
+            # tasks x values tiny files per write (measured at sf0.1:
+            # 366 files for a 58-date snapshot; 1,856 on a 58-value
+            # synthetic). REBALANCE (not repartition) so AQE both
+            # coalesces small partition groups AND splits oversized
+            # ones — a hot partition value never pins a single writer
+            # task the way repartition(cols) would at scale.
+            df = df.hint("rebalance", *self.partition_by)
         w = df.write.mode(mode)
         for k, v in (options or {}).items():
             w = w.option(k, v)
@@ -678,14 +689,18 @@ class ParquetUpsertTable:
         snapshot layout makes safe to run online.
 
         For a partitioned table rows are re-clustered by the partition
-        columns so each partition lands as one file per shuffle
-        partition; `target_partitions` bounds the file count for the
-        unpartitioned case (default: spark.sql.shuffle.partitions).
+        columns (the REBALANCE in `_write`) so each partition value
+        lands as ~one right-sized file; `target_partitions` bounds the
+        file count for the unpartitioned case (default:
+        spark.sql.shuffle.partitions).
         """
         self._refresh_spec()
         df = self.read()
         if self.partition_by:
-            df = df.repartition(*[F.col(c) for c in self.partition_by])
+            # _write itself REBALANCEs partitioned tables by the
+            # partition columns; an extra repartition here would just
+            # add a second shuffle of the whole table.
+            pass
         elif target_partitions:
             df = df.repartition(target_partitions)
         else:

@@ -70,7 +70,10 @@ def run(
     table_path: str,
     rejected_path: str | None = None,
     now: str | None = None,
+    collect_stats: bool = True,
 ) -> RunResult:
+    """`collect_stats=False` skips the three count actions — each is an
+    extra scan of the JSONL input / the table (the pos.run precedent)."""
     raw = read_jsonl(spark, input_path, INVENTORY_SCHEMA)
     typed = normalize_epoch(
         enforce_schema(raw, INVENTORY_SCHEMA),
@@ -89,6 +92,8 @@ def run(
     deduped = keep_latest(ok, ("inventory_id",), "last_updated", "product_id")
     table = ParquetUpsertTable(spark, table_path, partition_by=("last_updated_date",))
     table.upsert_replace(deduped, ("inventory_id",), "last_updated")
+    if not collect_stats:
+        return RunResult(-1, -1, -1)
     return RunResult(
         valid_rows=ok.count(),
         rejected_rows=bad.count(),

@@ -344,7 +344,9 @@ def pipe_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_updated"),
     )
     src.write.mode("overwrite").json(f"{base}/in")
-    inventory.run(spark, f"{base}/in", f"{base}/table")
+    # collect_stats=False: the declared result is the read-back table;
+    # the RunResult count actions are extra scans (pipe_pos precedent)
+    inventory.run(spark, f"{base}/in", f"{base}/table", collect_stats=False)
     return ParquetUpsertTable(spark, f"{base}/table").read()
 
 
