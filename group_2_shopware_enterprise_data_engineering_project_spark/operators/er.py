@@ -54,7 +54,21 @@ def blocked_pairs(
     verify step, never the generate step. Both Spark and DuckDB
     implement the standard unit-cost edit distance, so the oracle is
     exact.
+
+    ``spread`` because on a small corpus BOTH joins compile to
+    broadcasts, so the whole pipeline — including the Levenshtein DP
+    over every candidate pair — inherits the SCAN's partitioning; a
+    single-file local input ran all 4.7M sf0.1 pair verifications in
+    ONE task (stage profile: 12.1 s of a 13.7 s executor total in one
+    save-stage task). No-op on a many-split cluster scan. The per-key
+    pair volume itself is bounded by ``max_block``^2/2 by contract,
+    so the shuffle-join path at cluster scale is skew-bounded too.
     """
+    from group_2_shopware_enterprise_data_engineering_project_spark.functions.partitioning import (
+        spread,
+    )
+
+    records = spread(records)
     keyed = records.select(
         F.col(id_col).cast("long").alias("rid"),
         F.col(name_col).alias("rname"),

@@ -271,7 +271,16 @@ def corpus_dup_ngrams(
     gram hash, one join back (AQE skew-join absorbs boilerplate
     grams), one groupBy on doc_id. Short docs (< n tokens) have zero
     grams and report frac 0.0 via the left join.
+
+    ``spread`` because the shingle projection is the expensive stage
+    (per token position: one slice + array_join, then an O(k^2)
+    array_distinct over the doc's grams) and it is evaluated on BOTH
+    plan branches (the count agg and the join-back side share no
+    exchange) — a single-file local scan would run it twice in one
+    task (measured 2.3 s/branch at sf0.1). No-op on a many-split
+    cluster scan.
     """
+    docs = spread(docs)
     grams = (
         docs.select(
             F.col(id_col).alias("doc_id"),
