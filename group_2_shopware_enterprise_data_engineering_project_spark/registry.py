@@ -108,11 +108,18 @@ CORE_ORDER: tuple[str, ...] = (
     "m20_shard_assign",
     "m21_source_quantile_filter",  # also changed-code in r12 (null-safe join-back)
     "m23_negative_sample",
-    "m24_dense_ids",
-    "m25_transition_matrix",
+    # ... late r12 changed-code entries (optimization session 4):
+    # t8 gained the spread() its text.py siblings had (single-task
+    # shingle stage), pipe_inventory now rides the REBALANCE-clustered
+    # partitioned snapshot write + collect_stats=False. Each displaces
+    # one r6-cohort fill entry (m24/m25 -> r13 queue).
+    "t8_corpus_dup_ngrams",
+    "pipe_inventory",
     # --- driver window boundary (first 50 above) ---
     # (m27_count_min / m28_hll_distinct displaced to the r13 queue by
-    # the two late changed-code entries above)
+    # the two late changed-code entries above; m24_dense_ids /
+    # m25_transition_matrix displaced by the session-4 changed-code
+    # pair — all four front the r13 rotation)
     "m27_count_min",
     "m28_hll_distinct",
     # Remaining entries keep their prior relative order; per-query
