@@ -56,10 +56,18 @@ def write_hour_partitioned(
     mode: str = "append",
     compact: bool = True,
 ) -> None:
-    """K1 — land rows under year=/month=/day=/hour= of `ts_col`."""
+    """K1 — land rows under year=/month=/day=/hour= of `ts_col`.
+
+    ``compact`` clusters rows by the partition keys with a REBALANCE
+    hint (the merge.py `_write` idiom) rather than
+    ``repartition(keys)``: same one-file-per-hour outcome on
+    well-behaved data, but AQE can SPLIT an oversized hour instead of
+    pinning it to a single writer task — at scale a hot hour is
+    exactly where the straggler/OOM lives. ``compact=False`` keeps the
+    incoming task layout (k12's deliberate small-file pathology)."""
     out = with_hour_partitions(df, ts_col)
     if compact:
-        out = out.repartition(*[F.col(k) for k in HOUR_PARTITION_KEYS])
+        out = out.hint("rebalance", *HOUR_PARTITION_KEYS)
     out.write.mode(mode).partitionBy(*HOUR_PARTITION_KEYS).parquet(path)
 
 
