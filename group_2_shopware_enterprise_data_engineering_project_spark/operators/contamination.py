@@ -37,9 +37,15 @@ def eval_ngram_digests(
     eval_docs: DataFrame, text_col: str = "text", k: int = 8
 ) -> DataFrame:
     """Distinct md5 digests of every k-token n-gram in the eval set —
-    the (small) probe side of the contamination join."""
+    the (small) probe side of the contamination join.
+
+    ``spread`` because the k-gram projection (slice+array_join per
+    token position, O(g^2) array_distinct, md5) otherwise runs in the
+    eval scan's partitioning — ONE task on a single-file local input
+    (the t8/d5 disease; no-op on a many-split cluster scan)."""
     return (
-        eval_docs.select(F.explode(shingles(tokens(text_col), k)).alias("ngram"))
+        spread(eval_docs)
+        .select(F.explode(shingles(tokens(text_col), k)).alias("ngram"))
         .select(F.md5("ngram").alias("ngram_md5"))
         .distinct()
     )
@@ -136,7 +142,8 @@ def build_ngram_bloom(
     keys, one final array assembly. The bitmap row is what gets
     broadcast: m_bits=2^30 -> 128 MiB for ~10^8 items at p~1%."""
     n_words = m_bits // 64
-    pos = eval_docs.select(
+    # spread: same single-task-scan reason as eval_ngram_digests
+    pos = spread(eval_docs).select(
         F.explode(shingles(tokens(text_col), k)).alias("ngram")
     ).select(
         F.explode(_bloom_positions(F.col("ngram"), num_hashes, m_bits)).alias("pos")
