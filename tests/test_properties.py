@@ -15,8 +15,10 @@ KEYS = st.integers(min_value=0, max_value=5)
 VALS = st.integers(min_value=-1000, max_value=1000)
 BATCH = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=12)
 
+from tests.hyputil import hyp_examples
+
 _settings = settings(
-    max_examples=15,
+    max_examples=hyp_examples(6, 15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -432,7 +434,7 @@ CORPUS = st.lists(DOC, min_size=2, max_size=7)
 MASK = st.lists(st.booleans(), min_size=7, max_size=7)
 
 _dedup_settings = settings(
-    max_examples=8,
+    max_examples=hyp_examples(4, 8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -9,7 +9,9 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-_hyp_settings = settings(max_examples=25, deadline=None)
+from tests.hyputil import hyp_examples
+
+_hyp_settings = settings(max_examples=hyp_examples(8, 25), deadline=None)
 
 from group_2_shopware_enterprise_data_engineering_project_spark.operators import (
     rangejoin,
@@ -794,7 +796,7 @@ def test_j10_coverage_hand_solved_with_window_clipping(spark, tmp_path):
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     got = j10_interval_coverage(spark, str(tmp_path)).collect()
     assert len(got) == 1
     r = got[0]
@@ -937,7 +939,7 @@ def test_j10_user_entirely_outside_window_absent(spark, tmp_path):
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     got = {r.user_id: r for r in j10_interval_coverage(spark, str(tmp_path)).collect()}
     assert set(got) == {2}
     assert got[2].covered_us == 300_000_000

@@ -23,7 +23,9 @@ import math
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-_settings = settings(max_examples=25, deadline=None)
+from tests.hyputil import hyp_examples
+
+_settings = settings(max_examples=hyp_examples(7, 25), deadline=None)
 
 
 def _md5_16(s: str) -> int:
@@ -42,7 +44,7 @@ def _write_documents(spark, path: str, rows: list[tuple]) -> str:
         [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    df.repartition(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
     return path
 
 
@@ -324,7 +326,7 @@ def test_a37_ewma_hand_solved(spark, tmp_path):
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     )
-    df.coalesce(1).write.mode("overwrite").parquet(
+    df.repartition(1).write.mode("overwrite").parquet(
         f"{tmp_path}/events.parquet"
     )
     got = {
@@ -399,12 +401,12 @@ def test_a38_reconciliation_hand_solved(spark, tmp_path):
     orders = [(1, ok_total), (2, off_total), (3, 0.0), (4, 42.00)]
     spark.createDataFrame(
         orders, "o_orderkey long, o_totalprice double"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
     spark.createDataFrame(
         lines,
         "l_orderkey long, l_extendedprice double, l_discount double,"
         " l_tax double",
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).repartition(1).write.mode("overwrite").parquet(
         f"{tmp_path}/lineitem.parquet"
     )
     got = {
@@ -479,7 +481,7 @@ def test_a39_seasonality_hand_solved(spark, tmp_path):
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     got = {
         r.dow: (r.n_days, r.cents, r.seasonality_index)
         for r in a39_seasonality_index(spark, str(tmp_path)).collect()
@@ -520,7 +522,7 @@ def test_a40_timebound_conversion_hand_solved(spark, tmp_path):
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     got = a40_timebound_conversion(spark, str(tmp_path)).collect()
     assert len(got) == 1
     r = got[0]
@@ -754,7 +756,7 @@ def _write_orders(spark, path: str, rows: list[tuple]) -> str:
         rows,
         "o_orderkey long, o_custkey long, o_orderstatus string,"
         " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/orders.parquet")
     return path
 
 
@@ -897,19 +899,19 @@ def test_a41_ship_priority_cutoff_boundaries(spark, tmp_path):
         custs,
         "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
         " c_mktsegment string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
     spark.createDataFrame(
         orders,
         "o_orderkey long, o_custkey long, o_orderstatus string,"
         " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
     spark.createDataFrame(
         lines,
         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
         " l_quantity double, l_extendedprice double, l_discount double,"
         " l_tax double, l_returnflag string, l_linestatus string,"
         " l_shipdate timestamp",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
     got = a41_ship_priority(spark, str(tmp_path)).collect()
     assert len(got) == 1
     r = got[0]
@@ -935,7 +937,7 @@ def test_a43_small_qty_revenue_hand_solved(spark, tmp_path):
     parts = [(1, _A43_BRAND), (2, "Brand#99")]
     spark.createDataFrame(
         parts, "p_partkey long, p_brand string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
     import datetime as dt
 
     d = dt.datetime(2024, 1, 1)
@@ -955,7 +957,7 @@ def test_a43_small_qty_revenue_hand_solved(spark, tmp_path):
         " l_quantity double, l_extendedprice double, l_discount double,"
         " l_tax double, l_returnflag string, l_linestatus string,"
         " l_shipdate timestamp",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
     r = a43_small_qty_revenue(spark, str(tmp_path)).collect()[0]
     assert r.n_lineitems == 1
     assert r.total_revenue == 100.0
@@ -970,7 +972,7 @@ def test_a43_small_qty_revenue_hand_solved(spark, tmp_path):
         " l_quantity double, l_extendedprice double, l_discount double,"
         " l_tax double, l_returnflag string, l_linestatus string,"
         " l_shipdate timestamp",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
     r2 = a43_small_qty_revenue(spark, str(tmp_path)).collect()[0]
     assert r2.n_lineitems == 1 and r2.total_revenue == 100.0
 
@@ -1011,14 +1013,14 @@ def test_a44_semijoin_counts_once_and_boundary(spark, tmp_path):
         orders,
         "o_orderkey long, o_custkey long, o_orderstatus string,"
         " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
     spark.createDataFrame(
         lines,
         "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
         " l_quantity double, l_extendedprice double, l_discount double,"
         " l_tax double, l_returnflag string, l_linestatus string,"
         " l_shipdate timestamp",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
     q = a44_late_ship_semijoin(spark, str(tmp_path))
     got = {r.o_orderpriority: r.n_late_orders for r in q.collect()}
     assert got == {"1-URGENT": 1, "2-HIGH": 1}
@@ -1026,7 +1028,7 @@ def test_a44_semijoin_counts_once_and_boundary(spark, tmp_path):
     assert "LeftSemi" in q._jdf.queryExecution().optimizedPlan().toString()
 
 
-@settings(max_examples=8, deadline=None)  # parquet round-trip per example
+@settings(max_examples=hyp_examples(4, 8), deadline=None)  # parquet round-trip per example
 @given(
     st.lists(
         st.tuples(
@@ -1058,7 +1060,7 @@ def test_a43_matches_brute_force(spark, tmp_path_factory, lines):
     parts = [(pk, _A43_BRAND) for pk in {pk for pk, _, _ in lines}]
     spark.createDataFrame(
         parts, "p_partkey long, p_brand string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
     rows = [
         (i, pk, 1, 1, float(q), float(p), 0.0, 0.0, "N", "O", d)
         for i, (pk, q, p) in enumerate(lines)
@@ -1069,7 +1071,7 @@ def test_a43_matches_brute_force(spark, tmp_path_factory, lines):
         " l_quantity double, l_extendedprice double, l_discount double,"
         " l_tax double, l_returnflag string, l_linestatus string,"
         " l_shipdate timestamp",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
 
     per_part = collections.defaultdict(list)
     for pk, q, p in lines:
@@ -1089,7 +1091,7 @@ def test_a43_matches_brute_force(spark, tmp_path_factory, lines):
         assert r.total_revenue is None  # SUM over empty -> NULL, both engines
 
 
-@settings(max_examples=8, deadline=None)  # parquet round-trip per example
+@settings(max_examples=hyp_examples(4, 8), deadline=None)  # parquet round-trip per example
 @given(
     st.lists(
         st.tuples(
@@ -1120,7 +1122,7 @@ def test_a44_matches_brute_force(spark, tmp_path_factory, lines):
         orders,
         "o_orderkey long, o_custkey long, o_orderstatus string,"
         " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
     li = [
         (ok, 1, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
          d0 + dt.timedelta(days=off))
@@ -1132,7 +1134,7 @@ def test_a44_matches_brute_force(spark, tmp_path_factory, lines):
         " l_quantity double, l_extendedprice double, l_discount double,"
         " l_tax double, l_returnflag string, l_linestatus string,"
         " l_shipdate timestamp",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
 
     late_orders = {ok for ok, off in lines if off > _A44_LATE_DAYS}
     want = {}
@@ -1147,7 +1149,7 @@ def test_a44_matches_brute_force(spark, tmp_path_factory, lines):
     assert got == want
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=hyp_examples(6, 15), deadline=None)
 @given(
     st.lists(
         st.tuples(

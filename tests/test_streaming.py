@@ -1056,7 +1056,7 @@ def test_streaming_ann_index_is_fresh_after_each_batch(spark, tmp_path):
 
     def _stage(b, ids):
         stage = str(tmp_path / f"s{b}")
-        emb.filter(F.col("vec_id").isin(ids)).coalesce(1).write.mode(
+        emb.filter(F.col("vec_id").isin(ids)).repartition(1).write.mode(
             "overwrite"
         ).parquet(stage)
         part = next(n for n in os.listdir(stage) if n.endswith(".parquet"))

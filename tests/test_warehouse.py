@@ -272,7 +272,7 @@ def test_k33_retention_plan_hand_solved(spark, tmp_path):
         rows,
         "o_orderkey long, o_custkey long, o_orderstatus string,"
         " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
     got = {
         r.version_ts: (r.rn, r.keep_reason, r.keep_flag)
         for r in k33_retention_plan(spark, str(tmp_path)).collect()
@@ -304,7 +304,7 @@ def test_k33_retention_all_recent_when_catalog_small(spark, tmp_path):
         rows,
         "o_orderkey long, o_custkey long, o_orderstatus string,"
         " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
     got = k33_retention_plan(spark, str(tmp_path)).collect()
     assert len(got) == 4
     assert all(r.keep_reason == "recent" and r.keep_flag == 1 for r in got)
