@@ -259,6 +259,25 @@ _COMMIT_STAMP = "_COMMITTED_AT.json"
 _SNAPSHOT_RE = re.compile(r"^v(\d{6})$")
 
 
+def _cluster_for_partitioned_write(
+    df: DataFrame, partition_by: tuple[str, ...]
+) -> DataFrame:
+    """Cluster rows by the partition columns ahead of a partitioned
+    write: REBALANCE under AQE (coalesces small value groups AND splits
+    hot ones), plain repartition(cols) when AQE is off — the REBALANCE
+    hint is resolved by ResolveCoalesceHints ONLY when
+    spark.sql.adaptive.enabled is true; on an AQE-off session it is
+    silently ignored and the write reverts to one file per
+    (task, value). Shared by merge.py's `_write` and
+    sinks.write_hour_partitioned."""
+    aqe = str(
+        df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+    ).lower()
+    if aqe == "true":
+        return df.hint("rebalance", *partition_by)
+    return df.repartition(*[F.col(c) for c in partition_by])
+
+
 class ParquetUpsertTable:
     """A partitioned parquet table with MERGE semantics and an atomic
     snapshot commit — the pure-Spark stand-in for the reference's Delta
@@ -614,8 +633,14 @@ class ParquetUpsertTable:
             # synthetic). REBALANCE (not repartition) so AQE both
             # coalesces small partition groups AND splits oversized
             # ones — a hot partition value never pins a single writer
-            # task the way repartition(cols) would at scale.
-            df = df.hint("rebalance", *self.partition_by)
+            # task the way repartition(cols) would at scale. The hint
+            # only RESOLVES under AQE (ResolveCoalesceHints guards
+            # REBALANCE on adaptiveExecutionEnabled) — on an AQE-off
+            # session it would be silently dropped and the write would
+            # revert to the tasks x values pathology, so fall back to
+            # repartition(cols) there (clustering preserved; only the
+            # hot-value split is lost, which AQE-off forfeits anyway).
+            df = _cluster_for_partitioned_write(df, self.partition_by)
         w = df.write.mode(mode)
         for k, v in (options or {}).items():
             w = w.option(k, v)

@@ -121,7 +121,9 @@ def band_buckets(
     )
 
 
-def candidate_pairs(buckets: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFrame:
+def candidate_pairs(
+    buckets: DataFrame, bucket_cap: int = BUCKET_CAP, materialize: bool = True
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any band bucket. The
     self-join shuffles on (band_idx, band_hash) only.
 
@@ -132,40 +134,60 @@ def candidate_pairs(buckets: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFra
     (i, j) group-pair sub-tasks explicitly, so no reducer ever
     materializes more than ~cap^2 candidates while the pair SET stays
     identical to the unsalted join. Buckets at or under the cap have
-    s = 1 and degenerate to the plain self-join row."""
+    s = 1 and degenerate to the plain self-join row.
+
+    ``materialize=False`` returns the LAZY pair plan with no internal
+    persist: for callers that (a) already hold ``buckets`` cached or
+    checkpointed and (b) consume the result in exactly one downstream
+    plan, the eager checkpoint here is a pure scheduling barrier — it
+    serializes the candidate join ahead of the verify stage instead of
+    letting one action overlap their independent stages (guide §2.6;
+    the k5 dead-end measured the same barrier cost in r12). Callers
+    that fan the pair set into several branches (calibration's three
+    joins) keep the default."""
     from group_2_shopware_enterprise_data_engineering_project_spark.operators.saltjoin import (
         salted_pair_join,
         salted_pair_tasks,
     )
 
-    # Persist the bucket frame (ids + digests only, ~50 B/row — tiny
-    # next to the corpus) so the salt-split's oversized-bucket sizing
-    # agg and the pair join share ONE evaluation of the 16-permutation
-    # md5 signature pipeline above; without it the sizing branch
-    # re-derives every signature (measured ~20% of dedup_minhash_lsh
-    # wall at sf0.1, r7 bisect in PERF.md). Eagerly checkpointed out
-    # below, so the cache lifetime is this function.
-    buckets = buckets.persist()
+    if materialize:
+        # Persist the bucket frame (ids + digests only, ~50 B/row —
+        # tiny next to the corpus) so the salt-split's oversized-bucket
+        # sizing agg and the pair join share ONE evaluation of the
+        # 16-permutation md5 signature pipeline above; without it the
+        # sizing branch re-derives every signature (measured ~20% of
+        # dedup_minhash_lsh wall at sf0.1, r7 bisect in PERF.md).
+        # Eagerly checkpointed out below, so the cache lifetime is this
+        # function. (With materialize=False the caller's own cache of
+        # ``buckets`` plays this role.)
+        buckets = buckets.persist()
     try:
         tasks = salted_pair_tasks(
             buckets, bucket_cap, ("band_idx", "band_hash"), "doc_id"
         )
-        return (
+        out = (
             salted_pair_join(tasks, ("band_idx", "band_hash"), "doc_id")
             .select(
                 F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
                 F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             )
             .distinct()
+        )
+        if materialize:
             # narrow (doc_a, doc_b) rows only — eager, so the bucket
             # cache can be released before this function returns
-            .localCheckpoint(eager=True)
-        )
+            out = out.localCheckpoint(eager=True)
+        return out
     finally:
-        buckets.unpersist()
+        if materialize:
+            buckets.unpersist()
 
 
-def exact_jaccard(shingle_df: DataFrame, pairs: DataFrame) -> DataFrame:
+def exact_jaccard(
+    shingle_df: DataFrame,
+    pairs: DataFrame,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Exact Jaccard for the GIVEN candidate pairs only.
 
     Restricts the shingle inverted index to candidate docs BEFORE any
@@ -174,6 +196,14 @@ def exact_jaccard(shingle_df: DataFrame, pairs: DataFrame) -> DataFrame:
     and then filtering would silently reintroduce the quadratic blowup
     LSH exists to avoid — on a low-diversity corpus (long posting
     lists) that is the difference between seconds and hours.
+
+    ``carry_cols``: extra ``pairs`` columns to ride through the
+    intersection aggregate and come back on the output — for callers
+    that would otherwise have to JOIN the verified pairs back to the
+    candidate frame to re-attach per-pair metadata (an extra shuffle,
+    and a second evaluation of the candidate plan). Sound because
+    (doc_a, doc_b) is unique in every caller's pair set, so grouping
+    by (doc_a, doc_b, *carry) == grouping by (doc_a, doc_b).
     """
     exploded = shingle_df.select(
         "doc_id", F.explode("shingles").alias("shingle")
@@ -190,7 +220,7 @@ def exact_jaccard(shingle_df: DataFrame, pairs: DataFrame) -> DataFrame:
             (pairs["doc_b"] == F.col("y.doc_id"))
             & (F.col("x.shingle") == F.col("y.shingle")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", *carry_cols)
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (
@@ -203,6 +233,7 @@ def exact_jaccard(shingle_df: DataFrame, pairs: DataFrame) -> DataFrame:
                 F.col("n_inter").cast("double")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
             ).alias("jaccard"),
+            *carry_cols,
         )
     )
 
@@ -234,7 +265,13 @@ def minhash_lsh_dedup(
             "doc_id", minhash_signature(F.col("shingles"), num_perm).alias("signature")
         )
         buckets = band_buckets(sigs, num_perm, band_rows).persist()
-        cands = candidate_pairs(buckets, bucket_cap)
+        # Lazy candidates (materialize=False): `buckets` is persisted
+        # right above and the pair set is consumed exactly once by the
+        # verify join, so the eager checkpoint inside candidate_pairs
+        # would only serialize candidate generation ahead of the verify
+        # stage; one action lets Spark overlap their independent stages
+        # (guide §2.6).
+        cands = candidate_pairs(buckets, bucket_cap, materialize=False)
         verified = exact_jaccard(ss, cands)
         # No terminal global sort: at scale the pair list is huge and
         # the driver compare / downstream joins are order-insensitive
@@ -425,17 +462,28 @@ def incremental_dedup(
             F.least("new_id", "ex_id").alias("doc_a"),
             F.greatest("new_id", "ex_id").alias("doc_b"),
         ).withColumn("vs_existing", F.lit(1))
-        # new x new: the standard capped self-join
-        within = candidate_pairs(new_buckets, bucket_cap).withColumn(
-            "vs_existing", F.lit(0)
-        )
+        # new x new: the standard capped self-join — LAZY
+        # (materialize=False): new_buckets is persisted above (or
+        # caller-checkpointed), and vs_existing rides through the
+        # verify aggregate as a carry column, so the candidate set has
+        # exactly one consumer. The previous shape eagerly checkpointed
+        # `within` (a scheduling barrier serializing it ahead of the
+        # cross/verify stages) and then JOINED the verified pairs back
+        # to the candidate frame just to re-attach vs_existing — one
+        # extra shuffle and a second evaluation of the candidate plan
+        # per call. Sound because ids are disjoint across the two
+        # corpora, so (doc_a, doc_b) determines vs_existing uniquely.
+        within = candidate_pairs(
+            new_buckets, bucket_cap, materialize=False
+        ).withColumn("vs_existing", F.lit(0))
         cands = cross_pairs.unionByName(within)
 
-        verified = exact_jaccard(
-            new_ss.unionByName(ex_ss), cands.select("doc_a", "doc_b")
-        ).filter(F.col("jaccard") >= threshold)
-        out = verified.join(cands, ["doc_a", "doc_b"]).select(
-            "doc_a", "doc_b", "jaccard", "vs_existing"
+        out = (
+            exact_jaccard(
+                new_ss.unionByName(ex_ss), cands, carry_cols=("vs_existing",)
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard", "vs_existing")
         )
         return out.localCheckpoint(eager=True)
     finally:

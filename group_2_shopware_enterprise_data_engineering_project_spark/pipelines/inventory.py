@@ -59,9 +59,14 @@ def transform(df: DataFrame) -> DataFrame:
 
 @dataclass
 class RunResult:
-    valid_rows: int
-    rejected_rows: int
-    upserted_rows: int
+    """Per-run row accounting. Fields are None when the run was
+    invoked with ``collect_stats=False`` (the counts were never
+    computed) — an explicit "not collected" signal instead of a
+    plausible-looking sentinel number."""
+
+    valid_rows: int | None
+    rejected_rows: int | None
+    upserted_rows: int | None
 
 
 def run(
@@ -93,7 +98,7 @@ def run(
     table = ParquetUpsertTable(spark, table_path, partition_by=("last_updated_date",))
     table.upsert_replace(deduped, ("inventory_id",), "last_updated")
     if not collect_stats:
-        return RunResult(-1, -1, -1)
+        return RunResult(None, None, None)
     return RunResult(
         valid_rows=ok.count(),
         rejected_rows=bad.count(),

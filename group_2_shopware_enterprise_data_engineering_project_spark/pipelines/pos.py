@@ -52,10 +52,15 @@ def daily_sales_kpi(facts: DataFrame) -> DataFrame:
 
 @dataclass
 class RunResult:
-    valid_rows: int
-    rejected_rows: int
-    fact_rows: int
-    kpi_rows: int
+    """Per-run row accounting. Fields are None when the run was
+    invoked with ``collect_stats=False`` (the counts were never
+    computed) — an explicit "not collected" signal instead of a
+    plausible-looking sentinel number."""
+
+    valid_rows: int | None
+    rejected_rows: int | None
+    fact_rows: int | None
+    kpi_rows: int | None
 
 
 def run(
@@ -110,7 +115,7 @@ def run(
         facts.unpersist()
 
     if not collect_stats:
-        return RunResult(-1, -1, -1, -1)
+        return RunResult(None, None, None, None)
     return RunResult(
         valid_rows=ok.count(),
         rejected_rows=bad.count(),

@@ -187,7 +187,7 @@ def k10_archive_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         part_dir = f"{base}/stage_{parity}"
         (
             orders.filter(F.col("o_orderkey") % 2 == parity)
-            .coalesce(1)
+            .repartition(1)
             .write.mode("overwrite")
             .option("header", "true")
             .csv(part_dir)

@@ -555,7 +555,7 @@ def st9_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for b in range(3):
         stage = f"{base}/stage_{b}"
-        events.filter(bucket == b).coalesce(1).write.mode("overwrite").json(stage)
+        events.filter(bucket == b).repartition(1).write.mode("overwrite").json(stage)
         # an empty time bucket writes only _SUCCESS — skip it rather
         # than StopIteration
         part = next((n for n in os.listdir(stage) if n.endswith(".json")), None)
@@ -668,10 +668,10 @@ def st10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("c_us")
-    ).coalesce(1).write.mode("overwrite").json(cdir)
+    ).repartition(1).write.mode("overwrite").json(cdir)
     events.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("buy_id"), F.col("ts_us").alias("b_us")
-    ).coalesce(1).write.mode("overwrite").json(pdir)
+    ).repartition(1).write.mode("overwrite").json(pdir)
 
     cs = T.StructType(
         [
@@ -760,7 +760,7 @@ def st11_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type"
     )
     doubled = events.unionByName(events)
-    doubled.coalesce(1).write.mode("overwrite").json(src)
+    doubled.repartition(1).write.mode("overwrite").json(src)
 
     schema = T.StructType(
         [
@@ -844,7 +844,7 @@ def st12_stream_dim_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for b in range(3):
         stage = f"{base}/stage_{b}"
-        events.filter(bucket == b).coalesce(1).write.mode("overwrite").json(stage)
+        events.filter(bucket == b).repartition(1).write.mode("overwrite").json(stage)
         # an empty percentile bucket (degenerate event_id distribution)
         # writes only _SUCCESS — skip it rather than StopIteration
         part = next((n for n in os.listdir(stage) if n.endswith(".json")), None)
@@ -1069,10 +1069,10 @@ def st15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("c_us")
-    ).coalesce(1).write.mode("overwrite").json(cdir)
+    ).repartition(1).write.mode("overwrite").json(cdir)
     events.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("buy_id"), F.col("ts_us").alias("b_us")
-    ).coalesce(1).write.mode("overwrite").json(pdir)
+    ).repartition(1).write.mode("overwrite").json(pdir)
     max_us = events.agg(F.max("ts_us")).collect()[0][0]
 
     cs = T.StructType(
@@ -1454,7 +1454,7 @@ def st20_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     for b in range(3):
         stage = f"{base}/stage_{b}"
-        emb.filter(F.col("vec_id") % 3 == b).coalesce(1).write.mode(
+        emb.filter(F.col("vec_id") % 3 == b).repartition(1).write.mode(
             "overwrite"
         ).parquet(stage)
         part = next(
@@ -2057,7 +2057,7 @@ def st25_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wave2 = events.filter(F.col("event_id") % 2 == 1)
     w2 = f"{src_dir}/wave2.json"
-    wave2.coalesce(1).write.mode("overwrite").json(f"{src_dir}/_stage_w2")
+    wave2.repartition(1).write.mode("overwrite").json(f"{src_dir}/_stage_w2")
     part = next(
         f
         for f in os.listdir(f"{src_dir}/_stage_w2")

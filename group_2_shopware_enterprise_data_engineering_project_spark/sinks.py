@@ -63,11 +63,17 @@ def write_hour_partitioned(
     ``repartition(keys)``: same one-file-per-hour outcome on
     well-behaved data, but AQE can SPLIT an oversized hour instead of
     pinning it to a single writer task — at scale a hot hour is
-    exactly where the straggler/OOM lives. ``compact=False`` keeps the
-    incoming task layout (k12's deliberate small-file pathology)."""
+    exactly where the straggler/OOM lives (falls back to
+    repartition(keys) on an AQE-off session, where the hint would be
+    silently dropped). ``compact=False`` keeps the incoming task
+    layout (k12's deliberate small-file pathology)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        _cluster_for_partitioned_write,
+    )
+
     out = with_hour_partitions(df, ts_col)
     if compact:
-        out = out.hint("rebalance", *HOUR_PARTITION_KEYS)
+        out = _cluster_for_partitioned_write(out, HOUR_PARTITION_KEYS)
     out.write.mode(mode).partitionBy(*HOUR_PARTITION_KEYS).parquet(path)
 
 

@@ -73,7 +73,7 @@ def stage_ordered_batches(
     os.makedirs(src_dir, exist_ok=True)
     for b in range(n_batches):
         stage = f"{src_dir}/_stage_{b}"
-        df.filter(assign == b).coalesce(1).write.mode("overwrite").json(stage)
+        df.filter(assign == b).repartition(1).write.mode("overwrite").json(stage)
         part = next(
             (f for f in os.listdir(stage) if f.endswith(".json")), None
         )
@@ -489,12 +489,47 @@ def incremental_dedup_sink(
             # bucket_index plan, not a hand-copied StructType that
             # could drift from band_buckets' output)
             history = spark.createDataFrame([], buckets.schema)
-        pairs = minhash.incremental_dedup(
-            df, doc_store, index=history, threshold=threshold, new_buckets=buckets
+
+        # Index maintenance (append + periodic compaction) needs only
+        # the already-materialized `buckets`, so it runs on a driver
+        # thread CONCURRENTLY with the dedup computation (guide §2.6 —
+        # the per-batch wall here is many small serialized jobs, not a
+        # hot stage). Safe by the same argument as the crash contract
+        # above: the batch's buckets landing in the index before its
+        # pairs commit is exactly the "crash between 4 and 5" replay
+        # state, which step 2's anti-join already tolerates; `history`
+        # was planned above, so its file listing predates the append,
+        # and compaction's snapshot swap retains the version it reads
+        # (prune keeps 2). The pairs merge (the txn commit) still runs
+        # strictly LAST.
+        maintain_err: list[BaseException] = []
+
+        def _maintain_index() -> None:
+            try:
+                index_table.append(buckets)
+                if compact_every and (batch_id + 1) % compact_every == 0:
+                    index_table.compact()
+            except BaseException as e:  # re-raised on the batch thread
+                maintain_err.append(e)
+
+        t = threading.Thread(
+            target=_maintain_index, name="incremental-dedup-index-maintenance"
         )
-        index_table.append(buckets)
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            index_table.compact()
+        t.start()
+        try:
+            pairs = minhash.incremental_dedup(
+                df,
+                doc_store,
+                index=history,
+                threshold=threshold,
+                new_buckets=buckets,
+            )
+        finally:
+            t.join()
+        if maintain_err:
+            # a failed append/compact must fail the batch (streaming
+            # retries it; pairs were not committed, so replay is safe)
+            raise maintain_err[0]
         pairs_table.upsert_replace(
             pairs, ("doc_a", "doc_b"), txn=(app_id, batch_id)
         )

@@ -874,3 +874,29 @@ def test_partitioned_write_clusters_by_partition_cols(spark, tmp_path):
     assert len(files_per_dir) == 7
     assert all(n == 1 for n in files_per_dir.values()), files_per_dir
     assert t.read().count() == 2000
+
+
+def test_cluster_for_partitioned_write_falls_back_without_aqe(spark):
+    """The REBALANCE hint resolves only under AQE (ResolveCoalesceHints
+    guards it on adaptiveExecutionEnabled); an AQE-off session must get
+    the repartition(cols) fallback or partitioned writes silently
+    revert to the tasks x values tiny-file pathology (ADVICE r12)."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
+        _cluster_for_partitioned_write,
+    )
+
+    df = spark.range(100).selectExpr("id AS k", "CAST(id % 5 AS STRING) AS p")
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        off_plan = _cluster_for_partitioned_write(
+            df, ("p",)
+        )._jdf.queryExecution().optimizedPlan().toString()
+        # repartition-by-expression survives optimization when AQE is off
+        assert "RepartitionByExpression" in off_plan, off_plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    on_plan = _cluster_for_partitioned_write(
+        df, ("p",)
+    )._jdf.queryExecution().analyzed().toString()
+    assert "rebalance" in on_plan.lower(), on_plan
