@@ -259,23 +259,53 @@ _COMMIT_STAMP = "_COMMITTED_AT.json"
 _SNAPSHOT_RE = re.compile(r"^v(\d{6})$")
 
 
+# Below this Catalyst size estimate a partitioned write's cost is the
+# per-FILE writer machinery (parquet writer open + footer + commit
+# rename per partition value, ~10-20 ms each), not bytes — the regime
+# where AQE's byte-based coalescing picks too few writer tasks. At or
+# under this bound a full-cores fan-out is always safe: even a
+# maximally hot value pins at most the whole (small) frame on one task.
+_SMALL_WRITE_MAX_BYTES = 256 << 20
+
+
 def _cluster_for_partitioned_write(
     df: DataFrame, partition_by: tuple[str, ...]
 ) -> DataFrame:
     """Cluster rows by the partition columns ahead of a partitioned
-    write: REBALANCE under AQE (coalesces small value groups AND splits
-    hot ones), plain repartition(cols) when AQE is off — the REBALANCE
-    hint is resolved by ResolveCoalesceHints ONLY when
-    spark.sql.adaptive.enabled is true; on an AQE-off session it is
-    silently ignored and the write reverts to one file per
-    (task, value). Shared by merge.py's `_write` and
-    sinks.write_hour_partitioned."""
-    aqe = str(
-        df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
-    ).lower()
-    if aqe == "true":
-        return df.hint("rebalance", *partition_by)
-    return df.repartition(*[F.col(c) for c in partition_by])
+    write. Three regimes, picked from metadata only (no job):
+
+    - AQE off: plain repartition(cols) — the REBALANCE hint is
+      resolved by ResolveCoalesceHints ONLY when
+      spark.sql.adaptive.enabled is true; silently dropping it would
+      revert the write to one file per (task, value).
+    - Small frame (Catalyst estimate <= _SMALL_WRITE_MAX_BYTES):
+      repartition(n, cols) with the session's shuffle-partition count
+      EXPLICIT, which AQE does not coalesce. Byte-based coalescing is
+      wrong in this regime: a frame a few MB over the 1 MB
+      minPartitionSize floor coalesces to 1-3 writer tasks that then
+      write hundreds of partition-value files SERIALLY (measured at
+      sf0.1: the 720-hour K1 write ran as 3 tasks, ~15 s of executor
+      time that 32 tasks spread to ~0.5 s wall) — the per-file writer
+      machinery, invisible to byte statistics, dominates. Hot-value
+      pinning is harmless here by construction (one task holds at most
+      the whole small frame).
+    - Large frame: REBALANCE by the partition columns — AQE coalesces
+      small value groups AND splits oversized ones, so at scale a hot
+      value never pins a single writer task.
+
+    Shared by merge.py's `_write` and sinks.write_hour_partitioned."""
+    from group_2_shopware_enterprise_data_engineering_project_spark.operators.hints import (
+        estimated_plan_bytes,
+    )
+
+    spark = df.sparkSession
+    aqe = str(spark.conf.get("spark.sql.adaptive.enabled", "true")).lower()
+    if aqe != "true":
+        return df.repartition(*[F.col(c) for c in partition_by])
+    if estimated_plan_bytes(df) <= _SMALL_WRITE_MAX_BYTES:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        return df.repartition(n, *[F.col(c) for c in partition_by])
+    return df.hint("rebalance", *partition_by)
 
 
 class ParquetUpsertTable:

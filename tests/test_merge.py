@@ -876,27 +876,41 @@ def test_partitioned_write_clusters_by_partition_cols(spark, tmp_path):
     assert t.read().count() == 2000
 
 
-def test_cluster_for_partitioned_write_falls_back_without_aqe(spark):
-    """The REBALANCE hint resolves only under AQE (ResolveCoalesceHints
-    guards it on adaptiveExecutionEnabled); an AQE-off session must get
-    the repartition(cols) fallback or partitioned writes silently
-    revert to the tasks x values tiny-file pathology (ADVICE r12)."""
+def test_cluster_for_partitioned_write_regimes(spark):
+    """Three regimes of the pre-write clustering:
+    - AQE off -> repartition(cols): the REBALANCE hint resolves only
+      under AQE (ResolveCoalesceHints), silently no-oping otherwise
+      and reverting writes to the tasks x values pathology (ADVICE
+      r12);
+    - small frame + AQE -> repartition(N, cols) with an EXPLICIT
+      partition count AQE cannot coalesce: byte-based coalescing
+      collapses a few-MB frame to 1-3 writer tasks that pay the
+      per-file writer machinery serially;
+    - large frame + AQE -> REBALANCE (coalesce small value groups,
+      split hot ones at scale)."""
     from group_2_shopware_enterprise_data_engineering_project_spark.operators.merge import (
         _cluster_for_partitioned_write,
     )
 
-    df = spark.range(100).selectExpr("id AS k", "CAST(id % 5 AS STRING) AS p")
+    small = spark.range(100).selectExpr("id AS k", "CAST(id % 5 AS STRING) AS p")
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         off_plan = _cluster_for_partitioned_write(
-            df, ("p",)
+            small, ("p",)
         )._jdf.queryExecution().optimizedPlan().toString()
         # repartition-by-expression survives optimization when AQE is off
         assert "RepartitionByExpression" in off_plan, off_plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
-    on_plan = _cluster_for_partitioned_write(
-        df, ("p",)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    small_plan = _cluster_for_partitioned_write(
+        small, ("p",)
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert f"RepartitionByExpression [p#" in small_plan and f", {n}" in small_plan, small_plan
+    # range stats: 8 bytes x rows -> ~8 TB estimate, no scan involved
+    big = spark.range(10**12).selectExpr("id AS k", "CAST(id % 5 AS STRING) AS p")
+    big_plan = _cluster_for_partitioned_write(
+        big, ("p",)
     )._jdf.queryExecution().analyzed().toString()
-    assert "rebalance" in on_plan.lower(), on_plan
+    assert "rebalance" in big_plan.lower(), big_plan
