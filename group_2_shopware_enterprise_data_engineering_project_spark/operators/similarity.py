@@ -161,6 +161,18 @@ def brute_force_topk(
     """Exact cosine top-k per query vector (self excluded).
 
     Queries are broadcast; the corpus side is embarrassingly parallel.
+
+    This is the ONE similarity path that does NOT use the
+    ``cosine_pre`` norm precompute: a 3-arm interleaved A/B at sf0.1
+    (r13, permuted run order; medians over 6 reps) read plain
+    ``cosine`` 1.11 s vs corpus-side precompute 2.22 s vs query-only
+    precompute 1.50 s — the scan-side norm projection costs more than
+    it saves when each corpus row is scored against only |Q| broadcast
+    queries (|Q| is small on the brute path by construction; exact
+    scoring of every corpus row is only sane for few queries). The
+    precompute stays in the LSH/IVF/near-dup/semdedup paths, where a
+    vector's norm amortizes over its whole candidate fan-out and the
+    r12 plan-verified wins (e6 1.67x) live.
     """
     if query_pred is None:
         query_pred = F.col("vec_id").isin(query_ids or [])
@@ -168,13 +180,11 @@ def brute_force_topk(
         emb.filter(query_pred).select(
             F.col("vec_id").alias("query_id"),
             _as_double(F.col("embedding")).alias("qv"),
-            l2_norm(_as_double(F.col("embedding"))).alias("_qn"),
         )
     )
     corpus = spread(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("nv"),
-        l2_norm(_as_double(F.col("embedding"))).alias("_nn"),
     )
     sims = (
         queries.crossJoin(corpus)
@@ -182,9 +192,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_pre(
-                F.col("qv"), F.col("nv"), F.col("_qn"), F.col("_nn")
-            ).alias("cos_sim"),
+            cosine(F.col("qv"), F.col("nv")).alias("cos_sim"),
         )
     )
     return _topk_per_query(sims, k).orderBy("query_id", "rank")
