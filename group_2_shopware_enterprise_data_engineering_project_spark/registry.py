@@ -42,39 +42,83 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: never-driver-checked queries rotate in (r4: e9 in for a5; r5: full
 #: rotation to the never-checked set, see the block comment below).
 CORE_ORDER: tuple[str, ...] = (
-    # r12 rotation (r11 verdict item 2): the window fronts the THREE
-    # queries new in r12 (never driver-checked; each oracle-green in a
-    # bare-session verify before entering), then the ELEVEN queries
-    # whose code changed in r12 (the six size-gated dimension
-    # broadcasts j1/a16/a19/a31/a41/st17, the m60/st31 unfunded-source
-    # keep_flag rule, t34's all-decimal tie-block products, and the
-    # a28/st21 empty-baseline NULL guard; m21's null-safe join-back is
-    # the twelfth change and sits in its rotation slot below), then
-    # the FULL 17-entry r5 cohort (newest driver row = round 5 — the
-    # oldest evidence in the registry, verdict item 2's exact list),
-    # and the first 19 of the 27 remaining r6-cohort entries in name
-    # order to fill the window (r13 queue: m27_count_min,
-    # m28_hll_distinct, mm5_media_near_dup, st10_stream_stream_join,
-    # st13_stream_count_min, t15_bpe_train, t8_corpus_dup_ngrams,
-    # t9_dedup_spans):
+    # r13 rotation (r12 verdict item 8): the window fronts the NINE
+    # queued never-recently-checked entries (m24/m25 displaced by the
+    # session-4 swap, m27/m28 displaced by the late r12 entries, and
+    # the r6-cohort queue remainder mm5/st10/st13/t15/t9 — t8 landed
+    # in r12), then every query whose CODE changed in r13:
+    #   - the minhash barrier removal + vs_existing carry
+    #     (dedup_minhash_lsh, t24, d7, st14, m58, d9),
+    #   - the brute-force norm-precompute revert (e2, e14, e21, t21),
+    #   - the size-gated small-write fan-out + staging repartition(1)
+    #     (k1, k9, k10, pipe_web/crm/pos/inventory, st2/5/7/9/11/15/
+    #      18/20/21/24/28, k4/k5/k12/k23, the pipe_llm trio),
+    # and closes with six single-driver-row retentions from r12
+    # (m64/a43/a44 new in r12; j1/t34/m60 changed in r12). Everything
+    # displaced keeps its newest green driver row plus the committed
+    # full-registry sweep (CORRECTNESS_LOCAL_r13).
+    "m24_dense_ids",
+    "m25_transition_matrix",
+    "m27_count_min",
+    "m28_hll_distinct",
+    "mm5_media_near_dup",
+    "st10_stream_stream_join",
+    "st13_stream_count_min",
+    "t15_bpe_train",
+    "t9_dedup_spans",
+    "dedup_minhash_lsh",
+    "t24_pair_evidence",
+    "d7_incremental_dedup",
+    "st14_stream_incremental_dedup",
+    "m58_fuzzy_contamination",
+    "d9_minhash_calibration",
+    "e2_ann_bruteforce",
+    "e14_ann_recall_eval",
+    "e21_rbo_eval",
+    "t21_rrf_fusion",
+    "k1_hour_partition_roundtrip",
+    "k9_partition_registration",
+    "k10_archive_lifecycle",
+    "pipe_web",
+    "pipe_crm",
+    "st5_hourly_alert_counts",
+    "st2_stateful_dedup",
+    "st11_dedup_within_watermark",
+    "st15_stream_outer_join",
+    "st18_hopping_window",
+    "st20_stream_ann_index",
+    "st21_stream_drift",
+    "st24_stream_cdc_apply",
+    "st28_stream_chunk_manifest",
+    "pipe_llm_curation",
+    "pipe_llm_prep",
+    "pipe_llm_audit",
+    "pipe_pos",
+    "pipe_inventory",
+    "k12_compaction",
+    "k23_partition_evolution",
+    "st7_stream_kpi",
+    "st9_stream_sessions",
+    "k4_replace_merge",
+    "k5_additive_merge",
     "m64_deterministic_downsample",
     "a43_small_qty_revenue",
     "a44_late_ship_semijoin",
-    # ... changed-code queries (r12):
     "j1_loyalty_join",
+    "t34_length_gini",
+    "m60_budget_select",
+    # --- driver window boundary (first 50 above) ---
+    # Remaining entries keep their prior relative order (duplicates
+    # from the r12 rotation removed; _ordered() now asserts
+    # uniqueness); per-query driver history in CORRECTNESS_r0*.json:
     "a16_regression_trends",
     "a19_regional_revenue",
     "a31_basket_lift",
     "a41_ship_priority",
     "st17_stream_static_join",
-    "m60_budget_select",
     "st31_stream_budget_select",
-    "t34_length_gini",
-    "a28_drift_buckets",   # changed r12: empty-baseline NULL guard
-    "st21_stream_drift",   # same change (shared drift_from_histogram)
-    # ... the r5 cohort (name order):
+    "a28_drift_buckets",
     "j4_range_join",
-    "k12_compaction",
     "k13_incremental_agg",
     "k14_rollup_cascade",
     "k16_scd2_history",
@@ -83,14 +127,11 @@ CORE_ORDER: tuple[str, ...] = (
     "m18_length_buckets",
     "m22_sequence_examples",
     "m26_resample_ffill",
-    "st11_dedup_within_watermark",
     "st12_stream_dim_replace",
-    "st9_stream_sessions",
     "t10_tfidf_top_terms",
     "t11_bm25_topk",
     "t12_inverted_index",
     "t13_nb_classifier",
-    # ... oldest r6-cohort entries (name order):
     "a15_key_skew_profile",
     "a17_winsorize",
     "a18_anomaly_zscore",
@@ -106,24 +147,9 @@ CORE_ORDER: tuple[str, ...] = (
     "g2_triangle_counts",
     "m19_chunk_documents",
     "m20_shard_assign",
-    "m21_source_quantile_filter",  # also changed-code in r12 (null-safe join-back)
+    "m21_source_quantile_filter",
     "m23_negative_sample",
-    # ... late r12 changed-code entries (optimization session 4):
-    # t8 gained the spread() its text.py siblings had (single-task
-    # shingle stage), pipe_inventory now rides the REBALANCE-clustered
-    # partitioned snapshot write + collect_stats=False. Each displaces
-    # one r6-cohort fill entry (m24/m25 -> r13 queue).
     "t8_corpus_dup_ngrams",
-    "pipe_inventory",
-    # --- driver window boundary (first 50 above) ---
-    # (m27_count_min / m28_hll_distinct displaced to the r13 queue by
-    # the two late changed-code entries above; m24_dense_ids /
-    # m25_transition_matrix displaced by the session-4 changed-code
-    # pair — all four front the r13 rotation)
-    "m27_count_min",
-    "m28_hll_distinct",
-    # Remaining entries keep their prior relative order; per-query
-    # driver history in CORRECTNESS_r0*.json:
     "a42_reorder_latency",
     "m62_head_tail_truncate",
     "j10_interval_coverage",
@@ -131,7 +157,6 @@ CORE_ORDER: tuple[str, ...] = (
     "k33_retention_plan",
     "t33_term_concentration",
     "a40_timebound_conversion",
-    "k9_partition_registration",
     "m10_percentiles",
     "m11_json_extract",
     "m12_text_normalize",
@@ -153,17 +178,9 @@ CORE_ORDER: tuple[str, ...] = (
     "p2_extra_column_split",
     "p3_validation_flags",
     "p9_transform_pipeline",
-    "pipe_crm",
-    "pipe_inventory",
-    "pipe_llm_curation",
-    "pipe_pos",
-    "pipe_web",
     "s2_csv_roundtrip",
     "s3_jsonl_roundtrip",
     "s5_record_decode",
-    "st2_stateful_dedup",
-    "st5_hourly_alert_counts",
-    "st7_stream_kpi",
     "w1_keep_latest",
     "a13_funnel",
     "a14_cohort_retention",
@@ -171,7 +188,6 @@ CORE_ORDER: tuple[str, ...] = (
     "a23_share_of_total",
     "t4_exact_dedup",
     "t5_winnow_fingerprints",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "t6_token_counts",
@@ -193,7 +209,6 @@ CORE_ORDER: tuple[str, ...] = (
     "a37_ewma_revenue",
     "m59_chunk_manifest",
     "mm8_scene_segments",
-    "st28_stream_chunk_manifest",
     "j9_interval_union",
     "a38_totalprice_reconciliation",
     "e24_matryoshka_recall_curve",
@@ -209,17 +224,12 @@ CORE_ORDER: tuple[str, ...] = (
     "a8_null_counts",
     "d1_distinct_rows",
     "e9_ann_ivf_kmeans",
-    "k10_archive_lifecycle",
     "k11_snapshot_diff",
-    "k1_hour_partition_roundtrip",
-    "k4_replace_merge",
-    "k5_additive_merge",
     "k8_validation_summary",
     "t28_bigram_repetition_gate",
     "t29_lm_oov_filter",
     "m49_loss_mask_spans",
     "m50_vocab_coverage",
-    "d9_minhash_calibration",
     "m51_token_accounting",
     "mm7_frame_dedup",
     "a34_shuffle_skew_audit",
@@ -238,9 +248,7 @@ CORE_ORDER: tuple[str, ...] = (
     "m56_hll_merge_rollup",
     "k31_referential_integrity",
     "st26_stream_waterfill",
-    "m58_fuzzy_contamination",
     "e20_diversity_coreset",
-    "e21_rbo_eval",
     "a5_alert_count",
     "a9_rollup_sales",
     "a10_pivot_events",
@@ -250,7 +258,6 @@ CORE_ORDER: tuple[str, ...] = (
     "a11_profile_orders",
     "a12_value_histogram",
     "e1_embedding_norms",
-    "e2_ann_bruteforce",
     "e3_ann_lsh",
     "e5_ann_ivf",
     "e7_ann_ivf_probe2",
@@ -261,7 +268,6 @@ CORE_ORDER: tuple[str, ...] = (
     "t2_quality_score",
     "t3_lang_id",
     "m15_sequence_pack",
-    "pipe_llm_prep",
     "t14_compression_ratio",
     "m37_source_overlap",
     "t23_script_mix",
@@ -270,7 +276,6 @@ CORE_ORDER: tuple[str, ...] = (
     "a29_k_anonymity",
     "m39_semantic_pack",
     "m40_chunk_embedding_pool",
-    "t24_pair_evidence",
     "st22_stream_purge",
     "j7_asof_tolerance",
     "m41_packing_efficiency",
@@ -278,7 +283,6 @@ CORE_ORDER: tuple[str, ...] = (
     "st23_stream_audit_gate",
     "e16_ann_filtered",
     "a30_rfm_features",
-    "st24_stream_cdc_apply",
     "m43_split_leakage",
     "t25_langid_confusion",
     "m44_feature_hashing",
@@ -299,24 +303,16 @@ CORE_ORDER: tuple[str, ...] = (
     "m34_preference_pairs",
     "m35_bigram_coverage",
     "t20_line_quality_filter",
-    "t21_rrf_fusion",
     "k26_zorder_layout",
-    "a28_drift_buckets",
     "m36_conversation_linearize",
     "t22_tokenizer_fertility",
-    "st21_stream_drift",
     "m31_histogram_quantiles",
     "a25_unpivot_metrics",
-    "st18_hopping_window",
     "d8_canonical_selection",
-    "pipe_llm_audit",
     "m32_equidepth_bucketize",
     "st19_late_data_accounting",
-    "e14_ann_recall_eval",
     "m33_epoch_shuffle",
-    "k23_partition_evolution",
     "k24_gdpr_purge",
-    "st20_stream_ann_index",
     "s10_binaryfile_scan",
     "s11_logline_parse",
     "a26_window_ranks",
@@ -333,21 +329,12 @@ CORE_ORDER: tuple[str, ...] = (
     "k22_time_travel_cdc",
     "j6_dynamic_partition_pruning",
     "t19_bpe_encode",
-    "d7_incremental_dedup",
-    "st14_stream_incremental_dedup",
     "m29_temperature_resample",
     "m30_resample_interpolate",
     "a24_attribution",
     "st16_stream_custom_state",
-    "st15_stream_outer_join",
     "k17_zone_map_scan",
     "k20_shard_manifest",
-    "mm5_media_near_dup",
-    "t8_corpus_dup_ngrams",
-    "t9_dedup_spans",
-    "t15_bpe_train",
-    "st13_stream_count_min",
-    "st10_stream_stream_join",
 )
 
 
@@ -366,6 +353,13 @@ def _ordered() -> list[QuerySpec]:
     missing = [n for n in CORE_ORDER if n not in _REGISTRY]
     if missing:
         raise KeyError(f"CORE_ORDER names not registered: {missing}")
+    if len(set(CORE_ORDER)) != len(CORE_ORDER):
+        dupes = sorted({n for n in CORE_ORDER if CORE_ORDER.count(n) > 1})
+        raise ValueError(
+            f"CORE_ORDER contains duplicates: {dupes} — the driver window "
+            "is defined by FIRST occurrence, so a stale second entry "
+            "silently misdocuments the rotation"
+        )
     core = [_REGISTRY[n] for n in CORE_ORDER]
     rest = [s for n, s in _REGISTRY.items() if n not in set(CORE_ORDER)]
     return core + rest

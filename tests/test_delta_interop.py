@@ -2,13 +2,13 @@
 
 This sandbox has no delta-spark, so every test here skips cleanly via
 ``pytest.importorskip``. Install attempts were re-checked 2026-08-14
-(r6), 2026-08-15 (r7/r8), and 2026-08-16 (r9, r10, r11, r12): the
-environment's policy forbids package installs, and probes (``pip
-install delta-spark`` r8/r10/r11/r12 — the configured index host does
-not resolve in r11 or r12 ("Name or service not known" on every
-retry); ``pip download`` r6/r7/r10/r12 same; ``import delta`` +
-pyspark/jars scan r9/r10/r11/r12 — zero delta/kafka jars present) all
-fail. Even with the Python package present, activating
+(r6), 2026-08-15 (r7/r8), 2026-08-16 (r9, r10, r11, r12), and
+2026-08-18 (r13): the environment's policy forbids package installs,
+and probes (``pip install delta-spark`` r8/r10/r11/r12/r13 — the
+configured index host does not resolve in r11-r13 ("Name or service
+not known" on every retry); ``pip download`` r6/r7/r10/r12/r13 same;
+``import delta`` + pyspark/jars scan r9-r13 — zero delta/kafka jars
+present) all fail. Even with the Python package present, activating
 Delta needs the matching ``io.delta:delta-spark_2.13`` JVM jars
 resolved from Maven at session start — also unreachable here. The
 gate below is therefore the permanent state of THIS sandbox, not a

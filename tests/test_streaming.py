@@ -521,9 +521,9 @@ def test_kafka_source_plan_when_connector_present(spark):
         pytest.skip(
             "spark-sql-kafka-0-10 connector not on classpath; the "
             "fail-fast gate test covers this environment (re-probed "
-            "2026-08-16 r10, r11, and r12: pyspark/jars has zero "
-            "kafka jars and the package index host does not resolve "
-            "— see test_delta_interop.py)"
+            "2026-08-16 r10-r12 and 2026-08-18 r13: pyspark/jars has "
+            "zero kafka jars and the package index host does not "
+            "resolve — see test_delta_interop.py)"
         )
     schema = T.StructType(
         [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
